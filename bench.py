@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_pulsar_spark.session import get_spark
+from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_orders",
+    "compaction_publish_order",
+    "dedup_sequence_ids",
+    "tumbling_window_hourly",
+    "sliding_window_hourly",
+    "session_windows_users",
+    "count_windows_user",
+    "key_shared_summary",
+    "text_stats",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        q = ALL_QUERIES[name]
+        t0 = time.time()
+        n = q.build(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

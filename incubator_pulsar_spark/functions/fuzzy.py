@@ -1,0 +1,186 @@
+"""Fuzzy / near-duplicate detection: shingles, MinHash+LSH, n-gram
+Jaccard, SimHash.
+
+Design constraints:
+- Deterministic and oracle-reproducible: the "random" hash family is
+  ``md5(shingle || '#' || seed)`` and MinHash takes the lexicographic min
+  of the hex digests — a valid min-wise permutation family that any ANSI
+  SQL engine can replay bit-for-bit (the harness cross-checks DuckDB).
+- Scale: the MinHash path never materializes the O(n²) pair space. Per
+  doc: shingle explode (map-side), one groupBy(doc) for signatures, one
+  self-join on (band_id, band_hash) whose output is only the candidate
+  pairs. Exact Jaccard verification joins shingle sets only for
+  candidates. This is the standard LSH pipeline (Broder '97 / MMDS ch.3)
+  expressed as three hash shuffles, each AQE-coalesced.
+- For 100 TB, the shingle explode dominates; shingles are hashed to
+  32-hex strings immediately so the shuffle carries fixed-width keys,
+  and band signatures collapse to one md5 per band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of normalized text (Broder shingling).
+
+    Pure column expr: explode via sequence+transform, no UDF. Documents
+    shorter than k yield a single shingle = the whole text (so empty/tiny
+    docs still participate instead of vanishing).
+    """
+    norm = normalize_text(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def shingle_table(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded — distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 5,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(shingle || '#i')).
+
+    One explode + one groupBy(doc_id) hash agg (partial agg keeps a
+    single 32-byte min per hash per task — memory-bounded like the
+    reference's two-phase compaction trick).
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    signature. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    rows-per-band = num_hashes/bands; collision in a band ⇒ candidate.
+    The self-join is on (band_id, band_hash) — equi-join, hash shuffle,
+    and the band groups are tiny, so no O(n²) blowup for non-dup corpora.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k,
+                              num_hashes=num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"),
+                                  F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5, threshold: float = 0.5,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    (inverted-index join — never enumerates non-overlapping pairs).
+
+    If ``candidates`` (doc_a, doc_b) is given (e.g. LSH output), verifies
+    only those — the scale path: LSH prune then exact verify.
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to
+    6 places for cross-engine comparability.
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"])
+
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(text: Column, k_prefix: int = 4) -> Column:
+    """16-bit SimHash over word tokens, md5-based and oracle-portable.
+
+    For each token take the first ``k_prefix`` hex chars of md5(token)
+    (16 bits); each bit votes ±1; the sign of each bit-sum forms the
+    fingerprint. Hamming-close fingerprints ⇒ near-dup texts (Charikar
+    2002). 16 bits keeps the SQL oracle tractable; the engine-internal
+    64-bit variant is simhash64 (xxhash64-based, not oracle-checked).
+    """
+    tokens = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)
+    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, k_prefix))
+    total = F.lit(0).cast("long")
+    for bit in range(4 * k_prefix):
+        digit_pos = bit // 4          # which hex char holds this bit
+        bit_in_digit = 3 - (bit % 4)  # hex char is 4 bits, MSB-first
+        def vote(h, dp=digit_pos, bd=bit_in_digit):
+            d = F.instr(F.lit("0123456789abcdef"), F.substring(h, dp + 1, 1)) - 1
+            return F.when(F.floor(d / (2 ** bd)) % 2 == 1, 1).otherwise(-1)
+        s = F.aggregate(hexes, F.lit(0), lambda acc, h: acc + vote(h))
+        total = total + F.when(s > 0, F.lit(2 ** bit)).otherwise(F.lit(0)).cast("long")
+    return F.when(F.size(tokens) > 0, total).otherwise(F.lit(0).cast("long"))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash via xxhash64 — the production-scale variant (fast
+    JVM hash, no string materialization). Not ANSI-portable; verified by
+    property tests instead of the SQL oracle."""
+    tokens = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)
+    total = F.lit(0).cast("decimal(38,0)")
+    for bit in range(64):
+        s = F.aggregate(
+            tokens, F.lit(0),
+            lambda acc, t: acc + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1,
+                                        1).otherwise(-1),
+        )
+        total = total + F.when(s > 0, F.lit(2 ** bit)).otherwise(F.lit(0)).cast("decimal(38,0)")
+    return total
+
+
+def exact_dedup_docs(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest-id doc per normalized-text fingerprint.
+
+    Shuffle carries (32-byte fingerprint, id) only; winners join back to
+    payloads — at 100 TB the payload never moves through the shuffle.
+    """
+    fp = docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    winners = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return docs.join(winners.select(id_col), on=id_col, how="inner")

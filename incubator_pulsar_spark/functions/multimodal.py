@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata.
+
+The decode kernels themselves (JPEG decode, resampling, frame sampling)
+need codec libraries not present in this container — they are stubbed
+behind ``_require_codec`` with deterministic fakes so the Spark-side
+plumbing (schema, Arrow batch shape, partitioning, UDF signatures) is
+real and tested. Swapping in Pillow/torchaudio/av later changes only the
+kernel body, not the plan.
+
+Scale: every op is ``mapInPandas`` (Arrow-batched, zero-copy binary) so
+a 100 TB media corpus streams through executors batch-by-batch without
+row-at-a-time Python overhead; metadata extraction is pure column expr.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("content", T.BinaryType(), True),       # opaque payload
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+HAVE_IMAGE_CODEC = False  # flipped when a real codec lib is available
+_FAKE = True
+
+
+def _require_codec(op: str) -> None:
+    if not HAVE_IMAGE_CODEC and not _FAKE:
+        raise NotImplementedError(
+            f"{op}: real media codecs are not installed in this environment; "
+            "deterministic fake kernels are used instead (set _FAKE=False to fail hard)"
+        )
+
+
+def binary_metadata(content: Column) -> Column:
+    """Cheap metadata without decoding: byte length + md5 — pure exprs."""
+    return F.struct(
+        F.length(content).alias("n_bytes"),
+        F.md5(content).alias("content_md5"),
+    )
+
+
+def decode_image_features(df: DataFrame, *, content_col: str = "content",
+                          id_col: str = "media_id", feat_dim: int = 8) -> DataFrame:
+    """Decode + featurize images → (media_id, feature array<double>).
+
+    STUB KERNEL: features are a deterministic fold of payload bytes (so
+    tests assert exact values); a real build decodes and runs a vision
+    embedding here. The mapInPandas plumbing — Arrow batches in, fixed
+    schema out — is the production shape.
+    """
+    _require_codec("decode_image_features")
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for raw in pdf[content_col]:
+                buf = bytes(raw) if raw is not None else b""
+                acc = [0] * feat_dim
+                for i, byte in enumerate(buf):
+                    acc[i % feat_dim] = (acc[i % feat_dim] + byte) % 256
+                feats.append([v / 255.0 for v in acc])
+            yield pd.DataFrame({"media_id": pdf[id_col], "feature": feats})
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
+def resize_images(df: DataFrame, *, width: int, height: int,
+                  content_col: str = "content") -> DataFrame:
+    """Resize stub: passes bytes through, rewrites width/height metadata.
+    Real kernel would re-encode; plumbing (schema-preserving mapInPandas)
+    is identical."""
+    _require_codec("resize_images")
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            if "width" in pdf:
+                pdf["width"] = width
+            if "height" in pdf:
+                pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
+def sample_video_frames(df: DataFrame, *, every_ms: int = 1000,
+                        id_col: str = "media_id",
+                        duration_col: str = "duration_ms") -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame timestamp.
+
+    The *sampling schedule* is exact column math (explode a sequence) —
+    only the frame *pixel extraction* is stubbed (frame_md5 fakes it from
+    payload md5 + offset). At scale the explode happens map-side.
+    """
+    _require_codec("sample_video_frames")
+    n = (F.col(duration_col) / F.lit(every_ms)).cast("long")
+    return (
+        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(every_ms))
+        .withColumn("frame_md5", F.md5(F.concat(F.md5(F.col("content")),
+                                                F.lit(":"), F.col("frame_idx").cast("string"))))
+        .select(id_col, "frame_idx", "frame_ts_ms", "frame_md5")
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: fake a media corpus from the documents table (text bytes as
+    payload) so multimodal plumbing has a deterministic fixture."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )

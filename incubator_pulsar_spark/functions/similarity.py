@@ -1,0 +1,179 @@
+"""Embedding similarity search over array<float> columns.
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products are sequential folds over double arrays (deterministic,
+  oracle-reproducible); broadcast the query side.
+- ``lsh_bucket_topk``: random-hyperplane LSH bucketing — the scale path.
+  Deterministic planes derived from md5 so runs are reproducible.
+- ``ivf_topk``: IVF-style coarse quantization (k-means-lite with
+  deterministic seed centroids): probe the nearest ``nprobe`` cells only.
+
+Scale: brute force is O(N·Q·d) but embarrassingly parallel — fine for
+Q small (broadcast queries, map-side only, no shuffle). LSH/IVF cut the
+scanned fraction ~bucket-count-fold for large Q; both keep the big side
+shuffle-free (bucket id is a map-side column; only the tiny query side
+explodes to probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def as_double_array(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic order (index order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Broadcast the query side (small), map-side compute, then a top-k per
+    query via window rank — the shuffle carries only (query, candidate,
+    sim) rows, never the vectors. Deterministic tiebreak: (−sim, id).
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qvec"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "plane") -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes.
+
+    Public trick: digest bytes → centered floats. No numpy RNG so the
+    same planes regenerate anywhere (driver, executors, tests).
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{ctr}".encode()).digest()
+            vals.extend(b - 127.5 for b in h)
+            ctr += 1
+        planes.append([v / 128.0 for v in vals[:dim]])
+    return planes
+
+
+def lsh_bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bucket id (random hyperplane LSH, Charikar)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
+    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: compare only candidates in the query's bucket.
+
+    Embedding side gets a map-side bucket column (no shuffle of vectors);
+    join on bucket; exact rank within. Recall < 1 by construction — the
+    approximation trade documented; probe multiple buckets by lowering
+    n_planes or unioning hamming-1 probes if recall matters more.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("vec"))
+    e = e.withColumn("bucket", lsh_bucket_id(F.col("vec"), planes))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qvec"))
+    q = q.withColumn("bucket", lsh_bucket_id(F.col("qvec"), planes))
+
+    scored = e.join(F.broadcast(q), on="bucket").select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
+    n_cells: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding", query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat style ANN: assign vectors to deterministic coarse cells
+    (md5-derived centroids — a stand-in for trained k-means, same
+    plumbing), probe the ``nprobe`` nearest cells per query.
+
+    The inverted-file assignment is a map-side argmin over n_cells dots;
+    only the query side explodes ×nprobe. At scale, cell id becomes a
+    partition column so probes prune files (partition pruning = the
+    inverted index).
+    """
+    cents = _hyperplanes(dim, n_cells, seed="centroid")
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qvec"))
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9)
+                         for c in cents])
+
+    # argmax via array_position(scores, array_max(scores)) — deterministic
+    e = e.withColumn("_scores", cell_scores(F.col("vec"))).withColumn(
+        "cell", (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int")
+    ).drop("_scores")
+
+    q = q.withColumn("_scores", cell_scores(F.col("qvec")))
+    # top-nprobe cells per query: sort (score, idx) pairs desc
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    pairs = F.zip_with(q["_scores"], idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    q = q.withColumn("cell", F.explode(F.transform(probes, lambda p: p["i"]))).drop("_scores")
+    q = q.withColumn("cell", F.col("cell").cast("int"))
+
+    scored = e.join(F.broadcast(q), on="cell").select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )

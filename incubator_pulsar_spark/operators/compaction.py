@@ -1,0 +1,73 @@
+"""Topic compaction: latest value per key.
+
+Reference: two-phase compactor
+(``pulsar-broker/.../compaction/AbstractTwoPhaseCompactor.java:60,88-99`` —
+phase one scans building key→latest MessageId holding ids only to bound
+memory; phase two rewrites the compacted ledger), with publish-order
+(``PublishingOrderCompactor.java``) and event-time-order
+(``EventTimeOrderCompactor.java:62-76``) variants, and pluggable
+keep-strategy (``StrategicTwoPhaseCompactor.java``). Null value is a
+tombstone (key disappears); null-key retention is configurable.
+
+Spark-first design: compaction is exactly ``max_by(struct(*), order)``
+per key — a single hash aggregation. Spark's partial (map-side)
+aggregation keeps only the winning row per key per task, which is the
+same memory-bounding trick phase one performs, but in one pass instead
+of two. No window function, no sort, one shuffle on ``key``.
+
+Scale: at 100 TB the only shuffle is by ``key``; skewed hot keys are
+handled by AQE skew-split (partial agg already collapses them map-side,
+so the reduce side sees ≤ #tasks rows per key). If the topic is stored
+bucketed by ``key``, the shuffle disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUBLISH_ORDER = "publish_order"
+EVENT_TIME_ORDER = "event_time_order"
+
+
+def _order_col(df: DataFrame, mode: str | Column, sequence_col: str, event_time_col: str) -> Column:
+    if isinstance(mode, Column):
+        return mode
+    if mode == PUBLISH_ORDER:
+        return F.col(sequence_col)
+    if mode == EVENT_TIME_ORDER:
+        # EventTimeOrderCompactor.java:62-76 — keep max event_time per key,
+        # broken by publish order (sequence) for equal timestamps.
+        return F.struct(F.col(event_time_col), F.col(sequence_col))
+    raise ValueError(f"unknown compaction mode: {mode}")
+
+
+def compact(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+    sequence_col: str = "sequence",
+    event_time_col: str = "event_time",
+    mode: str | Column = PUBLISH_ORDER,
+    retain_null_key: bool = False,
+    drop_tombstones: bool = True,
+) -> DataFrame:
+    """Compact a topic DataFrame to latest-row-per-key.
+
+    Returns full winning rows (all columns preserved), mirroring the
+    compacted ledger containing whole messages. ``mode`` may be a custom
+    Column for the strategic compactor's pluggable ordering.
+    """
+    order = _order_col(df, mode, sequence_col, event_time_col)
+    keyed = df if retain_null_key else df.filter(F.col(key_col).isNotNull())
+
+    row = F.struct(*[F.col(c) for c in df.columns])
+    compacted = (
+        keyed.groupBy(key_col)
+        .agg(F.max_by(row, order).alias("_row"))
+        .select("_row.*")
+    )
+    if drop_tombstones:
+        compacted = compacted.filter(F.col(value_col).isNotNull())
+    return compacted

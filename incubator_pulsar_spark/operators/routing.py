@@ -1,0 +1,90 @@
+"""Partition routing and Key_Shared dispatch.
+
+Reference:
+- MessageRoutingMode (``MessageRoutingMode.java:39-55``): SinglePartition,
+  RoundRobinPartition, CustomPartition.
+- RoundRobinPartitionMessageRouterImpl.java:74-77 — keyed messages route
+  by hash(key) % n; unkeyed round-robin.
+- Hashing schemes: JavaStringHash / Murmur3_32Hash
+  (``client/impl/Murmur3Hash32.java``); Spark's ``hash()`` IS Murmur3-32,
+  so the idiomatic route matches the reference's default family.
+- Key_Shared subscription (``SubscriptionType.java:61``): all messages of
+  a key go to one consumer, in order — a 0..65535 consistent-hash ring
+  (``ConsistentHashingStickyKeyConsumerSelector.java:40,104``).
+
+Spark-first: routing == repartitioning; Key_Shared == shuffle by key +
+sort within partitions by publish order. Spark's shuffle gives the
+"one task owns each key, in order" contract natively — the hash ring,
+permit accounting, and consumer selectors are scheduler work Spark
+already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KEY_SHARED_RING_SIZE = 65536  # KeySharedPolicy.DEFAULT_HASH_RANGE_SIZE
+
+
+def route_partition_col(
+    key: Column, num_partitions: int, *, unkeyed_fallback: Column | None = None
+) -> Column:
+    """Partition index per the default router: pmod(murmur3(key), n).
+
+    RoundRobinPartitionMessageRouterImpl.java:74-77. ``unkeyed_fallback``
+    supplies the round-robin index source for null keys (e.g. sequence).
+    """
+    keyed = F.pmod(F.hash(key), F.lit(num_partitions))
+    if unkeyed_fallback is None:
+        return keyed.cast("int")
+    return F.when(key.isNotNull(), keyed).otherwise(
+        F.pmod(unkeyed_fallback.cast("long"), F.lit(num_partitions))
+    ).cast("int")
+
+
+def route_round_robin(df: DataFrame, num_partitions: int, key_col: str = "key",
+                      sequence_col: str = "sequence") -> DataFrame:
+    """Recompute the ``partition`` column with the default router."""
+    return df.withColumn(
+        "partition",
+        route_partition_col(F.col(key_col), num_partitions,
+                            unkeyed_fallback=F.col(sequence_col)),
+    )
+
+
+def route_single_partition(df: DataFrame, partition: int = 0) -> DataFrame:
+    """SinglePartitionMessageRouter: everything to one chosen partition."""
+    return df.withColumn("partition", F.lit(partition).cast("int"))
+
+
+def route_custom(df: DataFrame, partition_expr: Column) -> DataFrame:
+    """CustomPartition: user-supplied routing expression."""
+    return df.withColumn("partition", partition_expr.cast("int"))
+
+
+def key_shared(df: DataFrame, *, key_col: str = "key", order_col: str = "sequence",
+               num_tasks: int | None = None) -> DataFrame:
+    """Key_Shared dispatch: co-locate each key on one task, ordered.
+
+    Physical contract (SubscriptionType.java:61): per-key processing
+    order equals publish order. ``repartition(key)`` pins a key to one
+    task; ``sortWithinPartitions`` restores publish order without a
+    global sort. Downstream ``mapInPandas``/``foreachPartition`` then
+    sees what a Key_Shared consumer would see.
+    """
+    parted = (
+        df.repartition(num_tasks, F.col(key_col))
+        if num_tasks
+        else df.repartition(F.col(key_col))
+    )
+    return parted.sortWithinPartitions(key_col, order_col)
+
+
+def key_hash_slot(key: Column, ring_size: int = KEY_SHARED_RING_SIZE) -> Column:
+    """Position of a key on the Key_Shared hash ring (0..65535).
+
+    ConsistentHashingStickyKeyConsumerSelector keys the TreeMap ring with
+    murmur3(key) % 65536; exposed for tests asserting sticky assignment.
+    """
+    return F.pmod(F.hash(key), F.lit(ring_size)).cast("int")

@@ -1,0 +1,159 @@
+"""Windowed aggregation (the Pulsar Functions windowing runtime).
+
+Reference: ``WindowFunctionExecutor.java:48-323`` + ``WindowManager.java``
++ trigger/eviction policies — tumbling/sliding × count/time ×
+processing/event time, watermarks (``WaterMarkEventGenerator.java:84-122``
+— min max-seen-ts across inputs − maxLag), late data routed to a side
+topic (``WindowFunctionExecutor.java:296-308``), configured by
+``WindowConfig.java:33-51``.
+
+Spark-first batch forms (streaming variants live in streaming/):
+- time windows   → ``F.window(ts, length, slide)`` (built-in, codegen'd)
+- session window → ``F.session_window`` (the reference lacks these; free)
+- count windows  → row_number per key then integer-divide — one shuffle
+  by key, sort within partitions only (no Spark primitive exists; the
+  reference's CountTriggerPolicy/CountEvictionPolicy define the
+  semantics: fire every N records per key, evict the pane).
+
+Scale: time windows are hash aggregations (partial agg map-side); count
+windows need per-key ordering — shuffle by key, in-partition sort, no
+global sort. Sliding windows multiply rows by length/slide; keep that
+ratio small or pre-aggregate to the slide granularity first
+(``pre_aggregate_slide``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_time_window(
+    df: DataFrame, *, ts_col: str = "event_time", length: str = "1 hour",
+    group_by: Sequence[str] = (), aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Tumbling time window: slide defaults to length
+    (WindowConfig.java — slidingInterval defaults to windowLength)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), length), *group_by)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sliding_time_window(
+    df: DataFrame, *, ts_col: str = "event_time", length: str = "1 hour",
+    slide: str = "30 minutes", group_by: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Sliding time window (length > slide): each row lands in
+    length/slide panes (TimeTriggerPolicy.java:44 + TimeEvictionPolicy)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), length, slide), *group_by)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_window(
+    df: DataFrame, *, ts_col: str = "event_time", gap: str = "10 minutes",
+    group_by: Sequence[str] = (), aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Session window — absent from the reference (SURVEY §2.5), exposed
+    because Spark gives it free and the windowing surface should be total."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), *group_by)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("session_window.start"))
+        .withColumn("window_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def tumbling_count_window(
+    df: DataFrame, *, key_col: str = "key", order_col: str = "sequence",
+    count: int, aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-key tumbling count window: fire every `count` records
+    (CountTriggerPolicy.java:34 / CountEvictionPolicy.java:32).
+
+    window_id = floor(rank_in_key / count). Per-key (not global) counting
+    is the supported mode — global count windows serialize and cannot
+    scale (SURVEY §7 watch list).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("window_id", F.floor(F.col("_rn") / count).cast("long"))
+        .groupBy(key_col, "window_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("window_size"))
+    )
+
+
+def sliding_count_window(
+    df: DataFrame, *, key_col: str = "key", order_col: str = "sequence",
+    length: int, slide: int, aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-key sliding count window: pane of `length` records firing every
+    `slide` records. A row at in-key position p belongs to every window
+    whose trigger position t satisfies t-length < p <= t, t ≡ 0 mod slide.
+
+    Implemented by replicating each row into its ceil(length/slide)
+    candidate windows (explode) then aggregating — the same row-sharing
+    WindowManager keeps in its pane deque, expressed as a shuffle-free
+    explode + one hash agg.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    n_copies = (length + slide - 1) // slide
+    df2 = (
+        df.withColumn("_p", F.row_number().over(w))  # 1-based in-key position
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        # a row at position p is in the pane fired at trigger t iff
+        # t-length < p <= t; triggers are the multiples of slide that have
+        # actually fired (t <= n). First covering trigger: ceil(p/slide)*slide.
+        .withColumn("_t0", F.ceil(F.col("_p") / F.lit(slide)) * F.lit(slide))
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))))
+        .withColumn("window_end_pos", F.col("_t0") + F.col("_k") * F.lit(slide))
+        .filter(
+            (F.col("_p") > F.col("window_end_pos") - F.lit(length))
+            & (F.col("window_end_pos") <= F.col("_n"))
+        )
+    )
+    return (
+        df2.groupBy(key_col, "window_end_pos")
+        .agg(*aggs, F.count(F.lit(1)).alias("window_size"))
+    )
+
+
+def split_late(
+    df: DataFrame, *, ts_col: str = "event_time", arrival_col: str = "sequence",
+    max_lag: str = "0 seconds",
+) -> tuple[DataFrame, DataFrame]:
+    """Event-time watermarking with a late-data side output (batch form).
+
+    Watermark after each arrival = max(event_time seen so far) − maxLag
+    (WaterMarkEventGenerator.computeWaterMarkTs, :113-122). A row is LATE
+    if its event_time ≤ the watermark in force when it arrived; late rows
+    go to the lateDataTopic instead of the pane
+    (WindowFunctionExecutor.java:296-308).
+
+    Returns (on_time, late). Running max over arrival order = one shuffle
+    on nothing (single ordering) — so batch form partitions by nothing;
+    callers with per-key streams should pre-partition. Streaming form
+    uses withWatermark (drops late rows; fork approximates the side topic).
+    """
+    w = Window.orderBy(F.col(arrival_col)).rowsBetween(Window.unboundedPreceding, -1)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    wm = F.max(F.col(ts_col)).over(w) - lag
+    flagged = df.withColumn("_wm", wm).withColumn(
+        "is_late", F.col("_wm").isNotNull() & (F.col(ts_col) <= F.col("_wm"))
+    )
+    on_time = flagged.filter(~F.col("is_late")).drop("_wm", "is_late")
+    late = flagged.filter(F.col("is_late")).drop("_wm", "is_late")
+    return on_time, late

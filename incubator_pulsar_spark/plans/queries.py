@@ -1,0 +1,774 @@
+"""Query registry: every operator exposed as a (Spark builder, DuckDB
+oracle SQL) pair for the correctness harness.
+
+Cross-engine determinism rules used throughout (both sides identical):
+- SUM over doubles goes through DECIMAL(18,4) (exact, order-independent),
+  then CAST to DOUBLE; averages divide the exact decimal-sum cast to
+  double by the exact count (IEEE-deterministic).
+- ROUND(x, 6) wherever float math could differ in the last ulp.
+- Timestamps in result sets are formatted to 'yyyy-MM-dd HH:mm:ss'
+  strings so LTZ/NTZ representation differences cannot break hashing.
+- Ties broken by a unique column on both sides.
+- Spark ``hash()``/``xxhash64`` never appear in oracle-checked outputs
+  (not portable); md5 hex strings are the portable hash family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import fuzzy, similarity, text
+from ..operators import compaction, dedup, delay, retry, ttl, windows
+from ..operators.tableview import table_view
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dec_sum(c, alias):  # exact, order-independent double sum
+    return F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _fmt_ts(c):  # portable timestamp rendering
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# --------------------------------------------------------------------------
+# Batch analytics (SURVEY §2.4 "absent" list — Spark built-ins exposed)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy agg; AQE coalesces the single shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,4)")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """Join-heavy: customer ⋈ orders ⋈ lineitem; dims broadcast; top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Multi-way star join: three broadcast dims, two fact shuffles."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def topk_orders(spark, sf_dir):
+    """Global top-k: TakeOrderedAndProject — no full sort materialized."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def rollup_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def distinct_customers(spark, sf_dir):
+    """Distinct + semi-join surface: segments of customers with ≥1 order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return active.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").alias("n_customers")
+    )
+
+
+DISTINCT_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def antijoin_idle_customers(spark, sf_dir):
+    """Anti-join (set-difference surface): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+ANTIJOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# Pulsar-semantics operators over the events topic (SURVEY §2.3-2.5)
+# events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+#        value DOUBLE, props STRING) — key=user_id, publish order=event_id.
+# --------------------------------------------------------------------------
+
+def compaction_publish_order(spark, sf_dir):
+    """Topic compaction, publish order (PublishingOrderCompactor)."""
+    ev = _t(spark, sf_dir, "events")
+    out = compaction.compact(
+        ev, key_col="user_id", value_col="event_type",
+        sequence_col="event_id", mode=compaction.PUBLISH_ORDER,
+    )
+    return out.select("user_id", "event_id", "event_type",
+                      _fmt_ts("ts").alias("ts_str"))
+
+
+COMPACT_PUB_SQL = """
+SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
+def compaction_event_time(spark, sf_dir):
+    """Topic compaction, event-time order (EventTimeOrderCompactor.java:62)."""
+    ev = _t(spark, sf_dir, "events")
+    out = compaction.compact(
+        ev, key_col="user_id", value_col="event_type",
+        sequence_col="event_id", event_time_col="ts",
+        mode=compaction.EVENT_TIME_ORDER,
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+COMPACT_ET_SQL = """
+SELECT user_id, event_id, event_type
+FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def tableview_events(spark, sf_dir):
+    """TableView with tombstones: 'error' events are null-value markers
+    that remove the key from the view (TableViewImpl.java:237-239)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_type") != "error", F.col("props")).alias("value"),
+        F.col("event_id").alias("sequence"),
+    )
+    return table_view(ev)
+
+
+TABLEVIEW_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CASE WHEN event_type <> 'error' THEN props END AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+TABLEVIEW_SQL = f"SELECT * FROM ({TABLEVIEW_SQL.strip()}) WHERE value IS NOT NULL"
+
+
+def dedup_sequence_ids(spark, sf_dir):
+    """Per-producer sequence-id dedup (MessageDeduplication.java:186):
+    producer := event_type, sequence_id := round(value*100), arrival :=
+    event_id. Rows whose seq id regressed for their producer drop."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("seq_id"),
+    )
+    out = dedup.dedup_by_sequence(
+        ev, producer_col="event_type", sequence_id_col="seq_id",
+        arrival_col="event_id",
+    )
+    return out.select("event_id", "event_type", "seq_id")
+
+
+DEDUP_SEQ_SQL = """
+WITH t AS (
+  SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS seq_id
+  FROM events
+), m AS (
+  SELECT *, max(seq_id) OVER (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM t
+)
+SELECT event_id, event_type, seq_id FROM m
+WHERE prev_max IS NULL OR seq_id > prev_max
+"""
+
+
+def ttl_recent_events(spark, sf_dir):
+    """TTL expiry + seek-by-timestamp: keep the trailing 6h of the topic
+    (cutoff anchored to max(ts) for determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    cutoff = (F.col("max_ts") - F.expr("INTERVAL 6 HOURS")).alias("cutoff")
+    withc = ev.crossJoin(F.broadcast(max_ts.select(cutoff)))
+    kept = ttl.seek_timestamp(withc, F.col("cutoff"), publish_time_col="ts")
+    return kept.select("event_id", "user_id", "event_type", _fmt_ts("ts").alias("ts_str"))
+
+
+TTL_SQL = """
+SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events WHERE ts >= (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+"""
+
+
+def tumbling_window_hourly(spark, sf_dir):
+    """Tumbling 1h event-time window per event_type (WindowFunctionExecutor
+    time-trigger path)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_time_window(
+        ev, ts_col="ts", length="1 hour", group_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), _dec_sum("value", "sum_value")],
+    )
+    return out.select("event_type", _fmt_ts("window_start").alias("window_start"),
+                      "n_events", "sum_value")
+
+
+TUMBLING_SQL = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, date_trunc('hour', ts)
+"""
+
+
+def sliding_window_hourly(spark, sf_dir):
+    """Sliding 1h/30m window per event_type (length > slide ⇒ each event
+    in 2 panes; TimeTriggerPolicy + TimeEvictionPolicy)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.sliding_time_window(
+        ev, ts_col="ts", length="1 hour", slide="30 minutes",
+        group_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), _dec_sum("value", "sum_value")],
+    )
+    return out.select("event_type", _fmt_ts("window_start").alias("window_start"),
+                      "n_events", "sum_value")
+
+
+SLIDING_SQL = """
+WITH half AS (
+  SELECT *, date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+           AS t30
+  FROM events
+), panes AS (
+  SELECT event_type, value, t30 AS w_start FROM half
+  UNION ALL
+  SELECT event_type, value, t30 - INTERVAL 30 MINUTE AS w_start FROM half
+)
+SELECT event_type, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM panes GROUP BY event_type, w_start
+"""
+
+
+def session_windows_users(spark, sf_dir):
+    """Per-user session windows, 30-minute gap — not in the reference
+    (SURVEY §2.5), exposed as part of the total windowing surface."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.session_window(
+        ev, ts_col="ts", gap="30 minutes", group_by=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", _fmt_ts("window_start").alias("session_start"),
+                      "n_events")
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+def count_windows_user(spark, sf_dir):
+    """Per-key tumbling COUNT window, N=10 (CountTriggerPolicy) — no Spark
+    primitive; built from in-key ranking."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_count_window(
+        ev, key_col="user_id", order_col="event_id", count=10,
+        aggs=[_dec_sum("value", "sum_value")],
+    )
+    return out.select("user_id", "window_id", "sum_value", "window_size")
+
+
+COUNT_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, value,
+         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 10)
+              AS BIGINT) AS window_id
+  FROM events
+)
+SELECT user_id, window_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS window_size
+FROM t GROUP BY user_id, window_id
+"""
+
+
+def delayed_withheld(spark, sf_dir):
+    """Delayed delivery: deliver_at := ts + value minutes; rows not yet due
+    at the topic's max publish time stay in the delay tracker
+    (InMemoryDelayedDeliveryTracker.getScheduledMessages complement)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "deliver_at", F.col("ts") + F.make_interval(mins=F.round(F.col("value"), 0).cast("int"))
+    )
+    max_ts = ev.agg(F.max("ts").alias("cutoff"))
+    withc = ev.crossJoin(F.broadcast(max_ts))
+    out = delay.withheld_messages(withc, F.col("cutoff"))
+    return out.select("event_id", "user_id", _fmt_ts("deliver_at").alias("deliver_at"))
+
+
+DELAYED_SQL = """
+WITH t AS (
+  SELECT *, ts + INTERVAL 1 MINUTE * CAST(round(value, 0) AS INTEGER) AS deliver_at
+  FROM events
+)
+SELECT event_id, user_id, strftime(deliver_at, '%Y-%m-%d %H:%M:%S') AS deliver_at
+FROM t WHERE deliver_at > (SELECT max(ts) FROM events)
+"""
+
+
+def retry_dlq_routing(spark, sf_dir):
+    """Retry/DLQ router: 'error' events are failures; redelivery_count :=
+    event_id % 20; count ≥ 16 ⇒ DLQ (RetryMessageUtil.java:31), else
+    retry topic with bumped counter. Returns the routed failure rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("persistent://public/default/events").alias("topic"),
+        F.col("event_id").alias("sequence"),
+        "event_type", "user_id",
+        (F.col("event_id") % 20).cast("int").alias("redelivery_count"),
+        F.col("ts").alias("publish_time"),
+        F.lit(None).cast("map<string,string>").alias("properties"),
+    )
+    routed = retry.route_failures(
+        ev, F.col("event_type") == "error", subscription="sub",
+        max_redeliver_count=16, delay_seconds=60,
+    )
+    r = routed.retry.select("sequence", "topic", "redelivery_count")
+    d = routed.dlq.select("sequence", "topic", "redelivery_count")
+    return r.unionAll(d)
+
+
+RETRY_SQL = """
+WITH f AS (
+  SELECT event_id AS sequence, CAST(event_id % 20 AS INTEGER) AS rc
+  FROM events WHERE event_type = 'error'
+)
+SELECT sequence,
+       CASE WHEN rc < 16 THEN 'persistent://public/default/events-sub-RETRY'
+            ELSE 'persistent://public/default/events-sub-DLQ' END AS topic,
+       CASE WHEN rc < 16 THEN rc + 1 ELSE rc END AS redelivery_count
+FROM f
+"""
+
+
+def key_shared_summary(spark, sf_dir):
+    """Key_Shared contract check: per key, in-order first/last values
+    (min_by/max_by over publish order) + count — what a sticky consumer
+    observes (SubscriptionType.java:61)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_seq"),
+        F.max("event_id").alias("last_seq"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+    )
+
+
+KEY_SHARED_SQL = """
+SELECT user_id, COUNT(*) AS n, min(event_id) AS first_seq, max(event_id) AS last_seq,
+       arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity
+# --------------------------------------------------------------------------
+
+_STOP_EN_SQL = "['" + "','".join(text.STOPWORDS["en"]) + "']"
+
+
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.char_count(t).alias("n_chars_calc"),
+        text.word_count(t).alias("n_words"),
+        text.token_count(t).alias("n_tokens"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0
+            THEN round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 6)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(words) > 0
+            THEN round(CAST(len(list_filter(words, x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+                       / len(words), 6)
+            ELSE 0.0 END AS stopword_ratio
+FROM t
+"""
+
+
+def language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       text.detect_language(F.col("text")).alias("lang_pred"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = "['" + "','".join(text.STOPWORDS[lang]) + "']"
+    return f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> list_contains({arr}, x)))"
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en, {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('es')} AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.exact_dedup_docs(docs).select("doc_id", "lang", "source")
+
+
+EXACT_DEDUP_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS f FROM documents
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+JOIN winners w ON d.doc_id = w.doc_id
+"""
+
+
+_SHINGLE_K = 5
+
+
+def _shingles_cte() -> str:
+    # DuckDB shingle table: distinct k-grams of normalized text; short
+    # docs yield the whole text as one shingle (mirrors char_shingles).
+    # Scalar generate_series (list) + unnest — the lateral table function
+    # form rejects column arguments in DuckDB 1.0.
+    k = _SHINGLE_K
+    return f"""
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(length(norm) - {k - 1}, 1)),
+                               i -> substr(norm, i, {k}))) AS shingle
+  FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+)"""
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.lsh_candidate_pairs(docs, k=_SHINGLE_K, num_hashes=16, bands=4)
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(16)
+    )
+    band_rows = []
+    for b in range(4):
+        parts = ", ".join(f"sig_{i}" for i in range(b * 4, (b + 1) * 4))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_shingles_cte()},
+sigs AS (
+  SELECT doc_id, {sig_cols} FROM shing GROUP BY doc_id
+),
+banded AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.jaccard_pairs(docs, k=_SHINGLE_K, threshold=0.4)
+
+
+JACCARD_SQL = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.4
+"""
+
+
+def simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fuzzy.simhash16(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    # bit votes from the first 4 hex chars of md5(token), MSB-first per char
+    terms = []
+    for bit in range(16):
+        dp = bit // 4 + 1          # 1-based hex char position
+        bd = 3 - (bit % 4)
+        digit = f"(instr('0123456789abcdef', substr(h, {dp}, 1)) - 1)"
+        vote = f"CASE WHEN CAST(floor({digit} / {2 ** bd}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> {vote})) > 0 THEN {2 ** bit} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        tok -> substr(md5(tok), 1, 4)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) > 0 THEN CAST({total} AS BIGINT) ELSE 0 END AS simhash
+FROM t
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10: query set = vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+EMB_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, vec_id,
+         round(CASE WHEN sqrt(list_dot_product(v, v)) > 0 AND sqrt(list_dot_product(qv, qv)) > 0
+                    THEN list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                    ELSE 0.0 END, 6) AS cosine_sim
+  FROM e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (approximate — no SQL oracle; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = 64
+    return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+
+ALL_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("topk_orders", topk_orders, TOPK_SQL),
+        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
+        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
+        Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
+        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
+        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
+        Query("session_windows_users", session_windows_users, SESSION_SQL),
+        Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
+        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
+        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
+        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
+        Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("language_id", language_id, LANG_ID_SQL),
+        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
+        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
+        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        Query("embedding_ann_ivf", embedding_ann_ivf, None),
+    ]
+}

@@ -1,0 +1,143 @@
+"""Schema registry + compatibility checking (SURVEY §1.2).
+
+Reference: per-topic versioned schemas enforced at the broker
+(``SchemaType.java:41-170``; compatibility strategies
+``SchemaCompatibilityStrategy.java:29-66`` — ALWAYS_COMPATIBLE /
+ALWAYS_INCOMPATIBLE / BACKWARD / FORWARD / FULL and *_TRANSITIVE).
+
+Spark-first: schemas are ``StructType``s; the registry is a small
+in-memory (JSON-serializable) dict of topic → [versions]; compatibility
+is structural comparison. Semantics follow Avro resolution rules:
+
+- BACKWARD: new schema can read data written with the previous schema —
+  fields removed are fine; fields added must have defaults (here:
+  nullable).
+- FORWARD: old schema can read new data — fields added are fine; fields
+  removed must have been nullable.
+- FULL: both. *_TRANSITIVE: against every prior version, not just last.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import types as T
+
+
+class SchemaType(Enum):
+    """Public schema kinds (SchemaType.java:41-170) → Spark types."""
+    NONE = "binary"
+    BYTES = "binary"
+    STRING = "string"
+    BOOLEAN = "boolean"
+    INT8 = "tinyint"
+    INT16 = "smallint"
+    INT32 = "int"
+    INT64 = "bigint"
+    FLOAT = "float"
+    DOUBLE = "double"
+    DATE = "date"
+    TIME = "bigint"  # ms-of-day; Spark has no TimeType
+    TIMESTAMP = "timestamp"
+    INSTANT = "timestamp"
+    LOCAL_DATE = "date"
+    LOCAL_TIME = "bigint"
+    LOCAL_DATE_TIME = "timestamp"
+    JSON = "struct"
+    AVRO = "struct"
+    PROTOBUF = "struct"
+    KEY_VALUE = "struct"
+
+
+def spark_type_for(schema_type: SchemaType) -> T.DataType:
+    simple = {
+        "binary": T.BinaryType(), "string": T.StringType(), "boolean": T.BooleanType(),
+        "tinyint": T.ByteType(), "smallint": T.ShortType(), "int": T.IntegerType(),
+        "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+    }
+    if schema_type.value in simple:
+        return simple[schema_type.value]
+    raise ValueError(f"{schema_type} requires an explicit StructType")
+
+
+class Compatibility(Enum):
+    ALWAYS_INCOMPATIBLE = "ALWAYS_INCOMPATIBLE"
+    ALWAYS_COMPATIBLE = "ALWAYS_COMPATIBLE"
+    BACKWARD = "BACKWARD"
+    FORWARD = "FORWARD"
+    FULL = "FULL"
+    BACKWARD_TRANSITIVE = "BACKWARD_TRANSITIVE"
+    FORWARD_TRANSITIVE = "FORWARD_TRANSITIVE"
+    FULL_TRANSITIVE = "FULL_TRANSITIVE"
+
+
+def _can_read(reader: T.StructType, writer: T.StructType) -> bool:
+    """Avro-style resolution: can ``reader`` decode data written as
+    ``writer``? Missing-in-writer reader fields need a default (nullable);
+    common fields need identical types (no promotion — conservative)."""
+    writer_fields = {f.name: f for f in writer.fields}
+    for rf in reader.fields:
+        wf = writer_fields.get(rf.name)
+        if wf is None:
+            if not rf.nullable:
+                return False
+        elif wf.dataType != rf.dataType:
+            if isinstance(wf.dataType, T.StructType) and isinstance(rf.dataType, T.StructType):
+                if not _can_read(rf.dataType, wf.dataType):
+                    return False
+            else:
+                return False
+    return True
+
+
+def is_compatible(new: T.StructType, olds: list[T.StructType],
+                  strategy: Compatibility) -> bool:
+    if strategy is Compatibility.ALWAYS_COMPATIBLE:
+        return True
+    if strategy is Compatibility.ALWAYS_INCOMPATIBLE:
+        return False
+    transitive = strategy in (Compatibility.BACKWARD_TRANSITIVE,
+                              Compatibility.FORWARD_TRANSITIVE,
+                              Compatibility.FULL_TRANSITIVE)
+    against = olds if transitive else olds[-1:]
+    for old in against:
+        backward = _can_read(new, old)
+        forward = _can_read(old, new)
+        if strategy in (Compatibility.BACKWARD, Compatibility.BACKWARD_TRANSITIVE) and not backward:
+            return False
+        if strategy in (Compatibility.FORWARD, Compatibility.FORWARD_TRANSITIVE) and not forward:
+            return False
+        if strategy in (Compatibility.FULL, Compatibility.FULL_TRANSITIVE) and not (backward and forward):
+            return False
+    return True
+
+
+@dataclass
+class SchemaRegistry:
+    """Topic → ordered schema versions, broker-style enforcement."""
+    strategy: Compatibility = Compatibility.FULL
+    _versions: dict[str, list[T.StructType]] = field(default_factory=dict)
+
+    def register(self, topic: str, schema: T.StructType) -> int:
+        olds = self._versions.get(topic, [])
+        if olds:
+            if schema == olds[-1]:
+                return len(olds) - 1  # idempotent re-register
+            if not is_compatible(schema, olds, self.strategy):
+                raise ValueError(
+                    f"schema for {topic} is {self.strategy.value}-incompatible"
+                )
+        self._versions.setdefault(topic, []).append(schema)
+        return len(self._versions[topic]) - 1
+
+    def latest(self, topic: str) -> T.StructType | None:
+        v = self._versions.get(topic)
+        return v[-1] if v else None
+
+    def version(self, topic: str, n: int) -> T.StructType:
+        return self._versions[topic][n]
+
+    def versions(self, topic: str) -> int:
+        return len(self._versions.get(topic, []))

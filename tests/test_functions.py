@@ -1,0 +1,172 @@
+"""Tests for text analysis, fuzzy dedup, similarity, multimodal, registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_pulsar_spark.functions import fuzzy, multimodal, similarity, text
+from incubator_pulsar_spark.registry import (
+    Compatibility,
+    SchemaRegistry,
+    is_compatible,
+)
+
+
+class TestText:
+    def test_stats(self, spark):
+        df = spark.createDataFrame([("The cat and the dog!",), ("",)], "text string")
+        out = df.select(
+            text.word_count(F.col("text")).alias("w"),
+            text.token_count(F.col("text")).alias("t"),
+            text.punct_ratio(F.col("text")).alias("p"),
+            text.stopword_ratio(F.col("text")).alias("s"),
+        ).collect()
+        assert out[0]["w"] == 5
+        assert out[0]["t"] == 6  # 5 words + '!'
+        assert out[0]["p"] == round(1 / 20, 6)
+        assert out[0]["s"] == round(3 / 5, 6)  # the, and, the
+        assert out[1]["w"] == 0 and out[1]["p"] == 0.0
+
+    def test_detect_language(self, spark):
+        df = spark.createDataFrame(
+            [("the cat is in the house",), ("der Hund ist nicht hier",),
+             ("xyz qqq",)], "text string"
+        )
+        out = [r[0] for r in df.select(text.detect_language(F.col("text"))).collect()]
+        assert out == ["en", "de", "und"]
+
+    def test_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
+        fps = [r[0] for r in df.select(text.fingerprint(F.col("text"))).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestFuzzy:
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([("ab",)], "text string")
+        out = df.select(fuzzy.char_shingles(F.col("text"), 5).alias("s")).collect()
+        assert out[0]["s"] == ["ab"]
+
+    def test_minhash_identical_docs_collide(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different content entirely unrelated words")],
+            "doc_id long, text string",
+        )
+        pairs = fuzzy.lsh_candidate_pairs(docs).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+    def test_jaccard_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzzzzz")],
+            "doc_id long, text string",
+        )
+        out = fuzzy.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+        assert len(out) == 1
+        assert out[0]["doc_a"] == 1 and out[0]["doc_b"] == 2
+        assert out[0]["jaccard"] == 1.0
+
+    def test_simhash_similar_texts_close(self, spark):
+        df = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog",),
+             ("the quick brown fox jumps over the lazy cat",),
+             ("entirely unrelated corpus of completely different words",)],
+            "text string",
+        )
+        vals = [r[0] for r in df.select(fuzzy.simhash16(F.col("text"))).collect()]
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[2])
+
+    def test_exact_dedup_keeps_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(5, "same text"), (2, "Same  TEXT"), (9, "other")],
+            "doc_id long, text string",
+        )
+        kept = sorted(r["doc_id"] for r in fuzzy.exact_dedup_docs(docs).collect())
+        assert kept == [2, 9]
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_is_best(self, spark):
+        import math
+
+        rows = [(i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        out = similarity.cosine_topk(emb, q, k=5).collect()
+        assert out[0]["vec_id"] == 3 and out[0]["rank"] == 1
+        assert out[0]["cosine_sim"] == 1.0
+        assert len(out) == 5
+
+    def test_ivf_topk_includes_self(self, spark):
+        import math
+
+        rows = [(i, [math.cos(i * 3 + j) for j in range(8)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id") == 7).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        out = similarity.ivf_topk(emb, q, k=3, dim=8, n_cells=4, nprobe=2).collect()
+        assert out and out[0]["vec_id"] == 7  # own cell always probed first
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        media = multimodal.documents_as_media(docs)
+        feats = multimodal.decode_image_features(media, feat_dim=4)
+        rows = feats.collect()
+        assert len(rows) == 20
+        assert all(len(r["feature"]) == 4 for r in rows)
+        # deterministic: same payload → same features
+        again = multimodal.decode_image_features(media, feat_dim=4).collect()
+        assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    def test_frame_sampling_schedule(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+        media = multimodal.documents_as_media(docs)
+        frames = multimodal.sample_video_frames(media, every_ms=1000)
+        pdf = frames.toPandas()
+        assert (pdf["frame_ts_ms"] == pdf["frame_idx"] * 1000).all()
+
+
+class TestRegistry:
+    def s(self, *fields):
+        return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+    def test_backward_add_nullable_ok(self):
+        v1 = self.s(("a", T.StringType(), False))
+        v2 = self.s(("a", T.StringType(), False), ("b", T.LongType(), True))
+        assert is_compatible(v2, [v1], Compatibility.BACKWARD)
+
+    def test_backward_add_required_fails(self):
+        v1 = self.s(("a", T.StringType(), False))
+        v2 = self.s(("a", T.StringType(), False), ("b", T.LongType(), False))
+        assert not is_compatible(v2, [v1], Compatibility.BACKWARD)
+
+    def test_forward_remove_nullable_ok(self):
+        v1 = self.s(("a", T.StringType(), False), ("b", T.LongType(), True))
+        v2 = self.s(("a", T.StringType(), False))
+        assert is_compatible(v2, [v1], Compatibility.FORWARD)
+        # FULL also holds: v1 can read v2-data (b nullable), v2 can read v1-data
+        assert is_compatible(v2, [v1], Compatibility.FULL)
+
+    def test_type_change_incompatible(self):
+        v1 = self.s(("a", T.StringType(), False))
+        v2 = self.s(("a", T.LongType(), False))
+        assert not is_compatible(v2, [v1], Compatibility.BACKWARD)
+
+    def test_registry_enforces(self):
+        reg = SchemaRegistry(strategy=Compatibility.BACKWARD)
+        v1 = self.s(("a", T.StringType(), False))
+        v2 = self.s(("a", T.StringType(), False), ("b", T.LongType(), False))
+        assert reg.register("t", v1) == 0
+        with pytest.raises(ValueError):
+            reg.register("t", v2)
+        assert reg.versions("t") == 1

@@ -1,0 +1,191 @@
+"""Unit tests for the Pulsar-semantics operators, mirroring the
+reference's test matrices (SURVEY §5: WindowManagerTest,
+CompactedTopicImplTest, ClientDeduplicationTest, DeadLetterTopicTest)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.operators import compaction, dedup, delay, retry, routing, ttl, windows
+from incubator_pulsar_spark.operators.tableview import table_view
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, value string, sequence long, event_time timestamp"
+    )
+
+
+class TestCompaction:
+    def rows(self):
+        return [
+            ("a", "v1", 1, _ts(5)),
+            ("a", "v2", 2, _ts(1)),   # later publish, earlier event time
+            ("b", "w1", 3, _ts(2)),
+            ("b", None, 4, _ts(9)),   # tombstone
+            (None, "nk", 5, _ts(3)),  # null key
+        ]
+
+    def test_publish_order(self, spark):
+        out = compaction.compact(_kv(spark, self.rows()))
+        got = {r["key"]: r["value"] for r in out.collect()}
+        assert got == {"a": "v2"}  # b tombstoned, null key dropped
+
+    def test_event_time_order(self, spark):
+        out = compaction.compact(_kv(spark, self.rows()),
+                                 mode=compaction.EVENT_TIME_ORDER)
+        got = {r["key"]: r["value"] for r in out.collect()}
+        # a: max event_time is v1 (00:05); b tombstone wins (00:09)
+        assert got == {"a": "v1"}
+
+    def test_retain_tombstones_and_null_key(self, spark):
+        out = compaction.compact(_kv(spark, self.rows()), retain_null_key=True,
+                                 drop_tombstones=False)
+        got = {r["key"]: r["value"] for r in out.collect()}
+        assert got == {"a": "v2", "b": None, None: "nk"}
+
+    def test_tableview(self, spark):
+        out = table_view(_kv(spark, self.rows()))
+        assert out.columns == ["key", "value"]
+        got = {r["key"]: r["value"] for r in out.collect()}
+        assert got == {"a": "v2"}
+
+
+class TestDedup:
+    def test_sequence_regression_dropped(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("p1", 1, 10), ("p1", 2, 20), ("p1", 3, 15),  # 15 ≤ 20 → dup
+                ("p1", 4, 20),                                 # equal → dup
+                ("p1", 5, 21), ("p2", 6, 5), ("p2", 7, 5),     # second 5 → dup
+            ],
+            "producer_name string, sequence long, sequence_id long",
+        )
+        out = dedup.dedup_by_sequence(df)
+        kept = sorted(r["sequence"] for r in out.collect())
+        assert kept == [1, 2, 5, 6]
+
+    def test_exact(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 1), ("a", 2)], "k string, v int")
+        assert dedup.dedup_exact(df).count() == 2
+
+
+class TestRouting:
+    def test_round_robin_partitions_in_range(self, spark):
+        df = spark.createDataFrame(
+            [(str(i % 7), i) for i in range(100)] + [(None, 1000)],
+            "key string, sequence long",
+        )
+        out = routing.route_round_robin(df, 8)
+        parts = [r["partition"] for r in out.collect()]
+        assert all(0 <= p < 8 for p in parts)
+        # same key → same partition (sticky)
+        by_key = out.filter(F.col("key") == "3").select("partition").distinct()
+        assert by_key.count() == 1
+
+    def test_single_partition(self, spark):
+        df = spark.createDataFrame([("a", 1)], "key string, sequence long")
+        assert routing.route_single_partition(df, 5).collect()[0]["partition"] == 5
+
+    def test_key_shared_per_key_order(self, spark):
+        rows = [(f"k{i % 5}", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "key string, sequence long")
+        out = routing.key_shared(df, num_tasks=4)
+
+        def check(it):
+            seen: dict[str, int] = {}
+            for row in it:
+                last = seen.get(row.key, -1)
+                assert row.sequence > last, f"order violated for {row.key}"
+                seen[row.key] = row.sequence
+            return iter([])
+
+        out.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+class TestWindows:
+    def events(self, spark):
+        rows = [("k1", i, _ts(i)) for i in range(25)]
+        return spark.createDataFrame(rows, "key string, sequence long, event_time timestamp")
+
+    def test_tumbling_count(self, spark):
+        out = windows.tumbling_count_window(
+            self.events(spark), count=10, aggs=[F.sum("sequence").alias("s")]
+        )
+        got = {r["window_id"]: r["window_size"] for r in out.collect()}
+        assert got == {0: 10, 1: 10, 2: 5}
+
+    def test_sliding_count(self, spark):
+        out = windows.sliding_count_window(
+            self.events(spark), length=10, slide=5, aggs=[F.max("sequence").alias("m")]
+        )
+        rows = {r["window_end_pos"]: r["window_size"] for r in out.collect()}
+        # triggers at 5,10,15,20,25 only (no future panes); full panes = 10
+        assert sorted(rows) == [5, 10, 15, 20, 25]
+        assert rows[10] == 10 and rows[15] == 10 and rows[25] == 10
+        assert rows[5] == 5  # first pane only half-filled
+
+    def test_tumbling_time(self, spark):
+        out = windows.tumbling_time_window(
+            self.events(spark), length="10 minutes",
+            aggs=[F.count(F.lit(1)).alias("n")],
+        )
+        ns = sorted(r["n"] for r in out.collect())
+        assert ns == [5, 10, 10]
+
+    def test_split_late(self, spark):
+        rows = [
+            ("k", 1, _ts(10)), ("k", 2, _ts(20)),
+            ("k", 3, _ts(5)),   # arrives after wm=20 → late
+            ("k", 4, _ts(21)),
+        ]
+        df = spark.createDataFrame(rows, "key string, sequence long, event_time timestamp")
+        on_time, late = windows.split_late(df, max_lag="1 minute")
+        assert sorted(r["sequence"] for r in on_time.collect()) == [1, 2, 4]
+        assert [r["sequence"] for r in late.collect()] == [3]
+
+
+class TestDelayRetryTtl:
+    def test_due_and_withheld(self, spark):
+        rows = [("a", _ts(0), _ts(5)), ("b", _ts(0), _ts(30)), ("c", _ts(0), None)]
+        df = spark.createDataFrame(rows, "key string, publish_time timestamp, deliver_at timestamp")
+        due = delay.due_messages(df, F.lit(_ts(10)))
+        held = delay.withheld_messages(df, F.lit(_ts(10)))
+        assert sorted(r["key"] for r in due.collect()) == ["a", "c"]
+        assert [r["key"] for r in held.collect()] == ["b"]
+
+    def test_route_failures(self, spark):
+        rows = [
+            ("t", 1, 0, None, _ts(0), "ok"),
+            ("t", 2, 3, None, _ts(0), "fail"),
+            ("t", 3, 16, None, _ts(0), "fail"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "topic string, sequence long, redelivery_count int, "
+            "properties map<string,string>, publish_time timestamp, status string",
+        )
+        routed = retry.route_failures(df, F.col("status") == "fail", subscription="s")
+        assert [r["sequence"] for r in routed.ok.collect()] == [1]
+        r2 = routed.retry.collect()
+        assert [r["sequence"] for r in r2] == [2]
+        assert r2[0]["redelivery_count"] == 4
+        assert r2[0]["topic"] == "t-s-RETRY"
+        d = routed.dlq.collect()
+        assert [r["sequence"] for r in d] == [3]
+        assert d[0]["topic"] == "t-s-DLQ"
+
+    def test_ttl_and_seek(self, spark):
+        rows = [(i, _ts(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "sequence long, publish_time timestamp")
+        kept = ttl.expire_ttl(df, ttl_seconds=300, now=F.lit(_ts(9)))
+        assert kept.count() == 6  # minutes 4..9
+        assert ttl.seek_sequence(df, 7).count() == 3
+        assert ttl.reader_range(df, start_sequence=2, end_sequence=5).count() == 3
