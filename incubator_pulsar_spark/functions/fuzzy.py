@@ -25,14 +25,19 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-grams of normalized text (Broder shingling).
+def char_shingles(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of an ALREADY-NORMALIZED text column
+    (Broder shingling).
 
-    Pure column expr: explode via sequence+transform, no UDF. Documents
-    shorter than k yield a single shingle = the whole text (so empty/tiny
-    docs still participate instead of vanishing).
+    Pure column expr: sequence+transform, no UDF. Documents shorter than
+    k yield a single shingle = the whole text (so empty/tiny docs still
+    participate instead of vanishing).
+
+    The argument must be a materialized column, not a nested expression:
+    Catalyst inlines the argument into the per-element lambda, so passing
+    ``normalize_text(text)`` directly would re-run the regexp once per
+    shingle position (~300× per doc — measured 9s→1s at sf0.1).
     """
-    norm = normalize_text(text)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
@@ -40,10 +45,21 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 def shingle_table(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 5) -> DataFrame:
-    """(doc_id, shingle) exploded — distinct per doc."""
-    return docs.select(
+    """(doc_id, shingle) exploded — distinct per doc.
+
+    Per-doc distinct happens in the array (array_distinct) BEFORE the
+    explode — no (doc_id, shingle) DISTINCT shuffle is ever needed.
+    """
+    from ..session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    normed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    return normed.select(
+        "doc_id",
+        F.explode(char_shingles(F.col("_norm"), k)).alias("shingle"),
     )
 
 
@@ -57,8 +73,16 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     reference's two-phase compaction trick).
     """
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    # Derive the hash family from ceil(num_hashes/4) digests: each md5 is
+    # 32 hex chars = four disjoint 8-hex (32-bit) slices, and lexicographic
+    # min on fixed-width hex == numeric min. 4 digests replace 16 per-seed
+    # md5 calls — the hash cost on the exploded shingle table drops 4×.
+    n_digests = (num_hashes + 3) // 4
+    digests = [
+        F.md5(F.concat(F.col("shingle"), F.lit("#" * d))) for d in range(n_digests)
+    ]
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_parallelism
+
 
 def as_double_array(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -52,8 +54,8 @@ def cosine_topk(
     query via window rank — the shuffle carries only (query, candidate,
     sim) rows, never the vectors. Deterministic tiebreak: (−sim, id).
     """
-    e = embeddings.select(F.col(id_col).alias("vec_id"),
-                          as_double_array(F.col(vec_col)).alias("vec"))
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
     scored = e.crossJoin(F.broadcast(q)).select(
@@ -110,8 +112,8 @@ def lsh_bucket_topk(
     n_planes or unioning hamming-1 probes if recall matters more.
     """
     planes = _hyperplanes(dim, n_planes)
-    e = embeddings.select(F.col(id_col).alias("vec_id"),
-                          as_double_array(F.col(vec_col)).alias("vec"))
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
     e = e.withColumn("bucket", lsh_bucket_id(F.col("vec"), planes))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
@@ -145,8 +147,8 @@ def ivf_topk(
     inverted index).
     """
     cents = _hyperplanes(dim, n_cells, seed="centroid")
-    e = embeddings.select(F.col(id_col).alias("vec_id"),
-                          as_double_array(F.col(vec_col)).alias("vec"))
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
 

@@ -622,8 +622,10 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
+    # mirrors minhash_signatures: 4 digests, four disjoint 8-hex slices each
     sig_cols = ", ".join(
-        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(16)
+        f"min(substr(md5(shingle || '{'#' * (i // 4)}'), {(i % 4) * 8 + 1}, 8)) AS sig_{i}"
+        for i in range(16)
     )
     band_rows = []
     for b in range(4):

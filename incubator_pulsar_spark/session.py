@@ -79,6 +79,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def ensure_parallelism(df, key=None):
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work (shingling, hashing, vector math).
+
+    Small parquet files arrive as 1-2 input splits, so an explode that
+    multiplies each row 100× would otherwise run on one core. At 100 TB
+    the input already has ~800k splits and this is a no-op — the check is
+    on actual partition count, not data size. ``key`` hash-partitions
+    (keeps same-key rows together for downstream aggs); otherwise
+    round-robin.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key is not None else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet as a temp view; return name→DataFrame.
 
