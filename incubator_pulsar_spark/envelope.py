@@ -121,7 +121,9 @@ def events_as_messages(spark: SparkSession, sf_dir: str, num_partitions: int = 3
     payload = JSON of the business fields. This is the fixture every
     Pulsar-semantics operator test runs against.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .session import read_table
+
+    ev = read_table(spark, sf_dir, "events")  # handles TIMESTAMP(NANOS) files
     payload = F.to_json(F.struct("event_type", "value", "props"))
     return build_envelope(
         ev,
