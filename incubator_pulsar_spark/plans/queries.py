@@ -510,6 +510,81 @@ FROM events GROUP BY user_id
 """
 
 
+def chunk_reassembly(spark, sf_dir):
+    """Chunking roundtrip (PulsarApi.proto:159-162 uuid/num_chunks/chunk_id):
+    split document text into 64-byte chunks, reassemble, fingerprint.
+    Oracle compares against the original text md5 — proves the roundtrip."""
+    from ..functions import runtime as rt
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("sequence"), F.col("text").cast("binary").alias("value")
+    )
+    chunked = rt.chunk_payloads(docs, chunk_bytes=64)
+    back = rt.reassemble_chunks(chunked)
+    return back.select(
+        F.col("sequence").alias("doc_id"),
+        F.md5(F.col("value")).alias("text_md5"),
+        F.length(F.col("value")).cast("long").alias("n_bytes"),
+    )
+
+
+CHUNK_SQL = """
+SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def entry_filter_routing(spark, sf_dir):
+    """EntryFilter ACCEPT/REJECT/RESCHEDULE three-way split
+    (EntryFilter.java:23-55): purchases accepted, errors rejected,
+    clicks with value>50 rescheduled (delayed redelivery), rest accepted.
+    Returns per-decision counts."""
+    from ..functions import runtime as rt
+
+    ev = _t(spark, sf_dir, "events")
+    decision = (
+        F.when(F.col("event_type") == "error", "REJECT")
+        .when((F.col("event_type") == "click") & (F.col("value") > 50), "RESCHEDULE")
+        .otherwise("ACCEPT")
+    )
+    split = rt.entry_filter(ev, decision)
+    return (
+        split.accepted.select(F.lit("ACCEPT").alias("decision"))
+        .unionAll(split.rejected.select(F.lit("REJECT").alias("decision")))
+        .unionAll(split.rescheduled.select(F.lit("RESCHEDULE").alias("decision")))
+        .groupBy("decision").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ENTRY_FILTER_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'REJECT'
+            WHEN event_type = 'click' AND value > 50 THEN 'RESCHEDULE'
+            ELSE 'ACCEPT' END AS decision,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def persons_generator(spark, sf_dir):
+    """Data-generator source (DataGeneratorSource.java / Person.java:33-37):
+    deterministic synthetic records — oracle replays the same arithmetic."""
+    from ..sources.connectors import data_generator
+
+    return data_generator(spark, 200)
+
+
+PERSONS_SQL = """
+SELECT i AS sequence,
+       ['Ada','Grace','Alan','Edsger','Barbara','Donald','Tony','Leslie'][(i % 8) + 1]
+       || ' ' ||
+       ['Lovelace','Hopper','Turing','Dijkstra','Liskov','Knuth','Hoare','Lamport'][(i % 7) + 1]
+       AS name,
+       CAST(i % 60 + 18 AS INTEGER) AS age,
+       ['acme','globex','initech','umbrella'][(i % 4) + 1] AS company
+FROM generate_series(0, 199) AS t(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity
 # --------------------------------------------------------------------------
@@ -764,6 +839,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
+        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
+        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
+        Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
