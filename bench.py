@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "embedding_topk",
+    "running_revenue",
+    "grouping_sets_lineitem",
+    "chunk_reassembly",
+    "media_frame_schedule",
 ]
 
 

@@ -565,6 +565,120 @@ FROM events GROUP BY 1
 """
 
 
+def media_frame_schedule(spark, sf_dir):
+    """Multimodal frame-sampling schedule (video → frame rows): exact
+    column math over the fake media corpus; only pixel extraction is a
+    stub. Oracle replays the md5 schedule bit-for-bit."""
+    from ..functions.multimodal import documents_as_media, sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return sample_video_frames(media, every_ms=1000)
+
+
+MEDIA_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, md5(text) AS content_md5,
+         CAST(n_chars * 10 AS BIGINT) AS duration_ms
+  FROM documents
+)
+SELECT media_id,
+       unnest(generate_series(0, greatest((duration_ms // 1000) - 1, 0)))
+         AS frame_idx,
+       unnest(generate_series(0, greatest((duration_ms // 1000) - 1, 0))) * 1000
+         AS frame_ts_ms,
+       md5(content_md5 || ':' ||
+           unnest(generate_series(0, greatest((duration_ms // 1000) - 1, 0))))
+         AS frame_md5
+FROM media
+"""
+
+
+def media_features(spark, sf_dir):
+    """Image decode→feature stub over mapInPandas (rows-only check: the
+    byte-fold kernel is Python-side by design — the real build swaps in a
+    vision model here)."""
+    from ..functions.multimodal import decode_image_features, documents_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image_features(documents_as_media(docs))
+
+
+def running_revenue(spark, sf_dir):
+    """Analytic window functions (SURVEY §2.4 absent list): per-customer
+    running order-value sum + rank in customer by price."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w_run = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                     F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w_run)
+         .cast("double").alias("running_total"),
+        F.row_number().over(w_rank).alias("price_rank"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+         AS price_rank
+FROM orders
+"""
+
+
+def grouping_sets_lineitem(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — grouping-sets surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("l_quantity", "sum_qty"))
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def setops_customers(spark, sf_dir):
+    """INTERSECT/EXCEPT surface: customers ordering in both 1996 and 1997,
+    minus any with a returned line in 1997."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    y94 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    returned = (
+        li.filter((F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1997))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey")
+    )
+    return y94.intersect(y95).exceptAll(returned.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SETOPS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT DISTINCT o_custkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R' AND year(l_shipdate) = 1997
+"""
+
+
 def persons_generator(spark, sf_dir):
     """Data-generator source (DataGeneratorSource.java / Person.java:33-37):
     deterministic synthetic records — oracle replays the same arithmetic."""
@@ -842,6 +956,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
+        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
+        Query("media_features", media_features, None),
+        Query("running_revenue", running_revenue, RUNNING_SQL),
+        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
+        Query("setops_customers", setops_customers, SETOPS_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
