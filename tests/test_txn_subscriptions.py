@@ -1,0 +1,102 @@
+"""Tests: transactions (atomic multi-topic produce, isolation, ack-in-txn)
+and subscription semantics (seek, batch receive, cursors)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.operators import subscriptions as sub
+from incubator_pulsar_spark.operators import transactions as tx
+
+
+@pytest.fixture
+def coord(tmp_path):
+    return tx.TransactionCoordinator(staging_root=str(tmp_path / "txn"))
+
+
+def test_txn_commit_atomic_multi_topic(spark, tmp_path, coord):
+    t_a, t_b = str(tmp_path / "topicA"), str(tmp_path / "topicB")
+    txn = coord.begin()
+    txn.produce(spark.range(5), t_a)
+    txn.produce(spark.range(3), t_b)
+    # invisible before commit (READ_COMMITTED: dirs don't even exist)
+    assert not os.path.exists(t_a) and not os.path.exists(t_b)
+    txn.commit()
+    assert tx.read_committed(spark, t_a).count() == 5
+    assert tx.read_committed(spark, t_b).count() == 3
+    with pytest.raises(ValueError):
+        txn.commit()  # already terminal
+
+
+def test_txn_abort_discards(spark, tmp_path, coord):
+    t_a = str(tmp_path / "topicA")
+    txn = coord.begin()
+    txn.produce(spark.range(5), t_a)
+    txn.abort()
+    assert not os.path.exists(t_a)
+    assert not os.path.exists(os.path.join(coord.staging_root, txn.txn_id))
+
+
+def test_txn_isolation_levels(spark, tmp_path, coord):
+    t_a = str(tmp_path / "topicA")
+    committed = coord.begin()
+    committed.produce(spark.range(2), t_a)
+    committed.commit()
+    open_txn = coord.begin()
+    open_txn.produce(spark.range(10, 13), t_a)  # 3 rows staged
+    assert tx.read_committed(spark, t_a).count() == 2
+    assert tx.read_uncommitted(spark, t_a, coord).count() == 5
+    open_txn.commit()
+    assert tx.read_committed(spark, t_a).count() == 5
+
+
+def test_txn_ack_cursor_advances_on_commit_only(spark, coord):
+    txn = coord.begin()
+    txn.ack_cumulative("subA", 41)
+    assert coord.cursor("subA") == -1  # not yet
+    txn.commit()
+    assert coord.cursor("subA") == 41
+    # aborted txn leaves cursor alone
+    txn2 = coord.begin()
+    txn2.ack_cumulative("subA", 99)
+    txn2.abort()
+    assert coord.cursor("subA") == 41
+
+
+def _topic(spark):
+    rows = [Row(partition=i % 2, sequence=i, value=f"v{i:02d}") for i in range(10)]
+    return spark.createDataFrame(
+        rows, "partition INT, sequence LONG, value STRING")
+
+
+def test_seek_sequence(spark):
+    df = _topic(spark)
+    assert sub.seek_sequence(df, 7).count() == 3
+    assert sub.seek_sequence(df, 7, inclusive=False).count() == 2
+
+
+def test_batch_receive_caps(spark):
+    df = _topic(spark)
+    got = sub.batch_receive(df, max_messages=4)
+    assert sorted(r.sequence for r in got.collect()) == [0, 1, 2, 3]
+    # each value is 3 bytes → byte cap 7 admits floor(7/3)=2 messages
+    got_b = sub.batch_receive(df, max_bytes=7)
+    assert sorted(r.sequence for r in got_b.collect()) == [0, 1]
+    both = sub.batch_receive(df, max_messages=1, max_bytes=7)
+    assert both.count() == 1
+
+
+def test_subscription_cursor_backlog(spark):
+    df = _topic(spark)
+    cur = sub.SubscriptionCursor.fresh()
+    assert cur.backlog_count(df) == 10
+    cur.ack_cumulative(0, 4)  # partition 0: seqs 0,2,4 acked
+    assert cur.backlog_count(df) == 7
+    cur.ack_cumulative(1, 9)  # partition 1 fully acked
+    assert cur.backlog_count(df) == 2  # 6, 8 remain
+    remaining = sorted(r.sequence for r in cur.unacked(df).collect())
+    assert remaining == [6, 8]
