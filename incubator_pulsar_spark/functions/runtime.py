@@ -67,6 +67,25 @@ def apply_flatmap(
     return df.mapInPandas(fn, output_schema)
 
 
+def window_function(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: T.StructType,
+    *,
+    group_by: list[str],
+) -> DataFrame:
+    """``WindowFunction<X,T>`` (WindowFunction.java:32): an arbitrary
+    Python aggregation over each window pane.
+
+    Pair with a window-id grouping column (time bucket from
+    operators/windows.py or window_id from count windows): each group IS
+    one pane, delivered to ``fn`` as a pandas DataFrame via Arrow
+    (``applyInPandas``). One shuffle on the pane key; pane contents never
+    pass through the driver.
+    """
+    return df.groupBy(*group_by).applyInPandas(fn, output_schema)
+
+
 def identity_function(df: DataFrame) -> DataFrame:
     """IdentityFunction (api-java/.../utils/IdentityFunction.java) — the
     connector-glue no-op."""

@@ -71,3 +71,32 @@ def compact(
     if drop_tombstones:
         compacted = compacted.filter(F.col(value_col).isNotNull())
     return compacted
+
+
+def compacted_read(
+    df: DataFrame,
+    *,
+    horizon: int,
+    key_col: str = "key",
+    value_col: str = "value",
+    sequence_col: str = "sequence",
+    mode: str | Column = PUBLISH_ORDER,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Compacted read path (``CompactedTopicImpl`` / ``CompactedTopicUtils``,
+    ``PulsarCompactorSubscription``): a subscription positioned before the
+    compaction horizon reads the compacted snapshot up to the horizon,
+    then the raw live tail after it.
+
+    ``horizon`` is the last sequence covered by compaction (the
+    compactedTopicHorizon ledger mark). Output = compact(log ≤ horizon)
+    ∪ log > horizon — one aggregation over the pruned head (sequence
+    min/max stats skip tail files) plus a filter scan of the tail.
+    """
+    head = df.filter(F.col(sequence_col) <= horizon)
+    tail = df.filter(F.col(sequence_col) > horizon)
+    snapshot = compact(
+        head, key_col=key_col, value_col=value_col, sequence_col=sequence_col,
+        event_time_col=event_time_col, mode=mode,
+    )
+    return snapshot.unionByName(tail)

@@ -565,6 +565,67 @@ FROM events GROUP BY 1
 """
 
 
+def compacted_read_path(spark, sf_dir):
+    """Compacted read (CompactedTopicImpl): compacted snapshot up to
+    horizon 700, raw live tail after — what a subscription positioned at
+    the start observes."""
+    ev = _t(spark, sf_dir, "events")
+    out = compaction.compacted_read(
+        ev, horizon=700, key_col="user_id", value_col="event_type",
+        sequence_col="event_id",
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+COMPACTED_READ_SQL = """
+SELECT user_id, event_id, event_type FROM events
+WHERE event_id <= 700
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+UNION ALL
+SELECT user_id, event_id, event_type FROM events WHERE event_id > 700
+"""
+
+
+def window_udaf_median(spark, sf_dir):
+    """WindowFunction UDAF: arbitrary Python aggregation (median) per
+    tumbling hourly pane via applyInPandas — proves the pane-delivery
+    machinery against DuckDB's native median."""
+    import pandas as pd
+
+    from ..functions.runtime import window_function
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "window_start", F.date_trunc("hour", F.col("ts"))
+    )
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("window_start_str", T.StringType()),
+        T.StructField("median_value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def pane_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "window_start_str": [pdf["window_start"].iloc[0].strftime("%Y-%m-%d %H:%M:%S")],
+            "median_value": [round(float(pdf["value"].median()), 6)],
+            "n": [len(pdf)],
+        })
+
+    return window_function(ev, pane_median, schema,
+                           group_by=["event_type", "window_start"])
+
+
+WINDOW_UDAF_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_str,
+       round(median(value), 6) AS median_value,
+       COUNT(*) AS n
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 def media_frame_schedule(spark, sf_dir):
     """Multimodal frame-sampling schedule (video → frame rows): exact
     column math over the fake media corpus; only pixel extraction is a
@@ -956,6 +1017,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
+        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
+        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("media_features", media_features, None),
         Query("running_revenue", running_revenue, RUNNING_SQL),
