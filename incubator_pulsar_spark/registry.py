@@ -114,6 +114,73 @@ def is_compatible(new: T.StructType, olds: list[T.StructType],
     return True
 
 
+class KeyValueEncodingType(Enum):
+    """KeyValueEncodingType.java:33-38: INLINE packs key+value in the
+    payload; SEPARATED carries the key in the message key field. Both
+    collapse to one struct column in Spark."""
+    INLINE = "INLINE"
+    SEPARATED = "SEPARATED"
+
+
+def key_value_schema(key: T.DataType, value: T.DataType) -> T.StructType:
+    """Schema.KeyValue (Schema.java:368-398) → STRUCT<key, value>."""
+    return T.StructType([
+        T.StructField("key", key, True),
+        T.StructField("value", value, True),
+    ])
+
+
+def encode_key_value(df, *, key_col: str = "key", value_col: str = "value",
+                     encoding: KeyValueEncodingType = KeyValueEncodingType.INLINE):
+    """Producer-side KeyValue: INLINE serializes {key,value} JSON into the
+    payload (envelope key column left for routing); SEPARATED keeps the
+    key in the envelope key field and only the value in the payload."""
+    from pyspark.sql import functions as F
+
+    if encoding is KeyValueEncodingType.INLINE:
+        payload = F.to_json(F.struct(F.col(key_col).alias("key"),
+                                     F.col(value_col).alias("value")))
+    else:
+        payload = F.to_json(F.struct(F.col(value_col).alias("value")))
+    return df.withColumn("_kv_payload", payload.cast("binary"))
+
+
+def decode_key_value(df, schema: T.StructType, *,
+                     payload_col: str = "_kv_payload",
+                     key_col: str = "key",
+                     encoding: KeyValueEncodingType = KeyValueEncodingType.INLINE):
+    """Consumer-side KeyValue → one struct column ``kv`` (both encodings
+    produce the identical struct, as the client API does)."""
+    from pyspark.sql import functions as F
+
+    decoded = F.from_json(F.col(payload_col).cast("string"), schema)
+    if encoding is KeyValueEncodingType.INLINE:
+        kv = decoded
+    else:
+        key_type = schema["key"].dataType
+        kv = F.struct(F.col(key_col).cast(key_type).alias("key"),
+                      decoded["value"].alias("value"))
+    return df.withColumn("kv", kv)
+
+
+def infer_schema(spark, df, *, value_col: str = "value",
+                 sample_limit: int = 1000) -> T.StructType:
+    """AUTO_CONSUME (SchemaType.java:165): derive the value schema from
+    the data itself — JSON payload inference over a bounded sample, the
+    GenericRecord path without a registry lookup.
+
+    Sampling is bounded (LIMIT pushes into the scan) so inference cost
+    is independent of topic size; at 100 TB the sample reads one or two
+    files.
+    """
+    from pyspark.sql import functions as F
+
+    sample = (df.select(F.col(value_col).cast("string").alias("json"))
+              .filter(F.col("json").isNotNull())
+              .limit(sample_limit))
+    return spark.read.json(sample.rdd.map(lambda r: r.json)).schema
+
+
 @dataclass
 class SchemaRegistry:
     """Topic → ordered schema versions, broker-style enforcement."""
