@@ -168,17 +168,35 @@ def simhash16(text: Column, k_prefix: int = 4) -> Column:
     2002). 16 bits keeps the SQL oracle tractable; the engine-internal
     64-bit variant is simhash64 (xxhash64-based, not oracle-checked).
     """
+    n_bits = 4 * k_prefix
     tokens = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)
-    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, k_prefix))
-    total = F.lit(0).cast("long")
-    for bit in range(4 * k_prefix):
-        digit_pos = bit // 4          # which hex char holds this bit
-        bit_in_digit = 3 - (bit % 4)  # hex char is 4 bits, MSB-first
-        def vote(h, dp=digit_pos, bd=bit_in_digit):
+
+    def votes(h):
+        # ±1 vote per bit from the token's hex digest, MSB-first per char
+        out = []
+        for bit in range(n_bits):
+            dp = bit // 4             # which hex char holds this bit
+            bd = 3 - (bit % 4)        # hex char is 4 bits, MSB-first
             d = F.instr(F.lit("0123456789abcdef"), F.substring(h, dp + 1, 1)) - 1
-            return F.when(F.floor(d / (2 ** bd)) % 2 == 1, 1).otherwise(-1)
-        s = F.aggregate(hexes, F.lit(0), lambda acc, h: acc + vote(h))
-        total = total + F.when(s > 0, F.lit(2 ** bit)).otherwise(F.lit(0)).cast("long")
+            out.append(F.when(F.floor(d / (2 ** bd)) % 2 == 1, 1).otherwise(-1))
+        return F.array(*out)
+
+    # ONE fold over pre-hashed digests accumulating all bit-sums at once.
+    # Two traps measured here (Catalyst inlines expression references):
+    # per-bit folds re-evaluate regexp+md5 16×, and hashing inside the
+    # fold re-evaluates md5 per VOTE — so hash in a transform first (the
+    # lambda variable h below is a bound value, free to reference 16×).
+    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, k_prefix))
+    zero = F.array(*[F.lit(0)] * n_bits)
+    sums = F.aggregate(
+        hexes, zero,
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    total = F.aggregate(
+        F.zip_with(sums, F.array(*[F.lit(2 ** b) for b in range(n_bits)]),
+                   lambda s, w: F.when(s > 0, w).otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
     return F.when(F.size(tokens) > 0, total).otherwise(F.lit(0).cast("long"))
 
 
@@ -187,15 +205,30 @@ def simhash64(text: Column) -> Column:
     JVM hash, no string materialization). Not ANSI-portable; verified by
     property tests instead of the SQL oracle."""
     tokens = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)
-    total = F.lit(0).cast("decimal(38,0)")
-    for bit in range(64):
-        s = F.aggregate(
-            tokens, F.lit(0),
-            lambda acc, t: acc + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1,
-                                        1).otherwise(-1),
-        )
-        total = total + F.when(s > 0, F.lit(2 ** bit)).otherwise(F.lit(0)).cast("decimal(38,0)")
-    return total
+    # hash once per token (transform), then ONE fold accumulating all 64
+    # bit-sums — a per-bit fold would re-run regexp + xxhash64 64× (see
+    # simhash16 for the measured Catalyst-inlining trap)
+    hashes = F.transform(tokens, F.xxhash64)
+    zero = F.array(*[F.lit(0)] * 64)
+
+    def votes(h):
+        # h is a bound lambda variable (a value, not an expression tree)
+        # so 64 references cost nothing
+        return F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(64)
+        ])
+
+    sums = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    weights = F.array(*[F.lit(2 ** b).cast("decimal(38,0)") for b in range(64)])
+    return F.aggregate(
+        F.zip_with(sums, weights,
+                   lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("decimal(38,0)"))),
+        F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x,
+    )
 
 
 def exact_dedup_docs(docs: DataFrame, *, id_col: str = "doc_id",
