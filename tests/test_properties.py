@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): operators vs pure-Python models.
+
+The reference's broker tests assert semantics against in-memory maps
+(e.g. compaction vs a key→latest dict); these properties replay that
+style over generated topic fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.operators import compaction, dedup, windows
+
+KEYS = ["a", "b", "c", None]
+
+msg = st.tuples(
+    st.sampled_from(KEYS),                      # key
+    st.one_of(st.none(), st.integers(0, 5)),    # value (None = tombstone)
+)
+topics = st.lists(msg, min_size=1, max_size=30)
+
+SLOW = settings(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+
+def _df(spark, seq):
+    rows = [Row(key=k, value=v, sequence=i) for i, (k, v) in enumerate(seq)]
+    return spark.createDataFrame(rows, "key STRING, value INT, sequence LONG")
+
+
+@given(seq=topics)
+@SLOW
+def test_compaction_matches_dict_model(spark, seq):
+    """compact() == replaying the log into a dict, dropping null winners."""
+    model: dict[str, tuple[int | None, int]] = {}
+    for i, (k, v) in enumerate(seq):
+        if k is not None:
+            model[k] = (v, i)
+    expect = {k: s for k, (v, s) in model.items() if v is not None}
+
+    out = compaction.compact(_df(spark, seq), key_col="key", value_col="value",
+                             sequence_col="sequence")
+    got = {r.key: r.sequence for r in out.collect()}
+    assert got == expect
+
+
+@given(seq=st.lists(st.tuples(st.sampled_from(["p1", "p2"]), st.integers(0, 9)),
+                    min_size=1, max_size=30))
+@SLOW
+def test_dedup_matches_highwater_model(spark, seq):
+    """dedup_by_sequence == the broker's highestSequencedPushed rule."""
+    high: dict[str, int] = {}
+    keep = []
+    for i, (prod, sid) in enumerate(seq):
+        if prod not in high or sid > high[prod]:
+            keep.append(i)
+            high[prod] = sid
+    rows = [Row(producer_name=p, sequence_id=s, sequence=i)
+            for i, (p, s) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "producer_name STRING, sequence_id LONG, sequence LONG")
+    out = dedup.dedup_by_sequence(df)
+    assert sorted(r.sequence for r in out.collect()) == keep
+
+
+@given(n=st.integers(1, 25), count=st.integers(1, 8))
+@SLOW
+def test_count_window_partition_complete(spark, n, count):
+    """Every row lands in exactly one tumbling count pane; pane sizes are
+    `count` except possibly the last (CountEvictionPolicy invariant)."""
+    rows = [Row(key="k", sequence=i, value=1.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "key STRING, sequence LONG, value DOUBLE")
+    out = windows.tumbling_count_window(
+        df, key_col="key", order_col="sequence", count=count,
+        aggs=[F.sum("value").alias("s")],
+    ).orderBy("window_id").collect()
+    sizes = [r.window_size for r in out]
+    assert sum(sizes) == n
+    assert all(s == count for s in sizes[:-1])
+    assert 1 <= sizes[-1] <= count
