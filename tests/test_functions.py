@@ -170,3 +170,30 @@ class TestRegistry:
         with pytest.raises(ValueError):
             reg.register("t", v2)
         assert reg.versions("t") == 1
+
+
+class TestAnnRecall:
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        """Measured recall@10 of the IVF path against exact brute force on
+        the real embeddings table — the approximation must stay useful
+        (own-cell + nprobe neighbors), not just run."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        dim = len(emb.first()["embedding"])
+        exact = similarity.cosine_topk(emb, q, k=10).collect()
+        approx = similarity.ivf_topk(emb, q, k=10, dim=dim, n_cells=8, nprobe=3).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+                   for qid in exact_sets]
+        mean_recall = sum(recalls) / len(recalls)
+        # deterministic data + deterministic centroids → stable measurement
+        assert mean_recall >= 0.5, f"IVF recall collapsed: {mean_recall:.2f}"
+        # every query's own vector must be found (own cell always probed)
+        for qid in exact_sets:
+            assert qid in approx_sets.get(qid, set())
