@@ -219,3 +219,77 @@ def test_geo_replicate(spark, tmp_path, topic_dir):
     n = spark.read.parquet(topic_dir).count()
     assert spark.read.parquet(str(tmp_path / "west")).count() == n
     assert spark.read.parquet(str(tmp_path / "east")).count() == n
+
+
+def test_function_pipeline_end_to_end(spark, tmp_path):
+    """FunctionConfig deployment: two input topics → transform → output,
+    failures → DLQ, idempotent per-batch sinks."""
+    from incubator_pulsar_spark.envelope import build_envelope
+    from incubator_pulsar_spark.streaming.pipeline import (
+        FunctionConfig, read_output_topic, run_function)
+
+    t1, t2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    src = spark.createDataFrame(
+        [Row(k=str(i), v=f"m{i}", i=i) for i in range(10)])
+    env = build_envelope(src, topic="persistent://public/default/in", key="k",
+                         value=F.col("v"), sequence="i")
+    env.filter(F.col("sequence") < 5).write.parquet(t1)
+    env.filter(F.col("sequence") >= 5).write.parquet(t2)
+
+    cfg = FunctionConfig(
+        inputs=[t1, t2],
+        output=str(tmp_path / "out"),
+        transform=lambda df: df.withColumn(
+            "value", F.upper(F.col("value").cast("string")).cast("binary")),
+        dead_letter_topic=str(tmp_path / "dlq"),
+        failed=F.col("sequence") % 4 == 0,  # 0,4,8 fail
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q = run_function(spark, cfg, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    out = read_output_topic(spark, str(tmp_path / "out"))
+    dlq = read_output_topic(spark, str(tmp_path / "dlq"))
+    assert out.count() == 7 and dlq.count() == 3
+    vals = {bytes(r.value).decode() for r in out.collect()}
+    assert "M1" in vals and "M0" not in vals  # transformed; failures routed
+
+
+def test_function_pipeline_retain_ordering(spark, tmp_path):
+    """retainOrdering: batch rows arrive key-clustered in publish order
+    (Key_Shared contract inside the function)."""
+    from incubator_pulsar_spark.envelope import build_envelope
+    from incubator_pulsar_spark.streaming.pipeline import (
+        FunctionConfig, run_function)
+
+    t = str(tmp_path / "in")
+    src = spark.createDataFrame(
+        [Row(k=str(i % 3), v=f"m{i}", i=i) for i in range(30)])
+    build_envelope(src, topic="t", key="k", value=F.col("v"),
+                   sequence="i").write.parquet(t)
+
+    seen: dict[str, list[int]] = {}
+
+    def check_order(df):
+        # executor-side per-partition scan happens inside the plan; here
+        # we verify the driver-visible contract after the shuffle+sort
+        import pandas as pd
+
+        def verify(pdfs):
+            for pdf in pdfs:
+                for key, grp in pdf.groupby("key"):
+                    assert list(grp["sequence"]) == sorted(grp["sequence"]), key
+                yield pdf[["key", "sequence"]]
+        from pyspark.sql import types as T
+        schema = T.StructType([T.StructField("key", T.StringType()),
+                               T.StructField("sequence", T.LongType())])
+        return df.mapInPandas(verify, schema)
+
+    cfg = FunctionConfig(
+        inputs=[t], output=str(tmp_path / "out"), transform=check_order,
+        retain_ordering=True, checkpoint=str(tmp_path / "ck"),
+    )
+    q = run_function(spark, cfg, trigger_available_now=True)
+    q.awaitTermination(120)
+    from incubator_pulsar_spark.streaming.pipeline import read_output_topic
+    assert read_output_topic(spark, str(tmp_path / "out")).count() == 30
