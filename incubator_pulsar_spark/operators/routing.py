@@ -81,6 +81,35 @@ def key_shared(df: DataFrame, *, key_col: str = "key", order_col: str = "sequenc
     return parted.sortWithinPartitions(key_col, order_col)
 
 
+def salted_two_phase_agg(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt_buckets: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-proof aggregation: pre-aggregate by (key, salt), then finish
+    by key — a hot key spreads over ``salt_buckets`` reduce tasks in
+    phase one instead of landing on a single straggler.
+
+    Use when a re-aggregable metric (sum/count/min/max) meets a skewed
+    key at a scale where map-side partial aggregation alone can't save
+    you (billions of rows of ONE key across thousands of map tasks still
+    reduce into one task without the salt). ``partial_aggs`` compute per
+    (key, salt); ``final_aggs`` combine the partials per key — e.g.
+    partial ``sum(x) as s`` then final ``sum(s) as total``.
+
+    ``salt_source`` defaults to a deterministic spread over input rows
+    (murmur3 of all columns) so results stay reproducible.
+    """
+    salt = salt_source if salt_source is not None else F.hash(*[F.col(c) for c in df.columns])
+    salted = df.withColumn("_salt", F.pmod(salt, F.lit(salt_buckets)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
 def key_hash_slot(key: Column, ring_size: int = KEY_SHARED_RING_SIZE) -> Column:
     """Position of a key on the Key_Shared hash ring (0..65535).
 

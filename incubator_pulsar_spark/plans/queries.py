@@ -980,6 +980,43 @@ QUALIFY rank <= 10
 """
 
 
+def salted_hot_key_agg(spark, sf_dir):
+    """Skew-proof two-phase aggregation (salting): per-event-type totals
+    where one key could dominate — partial agg by (key, salt) then final
+    by key. Result equals the direct aggregation (oracle proves it)."""
+    from ..operators.routing import salted_two_phase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        ev,
+        key_cols=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_s"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def embedding_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (approximate — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucket_topk(emb, queries, k=10, dim=64, n_planes=4)
+
+
 def embedding_ann_ivf(spark, sf_dir):
     """IVF-style ANN (approximate — no SQL oracle; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1032,5 +1069,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, None),
+        Query("embedding_ann_lsh", embedding_ann_lsh, None),
+        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
     ]
 }

@@ -189,3 +189,22 @@ class TestDelayRetryTtl:
         assert kept.count() == 6  # minutes 4..9
         assert ttl.seek_sequence(df, 7).count() == 3
         assert ttl.reader_range(df, start_sequence=2, end_sequence=5).count() == 3
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from incubator_pulsar_spark.operators.routing import salted_two_phase_agg
+    from incubator_pulsar_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    direct = {r.event_type: (r.n, round(r.s, 4)) for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s")).collect()}
+    salted = salted_two_phase_agg(
+        ev, key_cols=["event_type"],
+        partial_aggs=[F.count(F.lit(1)).alias("_n"),
+                      F.sum(F.col("value").cast("decimal(18,4)")).alias("_s")],
+        final_aggs=[F.sum("_n").alias("n"), F.sum("_s").cast("double").alias("s")],
+        salt_buckets=8)
+    got = {r.event_type: (r.n, round(r.s, 4)) for r in salted.collect()}
+    assert got == direct
