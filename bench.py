@@ -21,6 +21,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
     "topk_orders",
     "compaction_publish_order",
     "dedup_sequence_ids",

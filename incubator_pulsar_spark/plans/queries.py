@@ -153,6 +153,93 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + agg — everything pushes to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                   .cast("decimal(18,4)")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: groupBy + HAVING feeding a join — the aggregate
+    prunes before the join (small build side broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey",
+                _fmt_ts("o_orderdate").alias("o_orderdate_str"),
+                "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150
+)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+       o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-branch predicate over a join —
+    exercises OR-predicate pushdown and join-filter interplay."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    branch2 = (F.col("p_size") <= 25) & (F.col("l_quantity") > 20) & (F.col("l_quantity") <= 35)
+    branch3 = (F.col("p_size") > 25) & (F.col("l_quantity") > 35)
+    return (
+        j.filter(branch1 | branch2 | branch3)
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_size <= 25 AND l_quantity > 20 AND l_quantity <= 35)
+   OR (p_size > 25 AND l_quantity > 35)
+"""
+
+
 def topk_orders(spark, sf_dir):
     """Global top-k: TakeOrderedAndProject — no full sort materialized."""
     return (
@@ -1035,6 +1122,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
