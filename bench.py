@@ -68,9 +68,14 @@ def main() -> None:
         t0 = time.time()
         n = q.build(spark, sf_dir).count()
         c = round(time.time() - t0, 3)
-        t0 = time.time()
-        q.build(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
+        # min of two measured passes — damps GC/compaction noise so
+        # round-over-round numbers compare engines, not scheduling luck
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            q.build(spark, sf_dir).count()
+            r = round(time.time() - t0, 3)
+            dt = r if dt is None else min(dt, r)
         timings[name] = dt
         cold[name] = c
         total += dt

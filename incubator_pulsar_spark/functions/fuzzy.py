@@ -122,6 +122,15 @@ def lsh_candidate_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    # The self-join would otherwise recompute the whole shingle→signature
+    # pipeline for BOTH sides (no ReusedExchange across the join — audited
+    # with tools/explain_audit.py). The banded table is tiny relative to
+    # the corpus (bands × ~50 bytes per doc, no text), so persisting it is
+    # the standard LSH practice at any scale; MEMORY_AND_DISK spills
+    # rather than OOMs on huge corpora.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -144,6 +153,12 @@ def jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to
     6 places for cross-engine comparability.
     """
+    # The shingle table feeds three plan branches (both join sides +
+    # sizes). Recomputing it 3× is DELIBERATE: persisting the exploded
+    # 1M-row table was measured 6× SLOWER (cache ser/deser + losing scan
+    # pushdown outweigh the ~1s regeneration). Persist pays off only for
+    # small derived tables — see the banded signatures in
+    # lsh_candidate_pairs.
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
