@@ -163,6 +163,23 @@ def decode_key_value(df, schema: T.StructType, *,
     return df.withColumn("kv", kv)
 
 
+def validate_produce(df, registry: "SchemaRegistry", topic: str):
+    """AUTO_PRODUCE_BYTES (SchemaType.java:170 / Schema.AUTO_PRODUCE_BYTES
+    :432): a producer of raw bytes is validated against the topic's
+    declared schema at publish time. Spark-first: assert the DataFrame's
+    schema can be read by the topic's latest registered schema; raises
+    before any write happens. Returns df unchanged for chaining."""
+    declared = registry.latest(topic)
+    if declared is None:
+        raise ValueError(f"no schema registered for {topic}")
+    if not _can_read(declared, df.schema):
+        raise ValueError(
+            f"DataFrame schema {df.schema.simpleString()} is not readable as "
+            f"{topic}'s declared schema {declared.simpleString()}"
+        )
+    return df
+
+
 def infer_schema(spark, df, *, value_col: str = "value",
                  sample_limit: int = 1000) -> T.StructType:
     """AUTO_CONSUME (SchemaType.java:165): derive the value schema from

@@ -107,3 +107,19 @@ def _ts(minute):
     import datetime as dt
 
     return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_validate_produce(spark):
+    reg_ = reg.SchemaRegistry()
+    declared = T.StructType([T.StructField("a", T.LongType(), True),
+                             T.StructField("b", T.StringType(), True)])
+    reg_.register("t1", declared)
+    ok = spark.createDataFrame([Row(a=1, b="x")], declared)
+    assert reg.validate_produce(ok, reg_, "t1") is ok
+    # wrong type for a declared field → rejected before write
+    bad = spark.createDataFrame([Row(a="not-long", b="x")],
+                                "a STRING, b STRING")
+    with pytest.raises(ValueError):
+        reg.validate_produce(bad, reg_, "t1")
+    with pytest.raises(ValueError):
+        reg.validate_produce(ok, reg_, "unregistered-topic")

@@ -154,3 +154,8 @@ def test_side_outputs(spark, tmp_path):
         df, {"even": F.col("v") % 2 == 0, "big": F.col("v") > 3}, str(tmp_path))
     assert counts == {"even": 3, "big": 2}
     assert spark.read.parquet(str(tmp_path / "even")).count() == 3
+
+
+def test_kafka_source_requires_target(spark):
+    with pytest.raises(ValueError):
+        con.kafka_source_stream(spark, bootstrap_servers="b:9092")

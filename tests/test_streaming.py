@@ -293,3 +293,29 @@ def test_function_pipeline_retain_ordering(spark, tmp_path):
     q.awaitTermination(120)
     from incubator_pulsar_spark.streaming.pipeline import read_output_topic
     assert read_output_topic(spark, str(tmp_path / "out")).count() == 30
+
+
+def test_sliding_and_session_streams(spark, tmp_path, topic_dir):
+    out = swin.sliding_stream(
+        _stream(spark, topic_dir), ts_col="event_time", length="2 minutes",
+        slide="1 minute", watermark_delay="0 seconds",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    _run_to_memory(out, "sw", str(tmp_path / "c1")).awaitTermination(60)
+    got = {(r.window_start.minute, r.n) for r in spark.sql("SELECT * FROM sw").collect()}
+    # events at minutes 0..4; closed panes below watermark(=minute 4):
+    # [-1,1)=1 [0,2)=2 [1,3)=2 [2,4)=2 ([3,5) and [4,6) still open)
+    assert (0, 2) in got and (2, 2) in got and len(got) >= 3
+
+    out2 = swin.session_stream(
+        _stream(spark, topic_dir), ts_col="event_time", gap="90 seconds",
+        watermark_delay="0 seconds", group_by=["key"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    _run_to_memory(out2, "ssw", str(tmp_path / "c2")).awaitTermination(60)
+    rows = spark.sql("SELECT * FROM ssw").collect()
+    # events are 2 min apart > 90s gap → every event its own session.
+    # Sessions CLOSED below the final watermark (minute 4): A@0 (ends
+    # 1:30), B@1 (2:30), A@2 (3:30); B@3 and C@4 still open → withheld.
+    got2 = sorted((r.key, r.n) for r in rows)
+    assert got2 == [("A", 1), ("A", 1), ("B", 1)]
