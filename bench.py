@@ -20,8 +20,11 @@ from incubator_pulsar_spark.plans.queries import ALL_QUERIES
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
     "topk_orders",

@@ -240,6 +240,99 @@ WHERE (p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join, no row explosion.
+    (Predicate adapted to the synthetic schema: returned lines.)"""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    late_lines = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(late_lines, orders.o_orderkey == late_lines.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional (CASE) aggregation after a join
+    (adapted to the synthetic schema: returnflag in place of shipmode)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_returnflag").isin("A", "R"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-ratio aggregate over a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
 def topk_orders(spark, sf_dir):
     """Global top-k: TakeOrderedAndProject — no full sort materialized."""
     return (
@@ -1122,7 +1215,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
