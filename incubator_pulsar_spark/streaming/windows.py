@@ -139,3 +139,68 @@ def count_window_stream(
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def sliding_count_window_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "sequence",
+    value_col: str = "value",
+    length: int,
+    slide: int,
+) -> DataFrame:
+    """Per-key SLIDING count window over a stream: a pane of the trailing
+    ``length`` records fires every ``slide`` records
+    (CountTriggerPolicy + CountEvictionPolicy with length > slide).
+
+    State per key = the last ``length-1`` (seq, value) pairs plus the
+    total record count — the same deque WindowManager keeps, bounded at
+    O(length) per key. Each arrival increments the count; when count is
+    a multiple of ``slide`` the pane (trailing ≤length rows) fires as
+    one output row.
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("window_end_pos", T.LongType()),
+        T.StructField("window_size", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("min_seq", T.LongType()),
+        T.StructField("max_seq", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("buf_seq", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n_seen, buf_seq, buf_val = (0, [], [])
+        if state.exists:
+            s = state.get
+            n_seen, buf_seq, buf_val = int(s[0]), list(s[1] or []), list(s[2] or [])
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            for seq, val in zip(pdf[order_col], pdf[value_col]):
+                buf_seq.append(int(seq))
+                buf_val.append(0.0 if pd.isna(val) else float(val))
+                if len(buf_seq) > length:
+                    buf_seq.pop(0)
+                    buf_val.pop(0)
+                n_seen += 1
+                if n_seen % slide == 0:
+                    out_rows.append((key[0], n_seen, len(buf_seq), sum(buf_val),
+                                     min(buf_seq), max(buf_seq)))
+        state.update((n_seen, buf_seq, buf_val))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).alias(order_col),
+        F.col(value_col).alias(value_col),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -319,3 +319,38 @@ def test_sliding_and_session_streams(spark, tmp_path, topic_dir):
     # 1:30), B@1 (2:30), A@2 (3:30); B@3 and C@4 still open → withheld.
     got2 = sorted((r.key, r.n) for r in rows)
     assert got2 == [("A", 1), ("A", 1), ("B", 1)]
+
+
+def test_sliding_count_window_stream_matches_batch(spark, tmp_path):
+    """Streaming sliding count window == batch operator over the same log,
+    including panes whose rows span micro-batches."""
+    from incubator_pulsar_spark.operators.windows import sliding_count_window
+
+    path = str(tmp_path / "t")
+    rows1 = [Row(key="u", value=float(i), sequence=i,
+                 publish_time=TS0 + dt.timedelta(seconds=i)) for i in range(1, 8)]
+    spark.createDataFrame(rows1).write.parquet(path)
+
+    out_path = str(tmp_path / "out")
+    out = swin.sliding_count_window_stream(
+        _stream(spark, path), key_col="key", order_col="sequence",
+        value_col="value", length=4, slide=2)
+    _run_to_parquet(out, out_path, str(tmp_path / "c"))
+
+    # second batch completes the next trigger (position 8)
+    rows2 = [Row(key="u", value=8.0, sequence=8, publish_time=TS0)]
+    spark.createDataFrame(rows2).write.mode("append").parquet(path)
+    out2 = swin.sliding_count_window_stream(
+        _stream(spark, path), key_col="key", order_col="sequence",
+        value_col="value", length=4, slide=2)
+    _run_to_parquet(out2, out_path, str(tmp_path / "c"))
+
+    got = {(r.window_end_pos, r.window_size, r.sum_value)
+           for r in spark.read.parquet(out_path).collect()}
+    batch = sliding_count_window(
+        spark.read.parquet(path), key_col="key", order_col="sequence",
+        length=4, slide=2, aggs=[F.sum("value").alias("sum_value")])
+    want = {(r.window_end_pos, r.window_size, r.sum_value)
+            for r in batch.collect()}
+    assert got == want
+    assert (8, 4, 5.0 + 6 + 7 + 8) in got  # cross-batch pane
