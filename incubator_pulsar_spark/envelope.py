@@ -154,11 +154,25 @@ def write_topic(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy("partition").parquet(path)
 
 
-def read_topic_stream(spark: SparkSession, path: str, schema=MESSAGE_SCHEMA) -> DataFrame:
+def read_topic_stream(
+    spark: SparkSession, path: str, schema=MESSAGE_SCHEMA, *,
+    starting_sequence: int | None = None,
+    starting_timestamp=None,
+) -> DataFrame:
     """Streaming tail of a topic directory (Consumer.receive loop).
 
     File-source streaming: each new parquet file is a micro-batch of
     messages — the analogue of the broker dispatcher pushing entries
     (``PersistentDispatcherMultipleConsumers.readMoreEntries``).
+
+    ``starting_sequence`` / ``starting_timestamp`` are the streaming
+    forms of ``Consumer.seek`` (Consumer.java:513,525): expressed as
+    filters, which parquet row-group stats prune before read — the
+    analogue of restarting a Kafka-style stream from an offset.
     """
-    return spark.readStream.schema(schema).parquet(path)
+    s = spark.readStream.schema(schema).parquet(path)
+    if starting_sequence is not None:
+        s = s.filter(F.col("sequence") >= starting_sequence)
+    if starting_timestamp is not None:
+        s = s.filter(F.col("publish_time") >= starting_timestamp)
+    return s

@@ -64,3 +64,49 @@ def reader_range(df: DataFrame, *, start_sequence: int | None = None,
     if end_sequence is not None:
         out = out.filter(F.col(sequence_col) < end_sequence)
     return out
+
+
+def apply_retention(
+    df: DataFrame,
+    *,
+    time_seconds: int | None = None,
+    size_bytes: int | None = None,
+    now: Column | datetime | None = None,
+    publish_time_col: str = "publish_time",
+    partition_col: str = "partition",
+    sequence_col: str = "sequence",
+    value_col: str = "value",
+) -> DataFrame:
+    """Retention policy (RetentionPolicies.java / BacklogQuotaManager):
+    what STORAGE keeps after acknowledgement — a time limit and/or a
+    per-partition size budget, newest-first (the newest data survives a
+    size squeeze, oldest is trimmed — ledger deletion order).
+
+    TTL (``expire_ttl``) drops messages for *consumers*; retention trims
+    the *log*. The size budget is a running payload-byte sum walking the
+    partition newest→oldest: rows past the budget are trimmed. One
+    shuffle by partition; the running sum is the only windowed pass —
+    at 100 TB this runs as the storage-maintenance job (VACUUM analogue),
+    not in the query path.
+    """
+    from pyspark.sql import Window
+
+    out = df
+    if time_seconds is not None:
+        now_c = now if isinstance(now, Column) else (
+            F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        )
+        cutoff = now_c - F.make_interval(secs=F.lit(time_seconds))
+        out = out.filter(F.col(publish_time_col) >= cutoff)
+    if size_bytes is not None:
+        w = (Window.partitionBy(partition_col)
+             .orderBy(F.col(sequence_col).desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        out = (
+            out.withColumn("_cum", F.sum(
+                F.coalesce(F.length(F.col(value_col).cast("binary")), F.lit(0))
+            ).over(w))
+            .filter(F.col("_cum") <= size_bytes)
+            .drop("_cum")
+        )
+    return out

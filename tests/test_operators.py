@@ -208,3 +208,48 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         salt_buckets=8)
     got = {r.event_type: (r.n, round(r.s, 4)) for r in salted.collect()}
     assert got == direct
+
+
+def test_retention_policy(spark):
+    from incubator_pulsar_spark.operators.ttl import apply_retention
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(partition=p, sequence=i, value=b"x" * 10,
+                publish_time=t0 + dt.timedelta(hours=i))
+            for p in (0, 1) for i in range(10)]
+    df = spark.createDataFrame(rows)
+
+    # size budget 35 bytes/partition → newest 3 rows (30B; 4th would hit 40)
+    kept = apply_retention(df, size_bytes=35)
+    per_part = {r.partition: sorted(x.sequence for x in kept.filter(
+        F.col("partition") == r.partition).collect())
+        for r in kept.select("partition").distinct().collect()}
+    assert per_part == {0: [7, 8, 9], 1: [7, 8, 9]}  # newest survive
+
+    # time limit: keep last 5 hours from t0+9h → seqs 5..9
+    kept_t = apply_retention(df, time_seconds=5 * 3600,
+                             now=t0 + dt.timedelta(hours=9))
+    assert sorted(set(r.sequence for r in kept_t.collect())) == [4, 5, 6, 7, 8, 9]
+
+
+def test_stream_seek(spark, tmp_path):
+    from incubator_pulsar_spark.envelope import (build_envelope,
+                                                 read_topic_stream, write_topic)
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame([Row(k=str(i), v=f"m{i}", i=i) for i in range(20)])
+    env = build_envelope(src, topic="t", key="k", value=F.col("v"), sequence="i")
+    path = str(tmp_path / "topic")
+    write_topic(env, path)
+    stream = read_topic_stream(spark, path, starting_sequence=15)
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.sequence for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [15, 16, 17, 18, 19]
