@@ -33,6 +33,18 @@ PROP_REAL_TOPIC = "REAL_TOPIC"
 PROP_ORIGIN_MESSAGE_ID = "ORIGIN_MESSAGE_ID"
 
 
+def _set_props(existing: Column, new_map: Column) -> Column:
+    """Overwrite-merge properties: keys being set replace any existing
+    value (a message on its Nth retry hop already carries RECONSUMETIMES;
+    map_concat alone would crash on the duplicate key)."""
+    cleaned = F.map_filter(
+        F.coalesce(existing, F.create_map().cast("map<string,string>")),
+        lambda k, _: ~k.isin(PROP_RECONSUME_TIMES, PROP_DELAY_TIME,
+                             PROP_REAL_TOPIC, PROP_ORIGIN_MESSAGE_ID),
+    )
+    return F.map_concat(cleaned, new_map)
+
+
 def retry_topic_name(topic: str, subscription: str) -> str:
     return f"{topic}-{subscription}{RETRY_SUFFIX}"
 
@@ -79,8 +91,8 @@ def route_failures(
         )
         .withColumn(
             "properties",
-            F.map_concat(
-                F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>")),
+            _set_props(
+                F.col("properties"),
                 F.create_map(
                     F.lit(PROP_RECONSUME_TIMES), (rc + 1).cast("string"),
                     F.lit(PROP_REAL_TOPIC), F.col(topic_col),
@@ -92,8 +104,8 @@ def route_failures(
     dlq = (
         exhausted.withColumn(
             "properties",
-            F.map_concat(
-                F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>")),
+            _set_props(
+                F.col("properties"),
                 F.create_map(
                     F.lit(PROP_REAL_TOPIC), F.col(topic_col),
                     F.lit(PROP_ORIGIN_MESSAGE_ID), F.col("sequence").cast("string"),

@@ -354,3 +354,46 @@ def test_sliding_count_window_stream_matches_batch(spark, tmp_path):
             for r in batch.collect()}
     assert got == want
     assert (8, 4, 5.0 + 6 + 7 + 8) in got  # cross-batch pane
+
+
+def test_redelivery_loop_to_dlq(spark, tmp_path):
+    """Full reconsumeLater loop: failures hop through the -RETRY topic
+    with bumped redelivery_count until max_redeliver_count sends them to
+    the -DLQ (RetryMessageUtil semantics end-to-end)."""
+    enveloped = (
+        spark.createDataFrame([Row(sequence=i) for i in range(4)])
+        .withColumn("topic", F.lit("t"))
+        .withColumn("value", F.lit(b"payload"))
+        .withColumn("redelivery_count", F.lit(0))
+        .withColumn("publish_time", F.lit(TS0).cast("timestamp"))
+        .withColumn("properties", F.lit(None).cast("map<string,string>"))
+    )
+    src = str(tmp_path / "in0")
+    enveloped.write.parquet(src)
+
+    always_fail = F.lit(True)
+    hop_counts = []
+    for hop in range(3):
+        base = str(tmp_path / f"routed{hop}")
+        q = sretry.start_retry_router(
+            _stream(spark, src), always_fail, base_path=base,
+            checkpoint=str(tmp_path / f"ck{hop}"),
+            max_redeliver_count=2, trigger_available_now=True)
+        q.awaitTermination(120)
+        retry_dir = str(tmp_path / f"routed{hop}/retry")
+        import os as _os
+        retry_rows = (spark.read.parquet(retry_dir).collect()
+                      if _os.path.exists(retry_dir) else [])
+        hop_counts.append(sorted(r.redelivery_count for r in retry_rows))
+        if not retry_rows:
+            break
+        src = retry_dir  # feed the retry topic back through the consumer
+
+    # hop 0: rc 0→1; hop 1: rc 1→2; hop 2: rc 2 ≥ max → all to DLQ
+    assert hop_counts[0] == [1, 1, 1, 1]
+    assert hop_counts[1] == [2, 2, 2, 2]
+    dlq = spark.read.parquet(str(tmp_path / "routed2/dlq"))
+    assert dlq.count() == 4
+    assert all(r.topic.endswith("-sub-DLQ") for r in dlq.collect())
+    # provenance survives the hops
+    assert all(r.properties.get("REAL_TOPIC") for r in dlq.collect())
