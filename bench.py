@@ -25,6 +25,11 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q12_shipmode_priority",
     "q14_promo_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_customer_distribution",
     "q18_large_orders",
     "q19_disjunctive_filter",
     "topk_orders",
@@ -40,6 +45,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "embedding_topk",
+    "embedding_neardup_pairs",
     "running_revenue",
     "grouping_sets_lineitem",
     "chunk_reassembly",

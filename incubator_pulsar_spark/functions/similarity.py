@@ -203,3 +203,43 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame, threshold: float, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_planes: int | None = None, dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ threshold).
+
+    Exact mode (``block_planes=None``) compares all N² pairs — the oracle
+    baseline. Scale mode blocks by random-hyperplane LSH bucket first, so
+    only same-bucket pairs are compared (recall < 1 for pairs straddling a
+    hyperplane; raise recall by lowering ``block_planes``). Norms are
+    materialized per row BEFORE the join so each is computed once, not
+    once per pair (Catalyst inlines lambda folds — see fuzzy.py notes).
+    """
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_vec"))
+    e = e.withColumn("_norm", l2_norm(F.col("_vec")))
+    a = e.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+                 F.col("_norm").alias("_na"))
+    b = e.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+                 F.col("_norm").alias("_nb"))
+    if block_planes is not None:
+        if dim is None:
+            raise ValueError("dim is required when block_planes is set")
+        planes = _hyperplanes(dim, block_planes)
+        a = a.withColumn("_bkt", lsh_bucket_id(F.col("_va"), planes))
+        b = b.withColumn("_bkt", lsh_bucket_id(F.col("_vb"), planes))
+        joined = a.join(b, (a["_bkt"] == b["_bkt"]) & (F.col("id_a") < F.col("id_b")))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                 dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+                 ).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )

@@ -1207,6 +1207,383 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
 
 
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
+
+    Embeddings table is fixed-size (500) at every SF, so the N² join is
+    the oracle baseline; ``cosine_neardup_pairs(block_planes=...)`` is
+    the LSH-blocked scale path exercised by the rows-only ANN queries.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.3)
+
+
+EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H join shapes 7/8/9/10/13/15/17/22 adapted to the synthetic schema
+# (no partsupp table, no l_commitdate/l_receiptdate/c_phone — shapes keep
+# the join topology and aggregation pattern, constants anchored to the
+# fixed 1995..2001 date range that is identical at every SF).
+# --------------------------------------------------------------------------
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    lineitem ⋈ orders is the only fact-fact shuffle; supplier/customer/
+    nation are broadcast dims. Disjunctive nation-pair predicate applied
+    after the dim joins (Catalyst pushes each side into the join).
+    """
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("date")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue in ASIA
+    by order year. Conditional-sum ratio; exact decimal sums on both
+    sides of the division, division done once in double."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk"))
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date")))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_nk"))
+        .join(F.broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == F.col("sn_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(nation_vol).cast("double")
+                     / F.sum(vol).cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp → profit = discounted price).
+
+    Part filter by name substring; group by supplier nation × order year.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Fact-fact shuffle join, broadcast customer+nation dims."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name",
+                F.round("revenue", 4).alias("revenue"),
+                F.round("c_acctbal", 4).alias("c_acctbal"), "n_name")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS revenue,
+       round(c_acctbal, 4) AS c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    LEFT OUTER join so zero-order customers land in the c_count=0 bucket;
+    two cascaded aggregations (per-customer, then per-count)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue.
+
+    Revenue per supplier, then keep rows equal to the global max via a
+    broadcast 1-row scalar (no single-partition window at scale) —
+    equality is on the EXACT decimal sum (cast to double only for
+    output), so ties are bit-stable across engines."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("_total"))
+    max_rev = revenue.agg(F.max("_total").alias("_max"))
+    top = (revenue.crossJoin(F.broadcast(max_rev))
+           .filter(F.col("_total") == F.col("_max")))
+    return (
+        top.join(F.broadcast(sup), top.supplier_no == sup.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("_total").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total = (SELECT MAX(total) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand.
+
+    Correlated avg-quantity-per-part subquery → broadcast the per-part
+    averages (exact decimal-sum / count, identical on both engines)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("agg_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                     .cast("double") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS agg_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+  GROUP BY l_partkey
+) pa ON l_partkey = agg_partkey
+WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+def q22_idle_balance(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no c_phone → group by nation name).
+
+    Customers with above-average positive balance and no RECENT orders
+    (every synthetic customer has some order, so idleness is windowed):
+    scalar subquery (broadcast 1-row avg) + LEFT ANTI join on orders."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("_avg"))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg")))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _dec_sum("c_acctbal", "totacctbal"))
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 
 ALL_QUERIES: dict[str, Query] = {
@@ -1221,6 +1598,14 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("q8_market_share", q8_market_share, Q8_SQL),
+        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
@@ -1256,6 +1641,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, None),
         Query("embedding_ann_lsh", embedding_ann_lsh, None),
+        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
     ]
 }

@@ -197,3 +197,39 @@ class TestAnnRecall:
         # every query's own vector must be found (own cell always probed)
         for qid in exact_sets:
             assert qid in approx_sets.get(qid, set())
+
+
+class TestNearDupPairs:
+    def test_exact_pairs_symmetric_clones(self, spark):
+        """Two exact clones + one orthogonal vector: exactly one pair."""
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.cosine_neardup_pairs(emb, threshold=0.95).collect()
+        assert len(out) == 1
+        assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+        assert out[0]["cosine_sim"] == 1.0
+
+    def test_zero_vector_never_matches(self, spark):
+        rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.cosine_neardup_pairs(emb, threshold=0.5).collect()
+        assert out == []
+
+    def test_lsh_blocked_recall_on_real_table(self, spark, sf_dir):
+        """Blocked mode must (a) return a subset of the exact pairs with
+        identical similarity values, (b) keep recall useful — clones that
+        share every hyperplane side are always co-bucketed."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+                 for r in similarity.cosine_neardup_pairs(emb, threshold=0.3).collect()}
+        blocked = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+                   for r in similarity.cosine_neardup_pairs(
+                       emb, threshold=0.3, block_planes=2, dim=64).collect()}
+        assert set(blocked) <= set(exact)
+        for pair, sim in blocked.items():
+            assert sim == exact[pair]
+        assert len(blocked) >= 0.2 * len(exact) if exact else True
