@@ -253,3 +253,47 @@ def test_stream_seek(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.sequence for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert got == [15, 16, 17, 18, 19]
+
+
+def test_stream_late_data_route(spark, tmp_path):
+    """Late-data side output across two stream runs: the high-water mark
+    persisted by run 1 must flag an old-timestamp arrival in run 2 as
+    late (WindowFunctionExecutor.java:296-308 lateDataTopic route)."""
+    import datetime as dt
+
+    from incubator_pulsar_spark.streaming.late import route_late_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    paths = dict(
+        on_time_path=str(tmp_path / "on_time"),
+        late_path=str(tmp_path / "late"),
+        checkpoint_path=str(tmp_path / "ck"),
+        state_path=str(tmp_path / "wm_state"),
+    )
+    schema = "event_id long, event_time timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = route_late_stream(stream, ts_col="event_time",
+                              max_lag="10 minutes", available_now=True, **paths)
+        q.awaitTermination(120)
+
+    # run 1: events up to 12:00 → watermark will be 11:50 afterwards
+    spark.createDataFrame(
+        [(1, base - dt.timedelta(hours=1)), (2, base)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()
+
+    # run 2: one fresh event and one 30-min-old event (≤ 11:50 → late)
+    spark.createDataFrame(
+        [(3, base + dt.timedelta(minutes=5)), (4, base - dt.timedelta(minutes=30))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()
+
+    on_time = {r.event_id for r in spark.read.parquet(paths["on_time_path"]).collect()}
+    late = {r.event_id for r in spark.read.parquet(paths["late_path"]).collect()}
+    assert late == {4}
+    assert on_time == {1, 2, 3}
