@@ -17,6 +17,8 @@ explodes to probes).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -205,39 +207,131 @@ def ivf_topk(
     )
 
 
+def _pair_dot_udf():
+    """Arrow-batched pair dot product; marked nondeterministic so
+    Catalyst evaluates it ONCE instead of duplicating it into pushed-down
+    filter branches (measured 3× penalty when deterministic)."""
+
+    @F.pandas_udf("double")
+    def pd_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series((np.stack(va.to_numpy()) * np.stack(vb.to_numpy())).sum(axis=1))
+
+    return pd_dot.asNondeterministic()
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame, threshold: float, *,
     id_col: str = "vec_id", vec_col: str = "embedding",
     block_planes: int | None = None, dim: int | None = None,
+    strategy: str = "auto", gram_max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ threshold).
 
-    Exact mode (``block_planes=None``) compares all N² pairs — the oracle
-    baseline. Scale mode blocks by random-hyperplane LSH bucket first, so
-    only same-bucket pairs are compared (recall < 1 for pairs straddling a
-    hyperplane; raise recall by lowering ``block_planes``). Norms are
-    materialized per row BEFORE the join so each is computed once, not
-    once per pair (Catalyst inlines lambda folds — see fuzzy.py notes).
+    Three physical strategies, one logical result:
+
+    - ``block_planes=N`` — LSH-bucket blocking: only same-bucket pairs are
+      compared (the 100 TB path; recall < 1 for pairs straddling a
+      hyperplane — lower ``block_planes`` to raise recall).
+    - ``strategy="gram"`` — broadcast the whole (ids, unit-vector matrix)
+      to every task and matmul a partition's slice against it (the matrix
+      analogue of a broadcast join). Fastest when the table fits in one
+      executor's memory; numpy BLAS does the N² work.
+    - ``strategy="join"`` — distributed pair join + Arrow-batched dot UDF;
+      no driver collect, scales with the cluster, but materializes both
+      vectors per pair.
+    - ``strategy="auto"`` — gram when count ≤ ``gram_max_rows``, else join.
+
+    Sum order (BLAS/numpy vs sequential fold) differs only in the last
+    ulp; outputs are rounded to 6 decimals, far above that noise.
     """
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_vec"))
-    e = e.withColumn("_norm", l2_norm(F.col("_vec")))
-    a = e.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
-                 F.col("_norm").alias("_na"))
-    b = e.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
-                 F.col("_norm").alias("_nb"))
+
     if block_planes is not None:
         if dim is None:
             raise ValueError("dim is required when block_planes is set")
+        e = e.withColumn("_norm", l2_norm(F.col("_vec")))
         planes = _hyperplanes(dim, block_planes)
-        a = a.withColumn("_bkt", lsh_bucket_id(F.col("_va"), planes))
-        b = b.withColumn("_bkt", lsh_bucket_id(F.col("_vb"), planes))
+        a = e.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+                     F.col("_norm").alias("_na"),
+                     lsh_bucket_id(F.col("_vec"), planes).alias("_bkt"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+                     F.col("_norm").alias("_nb"),
+                     lsh_bucket_id(F.col("_vec"), planes).alias("_bkt"))
         joined = a.join(b, (a["_bkt"] == b["_bkt"]) & (F.col("id_a") < F.col("id_b")))
-    else:
+        return _neardup_from_pairs(joined, threshold)
+
+    if strategy == "auto":
+        strategy = "gram" if e.count() <= gram_max_rows else "join"
+
+    if strategy == "join":
+        e = e.withColumn("_norm", l2_norm(F.col("_vec")))
+        a = e.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+                     F.col("_norm").alias("_na"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+                     F.col("_norm").alias("_nb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
+        return _neardup_from_pairs(joined, threshold)
+
+    if strategy != "gram":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    import numpy as np
+    import pandas as pd_mod
+
+    rows = e.collect()
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    safe = norms.copy()
+    safe[safe == 0] = 1.0
+    unit = mat / safe[:, None]
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, unit, norms))
+    # guard slightly below threshold inside the UDF, exact filter on the
+    # HALF_UP-rounded column JVM-side (matches the oracle's round())
+    guard = threshold - 1e-7
+
+    def f(it):
+        b_ids, b_unit, b_norms = bc.value
+        pos = np.arange(len(b_ids))
+        for pdf in it:
+            idx = pdf["i"].to_numpy()
+            sims = b_unit[idx] @ b_unit.T
+            out_a, out_b, out_s = [], [], []
+            for r, i in enumerate(idx):
+                if b_norms[i] == 0:
+                    continue
+                mask = (pos > i) & (b_norms > 0) & (sims[r] >= guard)
+                out_a.append(np.full(int(mask.sum()), b_ids[i]))
+                out_b.append(b_ids[mask])
+                out_s.append(sims[r][mask])
+            if out_a:
+                yield pd_mod.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "sim_raw": np.concatenate(out_s),
+                })
+
+    src = spark.range(len(ids)).select(F.col("id").cast("int").alias("i"))
+    src = src.repartition(max(spark.sparkContext.defaultParallelism, 2))
+    out = src.mapInPandas(f, "id_a long, id_b long, sim_raw double")
+    return (
+        out.select("id_a", "id_b", F.round("sim_raw", 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
+    pd_dot = _pair_dot_udf()
     sim = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
-                 dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-                 ).otherwise(F.lit(0.0))
+                 pd_dot(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
