@@ -1207,6 +1207,53 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
 
 
+def batch_receive_cap(spark, sf_dir):
+    """Consumer.batchReceive with BatchReceivePolicy caps
+    (BatchReceivePolicy.java:66-69): drain one receive batch bounded by
+    maxNumMessages AND maxNumBytes over publish order."""
+    from ..operators.subscriptions import batch_receive
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sequence"), F.col("event_type").alias("value"))
+    got = batch_receive(ev, max_messages=100, max_bytes=550)
+    return got.select("sequence", "value").orderBy("sequence")
+
+
+BATCH_RECEIVE_SQL = """
+WITH sized AS (
+  SELECT event_id AS sequence, event_type AS value,
+         SUM(strlen(event_type)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT sequence, value FROM sized
+WHERE cum_bytes <= 550 AND rn <= 100
+ORDER BY sequence
+"""
+
+
+def multi_topic_counts(spark, sf_dir):
+    """Multi-topic consumer (MultiTopicsConsumerImpl): one consumer over
+    N topic logs, ``topic`` discriminator column added per source."""
+    from ..sources.connectors import read_topics
+
+    joined = read_topics(spark, {
+        "events": f"{sf_dir}/events.parquet",
+        "orders": f"{sf_dir}/orders.parquet",
+    })
+    return joined.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
+
+
+MULTI_TOPIC_SQL = """
+SELECT topic, n FROM (
+  SELECT 'events' AS topic, COUNT(*) AS n FROM events
+  UNION ALL
+  SELECT 'orders' AS topic, COUNT(*) AS n FROM orders
+) t ORDER BY topic
+"""
+
+
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
 
@@ -1642,6 +1689,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("embedding_ann_ivf", embedding_ann_ivf, None),
         Query("embedding_ann_lsh", embedding_ann_lsh, None),
         Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
+        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
     ]
 }
