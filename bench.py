@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q9_profit_by_nation",
     "q10_returned_items",
     "q13_customer_distribution",
+    "q16_supplier_variety",
+    "q2_min_cost_supplier",
     "q18_large_orders",
     "q19_disjunctive_filter",
     "topk_orders",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "key_shared_summary",
     "text_stats",
     "exact_dedup",
+    "winnow_fingerprints_docs",
     "minhash_lsh_pairs",
     "simhash_docs",
     "embedding_topk",

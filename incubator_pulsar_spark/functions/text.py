@@ -101,3 +101,21 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of normalized text. Exact-dup key that
     ships 32 bytes through the dedup shuffle instead of the payload."""
     return F.md5(normalize_text(text))
+
+
+def winnow_gram_hashes(chars: Column, *, k: int = 5) -> Column:
+    """Positional k-gram hash array for winnowing: first 8 md5 hex chars
+    of each k-gram (fixed width ⇒ lexicographic min == numeric min).
+
+    ``chars`` must be a materialized char-array column (the fuzzy.py
+    inlining trap). The returned array is safe to explode — Generate
+    evaluates it once per row; do NOT feed it into another higher-order
+    lambda (project collapse would re-inline the whole transform per
+    element — measured as a hang at sf0.01 in the array-only variant).
+    """
+    n_grams = F.greatest(F.size(chars) - F.lit(k - 1), F.lit(1))
+    gram_idx = F.sequence(F.lit(1), n_grams)
+    return F.transform(
+        gram_idx,
+        lambda i: F.substring(F.md5(F.array_join(F.slice(chars, i, k), "")), 1, 8),
+    )

@@ -1215,6 +1215,142 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
 
 
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (MOSS) per document: k-gram
+    md5 prefixes, sliding-window min of w=4, dedupe.
+
+    Plan shape: the gram-hash array is computed ONCE per doc and then
+    posexploded (Generate is a real barrier — an array-only variant with
+    nested higher-order lambdas gets the whole gram transform re-inlined
+    per window element by project collapse and hangs). The sliding min
+    is a window function over (doc, position); one shuffle by doc_id."""
+    from pyspark.sql import Window
+
+    from ..session import ensure_parallelism
+
+    w = 4
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    grams = (
+        docs.select("doc_id", F.split(text.normalize_text(F.col("text")), "")
+                    .alias("_chars"))
+        .select("doc_id", F.posexplode(
+            text.winnow_gram_hashes(F.col("_chars"), k=_SHINGLE_K))
+            .alias("pos", "gram_hash"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("doc_id")
+    return (
+        grams.withColumn("_fp", F.min("gram_hash").over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(n_win))
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select("doc_id", F.col("_fp").alias("fingerprint"))
+        .distinct()
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(norm) - {_SHINGLE_K - 1}, 1)),
+           i -> substr(md5(substr(norm, i, {_SHINGLE_K})), 1, 8)) AS hashes
+  FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 3, 1)),
+           j -> list_min(hashes[j:j+3]))) AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fingerprint
+FROM winnowed
+ORDER BY doc_id, fingerprint
+"""
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier-per-part comes from lineitem,
+    no partsupp): distinct suppliers per (brand, type, size), one brand
+    excluded — exercises COUNT(DISTINCT) under grouping."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#3")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: per-(part,supplier) unit cost derived
+    from lineitem, no partsupp): the cheapest EUROPE supplier per part —
+    argmin-per-group via rank over an exact decimal-ratio cost, ties to
+    the lowest supplier key."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    from pyspark.sql import Window
+
+    cost = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+              ).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("unit_cost"), F.col("s_suppkey"))
+    return (
+        cost.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .filter(F.col("l_partkey") <= 100)
+        .select(F.col("l_partkey").alias("p_partkey"), "s_suppkey", "s_name",
+                F.round("s_acctbal", 4).alias("s_acctbal"), "n_name",
+                F.round("unit_cost", 6).alias("unit_cost"))
+        .orderBy("p_partkey")
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name
+)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+       round(s_acctbal, 4) AS s_acctbal, n_name, round(unit_cost, 6) AS unit_cost
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY unit_cost, s_suppkey) AS rk
+  FROM cost
+)
+WHERE rk = 1 AND l_partkey <= 100
+ORDER BY p_partkey
+"""
+
+
 def batch_receive_cap(spark, sf_dir):
     """Consumer.batchReceive with BatchReceivePolicy caps
     (BatchReceivePolicy.java:66-69): drain one receive batch bounded by
@@ -1661,6 +1797,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
         Query("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
@@ -1690,6 +1828,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),

@@ -233,3 +233,28 @@ class TestNearDupPairs:
         for pair, sim in blocked.items():
             assert sim == exact[pair]
         assert len(blocked) >= 0.2 * len(exact) if exact else True
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self, spark):
+        """Winnowing guarantee (MOSS): docs sharing a substring of length
+        ≥ k+w−1 share at least one fingerprint; disjoint docs don't."""
+        from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+        import tempfile, os
+
+        common = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (1, f"AAA {common} BBB"),
+            (2, f"XXX {common} YYY"),
+            (3, "zzzz qqqq wwww rrrr tttt uuuu iiii oooo pppp"),
+        ]
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = ALL_QUERIES["winnow_fingerprints_docs"].build(spark, tmp).collect()
+        fps = {}
+        for r in out:
+            fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert fps[1] & fps[2], "shared substring must share a fingerprint"
+        assert not (fps[1] & fps[3])
+        assert not (fps[2] & fps[3])
