@@ -1406,7 +1406,9 @@ def embedding_neardup_pairs(spark, sf_dir):
     the LSH-blocked scale path exercised by the rows-only ANN queries.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=0.3)
+    # embeddings is fixed-size at every SF → gram strategy, explicitly
+    # (auto would spend a count() job per invocation deciding the same)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.3, strategy="gram")
 
 
 EMB_NEARDUP_SQL = """
