@@ -1237,6 +1237,10 @@ def winnow_fingerprints_docs(spark, sf_dir):
             text.winnow_gram_hashes(F.col("_chars"), k=_SHINGLE_K))
             .alias("pos", "gram_hash"))
     )
+    # the count-per-doc window shares the min window's exchange (same
+    # partitioning); computing n as size(_hashes) pre-explode instead
+    # re-evaluates the whole gram transform in a second operator —
+    # measured 38× slower (no CSE across Generate/Project)
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     n_win = Window.partitionBy("doc_id")
     return (
