@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q16_supplier_variety",
     "q2_min_cost_supplier",
     "q18_large_orders",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "q19_disjunctive_filter",
     "topk_orders",
     "compaction_publish_order",

@@ -1215,6 +1215,111 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
 
 
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: shipped-quantity threshold replaces the
+    partsupp availqty correlate): suppliers who shipped more than half
+    the total 1996 volume of some 'green' part — semi-join (EXISTS) of
+    supplier against a per-(part,supplier) vs per-part aggregate."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("green")).select("p_partkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sq"))
+    per_p = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_tq"))
+    excess = (per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("_pk"))
+              .filter(F.col("_sq") * 2 > F.col("_tq"))
+              .select("l_suppkey").distinct())
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(excess, sup.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%green%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+  FROM li GROUP BY l_partkey, l_suppkey
+),
+per_p AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+  FROM li GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE per_ps.l_suppkey = s_suppkey AND per_ps.sq * 2 > per_p.tq)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: 'kept the order waiting' = this
+    supplier has the strictly latest ship date in a multi-supplier
+    order; no receipt/commit dates in the schema). Same join topology
+    as the original: fact self-semi-join (another supplier shipped the
+    same order) + self-anti-join (nobody shipped later)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"),
+                   F.col("l_shipdate").alias("d3"))
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3"))
+              & (F.col("l_suppkey") != F.col("s3"))
+              & (F.col("l_shipdate") < F.col("d3")), "left_anti")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, numwait FROM (
+  SELECT l1.l_suppkey AS sk, COUNT(*) AS numwait
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l1.l_shipdate)
+  GROUP BY sk
+) w JOIN supplier ON sk = s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+"""
+
+
 def winnow_fingerprints_docs(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (MOSS) per document: k-gram
     md5 prefixes, sliding-window min of w=4, dedupe.
@@ -1805,6 +1910,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
