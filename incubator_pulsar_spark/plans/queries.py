@@ -1215,6 +1215,48 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
 
 
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: shipped revenue stands in for stock
+    value): parts whose revenue from NATION_3 suppliers exceeds 0.1% of
+    that nation's total — a grouped aggregate filtered against a global
+    scalar (broadcast 1-row total, the Q15 pattern under HAVING)."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    nat_li = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    per_part = nat_li.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val").cast("double") > 0.001 * F.col("_tot").cast("double"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("_val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH nat_li AS (
+  SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey, SUM(rev) AS val FROM nat_li GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(SUM(val) AS DOUBLE) FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
 def q20_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (adapted: shipped-quantity threshold replaces the
     partsupp availqty correlate): suppliers who shipped more than half
@@ -1912,6 +1954,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
