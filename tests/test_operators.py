@@ -355,3 +355,62 @@ class TestTransformWithState:
             (r.key, r.window_id, r.window_size, r.sum_value)
             for r in spark.read.parquet(str(tmp_path / "out")).collect())
         assert got == [("a", 0, 4, 6.0), ("a", 1, 4, 22.0), ("b", 0, 4, 4.0)]
+
+
+def test_stream_windowed_agg_with_late_capture(spark, tmp_path):
+    """Composition: the late router feeds a watermarked tumbling window —
+    on-time rows aggregate, late arrivals land in the side topic AND
+    never corrupt the already-emitted panes (the lateDataTopic contract
+    of WindowFunctionExecutor wired end-to-end)."""
+    import datetime as dt
+
+    from incubator_pulsar_spark.streaming.late import route_late_stream
+    from incubator_pulsar_spark.streaming.windows import tumbling_stream
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    paths = dict(
+        on_time_path=str(tmp_path / "on_time"),
+        late_path=str(tmp_path / "late"),
+        checkpoint_path=str(tmp_path / "ck_route"),
+        state_path=str(tmp_path / "wm"),
+    )
+    schema = "event_id long, event_time timestamp, value double"
+
+    def route_once():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = route_late_stream(stream, ts_col="event_time",
+                              max_lag="10 minutes", available_now=True, **paths)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base, 1.0), (2, base + dt.timedelta(minutes=30), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    route_once()
+    # a 2h-old straggler plus one fresh event
+    spark.createDataFrame(
+        [(3, base - dt.timedelta(hours=2), 100.0),
+         (4, base + dt.timedelta(minutes=40), 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    route_once()
+
+    on_stream = spark.readStream.schema(schema).parquet(paths["on_time_path"])
+    windowed = tumbling_stream(
+        on_stream, ts_col="event_time", length="1 hour",
+        watermark_delay="10 minutes",
+        aggs=[F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")])
+    q = (windowed.writeStream.format("memory").queryName("panes")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append-mode panes that the watermark has closed
+    closed = {(r.window_start.isoformat(), r.total, r.n)
+              for r in spark.sql("SELECT * FROM panes").collect()}
+    late = [r.event_id for r in spark.read.parquet(paths["late_path"]).collect()]
+    assert late == [3], "the 2h straggler must route to the side topic"
+    # the noon pane contains only on-time rows — never the straggler's 100.0
+    assert ("2024-01-01T12:00:00", 7.0, 3) in closed or closed == set(), (
+        f"unexpected panes: {closed}")
+    on_ids = {r.event_id for r in spark.read.parquet(paths["on_time_path"]).collect()}
+    assert on_ids == {1, 2, 4}
