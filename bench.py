@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q16_supplier_variety",
     "q2_min_cost_supplier",
     "q18_large_orders",
+    "q11_important_parts",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q19_disjunctive_filter",
