@@ -52,17 +52,30 @@ def _fmt_ts(c):  # portable timestamp rendering
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan-heavy agg; AQE coalesces the single shuffle."""
+    """TPC-H Q1 shape: scan-heavy agg; AQE coalesces the single shuffle.
+
+    Cross-engine exactness: ``charge`` has SIX true decimal digits
+    (2-dec price × 2-dec discount × 2-dec tax), so computing it in
+    double and casting to DECIMAL(18,4) hits genuine halfway cases where
+    Spark rounds HALF_UP and DuckDB HALF_EVEN (r1 driver hash-fail,
+    ±0.0001/row accumulating). Fix: cast each OPERAND to a fixed-scale
+    decimal first — decimal×decimal is exact on both engines, no
+    rounding ever happens. DECIMAL(12,2)×DECIMAL(3,2)×DECIMAL(3,2) →
+    DECIMAL(20,6) stays far inside precision limits.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
+    disc_price = price * one_minus_disc      # decimal(16,4), exact
+    charge = disc_price * one_plus_tax       # decimal(20,6), exact
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity", "sum_qty"),
             _dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,4)")).cast("double").alias("sum_charge"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
              / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
@@ -76,8 +89,11 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(3,2))
+                * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
@@ -297,10 +313,10 @@ def q12_shipmode_priority(spark, sf_dir):
 
 Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_returnflag IN ('A', 'R')
@@ -846,11 +862,24 @@ FROM media
 def media_features(spark, sf_dir):
     """Image decode→feature stub over mapInPandas (rows-only check: the
     byte-fold kernel is Python-side by design — the real build swaps in a
-    vision model here)."""
+    vision model here).
+
+    The gated output renders the feature vector as a fixed-format CSV
+    string: the driver's canonicalizer sorts every column with pandas,
+    which dies on unhashable ``list`` cells (r1 ``media_features`` err).
+    The array-returning API (``decode_image_features``) is unchanged for
+    library use.
+    """
     from ..functions.multimodal import decode_image_features, documents_as_media
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_image_features(documents_as_media(docs))
+    feats = decode_image_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        F.concat_ws(
+            ",", F.transform("feature", lambda v: F.format_string("%.6f", v))
+        ).alias("feature_csv"),
+    )
 
 
 def running_revenue(spark, sf_dir):

@@ -29,7 +29,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # full round-trip precision: the driver hashes exact values, so a
+        # last-ulp divergence must FAIL here too (r1: %.9g masked the q1
+        # sum_charge divergence locally while the driver caught it)
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat().replace("+00:00", "")
     return str(v)
