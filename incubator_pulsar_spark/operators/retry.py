@@ -33,16 +33,36 @@ PROP_REAL_TOPIC = "REAL_TOPIC"
 PROP_ORIGIN_MESSAGE_ID = "ORIGIN_MESSAGE_ID"
 
 
-def _set_props(existing: Column, new_map: Column) -> Column:
-    """Overwrite-merge properties: keys being set replace any existing
-    value (a message on its Nth retry hop already carries RECONSUMETIMES;
-    map_concat alone would crash on the duplicate key)."""
+def _set_props(existing: Column, overwrite: Column, if_absent: Column) -> Column:
+    """Merge properties the way the reference does on a retry hop:
+
+    - ``overwrite`` keys (RECONSUMETIMES/DELAY_TIME) replace any existing
+      value — the counter is re-stamped every hop (map_concat alone would
+      crash on the duplicate key).
+    - ``if_absent`` keys (REAL_TOPIC/ORIGIN_MESSAGE_ID) follow
+      ``propertiesMap.putIfAbsent`` (ConsumerImpl.java:799): provenance
+      is set once on the FIRST hop and preserved forever after.
+    """
+    base = F.coalesce(existing, F.create_map().cast("map<string,string>"))
     cleaned = F.map_filter(
-        F.coalesce(existing, F.create_map().cast("map<string,string>")),
-        lambda k, _: ~k.isin(PROP_RECONSUME_TIMES, PROP_DELAY_TIME,
-                             PROP_REAL_TOPIC, PROP_ORIGIN_MESSAGE_ID),
+        base, lambda k, _: ~k.isin(PROP_RECONSUME_TIMES, PROP_DELAY_TIME)
     )
-    return F.map_concat(cleaned, new_map)
+    absent_only = F.map_filter(
+        if_absent, lambda k, _: F.isnull(F.try_element_at(base, k))
+    )
+    return F.map_concat(cleaned, overwrite, absent_only)
+
+
+def _origin_topic(topic_col: str) -> Column:
+    """The topic retry/DLQ names derive from: REAL_TOPIC provenance when
+    the row already hopped through a retry topic, else the current topic
+    (RetryMessageUtil.getRetryTopic derives from the ORIGINAL topic, so a
+    second hop re-routes to the same '<orig>-<sub>-RETRY', never
+    '<orig>-<sub>-RETRY-<sub>-RETRY')."""
+    return F.coalesce(
+        F.try_element_at(F.col("properties"), F.lit(PROP_REAL_TOPIC)),
+        F.col(topic_col),
+    )
 
 
 def retry_topic_name(topic: str, subscription: str) -> str:
@@ -69,7 +89,7 @@ def route_failures(
     delay_seconds: int = 60,
     redelivery_count_col: str = "redelivery_count",
     topic_col: str = "topic",
-    publish_time_col: str = "publish_time",
+    now: Column | None = None,
 ) -> RoutedBatch:
     """Split one processed batch into ok / retry / DLQ streams.
 
@@ -77,42 +97,56 @@ def route_failures(
     the counter bumped and deliver_at pushed out (reconsumeLater);
     at/over the cap they land in the DLQ with provenance properties
     (DeadLetterPolicy.java:46-64).
+
+    ``deliver_at`` is relative to ``now`` — processing time, matching
+    reconsumeLater's now+delay scheduling — defaulting to
+    ``current_timestamp()``. Pass a fixed literal for deterministic
+    replays/tests. Retry/DLQ topic names derive from the ORIGINAL topic
+    (REAL_TOPIC when present), so multi-hop rows re-route to the same
+    '<orig>-<sub>-RETRY' and the DLQ is '<orig>-<sub>-DLQ' exactly as
+    RetryMessageUtil.getRetryTopic/getDLQTopic produce.
     """
     rc = F.col(redelivery_count_col)
+    if now is None:
+        now = F.current_timestamp()
     ok = df.filter(~failed)
     retriable = df.filter(failed & (rc < F.lit(max_redeliver_count)))
     exhausted = df.filter(failed & (rc >= F.lit(max_redeliver_count)))
+    orig = _origin_topic(topic_col)
+    delay = F.lit(delay_seconds) * (rc + 1)
 
     retry = (
-        retriable.withColumn(redelivery_count_col, (rc + 1).cast("int"))
-        .withColumn(
-            "deliver_at",
-            F.col(publish_time_col) + F.make_interval(secs=F.lit(delay_seconds) * (rc + 1)),
-        )
-        .withColumn(
+        retriable.withColumn(
             "properties",
             _set_props(
                 F.col("properties"),
                 F.create_map(
                     F.lit(PROP_RECONSUME_TIMES), (rc + 1).cast("string"),
-                    F.lit(PROP_REAL_TOPIC), F.col(topic_col),
+                    F.lit(PROP_DELAY_TIME), (delay * 1000).cast("long").cast("string"),
                 ),
-            ),
-        )
-        .withColumn(topic_col, F.concat(F.col(topic_col), F.lit(f"-{subscription}{RETRY_SUFFIX}")))
-    )
-    dlq = (
-        exhausted.withColumn(
-            "properties",
-            _set_props(
-                F.col("properties"),
                 F.create_map(
                     F.lit(PROP_REAL_TOPIC), F.col(topic_col),
                     F.lit(PROP_ORIGIN_MESSAGE_ID), F.col("sequence").cast("string"),
                 ),
             ),
         )
-        .withColumn(topic_col, F.concat(F.col(topic_col), F.lit(f"-{subscription}{DLQ_SUFFIX}")))
+        .withColumn(topic_col, F.concat(orig, F.lit(f"-{subscription}{RETRY_SUFFIX}")))
+        .withColumn("deliver_at", now + F.make_interval(secs=delay))
+        .withColumn(redelivery_count_col, (rc + 1).cast("int"))
+    )
+    dlq = (
+        exhausted.withColumn(
+            "properties",
+            _set_props(
+                F.col("properties"),
+                F.create_map().cast("map<string,string>"),
+                F.create_map(
+                    F.lit(PROP_REAL_TOPIC), F.col(topic_col),
+                    F.lit(PROP_ORIGIN_MESSAGE_ID), F.col("sequence").cast("string"),
+                ),
+            ),
+        )
+        .withColumn(topic_col, F.concat(orig, F.lit(f"-{subscription}{DLQ_SUFFIX}")))
     )
     return RoutedBatch(ok=ok, retry=retry, dlq=dlq)
 

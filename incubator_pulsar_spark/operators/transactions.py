@@ -74,23 +74,38 @@ class Transaction:
         self.acked[subscription] = max(sequence, self.acked.get(subscription, -1))
 
     def commit(self) -> None:
-        """Atomic: staged files land in the topic logs + cursors advance.
+        """Crash-atomic commit via a marker file (the commit point).
 
-        File moves are per-file renames into the destination dir; the txn
-        marker file is written last so crash-recovery can replay/GC.
+        Protocol (mirrors the reference's commit-marker-in-the-log,
+        ``TransactionImpl.java:184`` + transaction buffer):
+
+        1. Write ``<staging_root>/_markers/<txn_id>.json`` atomically
+           (tmp + ``os.replace``) recording produced topics + acks —
+           this IS the commit; a txn with a marker is committed even if
+           everything after crashes.
+        2. Publish: move staged files into topic logs (``os.replace``,
+           idempotent under replay) and advance cursors (max-merge,
+           idempotent).
+        3. Cleanup: remove staging dir, then the marker.
+
+        Crash before (1): nothing published; ``recover()`` GCs the
+        orphan staging dir (abort). Crash after (1): ``recover()``
+        replays (2)+(3) to completion. READ_COMMITTED readers therefore
+        never observe data from a txn without a marker; a committed
+        txn's rows all become visible by the time commit()/recover()
+        returns.
         """
         self._check_open()
-        for topic_path, staged in self.produced.items():
-            os.makedirs(topic_path, exist_ok=True)
-            for f in os.listdir(staged):
-                if f.startswith(("_", ".")):
-                    continue
-                os.rename(os.path.join(staged, f),
-                          os.path.join(topic_path, f"{self.txn_id}-{f}"))
-        for sub, seq in self.acked.items():
-            self.coordinator.advance_cursor(sub, seq)
+        self._write_marker()
+        self.coordinator._publish(self.txn_id, self.produced, self.acked)
         self.status = TxnStatus.COMMITTED
         self.coordinator._finish(self)
+        self.coordinator._remove_marker(self.txn_id)
+
+    def _write_marker(self) -> None:
+        """Step 1 of commit — exposed separately so tests can simulate a
+        crash between the commit point and publish."""
+        self.coordinator._write_marker(self.txn_id, self.produced, self.acked)
 
     def abort(self) -> None:
         """Drop everything staged; cursors untouched."""
@@ -116,6 +131,7 @@ class TransactionCoordinator:
 
     def __post_init__(self) -> None:
         os.makedirs(self.staging_root, exist_ok=True)
+        os.makedirs(self._marker_dir, exist_ok=True)
 
     # -- txn lifecycle
     def begin(self) -> Transaction:
@@ -125,6 +141,68 @@ class TransactionCoordinator:
         d = os.path.join(self.staging_root, txn.txn_id)
         if os.path.exists(d):
             shutil.rmtree(d)
+
+    # -- commit markers + publish + recovery
+    @property
+    def _marker_dir(self) -> str:
+        return os.path.join(self.staging_root, "_markers")
+
+    def _marker_path(self, txn_id: str) -> str:
+        return os.path.join(self._marker_dir, f"{txn_id}.json")
+
+    def _write_marker(self, txn_id: str, produced: dict[str, str],
+                      acked: dict[str, int]) -> None:
+        tmp = self._marker_path(txn_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"produced": produced, "acked": acked}, f)
+        os.replace(tmp, self._marker_path(txn_id))
+
+    def _remove_marker(self, txn_id: str) -> None:
+        try:
+            os.remove(self._marker_path(txn_id))
+        except FileNotFoundError:
+            pass
+
+    def _publish(self, txn_id: str, produced: dict[str, str],
+                 acked: dict[str, int]) -> None:
+        """Idempotent step 2: replayable after a crash at any point."""
+        for topic_path, staged in produced.items():
+            os.makedirs(topic_path, exist_ok=True)
+            if not os.path.isdir(staged):
+                continue  # already fully moved on a previous attempt
+            for f in os.listdir(staged):
+                if f.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(staged, f),
+                           os.path.join(topic_path, f"{txn_id}-{f}"))
+        for sub, seq in acked.items():
+            self.advance_cursor(sub, seq)
+
+    def recover(self) -> dict[str, str]:
+        """Crash recovery: finish every marked (committed) txn, GC every
+        unmarked (implicitly aborted) staging dir. Returns
+        {txn_id: 'committed'|'aborted'} for what it did."""
+        done: dict[str, str] = {}
+        for m in os.listdir(self._marker_dir):
+            if not m.endswith(".json"):
+                continue
+            txn_id = m[: -len(".json")]
+            with open(self._marker_path(txn_id)) as f:
+                rec = json.load(f)
+            self._publish(txn_id, rec["produced"],
+                          {k: int(v) for k, v in rec["acked"].items()})
+            d = os.path.join(self.staging_root, txn_id)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            self._remove_marker(txn_id)
+            done[txn_id] = "committed"
+        for entry in os.listdir(self.staging_root):
+            d = os.path.join(self.staging_root, entry)
+            if entry.startswith("_") or not os.path.isdir(d):
+                continue
+            shutil.rmtree(d)  # staged but never marked → abort + GC
+            done.setdefault(entry, "aborted")
+        return done
 
     # -- cursors
     @property

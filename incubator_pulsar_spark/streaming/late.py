@@ -24,24 +24,34 @@ another row of the same batch (same semantics: events between watermark
 emissions are judged against the last emitted watermark).
 
 Scale: per batch the state read/write is one tiny file; the data path is
-two predicate filters + appends — no shuffle, no collect of data rows.
-Idempotent under micro-batch replay: the state table records the last
-routed batch_id and the router skips batches it has already written.
+two predicate filters + writes — no shuffle, no collect of data rows.
+Idempotent under micro-batch replay TWO ways (both needed): routed
+output lands under ``batch_id=N`` directories with mode('overwrite') so
+a batch replayed after a crash-between-write-and-state-commit REWRITES
+its own files instead of appending duplicates; and the state table
+records the last fully-routed batch_id so an already-committed batch is
+not re-routed against a watermark that has since advanced.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _read_state(spark: SparkSession, state_path: str):
-    """(max_ts, last_batch_id) or (None, -1) before the first batch."""
+    """(max_ts, last_batch_id) or (None, -1) before the first batch.
+
+    Only a MISSING state path means "first batch"; any other read error
+    (corrupt file, transient FS failure) must propagate — swallowing it
+    would silently reset the watermark and re-route committed batches.
+    """
     try:
         rows = spark.read.parquet(state_path).collect()
-    except Exception:
+    except AnalysisException:
         return None, -1
     if not rows:
         return None, -1
@@ -67,8 +77,12 @@ def route_late_batch(
         is_late = F.col(ts_col).isNotNull() & (F.col(ts_col) <= wm)
         late = batch.filter(is_late)
         on_time = batch.filter(~is_late | F.col(ts_col).isNull())
-    on_time.write.mode("append").parquet(on_time_path)
-    late.write.mode("append").parquet(late_path)
+    # overwrite-by-batchId: replay after a crash between these writes and
+    # the state commit below rewrites the same directories (no dup rows)
+    on_time.write.mode("overwrite").parquet(
+        os.path.join(on_time_path, f"batch_id={batch_id}"))
+    late.write.mode("overwrite").parquet(
+        os.path.join(late_path, f"batch_id={batch_id}"))
     new_max_row = batch.agg(F.max(ts_col).alias("m")).collect()[0]
     new_max = new_max_row["m"]
     if max_ts is not None and (new_max is None or new_max < max_ts):

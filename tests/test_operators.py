@@ -182,6 +182,38 @@ class TestDelayRetryTtl:
         assert [r["sequence"] for r in d] == [3]
         assert d[0]["topic"] == "t-s-DLQ"
 
+    def test_route_failures_multi_hop_naming(self, spark):
+        """Second hop must NOT accumulate suffixes: retry/DLQ names derive
+        from REAL_TOPIC (the original topic), and provenance properties
+        are putIfAbsent (ConsumerImpl.java:799, RetryMessageUtil)."""
+        rows = [("t", 7, 0, None, _ts(0), "fail")]
+        df = spark.createDataFrame(
+            rows,
+            "topic string, sequence long, redelivery_count int, "
+            "properties map<string,string>, publish_time timestamp, status string",
+        )
+        hop1 = retry.route_failures(df, F.col("status") == "fail",
+                                    subscription="s").retry
+        r1 = hop1.collect()[0]
+        assert r1["topic"] == "t-s-RETRY"
+        assert r1["properties"]["REAL_TOPIC"] == "t"
+        assert r1["properties"]["ORIGIN_MESSAGE_ID"] == "7"
+        # feed the retry output straight back through the router
+        hop2 = retry.route_failures(hop1.withColumn("status", F.lit("fail")),
+                                    F.col("status") == "fail",
+                                    subscription="s").retry
+        r2 = hop2.collect()[0]
+        assert r2["topic"] == "t-s-RETRY"            # same topic, not t-s-RETRY-s-RETRY
+        assert r2["properties"]["REAL_TOPIC"] == "t"  # provenance preserved
+        assert r2["properties"]["RECONSUMETIMES"] == "2"
+        # exhaust the counter → DLQ named from the ORIGINAL topic
+        exhausted = hop1.withColumn("status", F.lit("fail")) \
+                        .withColumn("redelivery_count", F.lit(16))
+        d = retry.route_failures(exhausted, F.col("status") == "fail",
+                                 subscription="s").dlq.collect()[0]
+        assert d["topic"] == "t-s-DLQ"
+        assert d["properties"]["REAL_TOPIC"] == "t"
+
     def test_ttl_and_seek(self, spark):
         rows = [(i, _ts(i)) for i in range(10)]
         df = spark.createDataFrame(rows, "sequence long, publish_time timestamp")

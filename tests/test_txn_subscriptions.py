@@ -67,6 +67,31 @@ def test_txn_ack_cursor_advances_on_commit_only(spark, coord):
     assert coord.cursor("subA") == 41
 
 
+def test_txn_crash_recovery(spark, tmp_path, coord):
+    """Commit marker written but process dies before publish: a fresh
+    coordinator's recover() finishes the commit (files visible, cursor
+    advanced); an unmarked staging dir is GC'd as an implicit abort."""
+    t_a = str(tmp_path / "topicA")
+    txn = coord.begin()
+    txn.produce(spark.range(4), t_a)
+    txn.ack_cumulative("subA", 7)
+    txn._write_marker()  # commit point reached... then "crash"
+
+    orphan = coord.begin()  # staged, never marked → implicit abort
+    orphan.produce(spark.range(9), str(tmp_path / "topicB"))
+
+    fresh = tx.TransactionCoordinator(staging_root=coord.staging_root)
+    done = fresh.recover()
+    assert done[txn.txn_id] == "committed"
+    assert done[orphan.txn_id] == "aborted"
+    assert tx.read_committed(spark, t_a).count() == 4
+    assert fresh.cursor("subA") == 7
+    assert not os.path.exists(str(tmp_path / "topicB"))
+    # recovery is idempotent — a second pass changes nothing
+    assert fresh.recover() == {}
+    assert tx.read_committed(spark, t_a).count() == 4
+
+
 def _topic(spark):
     rows = [Row(partition=i % 2, sequence=i, value=f"v{i:02d}") for i in range(10)]
     return spark.createDataFrame(
