@@ -97,15 +97,31 @@ def main() -> None:
         cold_total += c
         print(f"# {name}: {dt:.3f}s steady / {c:.3f}s cold ({n} rows)", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "cold_total": round(cold_total, 3),
-        "cold_queries": cold,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    # per-query cold timings go to stderr only: the driver captures the
+    # LAST 2000 chars of stdout and the r1 line (~2.4 KB with two
+    # per-query dicts) was truncated past parseability ("parsed": null).
+    print("# cold per-query: " + json.dumps(cold), file=sys.stderr)
+
+    def line(qs: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "headline_queries_total_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": qs,
+            "cold_total": round(cold_total, 3),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload)
+
+    # hard guard: the one stdout line must fit the 2000-char tail capture
+    out = line(timings, 0)
+    if len(out) >= 1900:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
+        out = line(slowest, len(timings) - len(slowest))
+        print("# full steady per-query: " + json.dumps(timings), file=sys.stderr)
+    print(out)
 
 
 if __name__ == "__main__":

@@ -1591,6 +1591,22 @@ def embedding_neardup_pairs(spark, sf_dir):
     return similarity.cosine_neardup_pairs(emb, threshold=0.3, strategy="gram")
 
 
+def embedding_neardup_blocked(spark, sf_dir):
+    """LSH-blocked near-dup pairs — the 100 TB path gated directly.
+
+    Same logical result as ``embedding_neardup_pairs`` but computed the
+    way a real corpus requires: map-side hyperplane bucket id on each
+    vector, same-bucket equi-join (never all-pairs), Arrow-batched dot
+    UDF per candidate, no driver collect anywhere. Rows-only check by
+    design: recall < 1 for pairs straddling a hyperplane (lower
+    block_planes to trade compute for recall); the exact all-pairs
+    baseline next to it is the oracle for values.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb, threshold=0.3, block_planes=4, dim=64)
+
+
 EMB_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2021,6 +2037,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("embedding_ann_ivf", embedding_ann_ivf, None),
         Query("embedding_ann_lsh", embedding_ann_lsh, None),
         Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
+        Query("embedding_neardup_blocked", embedding_neardup_blocked, None),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
