@@ -154,6 +154,37 @@ def write_topic(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy("partition").parquet(path)
 
 
+def write_topic_bucketed(
+    df: DataFrame, table: str, *, num_buckets: int = 32,
+    bucket_col: str = "key", sort_col: str = "sequence",
+    mode: str = "overwrite",
+) -> None:
+    """Key-bucketed topic layout: pre-pay the key shuffle once at write.
+
+    Every per-key operator — compaction (``groupBy(key)``), TableView,
+    Key_Shared dispatch, key-joins between topics — shuffles on ``key``.
+    Bucketing the stored topic by key (``bucketBy`` + in-bucket
+    ``sortBy(sequence)``) makes all of those Exchange-free for any
+    reader using the same bucket spec: two topics bucketed the same way
+    join with ZERO shuffle (see tests/test_plans.py bucketed-join lock).
+    At 100 TB this is the difference between re-shuffling the corpus
+    per query and reading co-located buckets; the in-bucket sequence
+    sort also gives compaction its publish-order scan without a sort
+    step. This is the Spark analogue of the broker's stable
+    key→partition routing (RoundRobinPartitionMessageRouterImpl) made
+    durable in storage.
+    """
+    (df.write.mode(mode).format("parquet")
+       .bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+       .saveAsTable(table))
+
+
+def read_topic_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed topic table (bucket metadata flows into the plan —
+    joins/aggs on the bucket column skip their Exchange)."""
+    return spark.table(table)
+
+
 def read_topic_stream(
     spark: SparkSession, path: str, schema=MESSAGE_SCHEMA, *,
     starting_sequence: int | None = None,

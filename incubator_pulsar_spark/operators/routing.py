@@ -21,6 +21,8 @@ already does.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,3 +119,69 @@ def key_hash_slot(key: Column, ring_size: int = KEY_SHARED_RING_SIZE) -> Column:
     murmur3(key) % 65536; exposed for tests asserting sticky assignment.
     """
     return F.pmod(F.hash(key), F.lit(ring_size)).cast("int")
+
+
+def java_string_hash(key: Column) -> Column:
+    """Bit-exact JavaStringHash (client/impl/JavaStringHash.java):
+    ``s.hashCode() & Integer.MAX_VALUE``.
+
+    Java's ``String.hashCode`` is the 31-multiplier fold over UTF-16
+    units; implemented as a pure column fold with explicit signed-32-bit
+    wraparound so partition assignments match a Java client's bit for
+    bit (BMP characters; Spark ``split('')`` yields code points, which
+    equal UTF-16 units inside the BMP). Null key hashes like the empty
+    string (hashCode 0), matching a null partition key.
+    """
+    def step(acc: Column, c: Column) -> Column:
+        v = acc * 31 + F.ascii(c)
+        return ((v + F.lit(2 ** 31)) % F.lit(2 ** 32)) - F.lit(2 ** 31)
+
+    h = F.aggregate(F.split(F.coalesce(key, F.lit("")), ""),
+                    F.lit(0).cast("long"), step)
+    return h.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")
+
+
+def route_partition_col_java(key: Column, num_partitions: int) -> Column:
+    """Default router under HashingScheme.JavaStringHash:
+    ``JavaStringHash(key) % n`` (non-negative by construction)."""
+    return (java_string_hash(key) % F.lit(num_partitions)).cast("int")
+
+
+@dataclass(frozen=True)
+class StickyRange:
+    """One consumer's explicit hash range (KeySharedPolicy.java:88-95
+    STICKY mode; Range.java). ``start``/``end`` inclusive, 0..65535."""
+    start: int
+    end: int
+    consumer: str
+
+
+def validate_sticky_ranges(ranges: list[StickyRange],
+                           ring_size: int = KEY_SHARED_RING_SIZE) -> None:
+    """KeySharedPolicySticky.validate: every range inside the ring and no
+    two ranges intersecting (HashRangeExclusiveStickyKeyConsumerSelector
+    rejects overlapping claims)."""
+    for r in ranges:
+        if not (0 <= r.start <= r.end < ring_size):
+            raise ValueError(f"range {r} outside ring [0, {ring_size})")
+    by_start = sorted(ranges, key=lambda r: r.start)
+    for a, b in zip(by_start, by_start[1:]):
+        if b.start <= a.end:
+            raise ValueError(f"ranges {a} and {b} overlap")
+
+
+def assign_sticky(df: DataFrame, ranges: list[StickyRange], *,
+                  key_col: str = "key",
+                  ring_size: int = KEY_SHARED_RING_SIZE) -> DataFrame:
+    """Key_Shared STICKY dispatch: map each row's key-hash slot to the
+    consumer whose explicit range covers it; NULL consumer when no range
+    claims the slot (the reference withholds such messages until a
+    consumer claims the range — callers filter or park those rows).
+    """
+    validate_sticky_ranges(ranges, ring_size)
+    slot = key_hash_slot(F.col(key_col), ring_size)
+    expr = F.lit(None).cast("string")
+    for r in ranges:  # CASE chain: tiny (ranges ≤ consumers), map-side
+        expr = F.when((slot >= r.start) & (slot <= r.end),
+                      F.lit(r.consumer)).otherwise(expr)
+    return df.withColumn("consumer", expr)

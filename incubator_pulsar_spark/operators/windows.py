@@ -131,9 +131,72 @@ def sliding_count_window(
     )
 
 
+def pane_deltas(
+    df: DataFrame, *, key_col: str = "key", order_col: str = "sequence",
+    length: int, slide: int,
+) -> DataFrame:
+    """Window pane contents WITH the incremental views: ``WindowImpl``'s
+    ``get()/getNew()/getExpired()`` (WindowImpl.java, consumed by
+    ``WindowFunctionExecutor.java:222-229``).
+
+    Per key, a trigger fires at every ``slide``-th record (position t =
+    multiples of slide that have arrived). Output: one row per
+    (key, window_end_pos, member-or-evicted row) with ``delta``:
+
+    - ``new``      — entered the pane since the previous firing
+      (position in (t-slide, t])
+    - ``carried``  — still in the pane from an earlier firing
+    - ``expired``  — evicted since the previous firing
+      (position in (t-length-slide, t-length])
+
+    Each element is ``new`` exactly once (first trigger ≥ p) and
+    ``expired`` exactly once (first trigger ≥ p+length) — the same
+    lifecycle WindowManager's pane deque gives each tuple. Tumbling
+    panes are slide == length (every member is new, the whole previous
+    pane expires).
+
+    Scale: one shuffle by key for the position numbers, then a map-side
+    explode of ceil(length/slide)+1 copies per row — same cost shape as
+    ``sliding_count_window``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    n_copies = (length + slide - 1) // slide
+    df2 = (
+        df.withColumn("_p", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+    )
+    # ONE explode emits every lifecycle event of a row: its n_copies
+    # member panes (first = 'new', rest = 'carried') plus its single
+    # eviction pane — a union of two branches would rescan + reshuffle
+    # the input twice (measured: 2 shuffles/4 scans vs 1/1 here).
+    first_member = (F.ceil(F.col("_p") / F.lit(slide)) * slide).cast("long")
+    expire_at = (F.ceil((F.col("_p") + F.lit(length)) / F.lit(slide)) * slide).cast("long")
+    member = F.transform(
+        F.sequence(F.lit(0), F.lit(n_copies - 1)),
+        lambda k: F.struct(
+            (first_member + k * slide).alias("t"),
+            F.when(k == 0, F.lit("new")).otherwise(F.lit("carried")).alias("d"),
+        ),
+    )
+    events = F.concat(
+        member, F.array(F.struct(expire_at.alias("t"), F.lit("expired").alias("d")))
+    )
+    return (
+        df2.withColumn("_e", F.explode(events))
+        .withColumn("window_end_pos", F.col("_e.t"))
+        .withColumn("delta", F.col("_e.d"))
+        .filter(
+            (F.col("window_end_pos") <= F.col("_n"))
+            & ((F.col("delta") == "expired")
+               | (F.col("_p") > F.col("window_end_pos") - F.lit(length)))
+        )
+        .drop("_e", "_p", "_n")
+    )
+
+
 def split_late(
     df: DataFrame, *, ts_col: str = "event_time", arrival_col: str = "sequence",
-    max_lag: str = "0 seconds",
+    max_lag: str = "0 seconds", key_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Event-time watermarking with a late-data side output (batch form).
 
@@ -143,12 +206,18 @@ def split_late(
     go to the lateDataTopic instead of the pane
     (WindowFunctionExecutor.java:296-308).
 
-    Returns (on_time, late). Running max over arrival order = one shuffle
-    on nothing (single ordering) — so batch form partitions by nothing;
-    callers with per-key streams should pre-partition. Streaming form
-    uses withWatermark (drops late rows; fork approximates the side topic).
+    Returns (on_time, late). Pass ``key_col`` for keyed topics: the
+    running max partitions by key, so the plan is a normal hash shuffle
+    that scales with the cluster (per-key watermarks, slightly LESS
+    eager to call rows late than a global watermark — a key only sees
+    its own max). Without ``key_col`` the whole input is one ordering —
+    a single-partition window, correct only for bounded per-topic
+    replays, never a 100 TB scan. The streaming form
+    (streaming/late.py) has no such bottleneck either way.
     """
-    w = Window.orderBy(F.col(arrival_col)).rowsBetween(Window.unboundedPreceding, -1)
+    base = (Window.partitionBy(key_col) if key_col is not None
+            else Window.partitionBy())
+    w = base.orderBy(F.col(arrival_col)).rowsBetween(Window.unboundedPreceding, -1)
     lag = F.expr(f"INTERVAL {max_lag}")
     wm = F.max(F.col(ts_col)).over(w) - lag
     flagged = df.withColumn("_wm", wm).withColumn(

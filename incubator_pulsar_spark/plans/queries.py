@@ -658,6 +658,47 @@ FROM t WHERE deliver_at > (SELECT max(ts) FROM events)
 """
 
 
+def pane_deltas_user(spark, sf_dir):
+    """Window pane new/carried/expired deltas (WindowImpl.java views,
+    WindowFunctionExecutor.java:222-229): per-user sliding count panes of
+    length 4 firing every 2 records; every firing lists pane members
+    (new|carried) and the rows evicted since the previous firing."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.col("event_id").alias("sequence"))
+    out = windows.pane_deltas(ev, length=4, slide=2)
+    return out.select(F.col("key").alias("user_id"),
+                      "window_end_pos",
+                      F.col("sequence").alias("event_id"), "delta")
+
+
+PANE_DELTAS_SQL = """
+WITH pos AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), member AS (
+  SELECT user_id, event_id,
+         CAST(CEIL(p / 2.0) * 2 + k * 2 AS BIGINT) AS window_end_pos,
+         p, n
+  FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+), panes AS (
+  SELECT user_id, window_end_pos, event_id,
+         CASE WHEN p > window_end_pos - 2 THEN 'new' ELSE 'carried' END AS delta
+  FROM member
+  WHERE p > window_end_pos - 4 AND window_end_pos <= n
+), evicted AS (
+  SELECT user_id, CAST(CEIL((p + 4) / 2.0) * 2 AS BIGINT) AS window_end_pos,
+         event_id, 'expired' AS delta
+  FROM pos
+  WHERE CEIL((p + 4) / 2.0) * 2 <= n
+)
+SELECT user_id, window_end_pos, event_id, delta FROM panes
+UNION ALL
+SELECT user_id, window_end_pos, event_id, delta FROM evicted
+"""
+
+
 def retry_dlq_routing(spark, sf_dir):
     """Retry/DLQ router: 'error' events are failures; redelivery_count :=
     event_id % 20; count ≥ 16 ⇒ DLQ (RetryMessageUtil.java:31), else
@@ -2014,6 +2055,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
+        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),

@@ -85,6 +85,97 @@ def jdbc_sink_stream(stream: DataFrame, *, url: str, table: str, checkpoint: str
     return w.start()
 
 
+def jdbc_insert_sql(table: str, cols: list[str]) -> str:
+    """Parameterized INSERT (JdbcAbstractSink insert mode)."""
+    ph = ", ".join("?" for _ in cols)
+    return f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph})"
+
+
+def jdbc_upsert_sql(table: str, cols: list[str], key_cols: list[str]) -> str:
+    """Parameterized UPSERT (BaseJdbcAutoSchemaSink insertMode=UPSERT):
+    ``INSERT ... ON CONFLICT(keys) DO UPDATE SET ...`` — the
+    SQLite/Postgres/ClickHouse-compatible dialect family the reference's
+    JDBC sinks target."""
+    non_keys = [c for c in cols if c not in key_cols]
+    ph = ", ".join("?" for _ in cols)
+    sets = ", ".join(f"{c}=excluded.{c}" for c in non_keys) or \
+        f"{key_cols[0]}={key_cols[0]}"  # keys-only table: no-op update
+    return (f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph}) "
+            f"ON CONFLICT({', '.join(key_cols)}) DO UPDATE SET {sets}")
+
+
+def jdbc_delete_sql(table: str, key_cols: list[str]) -> str:
+    """Parameterized DELETE by key (BaseJdbcAutoSchemaSink delete mode)."""
+    where = " AND ".join(f"{c} = ?" for c in key_cols)
+    return f"DELETE FROM {table} WHERE {where}"
+
+
+def jdbc_merge_sink_batch(
+    batch: DataFrame, *, table: str, key_cols: list[str],
+    connection_factory, mode: str = "upsert", action_col: str | None = None,
+) -> None:
+    """One micro-batch → JDBC with insert/upsert/delete semantics
+    (BaseJdbcAutoSchemaSink.java: insertMode + per-record ACTION
+    property).
+
+    ``mode`` is the default action; ``action_col`` (values
+    INSERT/UPSERT/DELETE, the reference's ACTION message property)
+    overrides per row. ``connection_factory`` returns a DBAPI-style
+    connection (``execute(sql, params)`` + ``commit``) — one per
+    partition, opened executor-side, so the write is distributed exactly
+    like the reference's per-instance sink connections; no driver
+    collect.
+    """
+    if mode not in ("insert", "upsert", "delete"):
+        raise ValueError(f"unknown jdbc sink mode: {mode!r}")
+    data_cols = [c for c in batch.columns if c != action_col]
+    sqls = {
+        "INSERT": jdbc_insert_sql(table, data_cols),
+        "UPSERT": jdbc_upsert_sql(table, data_cols, key_cols),
+        "DELETE": jdbc_delete_sql(table, key_cols),
+    }
+    default_action = mode.upper()
+    key_idx = [data_cols.index(c) for c in key_cols]
+
+    def write_partition(rows) -> None:
+        conn = connection_factory()
+        try:
+            for row in rows:
+                action = (row[action_col] if action_col else default_action) \
+                    or default_action
+                action = action.upper()
+                vals = [row[c] for c in data_cols]
+                params = [vals[i] for i in key_idx] if action == "DELETE" else vals
+                conn.execute(sqls[action], params)
+            conn.commit()
+        finally:
+            conn.close()
+
+    batch.foreachPartition(write_partition)
+
+
+def jdbc_merge_sink_stream(
+    stream: DataFrame, *, table: str, key_cols: list[str],
+    connection_factory, checkpoint: str, mode: str = "upsert",
+    action_col: str | None = None, trigger_available_now: bool = False,
+):
+    """Streaming upsert/delete JDBC sink (foreachBatch over the merge
+    writer). At-least-once to the DB; UPSERT/DELETE are idempotent per
+    key so replayed batches converge (same posture as the reference's
+    ATLEAST_ONCE sink guarantee)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        jdbc_merge_sink_batch(
+            batch, table=table, key_cols=key_cols,
+            connection_factory=connection_factory, mode=mode,
+            action_col=action_col)
+
+    w = stream.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 # -------------------------------------------------------------------- kafka
 
 def kafka_source_stream(spark: SparkSession, *, bootstrap_servers: str,

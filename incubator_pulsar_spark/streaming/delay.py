@@ -63,6 +63,12 @@ def delayed_delivery_stream(
             for seq, at in zip(pdf[sequence_col], pdf[deliver_at_col]):
                 pend_seq.append(int(seq))
                 pend_at.append(pd.Timestamp(at))
+        # priority-queue order, like the reference tracker: earliest
+        # deliver_at first, sequence as the deterministic tiebreak
+        # (InMemoryDelayedDeliveryTracker's queue is keyed on deliverAt)
+        if pend_seq:
+            pairs = sorted(zip(pend_seq, pend_at), key=lambda p: (p[1], p[0]))
+            pend_seq, pend_at = [list(t) for t in zip(*pairs)]
 
         now = pd.Timestamp(clock()).tz_localize(None) if pd.Timestamp(clock()).tzinfo \
             else pd.Timestamp(clock())

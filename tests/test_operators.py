@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -140,6 +141,42 @@ class TestWindows:
         ns = sorted(r["n"] for r in out.collect())
         assert ns == [5, 10, 10]
 
+    def test_pane_deltas_lifecycle(self, spark):
+        """WindowImpl get()/getNew()/getExpired() semantics: length 4,
+        slide 2, 7 rows → triggers at 2/4/6 with the exact pane views."""
+        rows = [("k", i) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "key string, sequence long")
+        out = windows.pane_deltas(df, length=4, slide=2)
+        got = {}
+        for r in out.collect():
+            got.setdefault((r["window_end_pos"], r["delta"]), []).append(r["sequence"])
+        for v in got.values():
+            v.sort()
+        assert got == {
+            (2, "new"): [1, 2],
+            (4, "new"): [3, 4], (4, "carried"): [1, 2],
+            (6, "new"): [5, 6], (6, "carried"): [3, 4], (6, "expired"): [1, 2],
+        }
+        # each element is new exactly once and expired at most once
+        news = [s for (t, d), v in got.items() if d == "new" for s in v]
+        assert sorted(news) == [1, 2, 3, 4, 5, 6]  # 7 hasn't triggered yet
+
+    def test_pane_deltas_tumbling(self, spark):
+        """slide == length: every member is new, whole previous pane expires."""
+        rows = [("k", i) for i in range(1, 7)]
+        df = spark.createDataFrame(rows, "key string, sequence long")
+        out = windows.pane_deltas(df, length=2, slide=2)
+        got = {}
+        for r in out.collect():
+            got.setdefault((r["window_end_pos"], r["delta"]), []).append(r["sequence"])
+        for v in got.values():
+            v.sort()
+        assert got == {
+            (2, "new"): [1, 2],
+            (4, "new"): [3, 4], (4, "expired"): [1, 2],
+            (6, "new"): [5, 6], (6, "expired"): [3, 4],
+        }
+
     def test_split_late(self, spark):
         rows = [
             ("k", 1, _ts(10)), ("k", 2, _ts(20)),
@@ -150,6 +187,23 @@ class TestWindows:
         on_time, late = windows.split_late(df, max_lag="1 minute")
         assert sorted(r["sequence"] for r in on_time.collect()) == [1, 2, 4]
         assert [r["sequence"] for r in late.collect()] == [3]
+
+    def test_split_late_keyed(self, spark):
+        """key_col partitions the running-max window: per-key watermarks
+        (a key only sees its own max) and a scale-safe hash-shuffle plan
+        instead of a single-partition Exchange."""
+        rows = [
+            ("k", 1, _ts(10)), ("k", 2, _ts(20)), ("k", 3, _ts(5)),  # late for k
+            ("j", 4, _ts(1)), ("j", 5, _ts(2)),   # j's own max is tiny → on time
+        ]
+        df = spark.createDataFrame(rows, "key string, sequence long, event_time timestamp")
+        on_time, late = windows.split_late(df, max_lag="1 minute", key_col="key")
+        assert sorted(r["sequence"] for r in on_time.collect()) == [1, 2, 4, 5]
+        assert [r["sequence"] for r in late.collect()] == [3]
+        # plan lock: keyed form must NOT have a single-partition Exchange
+        plan = on_time._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(key" in plan
 
 
 class TestDelayRetryTtl:
@@ -181,6 +235,55 @@ class TestDelayRetryTtl:
         d = routed.dlq.collect()
         assert [r["sequence"] for r in d] == [3]
         assert d[0]["topic"] == "t-s-DLQ"
+
+    def test_java_string_hash_bit_exact(self, spark):
+        """java_string_hash must equal Java's s.hashCode() & MAX_VALUE
+        (JavaStringHash.java) so partition picks match a Java client."""
+        from incubator_pulsar_spark.operators import routing
+
+        def java_hash(s: str) -> int:
+            h = 0
+            for ch in s:
+                h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+            if h >= 2 ** 31:
+                h -= 2 ** 32
+            return h & 0x7FFFFFFF
+
+        keys = ["", "a", "abc", "hello", "pulsar-key-42",
+                "persistent://public/default/t", "ÿüñîçødé", None]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got = {r["k"]: r["h"] for r in df.select(
+            "k", routing.java_string_hash(F.col("k")).alias("h")).collect()}
+        for k in keys:
+            expected = java_hash(k or "")
+            assert got[k] == expected, (k, got[k], expected)
+        assert java_hash("abc") == 96354  # sanity anchor vs real Java
+
+    def test_sticky_ranges(self, spark):
+        """Key_Shared STICKY explicit ranges (KeySharedPolicy.java:88-95,
+        HashRangeExclusiveStickyKeyConsumerSelector): slot → claiming
+        consumer; unclaimed slots → NULL; overlaps rejected."""
+        from incubator_pulsar_spark.operators import routing
+
+        ranges = [routing.StickyRange(0, 32767, "c1"),
+                  routing.StickyRange(32768, 49151, "c2")]
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(200)], "key string")
+        out = routing.assign_sticky(df, ranges).withColumn(
+            "slot", routing.key_hash_slot(F.col("key")))
+        for r in out.collect():
+            if r["slot"] <= 32767:
+                assert r["consumer"] == "c1"
+            elif r["slot"] <= 49151:
+                assert r["consumer"] == "c2"
+            else:
+                assert r["consumer"] is None  # unclaimed → withheld
+        with pytest.raises(ValueError, match="overlap"):
+            routing.validate_sticky_ranges(
+                [routing.StickyRange(0, 100, "a"),
+                 routing.StickyRange(100, 200, "b")])
+        with pytest.raises(ValueError, match="outside"):
+            routing.validate_sticky_ranges([routing.StickyRange(0, 65536, "a")])
 
     def test_route_failures_multi_hop_naming(self, spark):
         """Second hop must NOT accumulate suffixes: retry/DLQ names derive

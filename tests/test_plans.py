@@ -69,3 +69,104 @@ class TestPlanQuality:
         plan = executed_plan(spark, "compaction_publish_order")
         n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
         assert n_agg >= 2, "compaction lost its partial (map-side) aggregation"
+
+    # ---- locks for the r1-round additions (LLM-pipeline + consumer ops)
+
+    def test_minhash_lsh_no_cartesian(self, spark):
+        """LSH banding must stay a bucketed equi-join — an accidental
+        all-pairs would be a CartesianProduct / BroadcastNestedLoop."""
+        plan = executed_plan(spark, "minhash_lsh_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_minhash_lsh_reuses_banded_side(self, spark):
+        """The banded signature table feeds BOTH join sides; the plan must
+        reuse it (InMemoryTableScan via persist, or ReusedExchange) rather
+        than recompute the shingle pipeline twice."""
+        plan = executed_plan(spark, "minhash_lsh_pairs")
+        assert ("InMemoryTableScan" in plan) or ("ReusedExchange" in plan), (
+            "banded table recomputed on both join sides")
+
+    def test_winnow_single_generate(self, spark):
+        """Winnowing must explode shingles ONCE (the documented 38×
+        re-evaluation trap: CSE does not cross Generate/Project)."""
+        plan = executed_plan(spark, "winnow_fingerprints_docs")
+        assert plan.count("Generate") <= 2, (
+            "winnow plan grew extra Generate barriers (re-evaluation trap)")
+
+    def test_exact_dedup_shuffles_hashes_not_payloads(self, spark):
+        """Exact dedup's shuffle must carry (md5, id) only — ReadSchema
+        may include text (hash input) but the exchange must not."""
+        plan = executed_plan(spark, "exact_dedup")
+        assert "Exchange" in plan
+        ex = plan[plan.index("Exchange"):]
+        assert "text#" not in ex.split("\n")[0], "payload column in the shuffle key"
+
+    def test_embedding_topk_broadcasts_queries(self, spark):
+        """Exact top-k must broadcast the small query side; the embedding
+        side must not shuffle its vectors before scoring."""
+        plan = executed_plan(spark, "embedding_topk")
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_embedding_neardup_blocked_is_bucketed(self, spark):
+        """The gated 100 TB near-dup path: same-bucket equi-join, never
+        CartesianProduct, and no driver collect (plan is pure Spark ops +
+        Arrow stages)."""
+        plan = executed_plan(spark, "embedding_neardup_blocked")
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+    @pytest.mark.parametrize("name", [
+        "simhash_docs", "text_stats", "language_id", "media_frame_schedule",
+    ])
+    def test_text_ops_stay_jvm_side(self, spark, name):
+        """Column-expression text ops must not regress into Python."""
+        plan = executed_plan(spark, name)
+        assert not re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+                             plan), f"{name}: Python stage appeared"
+
+    def test_bucketed_topic_join_no_shuffle(self, spark, tmp_path):
+        """Two topics bucketed by key with the same spec must key-join
+        with ZERO Exchange (the pre-paid-shuffle storage layout for
+        compaction/TableView/key-joins at 100 TB)."""
+        from incubator_pulsar_spark import envelope as env
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame(
+            [(f"k{i % 50}", i, float(i)) for i in range(500)],
+            "key string, sequence long, v double")
+        b = spark.createDataFrame(
+            [(f"k{i % 50}", i, i * 2.0) for i in range(300)],
+            "key string, sequence long, w double")
+        env.write_topic_bucketed(a, "bkt_topic_a", num_buckets=8)
+        env.write_topic_bucketed(b, "bkt_topic_b", num_buckets=8)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = (env.read_topic_table(spark, "bkt_topic_a").groupBy("key")
+                 .agg(F.sum("v").alias("sv"))
+                 .join(env.read_topic_table(spark, "bkt_topic_b")
+                       .groupBy("key").agg(F.sum("w").alias("sw")), on="key"))
+            assert j.count() == 50
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, (
+                "bucketed key-join/agg should be shuffle-free")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS bkt_topic_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_topic_b")
+
+    def test_pane_deltas_single_shuffle(self, spark):
+        """Pane lifecycle must stay one explode over one keyed shuffle —
+        a member/expired union would rescan and reshuffle the input."""
+        plan = executed_plan(spark, "pane_deltas_user")
+        assert plan.count("Exchange hashpartitioning") <= 1, (
+            "pane_deltas regressed to multi-branch shuffles")
+        assert "Union" not in plan
+
+    @pytest.mark.parametrize("name", ["batch_receive_cap", "salted_hot_key_agg"])
+    def test_consumer_ops_partial_agg_or_window(self, spark, name):
+        plan = executed_plan(spark, name)
+        assert "Exchange" in plan  # sanity: these do shuffle, once
+        assert plan.count("Exchange hashpartitioning") <= 2, (
+            f"{name}: extra shuffles appeared")

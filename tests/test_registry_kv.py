@@ -7,6 +7,8 @@ trigger+eviction assertions) as parametrized pytest cases.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -123,3 +125,80 @@ def test_validate_produce(spark):
         reg.validate_produce(bad, reg_, "t1")
     with pytest.raises(ValueError):
         reg.validate_produce(ok, reg_, "unregistered-topic")
+
+
+# ------------------------------------------------------------- avro codecs
+
+def test_avro_schema_roundtrip():
+    """StructType → Avro record JSON → StructType preserves names, types,
+    nullability, nesting (Schema.AVRO's generated schema shape)."""
+    from incubator_pulsar_spark.functions import codecs
+
+    st = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), True),
+        T.StructField("born", T.DateType(), True),
+        T.StructField("seen", T.TimestampType(), True),
+        T.StructField("nested", T.StructType([
+            T.StructField("x", T.IntegerType(), False),
+            T.StructField("y", T.BinaryType(), True),
+        ]), True),
+    ])
+    avro_json = codecs.spark_to_avro_schema(st, name="Person", namespace="ns")
+    back = codecs.avro_to_spark_schema(avro_json)
+    assert back == st
+    rec = json.loads(avro_json)
+    assert rec["name"] == "Person" and rec["namespace"] == "ns"
+    # nullable fields are [null, T] unions with null default (evolution-ready)
+    by_name = {f["name"]: f for f in rec["fields"]}
+    assert by_name["name"]["type"][0] == "null"
+    assert by_name["name"]["default"] is None
+    assert by_name["id"]["type"] == "long"
+
+
+def test_register_avro_compat_gate():
+    """Avro-declared schemas flow through the same BACKWARD/FORWARD/FULL
+    registry gate as JSON schemas (Schema.java:329 + compat strategy)."""
+    from incubator_pulsar_spark.functions import codecs
+
+    registry = reg.SchemaRegistry(strategy=reg.Compatibility.BACKWARD)
+    v1 = codecs.spark_to_avro_schema(T.StructType([
+        T.StructField("id", T.LongType(), False)]), name="E")
+    assert codecs.register_avro(registry, "t", v1) == 0
+    # adding a nullable field is BACKWARD-compatible
+    v2 = codecs.spark_to_avro_schema(T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("note", T.StringType(), True)]), name="E")
+    assert codecs.register_avro(registry, "t", v2) == 1
+    # adding a REQUIRED field is not (old data can't be read)
+    v3 = codecs.spark_to_avro_schema(T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("must", T.LongType(), False)]), name="E")
+    with pytest.raises(ValueError):
+        codecs.register_avro(registry, "t", v3)
+
+
+def test_avro_payload_roundtrip_if_available(spark):
+    """Package-gated (like tws/protobuf): executes only on a full Spark
+    distribution where org.apache.spark.sql.avro is on the classpath."""
+    from incubator_pulsar_spark.functions import codecs
+
+    if not codecs.avro_functions_available(spark):
+        pytest.skip("spark-avro not on classpath (pip pyspark)")
+    st = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("name", T.StringType(), True)])
+    avro_json = codecs.spark_to_avro_schema(st, name="R")
+    df = spark.createDataFrame([(1, "a"), (2, None)], st)
+    enc = df.select(codecs.avro_serialize(F.struct("id", "name")).alias("payload"))
+    dec = enc.select(codecs.avro_deserialize(F.col("payload"), avro_json).alias("r")) \
+             .select("r.id", "r.name")
+    assert sorted((r.id, r.name) for r in dec.collect()) == [(1, "a"), (2, None)]
+
+
+def test_protobuf_gated_probe():
+    from incubator_pulsar_spark.functions import codecs
+
+    assert codecs.protobuf_functions_available() in (True, False)

@@ -159,3 +159,81 @@ def test_side_outputs(spark, tmp_path):
 def test_kafka_source_requires_target(spark):
     with pytest.raises(ValueError):
         con.kafka_source_stream(spark, bootstrap_servers="b:9092")
+
+
+# ----------------------------------------------------- jdbc upsert/delete
+
+def _sqlite_factory(db_path):
+    def factory():
+        import sqlite3
+
+        return sqlite3.connect(db_path)
+    return factory
+
+
+def _sqlite_rows(db_path):
+    import sqlite3
+
+    with sqlite3.connect(db_path) as c:
+        return sorted(c.execute("SELECT k, v FROM kv").fetchall())
+
+
+def test_jdbc_merge_sink_upsert_delete(spark, tmp_path):
+    """BaseJdbcAutoSchemaSink semantics end-to-end against a real SQL
+    engine (sqlite is DBAPI + ON CONFLICT — the dialect family the
+    reference's sqlite/postgres/clickhouse sinks target)."""
+    import sqlite3
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT)")
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1)
+    con.jdbc_merge_sink_batch(b1, table="kv", key_cols=["k"],
+                              connection_factory=_sqlite_factory(db))
+    assert _sqlite_rows(db) == [(1, "a"), (2, "b")]
+
+    # second batch: per-row ACTION property (reference's message ACTION):
+    # update k=2, insert k=3, delete k=1
+    b2 = spark.createDataFrame(
+        [(2, "B", "UPSERT"), (3, "c", "INSERT"), (1, None, "DELETE")],
+        "k int, v string, action string").coalesce(1)
+    con.jdbc_merge_sink_batch(b2, table="kv", key_cols=["k"],
+                              connection_factory=_sqlite_factory(db),
+                              action_col="action")
+    assert _sqlite_rows(db) == [(2, "B"), (3, "c")]
+
+    # upsert replay is idempotent (at-least-once → converged state)
+    con.jdbc_merge_sink_batch(
+        b2.filter(F.col("action") == "UPSERT"), table="kv", key_cols=["k"],
+        connection_factory=_sqlite_factory(db), action_col="action")
+    assert _sqlite_rows(db) == [(2, "B"), (3, "c")]
+
+
+def test_jdbc_merge_sink_stream(spark, tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "s.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT)")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")],
+                          "k int, v string").coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = con.jdbc_merge_sink_stream(
+        stream.coalesce(1), table="kv", key_cols=["k"],
+        connection_factory=_sqlite_factory(db),
+        checkpoint=str(tmp_path / "ck"), trigger_available_now=True)
+    q.awaitTermination(120)
+    got = dict(_sqlite_rows(db))
+    assert got[1] == "a" and got[2] in ("b", "b2")  # last-writer per key
+
+
+def test_jdbc_sql_builders():
+    assert con.jdbc_insert_sql("t", ["a", "b"]) == \
+        "INSERT INTO t (a, b) VALUES (?, ?)"
+    up = con.jdbc_upsert_sql("t", ["a", "b"], ["a"])
+    assert "ON CONFLICT(a) DO UPDATE SET b=excluded.b" in up
+    assert con.jdbc_delete_sql("t", ["a", "b"]) == \
+        "DELETE FROM t WHERE a = ? AND b = ?"

@@ -181,6 +181,65 @@ def test_delayed_delivery_stream(spark, tmp_path):
     assert released == [1, 3]  # seq 2 withheld in state
 
 
+def test_nack_redelivery_stream(spark, tmp_path):
+    """NegativeAcksTracker semantics: nacked rows come back after their
+    exponential backoff, counter bumped, per-key arrival order kept;
+    acked rows pass straight through."""
+    from incubator_pulsar_spark.streaming import nack as snack
+
+    path = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(key="k", sequence=1, redelivery_count=0, status="ok"),
+        Row(key="k", sequence=2, redelivery_count=0, status="nack"),  # backoff 1s
+        Row(key="k", sequence=3, redelivery_count=1, status="nack"),  # backoff 2s
+        Row(key="j", sequence=4, redelivery_count=0, status="nack"),
+    ]
+    spark.createDataFrame(rows).write.parquet(path)
+    delivered, redelivered = snack.nack_redelivery_stream(
+        _stream(spark, path), F.col("status") == "nack",
+        now=F.lit(t0),                       # nack time, deterministic
+        now_fn=lambda: t0 + dt.timedelta(seconds=10),  # release clock: all due
+    )
+    _run_to_memory(redelivered, "nack_out", str(tmp_path / "c1")) \
+        .awaitTermination(60)
+    got = spark.sql("SELECT * FROM nack_out").collect()
+    # all three nacked rows redelivered once backoff elapsed
+    assert sorted(r.sequence for r in got) == [2, 3, 4]
+    # per-key release order = deliver_at order (the tracker's priority
+    # queue: earliest backoff expiry redelivered first)
+    k_rows = [r.sequence for r in got if r.key == "k"]
+    assert k_rows == [2, 3]
+    # deliver_at reflects the per-row exponential backoff (1s, 2s)
+    ats = {r.sequence: r.deliver_at for r in got}
+    assert ats[2] == t0 + dt.timedelta(seconds=1)
+    assert ats[3] == t0 + dt.timedelta(seconds=2)
+    # delivered branch: only the acked row
+    assert [r.sequence for r in delivered.sparkSession.createDataFrame(
+        rows).filter(F.col("status") != "nack").collect()] == [1]
+
+
+def test_nack_backoff_withholds_until_due(spark, tmp_path):
+    """A nacked row whose backoff has NOT elapsed stays in state."""
+    from incubator_pulsar_spark.streaming import nack as snack
+
+    path = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(key="k", sequence=1, redelivery_count=0, status="nack"),   # 1s backoff
+        Row(key="k", sequence=2, redelivery_count=9, status="nack"),   # 512s backoff
+    ]
+    spark.createDataFrame(rows).write.parquet(path)
+    _, redelivered = snack.nack_redelivery_stream(
+        _stream(spark, path), F.col("status") == "nack",
+        now=F.lit(t0), now_fn=lambda: t0 + dt.timedelta(seconds=5),
+    )
+    _run_to_memory(redelivered, "nack_held", str(tmp_path / "c")) \
+        .awaitTermination(60)
+    got = [r.sequence for r in spark.sql("SELECT * FROM nack_held").collect()]
+    assert got == [1]  # seq 2 withheld (due at t0+512s)
+
+
 def test_retry_router_stream(spark, tmp_path, topic_dir):
     enveloped = (
         spark.read.parquet(topic_dir)
