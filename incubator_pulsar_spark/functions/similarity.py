@@ -133,27 +133,11 @@ def lsh_bucket_topk(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
-    n_cells: int = 16, nprobe: int = 4, id_col: str = "vec_id",
-    vec_col: str = "embedding", query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-) -> DataFrame:
-    """IVF-flat style ANN: assign vectors to coarse cells, probe the
-    ``nprobe`` nearest cells per query.
-
-    Centroids are data samples chosen by deterministic greedy
-    farthest-point seeding over a bounded pool (k-means++ analogue
-    without RNG or training iterations). Collecting the pool is a
-    metadata-scale driver op. Measured recall@10 on the synthetic
-    near-uniform test embeddings: 0.63 at nprobe=3/8 cells (random
-    baseline 0.375; uniform data has no cluster structure for ANY
-    cell-probing index to exploit — on clustered real corpora the
-    data-adaptive cells is where the win comes from). The inverted-file assignment is a map-side
-    argmin over n_cells dots; only the query side explodes ×nprobe. At
-    scale, cell id becomes a partition column so probes prune files
-    (partition pruning = the inverted index).
-    """
+def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
+                    id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic greedy farthest-point centroid seeding over a
+    bounded pool (k-means++ analogue without RNG or training
+    iterations). Collecting the pool is a metadata-scale driver op."""
     import numpy as np
 
     sample = (
@@ -172,22 +156,48 @@ def ivf_topk(
         nxt = int(np.argmin(sims_to_chosen))  # farthest from chosen set
         chosen.append(nxt)
         sims_to_chosen = np.maximum(sims_to_chosen, unit @ unit[nxt])
-    cents = [pool[j].tolist() for j in chosen]
+    return [pool[j].tolist() for j in chosen]
+
+
+def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+    return F.array(*[F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9)
+                     for c in cents])
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """argmax via array_position(scores, array_max(scores)) — deterministic."""
+    s = _cell_scores(vec, cents)
+    return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
+    n_cells: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding", query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat style ANN: assign vectors to coarse cells, probe the
+    ``nprobe`` nearest cells per query.
+
+    Measured recall@10 on the synthetic near-uniform test embeddings:
+    0.63 at nprobe=3/8 cells (random baseline 0.375; uniform data has no
+    cluster structure for ANY cell-probing index to exploit — on
+    clustered real corpora the data-adaptive cells is where the win
+    comes from). The inverted-file assignment is a map-side argmin over
+    n_cells dots; only the query side explodes ×nprobe. At scale, cell
+    id becomes a partition column so probes prune files — that layout is
+    ``ivf_write_index``/``ivf_search_index`` below.
+    """
+    cents = _seed_centroids(embeddings, n_cells=n_cells,
+                            id_col=id_col, vec_col=vec_col)
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
 
-    def cell_scores(vec: Column) -> Column:
-        return F.array(*[F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9)
-                         for c in cents])
+    e = e.withColumn("cell", _nearest_cell(F.col("vec"), cents))
 
-    # argmax via array_position(scores, array_max(scores)) — deterministic
-    e = e.withColumn("_scores", cell_scores(F.col("vec"))).withColumn(
-        "cell", (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int")
-    ).drop("_scores")
-
-    q = q.withColumn("_scores", cell_scores(F.col("qvec")))
+    q = q.withColumn("_scores", _cell_scores(F.col("qvec"), cents))
     # top-nprobe cells per query: sort (score, idx) pairs desc
     idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
     pairs = F.zip_with(q["_scores"], idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
@@ -200,6 +210,77 @@ def ivf_topk(
         F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame, path: str, *, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist an IVF index: vectors parquet-partitioned BY CELL, with
+    the centroids in a JSON sidecar.
+
+    This is the 100 TB form of the inverted file: ``cell`` is a
+    partition directory, so a probe reads only nprobe/n_cells of the
+    corpus — partition pruning IS the index lookup
+    (``ivf_search_index`` asserts PartitionFilters in its plan test).
+    Build cost: one pass to assign cells (map-side argmin over n_cells
+    dots) + one shuffle-free partitioned write.
+    """
+    import json as _json
+    import os as _os
+
+    cents = _seed_centroids(embeddings, n_cells=n_cells,
+                            id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(F.col(vec_col)).alias("vec"),
+    ).withColumn("cell", _nearest_cell(F.col("vec"), cents))
+    e.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(_os.path.join(path, "_centroids.json"), "w") as f:
+        _json.dump(cents, f)
+    return cents
+
+
+def ivf_search_index(
+    spark, path: str, queries: DataFrame, k: int = 10, *, nprobe: int = 4,
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index: pick each query's nprobe nearest
+    cells driver-side (n_cells tiny), then scan ONLY those cell
+    partitions (`cell IN (...)` prunes directories before read) and
+    rank exact cosine within.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        cents = _json.load(f)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qvec"))
+    q = q.withColumn("_scores", _cell_scores(F.col("qvec"), cents))
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.zip_with(q["_scores"], idx,
+                       lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    q = (q.withColumn("cell", F.explode(F.transform(probes, lambda p: p["i"])))
+         .withColumn("cell", F.col("cell").cast("int")).drop("_scores"))
+
+    # driver-side union of probed cells → literal IN filter on the
+    # partition column = directory pruning (queries are small by contract)
+    probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    e = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+
+    scored = e.join(F.broadcast(q), on="cell").select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -115,6 +115,30 @@ class TestSimilarity:
         out = similarity.ivf_topk(emb, q, k=3, dim=8, n_cells=4, nprobe=2).collect()
         assert out and out[0]["vec_id"] == 7  # own cell always probed first
 
+    def test_ivf_persisted_index_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """The persisted IVF index must (a) return exactly what the
+        in-memory ivf_topk returns for the same centroids/probes and
+        (b) read ONLY the probed cell partitions (PartitionFilters on
+        the scan — directory pruning IS the inverted-file lookup)."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        idx_path = str(tmp_path / "ivf")
+        similarity.ivf_write_index(emb, idx_path, n_cells=8)
+        out = similarity.ivf_search_index(spark, idx_path, q, k=5, nprobe=2)
+        got = [(r.query_id, r.vec_id, r.cosine_sim, r.rank) for r in out.collect()]
+        ref = similarity.ivf_topk(emb, q, k=5, dim=64, n_cells=8, nprobe=2)
+        want = [(r.query_id, r.vec_id, r.cosine_sim, r.rank) for r in ref.collect()]
+        assert sorted(got) == sorted(want)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf and pf.strip(" [") != "", (
+            "probe scan did not prune cell partitions")
+
 
 class TestMultimodal:
     def test_feature_plumbing(self, spark, sf_dir):
