@@ -269,3 +269,56 @@ def exact_dedup_docs(docs: DataFrame, *, id_col: str = "doc_id",
     fp = docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
     winners = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return docs.join(winners.select(id_col), on=id_col, how="inner")
+
+
+def connected_components(
+    edges: DataFrame, *, src_col: str = "doc_a", dst_col: str = "doc_b",
+    all_ids: DataFrame | None = None, id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over verified
+    pair edges — the step that turns pairwise similarities into "keep
+    one canonical document per duplicate cluster".
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    converged when nothing changes. Output: (id, cluster) where
+    ``cluster`` is the smallest reachable id (the canonical member).
+    ``all_ids`` adds isolated documents as their own singleton clusters.
+
+    Scale: one hash-shuffle join per round; rounds = graph DIAMETER,
+    and near-dup clusters are shallow (near-cliques — a handful of
+    rounds even at billions of docs; this is the standard
+    GraphX-connected-components recipe without the GraphX dependency).
+    Labels are ``localCheckpoint``-ed each round to truncate lineage —
+    swap for reliable ``checkpoint`` on a cluster.
+    """
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    if all_ids is not None:
+        nodes = all_ids.select(F.col(id_col).alias("id")).distinct()
+    else:
+        nodes = sym.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels.withColumnRenamed("id", "b_id"),
+                     F.col("b") == F.col("b_id"))
+            .groupBy("a").agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            .select(labels["id"],
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nb_min"), F.col("label"))).alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, on="id")
+            .filter(F.col("old") != F.col("label")).count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))

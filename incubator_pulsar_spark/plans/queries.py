@@ -1177,6 +1177,49 @@ WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.4
 """
 
 
+def neardup_clusters(spark, sf_dir):
+    """Dedup cluster resolution: connected components over the exact
+    n-gram-Jaccard pair graph (threshold 0.4) — every document labeled
+    with its cluster's canonical (minimum) doc_id, singletons included.
+    This is the step a training-data pipeline actually ships: "drop all
+    but one document per near-dup cluster"."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.jaccard_pairs(docs, k=_SHINGLE_K, threshold=0.4)
+    cc = fuzzy.connected_components(pairs, all_ids=docs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("cluster") == F.col("id")).alias("is_canonical"),
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 def simhash_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fuzzy.simhash16(F.col("text")).alias("simhash"))
@@ -2074,6 +2117,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, None),

@@ -225,3 +225,34 @@ class SchemaRegistry:
 
     def versions(self, topic: str) -> int:
         return len(self._versions.get(topic, []))
+
+    # -- durability (the broker persists schemas in its metadata store;
+    #    SchemaRegistryServiceImpl backs onto BookKeeper — here, a JSON
+    #    file of StructType.jsonValue() per version, atomic replace)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        payload = {
+            "strategy": self.strategy.value,
+            "versions": {t: [s.jsonValue() for s in vs]
+                         for t, vs in self._versions.items()},
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        import json
+
+        with open(path) as f:
+            payload = json.load(f)
+        reg = cls(strategy=Compatibility(payload["strategy"]))
+        reg._versions = {
+            t: [T.StructType.fromJson(j) for j in vs]
+            for t, vs in payload["versions"].items()
+        }
+        return reg

@@ -79,3 +79,42 @@ def start_table_view(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_table_view_listener(
+    stream: DataFrame,
+    listener,
+    *,
+    checkpoint: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    sequence_col: str = "sequence",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """``TableView.listen``/``forEach`` (TableView.java:89,97): invoke
+    ``listener(key, value)`` for every key whose value CHANGED in the
+    micro-batch. A tombstone is delivered as ``value=None`` — the
+    removal notification (TableViewImpl.java:237-239 fires listeners on
+    remove too).
+
+    Update-mode aggregation means each micro-batch's output is exactly
+    the changed keys — the listen contract. The per-batch ``collect``
+    is the listener seam itself: callbacks are client-side by
+    definition (same as the reference's reader thread), and the batch
+    holds only the keys that changed this trigger, not the map.
+    """
+    view = table_view_updates(stream, key_col=key_col, value_col=value_col,
+                              sequence_col=sequence_col)
+
+    def deliver(batch: DataFrame, batch_id: int) -> None:
+        for r in batch.collect():
+            listener(r["key"], r["value"])
+
+    w = (
+        view.writeStream.outputMode("update")
+        .foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

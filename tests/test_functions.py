@@ -282,3 +282,29 @@ class TestWinnowing:
         assert fps[1] & fps[2], "shared substring must share a fingerprint"
         assert not (fps[1] & fps[3])
         assert not (fps[2] & fps[3])
+
+
+class TestClusterResolution:
+    def test_connected_components_two_clusters(self, spark):
+        """{1-2, 2-3} and {10-11} plus singleton 20 → labels = min of
+        each component, converged in diameter rounds."""
+        from incubator_pulsar_spark.functions import fuzzy
+
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long")
+        ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)],
+                                    "doc_id long")
+        cc = fuzzy.connected_components(edges, all_ids=ids)
+        got = {r.id: r.cluster for r in cc.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_connected_components_chain_diameter(self, spark):
+        """A 6-node chain needs several propagation rounds — exercises
+        the iterate-until-converged path, not just one hop."""
+        from incubator_pulsar_spark.functions import fuzzy
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long")
+        cc = fuzzy.connected_components(edges)
+        got = {r.id: r.cluster for r in cc.collect()}
+        assert got == {i: 1 for i in range(1, 7)}

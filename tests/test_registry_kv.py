@@ -202,3 +202,25 @@ def test_protobuf_gated_probe():
     from incubator_pulsar_spark.functions import codecs
 
     assert codecs.protobuf_functions_available() in (True, False)
+
+
+def test_registry_save_load_roundtrip(tmp_path):
+    """Broker-style durable schemas: versions + strategy survive a
+    restart; compat enforcement continues against the reloaded history."""
+    r1 = reg.SchemaRegistry(strategy=reg.Compatibility.BACKWARD)
+    v1 = T.StructType([T.StructField("id", T.LongType(), False)])
+    v2 = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("note", T.StringType(), True)])
+    r1.register("t", v1)
+    r1.register("t", v2)
+    p = str(tmp_path / "schemas.json")
+    r1.save(p)
+    r2 = reg.SchemaRegistry.load(p)
+    assert r2.strategy == reg.Compatibility.BACKWARD
+    assert r2.versions("t") == 2
+    assert r2.latest("t") == v2
+    assert r2.version("t", 0) == v1
+    bad = T.StructType([T.StructField("id", T.LongType(), False),
+                        T.StructField("must", T.LongType(), False)])
+    with pytest.raises(ValueError):
+        r2.register("t", bad)

@@ -456,3 +456,18 @@ def test_redelivery_loop_to_dlq(spark, tmp_path):
     assert all(r.topic.endswith("-sub-DLQ") for r in dlq.collect())
     # provenance survives the hops
     assert all(r.properties.get("REAL_TOPIC") for r in dlq.collect())
+
+
+def test_table_view_listener(spark, tmp_path, topic_dir):
+    """TableView.listen: per-changed-key callbacks, tombstone delivered
+    as value=None (removal notification)."""
+    heard = []
+    q = stv.start_table_view_listener(
+        _stream(spark, topic_dir), lambda k, v: heard.append((k, v)),
+        checkpoint=str(tmp_path / "c"), trigger_available_now=True)
+    q.awaitTermination(120)
+    latest = dict(heard)  # last callback per key wins within the run
+    # key A latest=a2 (seq3), key B tombstoned (seq4 null), key C c1
+    assert latest["A"] == "a2"
+    assert latest["B"] is None
+    assert latest["C"] == "c1"
