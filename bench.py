@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "count_windows_user",
     "key_shared_summary",
     "text_stats",
+    "pattern_stats",
+    "tfidf_top_terms",
     "exact_dedup",
     "winnow_fingerprints_docs",
     "minhash_lsh_pairs",

@@ -19,7 +19,7 @@ Design constraints:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text
@@ -162,16 +162,26 @@ def jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    # prune BEFORE the quadratic join, not after the aggregation: the
+    # inverted index shrinks to candidate docs (full shingle sets kept,
+    # so intersection counts stay exact), and the pair stream is
+    # restricted to candidate pairs before the count
+    sh_j = sh
+    if candidates is not None:
+        cand_docs = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+        sh_j = sh.join(cand_docs, on="doc_id")
+
+    a = sh_j.alias("a")
+    b = sh_j.alias("b")
+    pair_stream = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"])
+        pair_stream = pair_stream.join(candidates, on=["doc_a", "doc_b"])
+    inter = pair_stream.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
 
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
@@ -185,6 +195,68 @@ def jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT candidate generation by prefix filtering (the AllPairs /
+    PPJoin principle — Bayardo et al. WWW'07, Chaudhuri et al. SSJoin;
+    public algorithms): under any global total order on shingles, two
+    sets with Jaccard ≥ t MUST share a shingle within their first
+    ``|S| − ⌈t·|S|⌉ + 1`` elements. Joining only those prefixes yields a
+    candidate superset with zero false negatives, while hot shingles
+    (the quadratic blowup of a full inverted-index join) almost never
+    appear in a rarest-first prefix.
+
+    Order: ascending global frequency, shingle as tiebreak — rarest
+    first minimizes candidates (the standard heuristic).
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(freq, on="shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix-filter-then-verify: IDENTICAL
+    result to ``jaccard_pairs`` (no recall loss, unlike LSH pruning),
+    with the quadratic hot-shingle join replaced by a prefix join.
+    Candidates are materialized once (localCheckpoint) because the
+    verify step references them on two plan branches.
+
+    WHEN TO USE (measured, sf0.1 documents, identical outputs): prefix
+    length is ``|S| − ⌈t·|S|⌉ + 1``, so pruning power is ~(1−t)·|S|.
+    At t=0.4 the prefix is 60% of every set — the candidate join nearly
+    reproduces the full inverted index PLUS the freq/rank overhead
+    (33s full vs 245s prefix: 7× WORSE). At t≥0.8 the prefix is ≤20%
+    of each set and this is the standard exact-similarity-join win.
+    Rule: prefix filter for high-threshold near-dup mining; plain
+    inverted-index join (or LSH-prune + verify, recall<1) for low
+    thresholds."""
+    cand = prefix_filter_candidates(
+        docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+    ).localCheckpoint(eager=True)
+    return jaccard_pairs(docs, id_col=id_col, text_col=text_col, k=k,
+                         threshold=threshold, candidates=cand)
 
 
 def simhash16(text: Column, k_prefix: int = 4) -> Column:
@@ -295,6 +367,10 @@ def connected_components(
     """
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    # the edge list joins into EVERY propagation round — materialize it
+    # once or the full upstream lineage (e.g. the n-gram Jaccard
+    # pipeline) re-executes per round (measured 34s → 9s at sf0.1)
+    sym = sym.localCheckpoint(eager=True)
     if all_ids is not None:
         nodes = all_ids.select(F.col(id_col).alias("id")).distinct()
     else:

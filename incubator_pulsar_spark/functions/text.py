@@ -97,10 +97,83 @@ def quality_score(text: Column) -> Column:
     return F.round((len_term + punct_term + stop_term) / 3.0, 6)
 
 
+# Conservative, RE2-safe patterns (no lookaround) so DuckDB's regex
+# engine reproduces counts bit-for-bit in the oracle.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_PATTERN = r"[0-9]{6,}"
+
+
+def url_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)).cast("long")
+
+
+def email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast("long")
+
+
+def long_digit_run_count(text: Column) -> Column:
+    """Runs of ≥6 digits — ids/phone-ish density, a cheap PII/boilerplate
+    signal for corpus filtering."""
+    return F.size(F.regexp_extract_all(text, F.lit(DIGIT_RUN_PATTERN), 0)).cast("long")
+
+
+def pattern_density(text: Column) -> Column:
+    """(urls + emails + long digit runs) per 100 words — the filter
+    column a training-data pipeline thresholds on (high density ⇒ link
+    farms, logs, boilerplate)."""
+    hits = (url_count(text) + email_count(text) + long_digit_run_count(text))
+    wc = word_count(text)
+    return F.when(wc > 0, F.round(hits.cast("double") * 100.0 / wc, 6)) \
+        .otherwise(hits.cast("double") * 100.0)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of normalized text. Exact-dup key that
     ships 32 bytes through the dedup shuffle instead of the payload."""
     return F.md5(normalize_text(text))
+
+
+def tfidf_top_terms(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """Top-k characteristic terms per document by tf·idf — the corpus
+    summarization / keyword-extraction pass of a training-data pipeline.
+
+    idf is the RATIONAL variant n_docs/(1+df) rather than the log form:
+    one IEEE division + one multiply are bit-identical across engines,
+    while ln() can differ in the last ulp between libm implementations
+    and flip top-k ranks at near-ties — the oracle hash would be flaky.
+    Ties break by term ascending on both engines.
+
+    Scale: explode → two hash aggs (term counts shuffle by (doc, term)
+    then by term) → broadcast of the tiny global count → top-k via
+    windowed rank per doc. No driver-side data, no UDFs.
+    """
+    from pyspark.sql import DataFrame, Window  # local: column-only module
+
+    assert isinstance(docs, DataFrame)
+    tokens = docs.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    # df_counts is the VOCABULARY — can be 10^8 rows on a real corpus, so
+    # no broadcast hint: AQE picks broadcast at small SF, shuffle join at
+    # scale. Only the 1-row global count is always broadcast.
+    scored = (
+        tf.join(df_counts, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), F.col("term"), F.col("tf"),
+            F.round(F.col("tf") * (F.col("n_docs") / (F.lit(1.0) + F.col("df"))), 6)
+             .alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
 
 
 def winnow_gram_hashes(chars: Column, *, k: int = 5) -> Column:

@@ -1059,6 +1059,72 @@ FROM t
 """
 
 
+def pattern_stats(spark, sf_dir):
+    """Pattern-density quality signals (training-data filtering): URL /
+    email / long-digit-run counts and hits-per-100-words over the
+    documents table — pure column regexes, RE2-safe so DuckDB
+    reproduces them bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.url_count(t).alias("n_urls"),
+        text.email_count(t).alias("n_emails"),
+        text.long_digit_run_count(t).alias("n_digit_runs"),
+        text.pattern_density(t).alias("pattern_density"),
+    )
+
+
+PATTERN_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_digit_runs AS BIGINT) AS n_digit_runs,
+       CASE WHEN n_words > 0
+            THEN round((n_urls + n_emails + n_digit_runs) * 100.0 / n_words, 6)
+            ELSE (n_urls + n_emails + n_digit_runs) * 100.0 END AS pattern_density
+FROM t
+"""
+
+
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·idf (rational idf
+    n/(1+df) — bit-identical across engines; ln would ulp-flip ranks)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)
+
+
+TFIDF_SQL = """
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ((SELECT COUNT(*) FROM documents) / (1.0 + dfc.df)), 6)
+           AS score
+  FROM tf JOIN dfc ON tf.term = dfc.term
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def language_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang",
@@ -2112,6 +2178,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
         Query("setops_customers", setops_customers, SETOPS_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
+        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),

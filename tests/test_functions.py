@@ -308,3 +308,45 @@ class TestClusterResolution:
         cc = fuzzy.connected_components(edges)
         got = {r.id: r.cluster for r in cc.collect()}
         assert got == {i: 1 for i in range(1, 7)}
+
+
+class TestPatternsAndTfidf:
+    def test_pattern_counts(self, spark):
+        df = spark.createDataFrame(
+            [("see https://a.io/x and mail bob@corp.example now 1234567",),
+             ("plain words only here",)], "text string")
+        out = df.select(
+            text.url_count(F.col("text")).alias("u"),
+            text.email_count(F.col("text")).alias("e"),
+            text.long_digit_run_count(F.col("text")).alias("d"),
+        ).collect()
+        assert (out[0]["u"], out[0]["e"], out[0]["d"]) == (1, 1, 1)
+        assert (out[1]["u"], out[1]["e"], out[1]["d"]) == (0, 0, 0)
+
+    def test_tfidf_rare_term_wins(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "common common zebra"), (2, "common words here"),
+             (3, "common words there")], "doc_id long, text string")
+        top = text.tfidf_top_terms(docs, k=1).collect()
+        by_doc = {r.doc_id: r.term for r in top}
+        # doc 1: common 2·(3/4)=1.5 ties zebra 1·(3/2)=1.5 → term asc
+        assert by_doc[1] == "common"
+        # docs 2/3: the doc-unique term (df=1) outscores the shared ones
+        assert by_doc[2] == "here"
+        assert by_doc[3] == "there"
+
+
+def test_prefix_filter_exact_equivalence(spark):
+    """Prefix-filter-then-verify must return EXACTLY the plain
+    inverted-index join's pairs (zero false negatives — the AllPairs
+    prefix principle), at a high threshold where it's the right tool."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmno"), (2, "abcdefghijklmnx"),   # near-dup
+         (3, "zzzzyyyyxxxxwwww"), (4, "totally different words here"),
+         (5, "abcdefghijklmno")],                          # exact dup of 1
+        "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in fuzzy.jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    pref = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in fuzzy.jaccard_pairs_prefix(docs, k=3, threshold=0.8).collect()}
+    assert pref == full and (1, 5, 1.0) in full
