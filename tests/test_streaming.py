@@ -471,3 +471,45 @@ def test_table_view_listener(spark, tmp_path, topic_dir):
     assert latest["A"] == "a2"
     assert latest["B"] is None
     assert latest["C"] == "c1"
+
+
+def test_nack_then_retry_escalation(spark, tmp_path):
+    """Full failure-handling composition (ConsumerImpl lifecycle):
+    nacked rows redeliver after backoff; rows that keep failing escalate
+    through reconsumeLater routing — under the cap to '<orig>-<sub>-RETRY',
+    over it to '<orig>-<sub>-DLQ' — with provenance preserved."""
+    from incubator_pulsar_spark.operators import retry as oretry
+    from incubator_pulsar_spark.streaming import nack as snack
+
+    path = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(key="k", sequence=1, redelivery_count=0, status="ok"),
+        Row(key="k", sequence=2, redelivery_count=0, status="bad"),   # transient
+        Row(key="k", sequence=3, redelivery_count=15, status="bad"),  # one hop left
+    ]
+    spark.createDataFrame(rows).write.parquet(path)
+    _, redelivered = snack.nack_redelivery_stream(
+        _stream(spark, path), F.col("status") == "bad",
+        now=F.lit(t0), now_fn=lambda: t0 + dt.timedelta(hours=1))
+    _run_to_memory(redelivered, "esc", str(tmp_path / "c")).awaitTermination(60)
+    redeliv = spark.sql("SELECT * FROM esc")
+    assert sorted(r.sequence for r in redeliv.collect()) == [2, 3]
+
+    # the redelivered rows fail AGAIN → reconsumeLater routing; rebuild the
+    # envelope columns the router needs (the delay op returns the slim form;
+    # redelivery_count reflects the nack loop's bump: seq2→1, seq3→16)
+    enveloped = redeliv.withColumn("topic", F.lit("t")) \
+        .withColumn("redelivery_count",
+                    F.when(F.col("sequence") == 2, 1).otherwise(16)) \
+        .withColumn("properties", F.lit(None).cast("map<string,string>")) \
+        .withColumn("status", F.lit("bad"))
+    routed = oretry.route_failures(
+        enveloped, F.col("status") == "bad", subscription="s",
+        max_redeliver_count=16, now=F.lit(t0))
+    r = routed.retry.collect()
+    d = routed.dlq.collect()
+    assert [x.sequence for x in r] == [2] and r[0].topic == "t-s-RETRY"
+    assert [x.sequence for x in d] == [3] and d[0].topic == "t-s-DLQ"
+    assert d[0].properties["REAL_TOPIC"] == "t"
+    assert d[0].properties["ORIGIN_MESSAGE_ID"] == "3"
