@@ -513,3 +513,27 @@ def test_nack_then_retry_escalation(spark, tmp_path):
     assert [x.sequence for x in d] == [3] and d[0].topic == "t-s-DLQ"
     assert d[0].properties["REAL_TOPIC"] == "t"
     assert d[0].properties["ORIGIN_MESSAGE_ID"] == "3"
+
+
+def test_failover_consumer_takeover(spark, tmp_path, topic_dir):
+    """Failover subscription (SubscriptionType.java:53): the standby
+    consumer resumes from the failed consumer's cursor, not from the
+    beginning — in Spark, a new query on the SAME checkpoint continues
+    exactly where the old one stopped (no reprocessing, no gaps)."""
+    out_path = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    q1 = _run_to_parquet(_stream(spark, topic_dir).select("key", "sequence"),
+                         out_path, ck)     # consumer A processes 1..5, "dies"
+    first = sorted(r.sequence for r in spark.read.parquet(out_path).collect())
+    assert first == [1, 2, 3, 4, 5]
+
+    more = [Row(key="Z", value="z", sequence=6, producer_name="p9",
+                sequence_id=1, publish_time=TS0, event_time=TS0)]
+    spark.createDataFrame(more).write.mode("append").parquet(topic_dir)
+
+    # consumer B: NEW query object, same subscription cursor (checkpoint)
+    q2 = _run_to_parquet(_stream(spark, topic_dir).select("key", "sequence"),
+                         out_path, ck)
+    got = sorted(r.sequence for r in spark.read.parquet(out_path).collect())
+    assert got == [1, 2, 3, 4, 5, 6]  # 6 appended once — no replay of 1..5
