@@ -259,6 +259,23 @@ def jaccard_pairs_prefix(
                          threshold=threshold, candidates=cand)
 
 
+def jaccard_pairs_auto(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, threshold: float = 0.5, prefix_cutoff: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard pairs with the physical strategy picked from the
+    threshold (see ``jaccard_pairs_prefix`` measurements): prefix
+    filtering above ``prefix_cutoff`` (strong pruning, prefix ≤ 30% of
+    each set), plain inverted-index join below it (where the prefix
+    would cover most of the set and only add overhead). Result is
+    identical either way."""
+    if threshold >= prefix_cutoff:
+        return jaccard_pairs_prefix(docs, id_col=id_col, text_col=text_col,
+                                    k=k, threshold=threshold)
+    return jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                         k=k, threshold=threshold)
+
+
 def simhash16(text: Column, k_prefix: int = 4) -> Column:
     """16-bit SimHash over word tokens, md5-based and oracle-portable.
 

@@ -194,6 +194,53 @@ def pane_deltas(
     )
 
 
+def pane_deltas_time(
+    df: DataFrame, *, key_col: str = "key", ts_col: str = "event_time",
+    length_seconds: int, slide_seconds: int,
+) -> DataFrame:
+    """Time-based pane lifecycle views — the TimeTriggerPolicy companion
+    of ``pane_deltas`` (count). Triggers fire at wall-aligned multiples
+    of ``slide_seconds``; a row with timestamp ts is:
+
+    - ``new`` at the first trigger ≥ ts,
+    - ``carried`` at later triggers while ts > t − length,
+    - ``expired`` at the first trigger ≥ ts + length,
+
+    exactly WindowImpl's per-element enter-once/expire-once lifecycle
+    under TimeTriggerPolicy.java:44 + TimeEvictionPolicy.java:30.
+    Triggers beyond the key's max timestamp have not fired and emit
+    nothing. Same single-explode plan shape as the count form: one
+    keyed shuffle (for the per-key max), map-side explode.
+    """
+    if length_seconds % slide_seconds != 0:
+        # keep the trigger arithmetic exact (sequence step below)
+        raise ValueError("length_seconds must be a multiple of slide_seconds")
+    n_copies = length_seconds // slide_seconds
+    epoch = F.unix_timestamp(F.col(ts_col))
+    first_t = (F.ceil(epoch / F.lit(slide_seconds)) * slide_seconds).cast("long")
+    expire_t = (F.ceil((epoch + F.lit(length_seconds)) / F.lit(slide_seconds))
+                * slide_seconds).cast("long")
+    max_t = F.max(epoch).over(Window.partitionBy(key_col))
+    member = F.transform(
+        F.sequence(F.lit(0), F.lit(n_copies - 1)),
+        lambda k: F.struct(
+            (first_t + k * slide_seconds).alias("t"),
+            F.when(k == 0, F.lit("new")).otherwise(F.lit("carried")).alias("d"),
+        ),
+    )
+    events = F.concat(
+        member, F.array(F.struct(expire_t.alias("t"), F.lit("expired").alias("d")))
+    )
+    return (
+        df.withColumn("_maxt", max_t)
+        .withColumn("_e", F.explode(events))
+        .withColumn("window_end_ts", F.to_timestamp(F.col("_e.t")))
+        .withColumn("delta", F.col("_e.d"))
+        .filter(F.col("_e.t") <= F.col("_maxt"))
+        .drop("_e", "_maxt")
+    )
+
+
 def split_late(
     df: DataFrame, *, ts_col: str = "event_time", arrival_col: str = "sequence",
     max_lag: str = "0 seconds", key_col: str | None = None,

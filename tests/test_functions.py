@@ -350,3 +350,19 @@ def test_prefix_filter_exact_equivalence(spark):
     pref = {(r.doc_a, r.doc_b, r.jaccard)
             for r in fuzzy.jaccard_pairs_prefix(docs, k=3, threshold=0.8).collect()}
     assert pref == full and (1, 5, 1.0) in full
+
+
+def test_jaccard_auto_picks_strategy(spark):
+    """Threshold-driven physical strategy, identical logical result."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghix"), (3, "qqqqwwwweeee")],
+        "doc_id long, text string")
+    hi = {(r.doc_a, r.doc_b) for r in
+          fuzzy.jaccard_pairs_auto(docs, k=3, threshold=0.8).collect()}
+    hi_ref = {(r.doc_a, r.doc_b) for r in
+              fuzzy.jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    lo = {(r.doc_a, r.doc_b) for r in
+          fuzzy.jaccard_pairs_auto(docs, k=3, threshold=0.3).collect()}
+    lo_ref = {(r.doc_a, r.doc_b) for r in
+              fuzzy.jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert hi == hi_ref and lo == lo_ref

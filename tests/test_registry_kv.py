@@ -224,3 +224,34 @@ def test_registry_save_load_roundtrip(tmp_path):
                         T.StructField("must", T.LongType(), False)])
     with pytest.raises(ValueError):
         r2.register("t", bad)
+
+
+# ------------------------------------------------------- time pane deltas
+
+def test_pane_deltas_time_lifecycle(spark):
+    """Time-trigger pane views: length 4s, slide 2s, events at t=1..7s →
+    triggers at 2/4/6 (a key's triggers fire only up to its max ts)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("k", base + dt.timedelta(seconds=s)) for s in range(1, 8)]
+    df = spark.createDataFrame(rows, "key string, event_time timestamp")
+    out = w.pane_deltas_time(df, length_seconds=4, slide_seconds=2)
+    got = {}
+    for r in out.collect():
+        sec = (r["window_end_ts"] - base).seconds
+        got.setdefault((sec, r["delta"]), []).append(
+            (r["event_time"] - base).seconds)
+    for v in got.values():
+        v.sort()
+    assert got == {
+        (2, "new"): [1, 2],
+        (4, "new"): [3, 4], (4, "carried"): [1, 2],
+        (6, "new"): [5, 6], (6, "carried"): [3, 4], (6, "expired"): [1, 2],
+    }
+
+
+def test_pane_deltas_time_requires_divisible(spark):
+    df = spark.createDataFrame([("k",)], "key string")
+    with pytest.raises(ValueError):
+        w.pane_deltas_time(df, length_seconds=5, slide_seconds=2)
