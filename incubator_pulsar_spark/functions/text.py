@@ -154,13 +154,14 @@ def tfidf_top_terms(docs, *, id_col: str = "doc_id", text_col: str = "text",
     assert isinstance(docs, DataFrame)
     tokens = docs.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term"))
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window over term instead of a separate
+    # agg + join back: one shuffle by term replaces two (agg shuffle +
+    # join re-shuffle of tf) — 5 → 4 total exchanges, identical values,
+    # and no vocabulary-sized join side to mis-broadcast at corpus scale
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    # df_counts is the VOCABULARY — can be 10^8 rows on a real corpus, so
-    # no broadcast hint: AQE picks broadcast at small SF, shuffle join at
-    # scale. Only the 1-row global count is always broadcast.
     scored = (
-        tf.join(df_counts, on="term")
+        tf.withColumn("df", df_col)
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col), F.col("term"), F.col("tf"),

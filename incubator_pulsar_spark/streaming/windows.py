@@ -204,3 +204,69 @@ def sliding_count_window_stream(
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def pane_deltas_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "key",
+    order_col: str = "sequence",
+    length: int,
+    slide: int,
+) -> DataFrame:
+    """Streaming pane lifecycle views — the actual WindowFunctionExecutor
+    runtime shape: per key, a trigger fires every ``slide``-th record
+    and emits the pane contents tagged new/carried plus the rows evicted
+    since the previous firing (WindowImpl.get/getNew/getExpired consumed
+    at WindowFunctionExecutor.java:222-229).
+
+    State per key = WindowManager's pane deque, bounded: the last
+    ``length`` sequences + at most ``slide`` pending evictions + the
+    arrival counter — O(length) state, checkpointed, identical output
+    to the batch ``operators.windows.pane_deltas`` on the same data
+    (asserted in tests).
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("window_end_pos", T.LongType()),
+        T.StructField(order_col, T.LongType()),
+        T.StructField("delta", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("p", T.LongType()),
+        T.StructField("deque", T.ArrayType(T.LongType())),
+        T.StructField("evicted", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        p, deque, evicted = (state.get if state.exists else (0, [], []))
+        p, deque, evicted = int(p), list(deque or []), list(evicted or [])
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            for seq in pdf[order_col]:
+                s = int(seq)
+                p += 1
+                deque.append(s)
+                if len(deque) > length:
+                    evicted.append(deque.pop(0))
+                if p % slide == 0:
+                    base = p - len(deque)
+                    for i, ds in enumerate(deque):
+                        pos = base + 1 + i
+                        delta = "new" if pos > p - slide else "carried"
+                        out.append((key[0], p, ds, delta))
+                    for es in evicted:
+                        out.append((key[0], p, es, "expired"))
+                    evicted = []
+        state.update((p, deque, evicted))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias(order_col),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -537,3 +537,33 @@ def test_failover_consumer_takeover(spark, tmp_path, topic_dir):
                          out_path, ck)
     got = sorted(r.sequence for r in spark.read.parquet(out_path).collect())
     assert got == [1, 2, 3, 4, 5, 6]  # 6 appended once — no replay of 1..5
+
+
+def test_pane_deltas_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming pane lifecycle == batch pane_deltas on the same data,
+    including across a checkpoint restart mid-stream (the pane deque
+    survives in state)."""
+    from incubator_pulsar_spark.operators.windows import pane_deltas
+
+    path = str(tmp_path / "t")
+    out_path = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows1 = [Row(key="k", sequence=i) for i in range(1, 6)]   # 1..5
+    spark.createDataFrame(rows1).write.parquet(path)
+    out = swin.pane_deltas_stream(_stream(spark, path), length=4, slide=2)
+    _run_to_parquet(out, out_path, ck)
+
+    rows2 = [Row(key="k", sequence=i) for i in range(6, 8)]   # 6..7
+    spark.createDataFrame(rows2).write.mode("append").parquet(path)
+    out2 = swin.pane_deltas_stream(_stream(spark, path), length=4, slide=2)
+    _run_to_parquet(out2, out_path, ck)
+
+    got = {(r.window_end_pos, r.sequence, r.delta)
+           for r in spark.read.parquet(out_path).collect()}
+    batch = spark.createDataFrame(rows1 + rows2)
+    want = {(r.window_end_pos, r.sequence, r.delta)
+            for r in pane_deltas(batch, length=4, slide=2).collect()}
+    assert got == want
+    # spot anchors: trigger 6 carries 3,4 / news 5,6 / expires 1,2
+    assert (6, 5, "new") in got and (6, 3, "carried") in got \
+        and (6, 1, "expired") in got
