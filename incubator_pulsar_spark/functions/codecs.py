@@ -28,6 +28,7 @@ boundary); the schema JSON is a literal in the plan.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import types as T
@@ -163,6 +164,253 @@ def register_avro(registry: SchemaRegistry, topic: str, avro_json: str) -> int:
     run it through the same compatibility gate as every other schema
     (SchemaRegistry.register → is_compatible)."""
     return registry.register(topic, avro_to_spark_schema(avro_json))
+
+
+# --------------------------------------------- protobuf schema translation
+#
+# Schema.PROTOBUF / PROTOBUF_NATIVE (Schema.java:286, :145) declare a topic
+# schema from a protobuf message. Like the Avro path above, the TRANSLATION
+# is pure Python (always available, registry-integrated); the payload codec
+# wraps spark-protobuf and stays package-gated below.
+
+_PROTO_SCALARS: dict[str, T.DataType] = {
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "int32": T.IntegerType(),
+    "sint32": T.IntegerType(),
+    "sfixed32": T.IntegerType(),
+    "uint32": T.LongType(),      # unsigned 32 needs 64 signed bits
+    "fixed32": T.LongType(),
+    "int64": T.LongType(),
+    "sint64": T.LongType(),
+    "sfixed64": T.LongType(),
+    "uint64": T.LongType(),      # may overflow; spark-protobuf does the same
+    "fixed64": T.LongType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+_SPARK_TO_PROTO: dict[type, str] = {
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.IntegerType: "int32",
+    T.ShortType: "int32",
+    T.ByteType: "int32",
+    T.LongType: "int64",
+    T.BooleanType: "bool",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+    T.DateType: "int32",          # days-since-epoch convention
+    T.TimestampType: "int64",     # micros-since-epoch convention
+}
+
+_TOKEN = re.compile(
+    r"//[^\n]*|/\*.*?\*/|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][A-Za-z0-9_.]*|\d+|[{}<>=;,]",
+    re.DOTALL)
+
+
+def _tokenize_proto(text: str) -> list[str]:
+    return [t for t in _TOKEN.findall(text) if not t.startswith(("//", "/*"))]
+
+
+class _ProtoParser:
+    """Minimal proto2/proto3 message parser — enough for the schema
+    surface Pulsar topics use: scalar fields, repeated, map<,>, nested
+    messages (forward references allowed, as in real .proto files),
+    enums (→ string, matching spark-protobuf's default
+    ``enums.as.ints=false`` rendering), optional/required labels.
+    Options, services, oneof bodies, extensions and reserved ranges are
+    skipped structurally.
+
+    Two phases: syntax pass collects raw field tuples per message, then
+    a resolve pass builds StructTypes (so ``Address`` may be declared
+    after the field that uses it)."""
+
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+        # message name -> list of ('field'|'map', label, type, name)
+        self.raw: dict[str, list[tuple[str, str | None, str, str]]] = {}
+        self.enums: set[str] = set()
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def skip_statement(self) -> None:
+        depth = 0
+        while self.i < len(self.toks):
+            t = self.next()
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+                if depth <= 0:
+                    return
+            elif t == ";" and depth == 0:
+                return
+
+    def parse_file(self) -> None:
+        while self.i < len(self.toks):
+            t = self.peek()
+            if t == "message":
+                self.next()
+                self.parse_message(self.next())
+            elif t == "enum":
+                self.next()
+                self.enums.add(self.next())
+                self.skip_statement()
+            elif t == ";":
+                self.next()
+            else:
+                self.skip_statement()
+
+    def parse_message(self, name: str) -> None:
+        assert self.next() == "{", f"expected '{{' after message {name}"
+        fields = self.raw.setdefault(name, [])
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ValueError(f"unterminated message block {name!r}")
+            if t == "}":
+                self.next()
+                return
+            if t == "message":
+                self.next()
+                inner = self.next()
+                self.parse_message(inner)
+                self.raw[f"{name}.{inner}"] = self.raw[inner]
+                continue
+            if t == "enum":
+                self.next()
+                self.enums.add(self.next())
+                self.skip_statement()
+                continue
+            if t in ("option", "reserved", "extensions", "oneof"):
+                self.next()
+                self.skip_statement()
+                continue
+            fields.append(self.parse_field())
+
+    def parse_field(self) -> tuple[str, str | None, str, str]:
+        label = None
+        if self.peek() in ("optional", "required", "repeated"):
+            label = self.next()
+        ftype = self.next()
+        if ftype == "map":
+            assert self.next() == "<"
+            ktype = self.next()
+            self.next()  # ,
+            vtype = self.next()
+            assert self.next() == ">"
+            fname = self.next()
+            self._skip_to_semicolon()
+            if ktype != "string":
+                raise ValueError("Spark maps from protobuf require string keys")
+            return ("map", None, vtype, fname)
+        fname = self.next()
+        self._skip_to_semicolon()
+        return ("field", label, ftype, fname)
+
+    def _skip_to_semicolon(self) -> None:
+        while self.next() != ";":
+            pass
+
+    # ---- resolve pass
+
+    def resolve(self, message_name: str,
+                _stack: tuple[str, ...] = ()) -> T.StructType:
+        if message_name in _stack:
+            raise ValueError(
+                f"recursive message {message_name!r} has no finite Spark schema")
+        fields: list[T.StructField] = []
+        for kind, label, tname, fname in self.raw[message_name]:
+            dt = self._resolve_type(tname, _stack + (message_name,))
+            if kind == "map":
+                fields.append(T.StructField(
+                    fname, T.MapType(T.StringType(), dt, True), True))
+            elif label == "repeated":
+                fields.append(T.StructField(fname, T.ArrayType(dt, True), True))
+            else:
+                fields.append(T.StructField(fname, dt, label != "required"))
+        return T.StructType(fields)
+
+    def _resolve_type(self, tname: str, _stack: tuple[str, ...]) -> T.DataType:
+        if tname in _PROTO_SCALARS:
+            return _PROTO_SCALARS[tname]
+        if tname in self.enums:
+            return T.StringType()
+        if tname in self.raw:
+            return self.resolve(tname, _stack)
+        raise ValueError(f"unknown protobuf type {tname!r}")
+
+
+def proto_to_spark_schema(proto_text: str, message_name: str) -> T.StructType:
+    """.proto source → StructType for ``message_name`` — the
+    Schema.PROTOBUF_NATIVE declaration direction, mirroring what
+    spark-protobuf derives from a compiled descriptor (enums as strings,
+    unsigned ints widened, repeated → array, map → map)."""
+    p = _ProtoParser(_tokenize_proto(proto_text))
+    p.parse_file()
+    if message_name not in p.raw:
+        raise ValueError(f"message {message_name!r} not found "
+                         f"(have {sorted(p.raw)})")
+    return p.resolve(message_name)
+
+
+def _proto_field_lines(struct: T.StructType, indent: str, nested: list[str],
+                       prefix: str) -> list[str]:
+    lines = []
+    for idx, f in enumerate(struct.fields, start=1):
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType):
+            inner = dt.elementType
+            tname = _proto_type_name(inner, f.name, nested, prefix)
+            lines.append(f"{indent}repeated {tname} {f.name} = {idx};")
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("protobuf maps require string keys")
+            vname = _proto_type_name(dt.valueType, f.name, nested, prefix)
+            lines.append(f"{indent}map<string, {vname}> {f.name} = {idx};")
+        else:
+            tname = _proto_type_name(dt, f.name, nested, prefix)
+            lines.append(f"{indent}{tname} {f.name} = {idx};")
+    return lines
+
+
+def _proto_type_name(dt: T.DataType, fname: str, nested: list[str],
+                     prefix: str) -> str:
+    if isinstance(dt, T.StructType):
+        mname = f"{prefix}{fname.capitalize()}"
+        body = "\n".join(_proto_field_lines(dt, "  ", nested, mname))
+        nested.append(f"message {mname} {{\n{body}\n}}")
+        return mname
+    if type(dt) in _SPARK_TO_PROTO:
+        return _SPARK_TO_PROTO[type(dt)]
+    raise ValueError(f"no protobuf mapping for Spark type {dt}")
+
+
+def spark_to_proto_schema(struct: T.StructType, *, message_name: str = "Record",
+                          syntax: str = "proto3") -> str:
+    """StructType → .proto source (AUTO_PRODUCE validation / topic schema
+    export direction). Nested structs become sibling messages."""
+    nested: list[str] = []
+    body = "\n".join(_proto_field_lines(struct, "  ", nested, message_name))
+    parts = [f'syntax = "{syntax}";', *nested,
+             f"message {message_name} {{\n{body}\n}}"]
+    return "\n\n".join(parts)
+
+
+def register_protobuf(registry: SchemaRegistry, topic: str, proto_text: str,
+                      message_name: str) -> int:
+    """Register a protobuf-declared topic schema through the same
+    compatibility gate as JSON/Avro schemas."""
+    return registry.register(topic, proto_to_spark_schema(proto_text, message_name))
 
 
 # ------------------------------------------------------- gated payload codecs

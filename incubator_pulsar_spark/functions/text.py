@@ -128,6 +128,59 @@ def pattern_density(text: Column) -> Column:
         .otherwise(hits.cast("double") * 100.0)
 
 
+# PII patterns for redaction. RE2-safe AND backtracking-free in spirit:
+# no lookaround, no optional groups, fixed separators — so Java regex
+# (Spark) and RE2 (DuckDB) agree on every match boundary and the
+# redacted text hashes identically across engines.
+PHONE_PATTERN = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def phone_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0)).cast("long")
+
+
+def ipv4_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0)).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact emails/IPv4s/phones to typed placeholder tokens — the
+    standard pre-training scrub pass. Replacement order matters and is
+    fixed: emails first (user@host strings contain dots and digits),
+    then IPv4 (would otherwise partially match as a phone with '.'
+    separators), then phones. Pure regexp_replace — JVM-side, map-only,
+    scan-speed at any scale."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_PATTERN, "[IP]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Distinct words / total words — the cheapest repetition signal
+    (low TTR ⇒ template/boilerplate text). 1.0 for empty docs."""
+    words = word_tokens(text)
+    return F.when(F.size(words) > 0,
+                  F.round(F.size(F.array_distinct(words)).cast("double") / F.size(words), 6)
+                  ).otherwise(F.lit(1.0))
+
+
+def word_shingles(words: Column, n: int, *, distinct: bool = True) -> Column:
+    """n-word shingles from a MATERIALIZED word-array column (distinct
+    per doc by default; ``distinct=False`` keeps multiplicity for
+    repetition counting).
+
+    Same Catalyst-inlining trap as ``fuzzy.char_shingles``: pass a
+    column materialized in a previous select (under the Generate
+    barrier), never ``word_tokens(text)`` inline, or the tokenizer
+    regex re-runs once per shingle position. Docs shorter than n yield
+    one shingle = the whole doc.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.array_distinct(grams) if distinct else grams
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of normalized text. Exact-dup key that
     ships 32 bytes through the dedup shuffle instead of the payload."""

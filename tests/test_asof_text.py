@@ -1,0 +1,108 @@
+"""Unit tests for the as-of join operator and the round-3 text-pipeline
+functions (PII redaction, shingles, repetition signals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import text
+from incubator_pulsar_spark.operators.asof import asof_join
+
+
+def _collect_map(df, key, *cols):
+    return {r[key]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [Row(id=1, k="a", ts=10), Row(id=2, k="a", ts=25),
+             Row(id=3, k="b", ts=5), Row(id=4, k="b", ts=40)])
+        right = spark.createDataFrame(
+            [Row(k="a", ts=10, v="a@10"), Row(k="a", ts=20, v="a@20"),
+             Row(k="b", ts=30, v="b@30")])
+        return left, right
+
+    def test_latest_at_or_before_per_key(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        got = _collect_map(out, "id", "v", "ts_right")
+        # id=1: right row at exactly ts=10 is visible (inclusive tie)
+        assert got[1] == ("a@10", 10)
+        assert got[2] == ("a@20", 20)
+        # id=3: no right row at or before ts=5 → NULL match under how='left'
+        assert got[3] == (None, None)
+        assert got[4] == ("b@30", 30)
+
+    def test_inner_drops_unmatched(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", how="inner")
+        assert sorted(r.id for r in out.collect()) == [1, 2, 4]
+
+    def test_left_keeps_all_left_columns_and_rows(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        assert set(out.columns) == {"id", "k", "ts", "ts_right", "v"}
+        assert out.count() == left.count()
+
+    def test_tie_col_resolves_duplicate_right_ts(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", ts=15)])
+        right = spark.createDataFrame(
+            [Row(k="a", ts=10, seq=1, v="first"), Row(k="a", ts=10, seq=2, v="second")])
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", tie_col="seq")
+        assert out.collect()[0].v == "second"
+
+    def test_suffix_on_collision(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", ts=15, v="left-v")])
+        right = spark.createDataFrame([Row(k="a", ts=10, v="right-v")])
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", suffix="_r")
+        row = out.collect()[0]
+        assert row.v == "left-v" and row.v_r == "right-v" and row.ts_r == 10
+
+    def test_bad_how_rejected(self, spark):
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="k", left_ts="ts", right_ts="ts", how="full")
+
+
+class TestPiiRedaction:
+    def _one(self, spark, s, col):
+        return spark.createDataFrame([Row(t=s)]).select(col(F.col("t")).alias("o")).collect()[0].o
+
+    def test_redacts_all_three_classes_in_order(self, spark):
+        s = "mail bob@x.io from 10.0.0.1 call 555-123-4567 done"
+        assert self._one(spark, s, text.redact_pii) == \
+            "mail [EMAIL] from [IP] call [PHONE] done"
+
+    def test_counts(self, spark):
+        s = "a@b.co c@d.org 1.2.3.4 999-000-1234"
+        assert self._one(spark, s, text.email_count) == 2
+        assert self._one(spark, s, text.ipv4_count) == 1
+        assert self._one(spark, s, text.phone_count) == 1
+
+    def test_clean_text_untouched(self, spark):
+        s = "no pii here just words"
+        assert self._one(spark, s, text.redact_pii) == s
+
+
+class TestWordShingles:
+    def _shingles(self, spark, words, n, **kw):
+        df = spark.createDataFrame([Row(w=words)])
+        return df.select(text.word_shingles(F.col("w"), n, **kw).alias("s")).collect()[0].s
+
+    def test_distinct_by_default(self, spark):
+        assert self._shingles(spark, ["a", "b", "a", "b"], 2) == ["a b", "b a"]
+
+    def test_multiplicity_kept_when_requested(self, spark):
+        assert self._shingles(spark, ["a", "b", "a", "b"], 2, distinct=False) == \
+            ["a b", "b a", "a b"]
+
+    def test_short_doc_yields_whole_doc(self, spark):
+        assert self._shingles(spark, ["only"], 3) == ["only"]
+
+    def test_type_token_ratio(self, spark):
+        df = spark.createDataFrame([Row(t="a a b b"), Row(t="")])
+        got = [r.o for r in df.select(text.type_token_ratio(F.col("t")).alias("o")).collect()]
+        assert got == [0.5, 1.0]

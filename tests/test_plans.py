@@ -170,3 +170,44 @@ class TestPlanQuality:
         assert "Exchange" in plan  # sanity: these do shuffle, once
         assert plan.count("Exchange hashpartitioning") <= 2, (
             f"{name}: extra shuffles appeared")
+
+    # ---- locks for the r3 additions (training-data pipeline + as-of)
+
+    def test_asof_single_shuffle_no_range_join(self, spark):
+        """The as-of join must stay union + ONE keyed window shuffle —
+        never a range-condition join (BroadcastNestedLoop/Cartesian) and
+        never one shuffle per side."""
+        plan = executed_plan(spark, "asof_join_events")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1, (
+            "as-of join grew extra shuffles")
+
+    def test_contamination_broadcasts_probes(self, spark):
+        """Corpus shingles must equi-join a BROADCAST probe set (map-side
+        until the tiny hit set) — a shuffled or nested-loop join would
+        move the corpus."""
+        plan = executed_plan(spark, "contamination_check")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    @pytest.mark.parametrize("name", [
+        "pii_redaction", "train_split_stats", "dataset_mixing",
+    ])
+    def test_r3_scrub_ops_stay_jvm_side(self, spark, name):
+        """Redaction / split / mixing are pure column exprs — a Python
+        stage here would put a 10-100× tax on the corpus scan."""
+        plan = executed_plan(spark, name)
+        assert not re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+                             plan), f"{name}: Python stage appeared"
+
+    def test_repetition_bounded_shuffles(self, spark):
+        """Repetition stats: bigram agg + top-1 window + join back, all
+        keyed by doc_id — more exchanges means a lost partial agg or a
+        re-shuffle of the same keying."""
+        plan = executed_plan(spark, "repetition_stats")
+        assert plan.count("Exchange hashpartitioning") <= 4, (
+            "repetition_stats grew extra shuffles")
+        assert "CartesianProduct" not in plan

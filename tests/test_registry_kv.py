@@ -181,6 +181,90 @@ def test_register_avro_compat_gate():
         codecs.register_avro(registry, "t", v3)
 
 
+# --------------------------------------------------------- protobuf schemas
+
+PROTO_SRC = """
+syntax = "proto3";
+package demo;
+
+// a Pulsar-style typed topic message
+message Person {
+  int64 id = 1;
+  string name = 2;
+  optional double score = 3;
+  repeated string tags = 4;
+  map<string, int64> attrs = 5;
+  Address home = 6;
+  Kind kind = 7;
+  uint32 flags = 8;
+  bytes raw = 9;
+  message Address {
+    string city = 1;
+    int32 zip = 2;
+  }
+  enum Kind { UNKNOWN = 0; ADMIN = 1; }
+}
+"""
+
+
+def test_proto_to_spark_schema():
+    """.proto → StructType: scalars, widened unsigned, repeated → array,
+    map → map, nested message → struct, enum → string
+    (Schema.PROTOBUF_NATIVE declaration, Schema.java:145)."""
+    from incubator_pulsar_spark.functions import codecs
+
+    st = codecs.proto_to_spark_schema(PROTO_SRC, "Person")
+    by = {f.name: f.dataType for f in st.fields}
+    assert by["id"] == T.LongType()
+    assert by["name"] == T.StringType()
+    assert by["score"] == T.DoubleType()
+    assert by["tags"] == T.ArrayType(T.StringType(), True)
+    assert by["attrs"] == T.MapType(T.StringType(), T.LongType(), True)
+    assert isinstance(by["home"], T.StructType)
+    assert {f.name for f in by["home"].fields} == {"city", "zip"}
+    assert by["kind"] == T.StringType()          # enums render as strings
+    assert by["flags"] == T.LongType()           # uint32 widened to 64-bit
+    assert by["raw"] == T.BinaryType()
+
+
+def test_spark_to_proto_roundtrip():
+    """StructType → .proto text → StructType is stable (the AUTO_PRODUCE
+    export direction)."""
+    from incubator_pulsar_spark.functions import codecs
+
+    st = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.DoubleType(), True), True),
+        T.StructField("nested", T.StructType([
+            T.StructField("x", T.IntegerType(), True)]), True),
+    ])
+    proto = codecs.spark_to_proto_schema(st, message_name="Rec")
+    assert 'syntax = "proto3";' in proto
+    back = codecs.proto_to_spark_schema(proto, "Rec")
+    assert back == st
+
+
+def test_register_protobuf_compat_gate():
+    """Protobuf-declared schemas flow through the same registry compat
+    gate as JSON/Avro ones."""
+    from incubator_pulsar_spark.functions import codecs
+
+    registry = reg.SchemaRegistry(strategy=reg.Compatibility.BACKWARD)
+    v1 = 'syntax = "proto3"; message E { int64 id = 1; }'
+    assert codecs.register_protobuf(registry, "t", v1, "E") == 0
+    v2 = 'syntax = "proto3"; message E { int64 id = 1; optional string note = 2; }'
+    assert codecs.register_protobuf(registry, "t", v2, "E") == 1
+
+
+def test_proto_parser_rejects_unknown_type():
+    from incubator_pulsar_spark.functions import codecs
+
+    with pytest.raises(ValueError):
+        codecs.proto_to_spark_schema(
+            'syntax = "proto3"; message E { Missing m = 1; }', "E")
+
+
 def test_avro_payload_roundtrip_if_available(spark):
     """Package-gated (like tws/protobuf): executes only on a full Spark
     distribution where org.apache.spark.sql.avro is on the classpath."""
