@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "grouping_sets_lineitem",
     "chunk_reassembly",
     "media_frame_schedule",
+    "pii_redaction",
+    "contamination_check",
+    "repetition_stats",
+    "train_split_stats",
+    "dataset_mixing",
+    "asof_join_events",
 ]
 
 

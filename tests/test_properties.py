@@ -82,3 +82,35 @@ def test_count_window_partition_complete(spark, n, count):
     assert sum(sizes) == n
     assert all(s == count for s in sizes[:-1])
     assert 1 <= sizes[-1] <= count
+
+
+asof_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),      # key
+              st.integers(0, 50)),              # ts
+    min_size=0, max_size=25)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SLOW
+def test_asof_join_matches_scan_model(spark, left, right):
+    """asof_join == per-row linear scan for the latest right (ts, seq)
+    with right.ts <= left.ts on the same key (DuckDB-ASOF semantics;
+    duplicate right (key, ts) resolved by the seq tie column)."""
+    from incubator_pulsar_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [Row(lid=i, k=k, ts=ts) for i, (k, ts) in enumerate(left)],
+        "lid LONG, k STRING, ts LONG")
+    rdf = spark.createDataFrame(
+        [Row(k=k, ts=ts, seq=i) for i, (k, ts) in enumerate(right)],
+        "k STRING, ts LONG, seq LONG")
+
+    def model(k, ts):
+        cands = [(rts, seq) for i, (rk, rts) in enumerate(right)
+                 for seq in [i] if rk == k and rts <= ts]
+        return max(cands) if cands else (None, None)
+
+    out = asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts", tie_col="seq")
+    got = {r.lid: (r.ts_right, r.seq) for r in out.collect()}
+    expect = {i: model(k, ts) for i, (k, ts) in enumerate(left)}
+    assert got == expect

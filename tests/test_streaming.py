@@ -567,3 +567,64 @@ def test_pane_deltas_stream_matches_batch_and_resumes(spark, tmp_path):
     # spot anchors: trigger 6 carries 3,4 / news 5,6 / expires 1,2
     assert (6, 5, "new") in got and (6, 3, "carried") in got \
         and (6, 1, "expired") in got
+
+
+def test_asof_enrich_stream(spark, tmp_path):
+    """Streaming as-of enrichment: events joined to the latest state row
+    at or before each event's ts; batch replay overwrites by batch_id;
+    a second run after MORE state is published sees the new state only
+    for new events (TableView-style visibility)."""
+    from incubator_pulsar_spark.streaming import asof as sasof
+
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    out_dir = str(tmp_path / "out")
+
+    spark.createDataFrame(
+        [Row(k="a", ts=10, price=1.0), Row(k="a", ts=20, price=2.0),
+         Row(k="b", ts=15, price=9.0)],
+        "k STRING, ts LONG, price DOUBLE").write.parquet(right_dir)
+    spark.createDataFrame(
+        [Row(eid=1, k="a", ts=12), Row(eid=2, k="a", ts=25),
+         Row(eid=3, k="b", ts=5)],
+        "eid LONG, k STRING, ts LONG").write.parquet(left_dir)
+
+    schema = spark.read.parquet(left_dir).schema
+    q = sasof.start_asof_enrich(
+        spark.readStream.schema(schema).parquet(left_dir),
+        right_topic_path=right_dir, out_path=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        on="k", left_ts="ts", right_ts="ts", available_now=True)
+    q.awaitTermination(120)
+
+    got = {r.eid: (r.ts_right, r.price)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: (10, 1.0), 2: (20, 2.0), 3: (None, None)}
+
+    # new state + new events: the continuation batch sees the grown topic
+    spark.createDataFrame([Row(k="b", ts=8, price=7.0)],
+                          "k STRING, ts LONG, price DOUBLE") \
+        .write.mode("append").parquet(right_dir)
+    spark.createDataFrame([Row(eid=4, k="b", ts=9)],
+                          "eid LONG, k STRING, ts LONG") \
+        .write.mode("append").parquet(left_dir)
+    q = sasof.start_asof_enrich(
+        spark.readStream.schema(schema).parquet(left_dir),
+        right_topic_path=right_dir, out_path=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        on="k", left_ts="ts", right_ts="ts", available_now=True)
+    q.awaitTermination(120)
+    got = {r.eid: (r.ts_right, r.price)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[4] == (8, 7.0) and len(got) == 4
+
+
+def test_asof_enrich_requires_right_topic(spark, tmp_path):
+    from incubator_pulsar_spark.streaming.asof import enrich_batch
+
+    batch = spark.createDataFrame([Row(eid=1, k="a", ts=1)],
+                                  "eid LONG, k STRING, ts LONG")
+    with pytest.raises(ValueError, match="must exist"):
+        enrich_batch(batch, 0, right_topic_path=str(tmp_path / "missing"),
+                     out_path=str(tmp_path / "out"),
+                     on="k", left_ts="ts", right_ts="ts")
