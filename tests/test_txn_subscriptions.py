@@ -125,3 +125,75 @@ def test_subscription_cursor_backlog(spark):
     assert cur.backlog_count(df) == 2  # 6, 8 remain
     remaining = sorted(r.sequence for r in cur.unacked(df).collect())
     assert remaining == [6, 8]
+
+
+# ------------------------------------------------- producer access modes
+
+class TestProducerAccessModes:
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [Row(key="k", value=v, partition=0) for v in vals])
+
+    def test_shared_producers_coexist(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators import producers as pr
+
+        topic = str(tmp_path / "t")
+        p1 = pr.create_producer(topic, name="p1")
+        p2 = pr.create_producer(topic, name="p2")
+        pr.send(p1, self._df(spark, [1]))
+        pr.send(p2, self._df(spark, [2]))
+        assert spark.read.parquet(topic).count() == 2
+        pr.close_producer(p1)
+        pr.close_producer(p2)
+
+    def test_exclusive_fails_fast_when_busy(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators import producers as pr
+
+        topic = str(tmp_path / "t")
+        p1 = pr.create_producer(topic, name="p1")
+        with pytest.raises(pr.ProducerBusyError):
+            pr.create_producer(topic, name="p2",
+                               mode=pr.ProducerAccessMode.EXCLUSIVE)
+        pr.close_producer(p1)
+        # free now → exclusive acquisition succeeds and blocks new shared
+        p3 = pr.create_producer(topic, name="p3",
+                                mode=pr.ProducerAccessMode.EXCLUSIVE)
+        with pytest.raises(pr.ProducerBusyError):
+            pr.create_producer(topic, name="p4")
+        pr.close_producer(p3)
+
+    def test_fencing_takeover_invalidates_old_producers(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators import producers as pr
+
+        topic = str(tmp_path / "t")
+        old_shared = pr.create_producer(topic, name="old-shared")
+        usurper = pr.create_producer(
+            topic, name="usurper",
+            mode=pr.ProducerAccessMode.EXCLUSIVE_WITH_FENCING)
+        with pytest.raises(pr.ProducerFencedError):
+            pr.send(old_shared, self._df(spark, [1]))
+        pr.send(usurper, self._df(spark, [2]))  # new owner publishes fine
+
+        # a second fencing takeover bumps the epoch past the first owner's
+        usurper2 = pr.create_producer(
+            topic, name="usurper2",
+            mode=pr.ProducerAccessMode.EXCLUSIVE_WITH_FENCING)
+        assert usurper2.epoch > usurper.epoch
+        with pytest.raises(pr.ProducerFencedError):
+            pr.send(usurper, self._df(spark, [3]))
+
+    def test_wait_for_exclusive_acquires_after_release(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators import producers as pr
+
+        topic = str(tmp_path / "t")
+        p1 = pr.create_producer(topic, name="p1")
+        with pytest.raises(pr.ProducerBusyError):
+            pr.create_producer(topic, name="p2",
+                               mode=pr.ProducerAccessMode.WAIT_FOR_EXCLUSIVE,
+                               wait_timeout_s=0.3)
+        pr.close_producer(p1)
+        p2 = pr.create_producer(topic, name="p2",
+                                mode=pr.ProducerAccessMode.WAIT_FOR_EXCLUSIVE,
+                                wait_timeout_s=0.3)
+        assert p2.epoch == 0  # first exclusive acquisition on this topic
+        pr.close_producer(p2)
