@@ -144,14 +144,35 @@ def read_topic(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def write_topic(df: DataFrame, path: str, mode: str = "append") -> None:
+# CompressionType.java:31-43 (NONE/LZ4/ZLIB/ZSTD/SNAPPY) → parquet codec.
+# Per-message compression collapses to per-file codec here: the payload
+# column is compressed inside the parquet pages, which is the columnar
+# analogue (and strictly better — dictionary+page compression sees across
+# messages). ZLIB maps to gzip (same DEFLATE family).
+COMPRESSION_CODECS = {
+    "NONE": "uncompressed",
+    "LZ4": "lz4",
+    "ZLIB": "gzip",
+    "ZSTD": "zstd",
+    "SNAPPY": "snappy",
+}
+
+
+def write_topic(df: DataFrame, path: str, mode: str = "append",
+                compression: str | None = None) -> None:
     """Producer.send for a whole DataFrame: append to the topic log.
 
     Partitioned by ``partition`` so per-partition order (sequence) maps to
     file order within a partition directory; at scale add
     ``partitionBy(partition_date)`` for time-pruned reads.
+    ``compression`` takes a reference CompressionType name (LZ4/ZLIB/
+    ZSTD/SNAPPY/NONE) and maps it to the parquet codec; default leaves
+    the session codec in force.
     """
-    df.write.mode(mode).partitionBy("partition").parquet(path)
+    w = df.write.mode(mode).partitionBy("partition")
+    if compression is not None:
+        w = w.option("compression", COMPRESSION_CODECS[compression.upper()])
+    w.parquet(path)
 
 
 def write_topic_bucketed(

@@ -549,3 +549,24 @@ def test_stream_windowed_agg_with_late_capture(spark, tmp_path):
         f"unexpected panes: {closed}")
     on_ids = {r.event_id for r in spark.read.parquet(paths["on_time_path"]).collect()}
     assert on_ids == {1, 2, 4}
+
+
+def test_write_topic_compression_codecs(spark, tmp_path):
+    """CompressionType names map to parquet codecs (CompressionType.java:
+    31-43); each codec round-trips the same rows."""
+    import glob
+
+    from incubator_pulsar_spark.envelope import build_envelope, write_topic
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame([Row(k=str(i), v=f"m{i}", i=i) for i in range(10)])
+    env = build_envelope(src, topic="t", key="k", value=F.col("v"), sequence="i")
+    for codec, ext in [("ZSTD", "zstd"), ("SNAPPY", "snappy"), ("NONE", None)]:
+        path = str(tmp_path / f"topic_{codec}")
+        write_topic(env, path, compression=codec)
+        assert spark.read.parquet(path).count() == 10
+        files = glob.glob(f"{path}/partition=*/*.parquet")
+        assert files
+        if ext:
+            assert all(f".{ext}." in f for f in files), (codec, files)
