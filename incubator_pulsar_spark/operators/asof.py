@@ -78,12 +78,17 @@ def asof_join(
 
     ts_out = _payload_name(right_ts)
 
-    # one row per (key, ts) on the right — keeps the window deterministic
+    # one row per (key, ts) on the right — keeps the window deterministic.
+    # NULL-ts right rows are dropped: "at or before" is undefined for
+    # them (a NULL would sort first and get carried into every match,
+    # where SQL ASOF semantics never match it). NULL-ts LEFT rows match
+    # nothing, for the same ordering reason.
     r_struct = F.struct(
         F.col(right_ts).alias(ts_out),
         *[F.col(c).alias(_payload_name(c)) for c in payload_cols],
     )
-    r = right.select(F.col(on), F.col(right_ts).alias(_TS), r_struct.alias(_RIGHT))
+    r = (right.filter(F.col(right_ts).isNotNull())
+         .select(F.col(on), F.col(right_ts).alias(_TS), r_struct.alias(_RIGHT)))
     if tie_col is not None:
         r = r.groupBy(on, _TS).agg(F.max_by(_RIGHT, F.col(f"{_RIGHT}.{_payload_name(tie_col)}")).alias(_RIGHT))
 

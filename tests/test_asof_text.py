@@ -106,3 +106,23 @@ class TestWordShingles:
         df = spark.createDataFrame([Row(t="a a b b"), Row(t="")])
         got = [r.o for r in df.select(text.type_token_ratio(F.col("t")).alias("o")).collect()]
         assert got == [0.5, 1.0]
+
+
+class TestAsofNulls:
+    def test_null_ts_right_rows_never_match(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", ts=10)],
+                                     "id LONG, k STRING, ts LONG")
+        right = spark.createDataFrame(
+            [Row(k="a", ts=None, v="ghost"), Row(k="a", ts=5, v="real")],
+            "k STRING, ts LONG, v STRING")
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        assert out.collect()[0].v == "real"
+
+    def test_null_ts_left_rows_match_nothing(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", ts=None)],
+                                     "id LONG, k STRING, ts LONG")
+        right = spark.createDataFrame([Row(k="a", ts=5, v="x")],
+                                      "k STRING, ts LONG, v STRING")
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        row = out.collect()[0]
+        assert row.v is None and row.ts_right is None
