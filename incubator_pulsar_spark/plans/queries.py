@@ -1428,6 +1428,46 @@ ORDER BY source
 """
 
 
+def topic_stats(spark, sf_dir):
+    """Admin-API topic stats (PersistentTopicsBase.getStats /
+    Topic.asyncGetStats analogue): per-producer message counts, key
+    cardinality, sequence span and publish span over the events topic
+    envelope — the monitoring surface an operator reads. Exercises the
+    full TypedMessageBuilder envelope path inside the oracle gate (the
+    oracle reproduces the envelope's field derivations over the raw
+    events table). One agg shuffle keyed by producer.
+    """
+    from .. import envelope as env
+
+    msgs = env.events_as_messages(spark, sf_dir)
+    return (
+        msgs.groupBy("producer_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.countDistinct("key").alias("n_keys"),
+            F.min("sequence").alias("first_sequence"),
+            F.max("sequence").alias("last_sequence"),
+            _fmt_ts(F.min("publish_time")).alias("first_publish"),
+            _fmt_ts(F.max("publish_time")).alias("last_publish"),
+        )
+        .orderBy("producer_name")
+    )
+
+
+TOPIC_STATS_SQL = """
+SELECT 'producer-' || CAST(user_id % 8 AS VARCHAR) AS producer_name,
+       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(MIN(event_id) AS BIGINT) AS first_sequence,
+       CAST(MAX(event_id) AS BIGINT) AS last_sequence,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_publish,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_publish
+FROM events
+GROUP BY user_id % 8
+ORDER BY producer_name
+"""
+
+
 def corpus_filter_funnel(spark, sf_dir):
     """C4/Gopher-style quality-filter funnel: how many documents survive
     each cumulative cleanup stage (min length → type-token ratio →
@@ -2546,6 +2586,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("media_features", media_features, None),
         # --- LLM-data-pipeline operators (BASELINE.json extras) ---
@@ -2577,9 +2618,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         # --- tail: driver-green in r01 AND r02, unchanged; locally
         # verified every round by tools/oracle_check.py ---
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("running_revenue", running_revenue, RUNNING_SQL),
         Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
