@@ -114,3 +114,48 @@ def test_asof_join_matches_scan_model(spark, left, right):
     got = {r.lid: (r.ts_right, r.seq) for r in out.collect()}
     expect = {i: model(k, ts) for i, (k, ts) in enumerate(left)}
     assert got == expect
+
+
+texts = st.lists(
+    st.text(alphabet="ab @.0-9\n", min_size=0, max_size=40), min_size=1, max_size=8)
+
+
+@given(ts=texts)
+@SLOW
+def test_redact_pii_matches_python_re(spark, ts):
+    """Spark regexp_replace chain == Python re chain (same patterns,
+    same order) — guards the Java-regex/RE2/Python dialect agreement the
+    oracle relies on."""
+    import re as _re
+
+    from incubator_pulsar_spark.functions import text as t
+
+    def model(s):
+        s = _re.sub(t.EMAIL_PATTERN, "[EMAIL]", s)
+        s = _re.sub(t.IPV4_PATTERN, "[IP]", s)
+        return _re.sub(t.PHONE_PATTERN, "[PHONE]", s)
+
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(ts)],
+                               "i LONG, s STRING")
+    got = {r.i: r.o for r in df.select("i", t.redact_pii(F.col("s")).alias("o")).collect()}
+    assert got == {i: model(s) for i, s in enumerate(ts)}
+
+
+@given(ts=texts)
+@SLOW
+def test_word_shingles_match_python_model(spark, ts):
+    from incubator_pulsar_spark.functions import text as t
+    import re as _re
+
+    def model(s, n=3):
+        w = _re.findall(r"[a-z]+", s.lower())
+        if len(w) <= n:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(ts)],
+                               "i LONG, s STRING")
+    words = df.select("i", t.word_tokens(F.col("s")).alias("_w"))
+    got = {r.i: r.o for r in words.select(
+        "i", t.word_shingles(F.col("_w"), 3, distinct=False).alias("o")).collect()}
+    assert got == {i: model(s) for i, s in enumerate(ts)}
