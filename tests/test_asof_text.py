@@ -126,3 +126,54 @@ class TestAsofNulls:
         out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
         row = out.collect()[0]
         assert row.v is None and row.ts_right is None
+
+
+class TestCleanCorpus:
+    def _docs(self, spark):
+        base = ("the data " * 40).strip()          # 80 words, passes filters
+        rows = [
+            Row(doc_id=1, text=base + " alpha", source="s1"),
+            Row(doc_id=2, text=base + " alpha", source="s1"),   # exact dup of 1
+            Row(doc_id=3, text="short text", source="s1"),      # fails min_words
+            Row(doc_id=4, text=base + " beta mail bob@x.io", source="s2"),
+            Row(doc_id=5, text=("word " * 60).strip(), source="s2"),  # TTR too low
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_pipeline_filters_dedups_redacts_splits(self, spark):
+        from incubator_pulsar_spark.functions.corpus import clean_corpus
+
+        out = clean_corpus(self._docs(spark), min_ttr=0.02,
+                           min_stopword_ratio=0.01)
+        rows = {r.doc_id: r for r in out.collect()}
+        # doc 2 is an exact dup of 1 (lowest id wins); 3 too short;
+        # 5 has no stopwords ('word' only) → fails stopword ratio
+        assert set(rows) == {1, 4}
+        assert "[EMAIL]" in rows[4].text and "bob@x.io" not in rows[4].text
+        assert rows[1].split in ("train", "val", "test")
+        assert rows[1].n_words == 81
+
+    def test_near_dup_stage_drops_cluster_members(self, spark):
+        from incubator_pulsar_spark.functions.corpus import clean_corpus
+
+        # high-entropy shared base (distinct words → many distinct
+        # shingles) so the near-dup pair's char Jaccard is ~1
+        uniq = [chr(97 + i // 26) + chr(97 + i % 26) + "q" for i in range(60)]
+        base = " ".join(w if i % 5 else "the" for i, w in enumerate(uniq))
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text=base + " tailone", source="s"),
+            Row(doc_id=2, text=base + " tailtwo", source="s"),  # near-dup of 1
+            Row(doc_id=9, text=("the row value " * 30).strip() + " unrelated",
+                source="s"),
+        ])
+        out = clean_corpus(docs, min_ttr=0.02, near_dup=True)
+        ids = sorted(r.doc_id for r in out.collect())
+        assert ids == [1, 9]  # 2 collapsed into 1's cluster; 9 untouched
+
+    def test_report_shape(self, spark):
+        from incubator_pulsar_spark.functions.corpus import (clean_corpus,
+                                                             corpus_report)
+
+        rep = corpus_report(clean_corpus(self._docs(spark), min_ttr=0.02))
+        assert rep.columns == ["split", "source", "n_docs", "sum_words"]
+        assert sum(r.n_docs for r in rep.collect()) == 2
