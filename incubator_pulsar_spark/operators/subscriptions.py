@@ -54,6 +54,48 @@ def seek_timestamp(df: DataFrame, ts, *, publish_time_col: str = "publish_time")
     return df.filter(F.col(publish_time_col) >= ts)
 
 
+def seek_by(df: DataFrame, resolver, *, topic_col: str = "topic",
+            sequence_col: str = "sequence",
+            publish_time_col: str = "publish_time") -> DataFrame:
+    """Consumer.seek(Function<String, Object>) (Consumer.java:544): the
+    resolver maps each topic name to its own seek position — an ``int``
+    (sequence / MessageId position), a ``datetime`` (seek-by-time), or
+    ``None`` (leave that topic unseeked). Used to reposition a
+    multi-topic consumer per topic in one call.
+
+    The topic list is collected driver-side — topics are control-plane
+    metadata (a handful of names), never data rows. The per-topic
+    positions broadcast-join back onto the stream, so the data path is
+    one map-side filter that parquet min/max stats can prune on.
+    """
+    import datetime as _dt
+
+    spark = df.sparkSession
+    topics = [r[0] for r in df.select(topic_col).distinct().collect()]
+    rows = []
+    for t in sorted(topics):
+        pos = resolver(t)
+        seq, ts = None, None
+        if pos is None:
+            pass
+        elif isinstance(pos, _dt.datetime):
+            ts = pos
+        elif isinstance(pos, int):
+            seq = pos
+        else:
+            raise TypeError(f"seek position for {t!r} must be int | datetime "
+                            f"| None, got {type(pos).__name__}")
+        rows.append((t, seq, ts))
+    pos_df = spark.createDataFrame(
+        rows, f"{topic_col} string, _seek_seq long, _seek_ts timestamp")
+    keep = ((F.col("_seek_seq").isNull()
+             | (F.col(sequence_col) >= F.col("_seek_seq")))
+            & (F.col("_seek_ts").isNull()
+               | (F.col(publish_time_col) >= F.col("_seek_ts"))))
+    return (df.join(F.broadcast(pos_df), on=topic_col, how="left")
+            .filter(keep).drop("_seek_seq", "_seek_ts"))
+
+
 def batch_receive(df: DataFrame, *, max_messages: int | None = None,
                   max_bytes: int | None = None, value_col: str = "value",
                   sequence_col: str = "sequence") -> DataFrame:

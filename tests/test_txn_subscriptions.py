@@ -197,3 +197,28 @@ class TestProducerAccessModes:
                                 wait_timeout_s=0.3)
         assert p2.epoch == 0  # first exclusive acquisition on this topic
         pr.close_producer(p2)
+
+
+def test_seek_by_function_per_topic(spark):
+    """Consumer.seek(Function): each topic repositions independently —
+    by sequence, by timestamp, or not at all."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(10):
+        for t in ("t1", "t2", "t3"):
+            rows.append(Row(topic=t, sequence=i, publish_time=t0 + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows)
+
+    out = sub.seek_by(df, lambda t: {
+        "t1": 7,                                  # sequence seek
+        "t2": t0 + dt.timedelta(minutes=5),       # timestamp seek
+        "t3": None,                               # no seek
+    }[t])
+    got = {t: sorted(r.sequence for r in out.filter(F.col("topic") == t).collect())
+           for t in ("t1", "t2", "t3")}
+    assert got == {"t1": [7, 8, 9], "t2": [5, 6, 7, 8, 9], "t3": list(range(10))}
+
+    with pytest.raises(TypeError):
+        sub.seek_by(df, lambda t: "bad")
