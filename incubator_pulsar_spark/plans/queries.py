@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import fuzzy, similarity, text
+from ..functions import corpus, fuzzy, similarity, text
 from ..operators import compaction, dedup, delay, retry, ttl, windows
 from ..operators.tableview import table_view
 
@@ -1543,6 +1543,64 @@ UNION ALL SELECT '4_pattern', CAST(c4 AS BIGINT) FROM agg
 """
 
 
+def split_leakage(spark, sf_dir):
+    """Train/test LEAKAGE check: which test-split documents share any
+    3-word gram with a train-split document (the cross-split
+    contamination audit every eval pipeline needs — same md5-bucket
+    split as ``train_split_stats``).
+
+    Scale shape: one shingle pass over the corpus (distinct per doc
+    before the explode), split into sides by the split flag, equi-join
+    on the gram — shuffle keys are fixed-width grams, payloads never
+    move; the per-test-doc counts are one more keyed agg.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words_tbl = docs.select(
+        "doc_id", corpus.split_assignment("doc_id").alias("split"),
+        text.word_tokens(F.col("text")).alias("_words"))
+    sh = words_tbl.select(
+        "doc_id", "split",
+        F.explode(text.word_shingles(F.col("_words"), 3)).alias("gram"))
+    test = sh.filter(F.col("split") == "test") \
+        .select(F.col("doc_id").alias("test_doc_id"), "gram")
+    train = sh.filter(F.col("split") == "train") \
+        .select(F.col("doc_id").alias("train_doc_id"), "gram")
+    return (
+        test.join(train, "gram")
+        .groupBy("test_doc_id")
+        .agg(F.countDistinct("train_doc_id").alias("n_train_docs"),
+             F.countDistinct("gram").alias("n_leaked_grams"))
+        .orderBy("test_doc_id")
+    )
+
+
+LEAKAGE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+), pos AS (
+  SELECT doc_id, split, words,
+         unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i
+  FROM s
+), sh AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+  FROM pos
+)
+SELECT t.doc_id AS test_doc_id,
+       CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+       CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_leaked_grams
+FROM sh t JOIN sh tr ON t.gram = tr.gram
+WHERE t.split = 'test' AND tr.split = 'train'
+GROUP BY t.doc_id
+ORDER BY test_doc_id
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """Point-in-time attribution: every purchase matched to the same
     user's latest click at or before the purchase timestamp —
@@ -2612,14 +2670,15 @@ ALL_QUERIES: dict[str, Query] = {
         Query("train_split_stats", train_split_stats, SPLIT_SQL),
         Query("dataset_mixing", dataset_mixing, MIX_SQL),
         Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
+        Query("split_leakage", split_leakage, LEAKAGE_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
         # --- TPC-H core (join/agg/scan shapes kept under driver check) ---
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         # --- tail: driver-green in r01 AND r02, unchanged; locally
         # verified every round by tools/oracle_check.py ---
+        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("running_revenue", running_revenue, RUNNING_SQL),
