@@ -203,6 +203,20 @@ class TestPlanQuality:
         assert not re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
                              plan), f"{name}: Python stage appeared"
 
+    def test_split_leakage_equi_join_only(self, spark):
+        """Cross-split gram join must stay an equi-join on the gram —
+        never a nested-loop/cartesian — with bounded shuffles."""
+        plan = executed_plan(spark, "split_leakage")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 4
+
+    @pytest.mark.parametrize("name", ["corpus_filter_funnel", "topic_stats"])
+    def test_r3_composites_stay_jvm_side(self, spark, name):
+        plan = executed_plan(spark, name)
+        assert not re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+                             plan), f"{name}: Python stage appeared"
+
     def test_repetition_bounded_shuffles(self, spark):
         """Repetition stats: bigram agg + top-1 window + join back, all
         keyed by doc_id — more exchanges means a lost partial agg or a
