@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "train_split_stats",
     "dataset_mixing",
     "asof_join_events",
+    "corpus_filter_funnel",
+    "split_leakage",
+    "topic_stats",
 ]
 
 
