@@ -1,0 +1,81 @@
+"""Streaming corpus cleanup: the training-data pipeline as a
+continuously-running ingest.
+
+Batch form: ``functions.corpus.clean_corpus``. This continuous form
+handles the case where documents ARRIVE as a stream (crawl output, log
+tail) and the cleaned corpus must stay deduplicated ACROSS micro-batches
+forever: redaction / quality filters / split assignment are stateless
+map stages (identical to batch), while exact dedup becomes Spark's
+stateful streaming ``dropDuplicates`` on the normalized-text
+fingerprint — the state store keeps one 16-byte md5 per distinct
+document ever seen, so a re-crawled page is dropped even if its first
+copy arrived weeks earlier.
+
+State sizing at scale: the dedup state is fingerprint-only (payloads
+never enter the store), i.e. ~48 bytes/doc with store overhead — 1 B
+docs ≈ 50 GB spread across the cluster's state stores, checkpointed
+incrementally. If unbounded history is not needed, pass
+``dedup_within`` to use ``dropDuplicatesWithinWatermark`` instead and
+the store stays bounded by the watermark horizon.
+
+Near-dup clustering is deliberately NOT part of the continuous path:
+LSH banding + connected components need corpus-wide joins, which is a
+periodic batch job over the cleaned output (run
+``fuzzy.lsh_candidate_pairs`` + ``connected_components`` on a
+schedule) — the same split the reference makes between its data plane
+(continuous) and compaction (periodic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..functions.corpus import quality_flags, split_assignment
+
+
+def clean_corpus_stream(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    event_time_col: str | None = None, dedup_within: str | None = None,
+    min_words: int = 30, min_ttr: float = 0.35,
+    min_stopword_ratio: float = 0.01, max_pattern_density: float = 5.0,
+) -> DataFrame:
+    """Transform a streaming documents DataFrame into the cleaned,
+    deduplicated, split-assigned stream. Pure transformation — attach
+    your own sink/trigger.
+
+    ``dedup_within`` (e.g. ``"7 days"``) bounds dedup state with
+    ``dropDuplicatesWithinWatermark`` on ``event_time_col``; default is
+    exact forever-dedup on the fingerprint.
+    """
+    redacted = docs.withColumn(text_col, text.redact_pii(F.col(text_col)))
+    flagged = quality_flags(
+        redacted, text_col=text_col, min_words=min_words, min_ttr=min_ttr,
+        min_stopword_ratio=min_stopword_ratio,
+        max_pattern_density=max_pattern_density)
+    kept = flagged.filter(F.col("quality_ok")).drop("quality_ok")
+    kept = kept.withColumn("fingerprint", text.fingerprint(F.col(text_col)))
+    if dedup_within is not None:
+        if event_time_col is None:
+            raise ValueError("dedup_within requires event_time_col")
+        kept = kept.withWatermark(event_time_col, dedup_within) \
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+    else:
+        kept = kept.dropDuplicates(["fingerprint"])
+    return kept.withColumn("split", split_assignment(id_col))
+
+
+def start_clean_corpus_stream(
+    docs: DataFrame, *, out_path: str, checkpoint_path: str,
+    available_now: bool = False, **clean_kwargs,
+):
+    """Run the cleanup to a parquet sink (returns StreamingQuery)."""
+    cleaned = clean_corpus_stream(docs, **clean_kwargs)
+    writer = (cleaned.writeStream.format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,64 @@
+"""Streaming corpus-cleanup tests: stateful cross-batch dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+BASE = ("the data " * 40).strip()
+
+
+def _write_docs(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING") \
+        .write.mode(mode).parquet(path)
+
+
+def _run(spark, src, out, ckpt):
+    from incubator_pulsar_spark.streaming.corpus import start_clean_corpus_stream
+
+    schema = spark.read.parquet(src).schema
+    q = start_clean_corpus_stream(
+        spark.readStream.schema(schema).parquet(src),
+        out_path=out, checkpoint_path=ckpt,
+        min_ttr=0.02, available_now=True)
+    q.awaitTermination(120)
+
+
+def test_dedup_state_survives_across_batches(spark, tmp_path):
+    """A document re-arriving in a LATER stream run (same normalized
+    text, new id) is dropped by the persisted dedup state; quality
+    filters and split assignment apply per row."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, src, [
+        Row(doc_id=1, text=BASE + " alpha", source="s"),
+        Row(doc_id=2, text="too short", source="s"),       # quality-dropped
+    ])
+    _run(spark, src, out, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}
+
+    # second run, same checkpoint: duplicate content + one new doc
+    _write_docs(spark, src, [
+        Row(doc_id=7, text=BASE + " alpha", source="s"),   # dup of doc 1
+        Row(doc_id=8, text=BASE + " beta", source="s"),    # genuinely new
+    ])
+    _run(spark, src, out, ckpt)
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 8}
+    assert rows[8].split in ("train", "val", "test")
+    assert rows[8].fingerprint and rows[8].n_words == 81
+
+
+def test_dedup_within_requires_event_time(spark, tmp_path):
+    import pytest
+
+    from incubator_pulsar_spark.streaming.corpus import clean_corpus_stream
+
+    src = str(tmp_path / "src")
+    _write_docs(spark, src, [Row(doc_id=1, text=BASE, source="s")])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError, match="event_time_col"):
+        clean_corpus_stream(stream, dedup_within="1 hour")
