@@ -96,6 +96,57 @@ def seek_by(df: DataFrame, resolver, *, topic_col: str = "topic",
             .filter(keep).drop("_seek_seq", "_seek_ts"))
 
 
+def elect_active_consumer(consumers: list[tuple[str, int]]) -> str:
+    """Failover active-consumer election for partitioned topics
+    (ConsumerBuilder.priorityLevel javadoc): highest priority wins
+    (LOWEST level number), ties broken by lexicographic consumer name.
+    """
+    if not consumers:
+        raise ValueError("no consumers connected")
+    return min(consumers, key=lambda c: (c[1], c[0]))[0]
+
+
+def priority_dispatch_order(consumers: list[tuple[str, int, int]]) -> list[str]:
+    """Shared-subscription dispatch order under priority levels
+    (ConsumerBuilder.priorityLevel javadoc example): the broker
+    round-robins one permit at a time across the highest-priority
+    consumers with permits remaining, then falls to the next level —
+    e.g. C1(p0,2) C2(p0,1) C3(p0,1) C4(p1,2) C5(p1,1) dispatches as
+    C1 C2 C3 C1 C4 C5 C4.
+
+    ``consumers`` is [(name, priority_level, permits)]; returns the full
+    dispatch sequence until all permits drain. Control-plane helper (a
+    handful of consumers) — the data path equivalent is the Spark
+    scheduler, which this models for parity tests and routing tables.
+    """
+    order: list[str] = []
+    remaining = {name: permits for name, _, permits in consumers}
+    by_level: dict[int, list[str]] = {}
+    for name, level, _ in consumers:
+        by_level.setdefault(level, []).append(name)
+    for level in sorted(by_level):
+        names = by_level[level]
+        while any(remaining[n] > 0 for n in names):
+            for n in names:
+                if remaining[n] > 0:
+                    order.append(n)
+                    remaining[n] -= 1
+    return order
+
+
+def assign_partitions_by_priority(
+    partitions: list[int], consumers: list[tuple[str, int]],
+) -> dict[int, str]:
+    """Partitioned-topic failover assignment: partitions spread evenly
+    (round-robin) over the HIGHEST-priority consumer group only, names
+    sorted lexicographically (ConsumerBuilder.priorityLevel javadoc)."""
+    if not consumers:
+        raise ValueError("no consumers connected")
+    top = min(level for _, level in consumers)
+    names = sorted(n for n, level in consumers if level == top)
+    return {p: names[i % len(names)] for i, p in enumerate(sorted(partitions))}
+
+
 def batch_receive(df: DataFrame, *, max_messages: int | None = None,
                   max_bytes: int | None = None, value_col: str = "value",
                   sequence_col: str = "sequence") -> DataFrame:

@@ -222,3 +222,25 @@ def test_seek_by_function_per_topic(spark):
 
     with pytest.raises(TypeError):
         sub.seek_by(df, lambda t: "bad")
+
+
+def test_priority_dispatch_order_matches_reference_example():
+    """The exact worked example from ConsumerBuilder.priorityLevel."""
+    got = sub.priority_dispatch_order(
+        [("C1", 0, 2), ("C2", 0, 1), ("C3", 0, 1), ("C4", 1, 2), ("C5", 1, 1)])
+    assert got == ["C1", "C2", "C3", "C1", "C4", "C5", "C4"]
+
+
+def test_failover_election_matches_reference_example():
+    # same priority → lexicographic name
+    assert sub.elect_active_consumer([("aaa", 0), ("bbb", 0)]) == "aaa"
+    # higher priority (lower level) wins regardless of name
+    assert sub.elect_active_consumer([("aaa", 1), ("bbb", 0)]) == "bbb"
+    with pytest.raises(ValueError):
+        sub.elect_active_consumer([])
+
+
+def test_partition_assignment_goes_to_top_priority_group():
+    got = sub.assign_partitions_by_priority(
+        [0, 1, 2, 3], [("low", 2), ("b", 0), ("a", 0)])
+    assert got == {0: "a", 1: "b", 2: "a", 3: "b"}  # 'low' gets nothing
