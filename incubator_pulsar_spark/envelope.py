@@ -159,17 +159,31 @@ COMPRESSION_CODECS = {
 
 
 def write_topic(df: DataFrame, path: str, mode: str = "append",
-                compression: str | None = None) -> None:
+                compression: str | None = None,
+                partition_by_date: bool = False) -> None:
     """Producer.send for a whole DataFrame: append to the topic log.
 
-    Partitioned by ``partition`` so per-partition order (sequence) maps to
-    file order within a partition directory; at scale add
-    ``partitionBy(partition_date)`` for time-pruned reads.
-    ``compression`` takes a reference CompressionType name (LZ4/ZLIB/
-    ZSTD/SNAPPY/NONE) and maps it to the parquet codec; default leaves
-    the session codec in force.
+    Partitioned by ``partition`` so per-partition order (sequence) maps
+    to file order within a partition directory. ``compression`` takes a
+    reference CompressionType name (LZ4/ZLIB/ZSTD/SNAPPY/NONE) and maps
+    it to the parquet codec; default leaves the session codec in force.
+
+    ``partition_by_date=True`` adds a ``publish_date`` directory level
+    derived from ``publish_time`` — the ledger-rollover analogue. At
+    100 TB this is what makes seek-by-timestamp, TTL expiry and
+    retention O(touched days) instead of O(topic):
+    ``subscriptions.seek_timestamp`` adds the implied
+    ``publish_date >= date(X)`` bound (Spark cannot derive it from the
+    row filter), which becomes a PartitionFilter that never lists the
+    pruned directories; retention is a directory delete (the reference
+    gets the same effect from ledger boundaries,
+    PersistentMessageFinder.java:63).
     """
-    w = df.write.mode(mode).partitionBy("partition")
+    cols = ["partition"]
+    if partition_by_date:
+        df = df.withColumn("publish_date", F.to_date(F.col("publish_time")))
+        cols = ["publish_date", "partition"]
+    w = df.write.mode(mode).partitionBy(*cols)
     if compression is not None:
         w = w.option("compression", COMPRESSION_CODECS[compression.upper()])
     w.parquet(path)

@@ -50,8 +50,18 @@ def seek_sequence(df: DataFrame, sequence: int, *,
 
 
 def seek_timestamp(df: DataFrame, ts, *, publish_time_col: str = "publish_time") -> DataFrame:
-    """Reader.seek(timestamp) (PersistentMessageFinder.findMessages)."""
-    return df.filter(F.col(publish_time_col) >= ts)
+    """Reader.seek(timestamp) (PersistentMessageFinder.findMessages).
+
+    On a date-partitioned topic (``write_topic(partition_by_date=True)``)
+    the implied ``publish_date >= date(ts)`` bound is added too — Spark
+    cannot infer it from the row filter, and it is what turns the seek
+    into directory pruning (PartitionFilters) instead of a full scan:
+    the storage analogue of the reference's ledger-boundary search.
+    """
+    out = df.filter(F.col(publish_time_col) >= ts)
+    if "publish_date" in df.columns:
+        out = out.filter(F.col("publish_date") >= F.to_date(F.lit(ts)))
+    return out
 
 
 def seek_by(df: DataFrame, resolver, *, topic_col: str = "topic",

@@ -570,3 +570,32 @@ def test_write_topic_compression_codecs(spark, tmp_path):
         assert files
         if ext:
             assert all(f".{ext}." in f for f in files), (codec, files)
+
+
+def test_write_topic_partition_by_date_prunes(spark, tmp_path):
+    """Date-partitioned topic: a publish_time range filter must prune
+    directories (PartitionFilters on publish_date), the storage-level
+    seek-by-timestamp at scale."""
+    import datetime as dt
+
+    from incubator_pulsar_spark.envelope import build_envelope, write_topic
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=str(i), v=f"m{i}", i=i,
+                pt=t0 + dt.timedelta(days=i // 4)) for i in range(12)]
+    env = build_envelope(spark.createDataFrame(rows), topic="t", key="k",
+                         value=F.col("v"), sequence="i", publish_time="pt")
+    path = str(tmp_path / "topic")
+    write_topic(env, path, partition_by_date=True)
+
+    from incubator_pulsar_spark.operators.subscriptions import seek_timestamp
+
+    read = seek_timestamp(spark.read.parquet(path), t0 + dt.timedelta(days=2))
+    assert sorted(r.sequence for r in read.collect()) == list(range(8, 12))
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "publish_date" in pf, f"no directory pruning: {pf!r}"
