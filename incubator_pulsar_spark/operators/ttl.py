@@ -34,7 +34,10 @@ def expire_ttl(df: DataFrame, ttl_seconds: int, *, now: Column | datetime | None
         F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     )
     cutoff = now_c - F.make_interval(secs=F.lit(ttl_seconds))
-    return df.filter(F.col(publish_time_col) >= cutoff)
+    out = df.filter(F.col(publish_time_col) >= cutoff)
+    if "publish_date" in df.columns:  # date-partitioned topic → prune dirs
+        out = out.filter(F.col("publish_date") >= F.to_date(cutoff))
+    return out
 
 
 def seek_timestamp(df: DataFrame, ts, *, publish_time_col: str = "publish_time") -> DataFrame:
@@ -44,7 +47,10 @@ def seek_timestamp(df: DataFrame, ts, *, publish_time_col: str = "publish_time")
     publish_time >= ts; everything from there onward is delivered.
     """
     ts_c = ts if isinstance(ts, Column) else F.lit(ts).cast("timestamp")
-    return df.filter(F.col(publish_time_col) >= ts_c)
+    out = df.filter(F.col(publish_time_col) >= ts_c)
+    if "publish_date" in df.columns:  # date-partitioned topic → prune dirs
+        out = out.filter(F.col("publish_date") >= F.to_date(ts_c))
+    return out
 
 
 def seek_sequence(df: DataFrame, sequence: int, *, inclusive: bool = True,
