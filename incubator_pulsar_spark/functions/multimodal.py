@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-The decode kernels themselves (JPEG decode, resampling, frame sampling)
-need codec libraries not present in this container — they are stubbed
-behind ``_require_codec`` with deterministic fakes so the Spark-side
-plumbing (schema, Arrow batch shape, partitioning, UDF signatures) is
-real and tested. Swapping in Pillow/torchaudio/av later changes only the
-kernel body, not the plan.
+Two tiers of kernel:
+
+- **Real kernels** for the dependency-free PPM (P6) image format —
+  ``decode_ppm_images`` / ``resize_ppm_images`` genuinely parse,
+  resample and re-encode pixels with numpy alone.
+- **Stub kernels** for codec-library formats (JPEG/PNG/MP4 decode,
+  audio resampling) — gated behind ``_require_codec`` with
+  deterministic fakes so the Spark-side plumbing (schema, Arrow batch
+  shape, partitioning, UDF signatures) is real and tested. Swapping in
+  Pillow/torchaudio/av later changes only the kernel body, not the
+  plan.
 
 Scale: every op is ``mapInPandas`` (Arrow-batched, zero-copy binary) so
 a 100 TB media corpus streams through executors batch-by-batch without
@@ -121,6 +126,133 @@ def sample_video_frames(df: DataFrame, *, every_ms: int = 1000,
                                                 F.lit(":"), F.col("frame_idx").cast("string"))))
         .select(id_col, "frame_idx", "frame_ts_ms", "frame_md5")
     )
+
+
+# ------------------------------------------------------- real PPM kernels
+#
+# PPM (P6) is a header + raw RGB bytes — decodable with numpy alone, so
+# for this format the decode / resize / featurize kernels are REAL, not
+# stubs: they parse pixels, resample them, and re-encode. Codec-library
+# formats (JPEG/PNG/MP4) remain behind the stub kernels above until a
+# codec lib is present; the Arrow plumbing is identical either way.
+
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(arr) -> bytes:
+    """(H, W, 3) uint8 array → P6 bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """P6 bytes → (H, W, 3) uint8 array; None for non-PPM payloads."""
+    import numpy as np
+
+    if data is None or not bytes(data).startswith(PPM_MAGIC):
+        return None
+    buf = bytes(data)
+    # header = magic, width, height, maxval — whitespace separated, with
+    # optional '#' comment lines
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(buf):
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            while i < len(buf) and buf[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        tokens.append(buf[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        return None  # 16-bit PPM out of scope
+    pixels = np.frombuffer(buf, dtype="uint8", offset=i, count=h * w * 3)
+    return pixels.reshape(h, w, 3)
+
+
+def _resize_nearest(arr, width: int, height: int):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[np.ix_(yi, xi)]
+
+
+def decode_ppm_images(df: DataFrame, *, content_col: str = "content",
+                      id_col: str = "media_id") -> DataFrame:
+    """REAL decode: parse P6 payloads → dimensions + per-channel means
+    (the simplest true image feature). Non-PPM payloads yield NULLs so
+    mixed corpora pass through without poisoning the batch."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+        for pdf in batches:
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                arr = decode_ppm(raw)
+                rows["media_id"].append(mid)
+                if arr is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                else:
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    means = arr.reshape(-1, 3).mean(axis=0)
+                    rows["mean_r"].append(round(float(means[0]), 6))
+                    rows["mean_g"].append(round(float(means[1]), 6))
+                    rows["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(rows)
+            rows = {k.name: [] for k in out_schema.fields}
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
+def resize_ppm_images(df: DataFrame, *, width: int, height: int,
+                      content_col: str = "content") -> DataFrame:
+    """REAL resize: nearest-neighbor resample of P6 payloads, re-encoded
+    as P6, metadata rewritten. Non-PPM payloads pass through untouched."""
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            new_content = []
+            resized = []
+            for raw in pdf[content_col]:
+                arr = decode_ppm(raw)
+                if arr is None:
+                    new_content.append(raw)
+                    resized.append(False)
+                else:
+                    new_content.append(encode_ppm(_resize_nearest(arr, width, height)))
+                    resized.append(True)
+            pdf[content_col] = new_content
+            if "width" in pdf:
+                pdf.loc[resized, "width"] = width
+            if "height" in pdf:
+                pdf.loc[resized, "height"] = height
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -366,3 +366,67 @@ def test_jaccard_auto_picks_strategy(spark):
     lo_ref = {(r.doc_a, r.doc_b) for r in
               fuzzy.jaccard_pairs(docs, k=3, threshold=0.3).collect()}
     assert hi == hi_ref and lo == lo_ref
+
+
+class TestPpmKernels:
+    """REAL image kernels on the dependency-free PPM (P6) format."""
+
+    def _img(self, h, w):
+        import numpy as np
+
+        return (np.arange(h * w * 3, dtype="uint32") % 256).astype("uint8") \
+            .reshape(h, w, 3)
+
+    def test_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        arr = self._img(5, 7)
+        assert np.array_equal(mm.decode_ppm(mm.encode_ppm(arr)), arr)
+
+    def test_decode_handles_comments_and_rejects_non_ppm(self):
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        arr = self._img(2, 2)
+        raw = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+        assert np.array_equal(mm.decode_ppm(raw), arr)
+        assert mm.decode_ppm(b"not an image") is None
+        assert mm.decode_ppm(None) is None
+
+    def test_decode_images_dataframe(self, spark):
+        from pyspark.sql import Row
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        import numpy as np
+
+        solid = np.full((4, 4, 3), (10, 20, 30), dtype="uint8")
+        df = spark.createDataFrame([
+            Row(media_id=1, content=bytearray(mm.encode_ppm(solid))),
+            Row(media_id=2, content=bytearray(b"garbage")),
+        ], "media_id LONG, content BINARY")
+        got = {r.media_id: r for r in mm.decode_ppm_images(df).collect()}
+        assert (got[1].width, got[1].height) == (4, 4)
+        assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (10.0, 20.0, 30.0)
+        assert got[2].width is None and got[2].mean_r is None
+
+    def test_resize_real_pixels(self, spark):
+        import numpy as np
+
+        from pyspark.sql import Row
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        arr = self._img(4, 4)
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(mm.encode_ppm(arr)),
+                 width=4, height=4)],
+            "media_id LONG, content BINARY, width INT, height INT")
+        out = mm.resize_ppm_images(df, width=2, height=2).collect()[0]
+        assert (out.width, out.height) == (2, 2)
+        got = mm.decode_ppm(out.content)
+        # nearest-neighbor: rows/cols 0 and 2 of the source survive
+        assert np.array_equal(got, arr[np.ix_([0, 2], [0, 2])])
