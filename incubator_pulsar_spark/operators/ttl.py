@@ -72,6 +72,34 @@ def reader_range(df: DataFrame, *, start_sequence: int | None = None,
     return out
 
 
+def trim_topic_by_date(topic_path: str, older_than, *, dry_run: bool = False) -> list[str]:
+    """Storage-maintenance retention for date-partitioned topics
+    (``write_topic(partition_by_date=True)``): DELETE whole
+    ``publish_date=`` day directories older than the cutoff — the
+    ledger-deletion analogue (RetentionPolicies / ledger trimming), run
+    as a scheduled job, never in the query path.
+
+    O(days trimmed): no data is read, directories are removed. Returns
+    the (relative) directory names removed; ``dry_run`` lists without
+    deleting.
+    """
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    cutoff = older_than.date() if isinstance(older_than, _dt.datetime) else older_than
+    removed: list[str] = []
+    for name in sorted(_os.listdir(topic_path)):
+        if not name.startswith("publish_date="):
+            continue
+        day = _dt.date.fromisoformat(name.split("=", 1)[1])
+        if day < cutoff:
+            if not dry_run:
+                _shutil.rmtree(_os.path.join(topic_path, name))
+            removed.append(name)
+    return removed
+
+
 def apply_retention(
     df: DataFrame,
     *,

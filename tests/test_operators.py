@@ -599,3 +599,31 @@ def test_write_topic_partition_by_date_prunes(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "publish_date" in pf, f"no directory pruning: {pf!r}"
+
+
+def test_trim_topic_by_date(spark, tmp_path):
+    """Retention as directory delete on a date-partitioned topic: days
+    before the cutoff vanish without reading any data."""
+    import datetime as dt
+
+    from incubator_pulsar_spark.envelope import build_envelope, write_topic
+    from incubator_pulsar_spark.operators.ttl import trim_topic_by_date
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=str(i), v=f"m{i}", i=i,
+                pt=t0 + dt.timedelta(days=i // 3)) for i in range(9)]
+    env = build_envelope(spark.createDataFrame(rows), topic="t", key="k",
+                         value=F.col("v"), sequence="i", publish_time="pt")
+    path = str(tmp_path / "topic")
+    write_topic(env, path, partition_by_date=True)
+
+    preview = trim_topic_by_date(path, dt.date(2024, 1, 2), dry_run=True)
+    assert preview == ["publish_date=2024-01-01"]
+    assert spark.read.parquet(path).count() == 9  # dry run touched nothing
+
+    removed = trim_topic_by_date(path, dt.date(2024, 1, 2))
+    assert removed == ["publish_date=2024-01-01"]
+    left = spark.read.parquet(path)
+    assert sorted(r.sequence for r in left.collect()) == list(range(3, 9))
