@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "corpus_filter_funnel",
     "split_leakage",
     "topic_stats",
+    "media_ppm_decode",
 ]
 
 
