@@ -255,6 +255,100 @@ def resize_ppm_images(df: DataFrame, *, width: int, height: int,
     return df.mapInPandas(kernel, schema)
 
 
+# ------------------------------------------------------- real WAV kernels
+#
+# WAV (RIFF PCM) is the dependency-free audio format: a chunked header
+# + raw int16 samples, parseable with numpy alone — so the audio
+# decode/stats kernel is REAL too (compressed formats stay stubbed).
+
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """int16 sample array → RIFF/WAVE PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(s)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(s)) + s)
+
+
+def decode_wav(data: bytes):
+    """RIFF/WAVE PCM bytes → (sample_rate, channels, int16 array) or
+    None for non-WAV / non-PCM payloads. Walks the chunk list properly
+    (fmt/data may be preceded by LIST/INFO chunks in real files)."""
+    import struct
+
+    import numpy as np
+
+    if data is None:
+        return None
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = None
+    samples = None
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        size = struct.unpack("<I", buf[i + 4:i + 8])[0]
+        body = buf[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1:  # non-PCM out of scope
+                return None
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        return None
+    return rate, channels, samples
+
+
+def decode_wav_audio(df: DataFrame, *, content_col: str = "content",
+                     id_col: str = "media_id") -> DataFrame:
+    """REAL audio decode: parse RIFF PCM payloads → sample stats. The
+    mean-square power is reported instead of RMS so the value stays an
+    exact rational (sqrt differs in the last ulp across engines — the
+    correctness harness cross-checks this column bit-for-bit)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("mean_square", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                parsed = decode_wav(raw)
+                rows["media_id"].append(mid)
+                if parsed is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "mean_square", "peak"):
+                        rows[k].append(None)
+                else:
+                    rate, _, s = parsed
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(len(s))
+                    rows["duration_ms"].append(round(len(s) * 1000.0 / rate, 6))
+                    sq = s.astype("int64") ** 2
+                    rows["mean_square"].append(
+                        round(float(sq.mean()), 6) if len(s) else None)
+                    rows["peak"].append(
+                        int(np.abs(s.astype("int64")).max()) if len(s) else None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: fake a media corpus from the documents table (text bytes as
     payload) so multimodal plumbing has a deterministic fixture."""

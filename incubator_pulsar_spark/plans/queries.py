@@ -964,6 +964,59 @@ ORDER BY media_id
 """
 
 
+def media_wav_decode(spark, sf_dir):
+    """REAL audio-decode kernel under the exact oracle: each document's
+    first 32 bytes become 16 little-endian int16 samples, packed into a
+    genuine RIFF/WAVE container (multimodal.encode_wav) and decoded back
+    by the real chunk-walking parser (decode_wav_audio); sample stats
+    are cross-checked against DuckDB computing them straight from
+    character codes (mean SQUARE, not RMS — sqrt would differ in the
+    last ulp). ASCII chars < 128 keep every sample positive, so byte
+    pairing is sign-free on both engines.
+    """
+    from ..functions.multimodal import decode_wav_audio, encode_wav
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.substring(F.rpad(F.col("text"), 32, "x"), 1, 32)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode(body, "UTF-8").alias("raw"))
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            contents = [encode_wav(np.frombuffer(bytes(raw), dtype="<i2"), 8000)
+                        for raw in pdf["raw"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": contents})
+
+    packed = media.mapInPandas(pack, "media_id long, content binary")
+    return decode_wav_audio(packed).orderBy("media_id")
+
+
+MEDIA_WAV_SQL = """
+WITH t AS (
+  SELECT doc_id, substring(rpad(text, 32, 'x'), 1, 32) AS body FROM documents
+), pos AS (
+  SELECT doc_id, body, unnest(range(0, 16)) AS i FROM t
+), v AS (
+  SELECT doc_id,
+         ord(substring(body, i * 2 + 1, 1))
+         + 256 * ord(substring(body, i * 2 + 2, 1)) AS s
+  FROM pos
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS n_samples,
+       round(16 * 1000.0 / 8000, 6) AS duration_ms,
+       round(avg(CAST(s AS DOUBLE) * s), 6) AS mean_square,
+       CAST(MAX(abs(s)) AS INTEGER) AS peak
+FROM v
+GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
 def running_revenue(spark, sf_dir):
     """Analytic window functions (SURVEY §2.4 absent list): per-customer
     running order-value sum + rank in customer by price."""
@@ -2687,8 +2740,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
-        Query("media_features", media_features, None),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
+        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
         # --- LLM-data-pipeline operators (BASELINE.json extras) ---
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
@@ -2718,7 +2771,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         # --- tail: driver-green in r01 AND r02, unchanged; locally
-        # verified every round by tools/oracle_check.py ---
+        # verified every round by tools/oracle_check.py (media_features:
+        # rows-only stub-kernel row, superseded in the head by the REAL
+        # ppm/wav decode queries with exact oracles) ---
+        Query("media_features", media_features, None),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),

@@ -430,3 +430,58 @@ class TestPpmKernels:
         got = mm.decode_ppm(out.content)
         # nearest-neighbor: rows/cols 0 and 2 of the source survive
         assert np.array_equal(got, arr[np.ix_([0, 2], [0, 2])])
+
+
+class TestWavKernels:
+    """REAL audio kernels on the dependency-free RIFF PCM format."""
+
+    def test_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        s = np.array([0, 1, -1, 32767, -32768, 123], dtype="<i2")
+        rate, ch, back = mm.decode_wav(mm.encode_wav(s, 44100, channels=1))
+        assert (rate, ch) == (44100, 1)
+        assert np.array_equal(back, s)
+
+    def test_decode_skips_extra_chunks(self):
+        import struct
+
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        s = np.array([5, -5], dtype="<i2")
+        raw = bytearray(mm.encode_wav(s, 8000))
+        # splice a LIST chunk between WAVE and fmt (odd size → padded)
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        spliced = bytes(raw[:12]) + extra + bytes(raw[12:])
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate, _, back = mm.decode_wav(spliced)
+        assert rate == 8000 and np.array_equal(back, s)
+
+    def test_decode_rejects_non_wav(self):
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        assert mm.decode_wav(b"RIFFxxxxAVI ") is None
+        assert mm.decode_wav(b"short") is None
+        assert mm.decode_wav(None) is None
+
+    def test_decode_audio_dataframe(self, spark):
+        import numpy as np
+
+        from pyspark.sql import Row
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        s = np.array([3, 4], dtype="<i2")  # mean_square = (9+16)/2 = 12.5
+        df = spark.createDataFrame([
+            Row(media_id=1, content=bytearray(mm.encode_wav(s, 16000))),
+            Row(media_id=2, content=bytearray(b"not audio")),
+        ], "media_id LONG, content BINARY")
+        got = {r.media_id: r for r in mm.decode_wav_audio(df).collect()}
+        r1 = got[1]
+        assert (r1.sample_rate, r1.n_samples, r1.peak) == (16000, 2, 4)
+        assert r1.mean_square == 12.5 and r1.duration_ms == 0.125
+        assert got[2].sample_rate is None
