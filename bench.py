@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "topic_stats",
     "media_ppm_decode",
+    "media_wav_decode",
 ]
 
 
