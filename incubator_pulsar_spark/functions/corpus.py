@@ -92,6 +92,21 @@ def clean_corpus(
     return deduped.withColumn("split", split_assignment(id_col))
 
 
+def temperature_weights(counts: dict[str, int], *, alpha: float = 0.5,
+                        ndigits: int = 6) -> dict[str, float]:
+    """Temperature-scaled source sampling weights: w_s ∝ n_s^alpha,
+    normalized — the standard multilingual/multi-source re-balancing
+    rule (alpha=1 keeps natural proportions, alpha→0 approaches
+    uniform, upweighting small sources). Pure driver-side math over the
+    per-source counts (control-plane sized); feed the result into a
+    hash-threshold sample like ``dataset_mixing`` to materialize it."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    powered = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
+    total = sum(powered.values())
+    return {s: round(v / total, ndigits) for s, v in sorted(powered.items())}
+
+
 def corpus_report(cleaned: DataFrame, *, source_col: str = "source") -> DataFrame:
     """Per (split, source) survivor counts + word totals — the summary a
     dataset card quotes."""

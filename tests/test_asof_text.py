@@ -177,3 +177,27 @@ class TestCleanCorpus:
         rep = corpus_report(clean_corpus(self._docs(spark), min_ttr=0.02))
         assert rep.columns == ["split", "source", "n_docs", "sum_words"]
         assert sum(r.n_docs for r in rep.collect()) == 2
+
+
+class TestTemperatureWeights:
+    def test_natural_and_uniform_limits(self):
+        import pytest
+
+        from incubator_pulsar_spark.functions.corpus import temperature_weights
+
+        counts = {"big": 900, "small": 100}
+        natural = temperature_weights(counts, alpha=1.0)
+        assert natural == {"big": 0.9, "small": 0.1}
+        uniform = temperature_weights(counts, alpha=0.0)
+        assert uniform == {"big": 0.5, "small": 0.5}
+        # 0 < alpha < 1 upweights the small source vs natural
+        mid = temperature_weights(counts, alpha=0.5)
+        assert 0.1 < mid["small"] < 0.5
+        assert abs(sum(mid.values()) - 1.0) < 1e-6
+        with pytest.raises(ValueError):
+            temperature_weights(counts, alpha=-1)
+
+    def test_zero_count_sources_dropped(self):
+        from incubator_pulsar_spark.functions.corpus import temperature_weights
+
+        assert temperature_weights({"a": 10, "b": 0}, alpha=1.0) == {"a": 1.0}

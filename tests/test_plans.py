@@ -217,6 +217,17 @@ class TestPlanQuality:
         assert not re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
                              plan), f"{name}: Python stage appeared"
 
+    @pytest.mark.parametrize("name", ["media_ppm_decode", "media_wav_decode"])
+    def test_media_decode_arrow_only(self, spark, name):
+        """Real decode kernels run as Arrow stages over a map-side
+        payload build — no join, no agg shuffle (only the output sort)."""
+        plan = executed_plan(spark, name)
+        assert re.search(r"ArrowEvalPython|MapInPandas", plan), \
+            f"{name}: expected an Arrow kernel stage"
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 0, \
+            f"{name}: unexpected keyed shuffle"
+
     def test_repetition_bounded_shuffles(self, spark):
         """Repetition stats: bigram agg + top-1 window + join back, all
         keyed by doc_id — more exchanges means a lost partial agg or a
