@@ -1522,6 +1522,38 @@ ORDER BY source
 """
 
 
+def auto_consume_events(spark, sf_dir):
+    """AUTO_CONSUME under the exact gate (SchemaType.java:165 /
+    Schema.AUTO_CONSUME): the events topic's JSON payload schema is
+    INFERRED from a bounded sample (registry.infer_schema — the
+    GenericRecord path, no registry lookup), every row decoded with
+    from_json against the inferred StructType, and the decoded field
+    aggregated — cross-checked against DuckDB's json_extract.
+    Deterministic because the payload shape is fixed; the inference
+    sample is bounded so the schema step costs O(1) at any topic size.
+    """
+    from .. import registry as reg
+
+    ev = _t(spark, sf_dir, "events")
+    schema = reg.infer_schema(spark, ev, value_col="props")
+    parsed = ev.select(F.from_json(F.col("props"), schema).alias("p"))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_mod")
+    )
+
+
+AUTO_CONSUME_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def topic_stats(spark, sf_dir):
     """Admin-API topic stats (PersistentTopicsBase.getStats /
     Topic.asyncGetStats analogue): per-producer message counts, key
@@ -2732,13 +2764,13 @@ ALL_QUERIES: dict[str, Query] = {
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
-        Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
         Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
@@ -2774,6 +2806,7 @@ ALL_QUERIES: dict[str, Query] = {
         # verified every round by tools/oracle_check.py (media_features:
         # rows-only stub-kernel row, superseded in the head by the REAL
         # ppm/wav decode queries with exact oracles) ---
+        Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("media_features", media_features, None),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
