@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "topic_stats",
     "media_ppm_decode",
     "media_wav_decode",
+    "auto_consume_events",
 ]
 
 
