@@ -1356,10 +1356,12 @@ WITH w AS (
          unnest(range(1, greatest(len(words) - 4, 1) + 1)) AS i
   FROM w
 ), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+  SELECT DISTINCT doc_id,
+         COALESCE(array_to_string(list_slice(words, i, i + 4), ' '), '') AS gram
   FROM pos
 ), probes AS (
-  SELECT doc_id AS probe_id, array_to_string(list_slice(words, 1, 5), ' ') AS gram
+  SELECT doc_id AS probe_id,
+         COALESCE(array_to_string(list_slice(words, 1, 5), ' '), '') AS gram
   FROM w WHERE doc_id % 25 = 0
 )
 SELECT probe_id, p.gram AS gram, CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs
@@ -1424,7 +1426,9 @@ WITH w AS (
   SELECT doc_id, words, unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS i
   FROM w
 ), big AS (
-  SELECT doc_id, array_to_string(list_slice(words, i, i + 1), ' ') AS bigram FROM pos
+  SELECT doc_id,
+         COALESCE(array_to_string(list_slice(words, i, i + 1), ' '), '') AS bigram
+  FROM pos
 ), counts AS (
   SELECT doc_id, bigram, COUNT(*) AS n FROM big GROUP BY doc_id, bigram
 ), top AS (
@@ -1714,7 +1718,7 @@ WITH s AS (
   FROM s
 ), sh AS (
   SELECT DISTINCT doc_id, split,
-         array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+         COALESCE(array_to_string(list_slice(words, i, i + 2), ' '), '') AS gram
   FROM pos
 )
 SELECT t.doc_id AS test_doc_id,

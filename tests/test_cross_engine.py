@@ -92,3 +92,26 @@ def test_md5_split_assignment_agrees(spark, duck, ids):
                     ELSE 'test' END
         FROM ids""").fetchall())
     assert got == want
+
+
+@given(ts=ascii_texts)
+@SLOW
+def test_word_shingles_agree_with_list_slice(spark, duck, ts):
+    """Distinct 3-gram shingles: Spark sequence+slice+array_join vs
+    DuckDB range+list_slice+array_to_string — the construction behind
+    contamination_check / split_leakage / repetition_stats oracles."""
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(ts)],
+                               "i LONG, s STRING")
+    words = df.select("i", text.word_tokens(F.col("s")).alias("_w"))
+    got = {r.i: sorted(r.o) for r in words.select(
+        "i", text.word_shingles(F.col("_w"), 3).alias("o")).collect()}
+    duck.execute("CREATE OR REPLACE TABLE t (i BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(ts)))
+    want = {i: sorted(v) for i, v in duck.execute("""
+        WITH w AS (SELECT i, regexp_extract_all(lower(s), '[a-z]+') AS words FROM t),
+        pos AS (SELECT i, words, unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS p FROM w),
+        sh AS (SELECT DISTINCT i,
+                      COALESCE(array_to_string(list_slice(words, p, p + 2), ' '), '') AS g
+               FROM pos)
+        SELECT i, list(g) FROM sh GROUP BY i""").fetchall()}
+    assert got == want
