@@ -115,3 +115,22 @@ def test_word_shingles_agree_with_list_slice(spark, duck, ts):
                FROM pos)
         SELECT i, list(g) FROM sh GROUP BY i""").fetchall()}
     assert got == want
+
+
+@given(vals=st.lists(
+    st.decimals(min_value="-99999.99", max_value="99999.99", places=2),
+    min_size=1, max_size=40))
+@SLOW
+def test_decimal_sum_cast_double_agrees(spark, duck, vals):
+    """SUM over DECIMAL(18,4)-cast doubles, then CAST AS DOUBLE — the
+    exact-aggregation recipe every revenue oracle uses (order-independent
+    and engine-independent by construction)."""
+    fvals = [float(v) for v in vals]
+    df = spark.createDataFrame([Row(v=v) for v in fvals], "v DOUBLE")
+    got = df.agg(F.sum(F.col("v").cast("decimal(18,4)"))
+                 .cast("double").alias("o")).collect()[0].o
+    duck.execute("CREATE OR REPLACE TABLE d (v DOUBLE)")
+    duck.executemany("INSERT INTO d VALUES (?)", [(v,) for v in fvals])
+    want = duck.execute(
+        "SELECT CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) FROM d").fetchone()[0]
+    assert repr(got) == repr(want)
