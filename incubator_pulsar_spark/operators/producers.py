@@ -29,6 +29,15 @@ place the broker checks (on connect/publish), with the same caveat as
 any non-transactional sink: for atomic multi-topic publishes use
 ``operators.transactions``.
 
+Concurrency model (honest limit): acquisition is read-modify-replace,
+serialized only within one driver process. The reference serializes
+producer registration through the single owning broker; here, two
+SEPARATE drivers racing an acquisition can both believe they won (the
+classic lost update). On shared storage, pair this with an external
+mutex (object-store conditional put, a lock service) if multiple
+drivers manage the same topic — the epoch check still fences any
+producer that lost the race once the winner's record lands.
+
 Scale note: this is control-plane metadata — one tiny JSON per topic,
 read once per batch publish, never per row; nothing here touches the
 data path's plan.
