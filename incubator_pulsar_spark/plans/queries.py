@@ -1333,7 +1333,11 @@ def contamination_check(spark, sf_dir):
     At 100 TB this is the only shape that works: the corpus side stays
     map-local until a tiny (probe, doc) hit set emerges.
     """
-    docs = _t(spark, sf_dir, "documents")
+    from ..session import ensure_parallelism
+
+    # spread the narrow documents scan BEFORE the shingle explode — a
+    # single-file parquet input would otherwise shingle on one core
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     words_tbl = docs.select("doc_id", text.word_tokens(F.col("text")).alias("_words"))
     shingles = words_tbl.select(
         "doc_id", F.explode(text.word_shingles(F.col("_words"), 5)).alias("gram"))
@@ -1384,7 +1388,9 @@ def repetition_stats(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    from ..session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     words_tbl = docs.select("doc_id", text.word_tokens(F.col("text")).alias("_words"))
     nw = F.size("_words")
     stats = words_tbl.select(
@@ -1684,7 +1690,9 @@ def split_leakage(spark, sf_dir):
     on the gram — shuffle keys are fixed-width grams, payloads never
     move; the per-test-doc counts are one more keyed agg.
     """
-    docs = _t(spark, sf_dir, "documents")
+    from ..session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     words_tbl = docs.select(
         "doc_id", corpus.split_assignment("doc_id").alias("split"),
         text.word_tokens(F.col("text")).alias("_words"))
