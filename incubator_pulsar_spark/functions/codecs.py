@@ -270,9 +270,15 @@ class _ProtoParser:
             else:
                 self.skip_statement()
 
-    def parse_message(self, name: str) -> None:
+    def parse_message(self, name: str, prefix: str = "") -> None:
+        # Messages register under their QUALIFIED name only
+        # (Parent.Inner): two nested messages sharing a bare name in
+        # different parents must not clobber each other; bare field
+        # references resolve innermost-scope-first in _resolve_type,
+        # matching protobuf's own name resolution.
+        full = f"{prefix}{name}"
         assert self.next() == "{", f"expected '{{' after message {name}"
-        fields = self.raw.setdefault(name, [])
+        fields = self.raw.setdefault(full, [])
         while True:
             t = self.peek()
             if t is None:
@@ -283,8 +289,7 @@ class _ProtoParser:
             if t == "message":
                 self.next()
                 inner = self.next()
-                self.parse_message(inner)
-                self.raw[f"{name}.{inner}"] = self.raw[inner]
+                self.parse_message(inner, prefix=f"{full}.")
                 continue
             if t == "enum":
                 self.next()
@@ -330,7 +335,8 @@ class _ProtoParser:
                 f"recursive message {message_name!r} has no finite Spark schema")
         fields: list[T.StructField] = []
         for kind, label, tname, fname in self.raw[message_name]:
-            dt = self._resolve_type(tname, _stack + (message_name,))
+            dt = self._resolve_type(tname, _stack + (message_name,),
+                                    scope=message_name)
             if kind == "map":
                 fields.append(T.StructField(
                     fname, T.MapType(T.StringType(), dt, True), True))
@@ -340,14 +346,20 @@ class _ProtoParser:
                 fields.append(T.StructField(fname, dt, label != "required"))
         return T.StructType(fields)
 
-    def _resolve_type(self, tname: str, _stack: tuple[str, ...]) -> T.DataType:
+    def _resolve_type(self, tname: str, _stack: tuple[str, ...],
+                      scope: str = "") -> T.DataType:
         if tname in _PROTO_SCALARS:
             return _PROTO_SCALARS[tname]
         if tname in self.enums:
             return T.StringType()
-        if tname in self.raw:
-            return self.resolve(tname, _stack)
-        raise ValueError(f"unknown protobuf type {tname!r}")
+        # protobuf scoping: a (possibly dotted) reference resolves from
+        # the innermost enclosing message outward to the file scope.
+        segments = scope.split(".") if scope else []
+        for k in range(len(segments), -1, -1):
+            candidate = ".".join(segments[:k] + [tname])
+            if candidate in self.raw:
+                return self.resolve(candidate, _stack)
+        raise ValueError(f"unknown protobuf type {tname!r} in scope {scope!r}")
 
 
 def proto_to_spark_schema(proto_text: str, message_name: str) -> T.StructType:

@@ -151,34 +151,41 @@ def encode_ppm(arr) -> bytes:
 
 
 def decode_ppm(data: bytes):
-    """P6 bytes → (H, W, 3) uint8 array; None for non-PPM payloads."""
+    """P6 bytes → (H, W, 3) uint8 array; None for non-PPM payloads.
+
+    Malformed payloads that pass the magic check (truncated pixel data,
+    garbage header tokens) also return None — one corrupt blob in a
+    mixed corpus must degrade to a NULL row, never fail the task."""
     import numpy as np
 
     if data is None or not bytes(data).startswith(PPM_MAGIC):
         return None
     buf = bytes(data)
-    # header = magic, width, height, maxval — whitespace separated, with
-    # optional '#' comment lines
-    tokens: list[bytes] = []
-    i = 2
-    while len(tokens) < 3 and i < len(buf):
-        while i < len(buf) and buf[i:i + 1].isspace():
-            i += 1
-        if buf[i:i + 1] == b"#":
-            while i < len(buf) and buf[i:i + 1] != b"\n":
+    try:
+        # header = magic, width, height, maxval — whitespace separated,
+        # with optional '#' comment lines
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(buf):
+            while i < len(buf) and buf[i:i + 1].isspace():
                 i += 1
-            continue
-        j = i
-        while j < len(buf) and not buf[j:j + 1].isspace():
-            j += 1
-        tokens.append(buf[i:j])
-        i = j
-    i += 1  # single whitespace after maxval
-    w, h, maxval = (int(t) for t in tokens)
-    if maxval != 255:
-        return None  # 16-bit PPM out of scope
-    pixels = np.frombuffer(buf, dtype="uint8", offset=i, count=h * w * 3)
-    return pixels.reshape(h, w, 3)
+            if buf[i:i + 1] == b"#":
+                while i < len(buf) and buf[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(buf) and not buf[j:j + 1].isspace():
+                j += 1
+            tokens.append(buf[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = (int(t) for t in tokens)
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None  # 16-bit PPM out of scope
+        pixels = np.frombuffer(buf, dtype="uint8", offset=i, count=h * w * 3)
+        return pixels.reshape(h, w, 3)
+    except ValueError:  # truncated pixels, non-numeric header, short buffer
+        return None
 
 
 def _resize_nearest(arr, width: int, height: int):
@@ -288,23 +295,26 @@ def decode_wav(data: bytes):
     buf = bytes(data)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
-    i = 12
-    rate = channels = None
-    samples = None
-    while i + 8 <= len(buf):
-        cid = buf[i:i + 4]
-        size = struct.unpack("<I", buf[i + 4:i + 8])[0]
-        body = buf[i + 8:i + 8 + size]
-        if cid == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
-            if audio_fmt != 1:  # non-PCM out of scope
-                return None
-        elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
-        i += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    try:
+        i = 12
+        rate = channels = None
+        samples = None
+        while i + 8 <= len(buf):
+            cid = buf[i:i + 4]
+            size = struct.unpack("<I", buf[i + 4:i + 8])[0]
+            body = buf[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                if audio_fmt != 1:  # non-PCM out of scope
+                    return None
+            elif cid == b"data":
+                samples = np.frombuffer(body, dtype="<i2")
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None or not rate or not channels or samples is None:
+            return None
+        return rate, channels, samples
+    except (ValueError, struct.error):  # short fmt chunk, odd data chunk
         return None
-    return rate, channels, samples
 
 
 def decode_wav_audio(df: DataFrame, *, content_col: str = "content",
@@ -335,10 +345,14 @@ def decode_wav_audio(df: DataFrame, *, content_col: str = "content",
                               "mean_square", "peak"):
                         rows[k].append(None)
                 else:
-                    rate, _, s = parsed
+                    # n_samples counts interleaved samples (frames ×
+                    # channels); duration is frame-based, so a stereo
+                    # clip is NOT reported twice as long.
+                    rate, channels, s = parsed
                     rows["sample_rate"].append(rate)
                     rows["n_samples"].append(len(s))
-                    rows["duration_ms"].append(round(len(s) * 1000.0 / rate, 6))
+                    rows["duration_ms"].append(
+                        round(len(s) * 1000.0 / (rate * channels), 6))
                     sq = s.astype("int64") ** 2
                     rows["mean_square"].append(
                         round(float(sq.mean()), 6) if len(s) else None)

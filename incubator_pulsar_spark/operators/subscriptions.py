@@ -81,7 +81,10 @@ def seek_by(df: DataFrame, resolver, *, topic_col: str = "topic",
     import datetime as _dt
 
     spark = df.sparkSession
-    topics = [r[0] for r in df.select(topic_col).distinct().collect()]
+    # NULL-topic rows pass through the left join unseeked; a None here
+    # would make sorted() raise and resolver(None) is not a topic.
+    topics = [r[0] for r in df.select(topic_col).distinct().collect()
+              if r[0] is not None]
     rows = []
     for t in sorted(topics):
         pos = resolver(t)

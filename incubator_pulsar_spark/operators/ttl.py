@@ -92,7 +92,13 @@ def trim_topic_by_date(topic_path: str, older_than, *, dry_run: bool = False) ->
     for name in sorted(_os.listdir(topic_path)):
         if not name.startswith("publish_date="):
             continue
-        day = _dt.date.fromisoformat(name.split("=", 1)[1])
+        try:
+            day = _dt.date.fromisoformat(name.split("=", 1)[1])
+        except ValueError:
+            # e.g. publish_date=__HIVE_DEFAULT_PARTITION__ (NULL publish
+            # times) — age unknowable, so retention must skip it, not
+            # abort the whole trim.
+            continue
         if day < cutoff:
             if not dry_run:
                 _shutil.rmtree(_os.path.join(topic_path, name))

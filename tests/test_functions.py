@@ -396,6 +396,20 @@ class TestPpmKernels:
         assert mm.decode_ppm(b"not an image") is None
         assert mm.decode_ppm(None) is None
 
+    def test_decode_malformed_after_magic_returns_none(self):
+        """Corrupt payloads that PASS the magic check degrade to None
+        (one bad blob must not fail the whole Spark task)."""
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        arr = self._img(4, 4)
+        whole = mm.encode_ppm(arr)
+        assert mm.decode_ppm(whole[: len(whole) // 2]) is None  # truncated pixels
+        assert mm.decode_ppm(b"P6\nabc def\n255\nxxxx") is None  # garbage header
+        assert mm.decode_ppm(b"P6\n") is None                    # header only
+        assert mm.decode_ppm(b"P6\n-3 2\n255\n" + b"\x00" * 18) is None
+
     def test_decode_images_dataframe(self, spark):
         from pyspark.sql import Row
 
@@ -467,6 +481,43 @@ class TestWavKernels:
         assert mm.decode_wav(b"RIFFxxxxAVI ") is None
         assert mm.decode_wav(b"short") is None
         assert mm.decode_wav(None) is None
+
+    def test_decode_malformed_chunks_return_none(self):
+        """fmt chunk shorter than 8 bytes / odd-length data chunk → None,
+        never struct.error/ValueError out of the kernel."""
+        import struct
+
+        import numpy as np
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        short_fmt = (b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+                     + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+        assert mm.decode_wav(short_fmt) is None
+
+        s = np.array([1, 2], dtype="<i2")
+        raw = bytearray(mm.encode_wav(s, 8000))
+        # corrupt the data chunk size to odd so frombuffer("<i2") would raise
+        data_at = bytes(raw).index(b"data")
+        raw[data_at + 4:data_at + 8] = struct.pack("<I", 3)
+        assert mm.decode_wav(bytes(raw)) is None
+
+    def test_stereo_duration_is_frame_based(self, spark):
+        """Interleaved stereo: duration must divide by channels — a 2ch
+        clip of 4 samples at 8 kHz is 2 frames = 0.25 ms, not 0.5 ms."""
+        import numpy as np
+
+        from pyspark.sql import Row
+
+        from incubator_pulsar_spark.functions import multimodal as mm
+
+        s = np.array([3, -3, 4, -4], dtype="<i2")  # 2 frames × 2 channels
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(mm.encode_wav(s, 8000, channels=2)))],
+            "media_id LONG, content BINARY")
+        r = mm.decode_wav_audio(df).collect()[0]
+        assert r.n_samples == 4  # interleaved samples (frames × channels)
+        assert r.duration_ms == 0.25
 
     def test_decode_audio_dataframe(self, spark):
         import numpy as np

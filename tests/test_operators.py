@@ -627,3 +627,19 @@ def test_trim_topic_by_date(spark, tmp_path):
     assert removed == ["publish_date=2024-01-01"]
     left = spark.read.parquet(path)
     assert sorted(r.sequence for r in left.collect()) == list(range(3, 9))
+
+
+def test_trim_topic_skips_unparseable_partitions(tmp_path):
+    """One NULL publish_time writes publish_date=__HIVE_DEFAULT_PARTITION__;
+    retention must skip that directory (age unknowable), not abort."""
+    import datetime as dt
+    import os
+
+    from incubator_pulsar_spark.operators.ttl import trim_topic_by_date
+
+    path = str(tmp_path / "topic")
+    for d in ("publish_date=2024-01-01", "publish_date=__HIVE_DEFAULT_PARTITION__"):
+        os.makedirs(os.path.join(path, d))
+    removed = trim_topic_by_date(path, dt.date(2024, 6, 1))
+    assert removed == ["publish_date=2024-01-01"]
+    assert os.path.isdir(os.path.join(path, "publish_date=__HIVE_DEFAULT_PARTITION__"))

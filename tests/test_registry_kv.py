@@ -265,6 +265,33 @@ def test_proto_parser_rejects_unknown_type():
             'syntax = "proto3"; message E { Missing m = 1; }', "E")
 
 
+def test_proto_nested_same_bare_name_does_not_clobber():
+    """Two nested messages named Meta in different parents stay distinct:
+    each parent's bare `Meta` reference resolves to ITS OWN nested
+    message (protobuf innermost-scope-first resolution), and qualified
+    references work from anywhere."""
+    from incubator_pulsar_spark.functions import codecs
+
+    src = """
+    syntax = "proto3";
+    message A { message Meta { string x = 1; } Meta m = 1; }
+    message B { message Meta { int64 y = 1; } Meta m = 1; }
+    message C { A.Meta am = 1; B.Meta bm = 2; }
+    """
+    a = codecs.proto_to_spark_schema(src, "A")
+    b = codecs.proto_to_spark_schema(src, "B")
+    assert a["m"].dataType == T.StructType([T.StructField("x", T.StringType(), True)])
+    assert b["m"].dataType == T.StructType([T.StructField("y", T.LongType(), True)])
+    c = codecs.proto_to_spark_schema(src, "C")
+    assert c["am"].dataType == a["m"].dataType
+    assert c["bm"].dataType == b["m"].dataType
+    # nested messages are addressable by qualified name only
+    nested = codecs.proto_to_spark_schema(src, "A.Meta")
+    assert nested == a["m"].dataType
+    with pytest.raises(ValueError):
+        codecs.proto_to_spark_schema(src, "Meta")
+
+
 def test_avro_payload_roundtrip_if_available(spark):
     """Package-gated (like tws/protobuf): executes only on a full Spark
     distribution where org.apache.spark.sql.avro is on the classpath."""

@@ -224,6 +224,30 @@ def test_seek_by_function_per_topic(spark):
         sub.seek_by(df, lambda t: "bad")
 
 
+def test_seek_by_ignores_null_topics(spark):
+    """A NULL topic row must not crash the driver-side sort or be fed to
+    the resolver — it just passes through unseeked."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(topic=t, sequence=i, publish_time=t0 + dt.timedelta(minutes=i))
+            for t in ("t1", None) for i in range(4)]
+    df = spark.createDataFrame(rows, "topic string, sequence long, publish_time timestamp")
+
+    seen = []
+
+    def resolver(t):
+        seen.append(t)
+        return 2
+
+    out = sub.seek_by(df, resolver)
+    assert seen == ["t1"]
+    got_t1 = sorted(r.sequence for r in out.filter(F.col("topic") == "t1").collect())
+    got_null = sorted(r.sequence for r in out.filter(F.col("topic").isNull()).collect())
+    assert got_t1 == [2, 3]
+    assert got_null == [0, 1, 2, 3]
+
+
 def test_priority_dispatch_order_matches_reference_example():
     """The exact worked example from ConsumerBuilder.priorityLevel."""
     got = sub.priority_dispatch_order(
