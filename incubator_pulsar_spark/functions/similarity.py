@@ -137,7 +137,13 @@ def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
                     id_col: str, vec_col: str) -> list[list[float]]:
     """Deterministic greedy farthest-point centroid seeding over a
     bounded pool (k-means++ analogue without RNG or training
-    iterations). Collecting the pool is a metadata-scale driver op."""
+    iterations). Collecting the pool is a metadata-scale driver op.
+
+    Every cosine is rounded to 9 decimals BEFORE any argmin/argmax
+    comparison: BLAS pairwise summation and a SQL engine's sequential
+    fold differ in the last ulp, and rounding makes the selection
+    sequence exactly replayable in DuckDB (the ANN oracle unrolls this
+    loop as SQL CTEs — see plans/queries.py ANN_IVF_SQL)."""
     import numpy as np
 
     sample = (
@@ -151,11 +157,11 @@ def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
     norms[norms == 0] = 1.0
     unit = pool / norms[:, None]
     chosen = [0]  # start from the lowest-id vector (deterministic)
-    sims_to_chosen = unit @ unit[0]
+    sims_to_chosen = np.round(unit @ unit[0], 9)
     for _ in range(1, min(n_cells, len(pool))):
         nxt = int(np.argmin(sims_to_chosen))  # farthest from chosen set
         chosen.append(nxt)
-        sims_to_chosen = np.maximum(sims_to_chosen, unit @ unit[nxt])
+        sims_to_chosen = np.maximum(sims_to_chosen, np.round(unit @ unit[nxt], 9))
     return [pool[j].tolist() for j in chosen]
 
 

@@ -2000,7 +2000,10 @@ FROM events GROUP BY event_type
 
 
 def embedding_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (approximate — rows-only check)."""
+    """Hyperplane-LSH bucketed ANN under an EXACT oracle: the planes are
+    a pure md5 function of (dim, n_planes), so the oracle inlines the
+    same plane constants and DuckDB independently re-derives every
+    bucket id, candidate join, cosine, and rank."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2009,13 +2012,134 @@ def embedding_ann_lsh(spark, sf_dir):
 
 
 def embedding_ann_ivf(spark, sf_dir):
-    """IVF-style ANN (approximate — no SQL oracle; rows-only check)."""
+    """IVF-style ANN under an EXACT oracle: the farthest-point centroid
+    seeding rounds every cosine to 9 decimals before comparison
+    (similarity._seed_centroids), so ANN_IVF_SQL can replay the whole
+    seeding loop, cell assignment, and probe selection as unrolled
+    DuckDB CTEs — no data-derived constants smuggled into the SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     dim = 64
     return similarity.ivf_topk(emb, queries, k=10, dim=dim, n_cells=8, nprobe=3)
+
+
+def _sql_cos(a: str, b: str, digits: int) -> str:
+    """Zero-norm-guarded cosine, rounded — textual mirror of
+    similarity.cosine / F.round on the Spark side."""
+    d = f"list_dot_product({a}, {b})"
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (f"round(CASE WHEN {na} > 0 AND {nb} > 0 "
+            f"THEN {d} / ({na} * {nb}) ELSE 0.0 END, {digits})")
+
+
+def _sql_lsh_bucket(vec: str, dim: int, n_planes: int) -> str:
+    """Hyperplane bucket id as a scalar SQL expression: the SAME md5
+    planes as similarity._hyperplanes, inlined as exact DOUBLE literals
+    ((byte − 127.5)/128 values are exact binary fractions, so repr()
+    round-trips bit-for-bit)."""
+    planes = similarity._hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, k: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_sql_lsh_bucket('v', dim, n_planes)} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {_sql_cos('eb.v', 'qb.qv', 6)} AS cosine_sim
+  FROM eb JOIN qb USING (bucket)
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
+def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """Replay similarity._seed_centroids + ivf_topk in pure SQL.
+
+    The greedy farthest-point loop unrolls into one (argmin, update)
+    CTE pair per centroid; every cosine is rounded to 9 decimals before
+    comparison on BOTH engines, so BLAS-vs-sequential summation noise
+    cannot flip a selection. Probe tiebreak is (score DESC, cell DESC)
+    — the Spark side's reverse(array_sort(struct(s, i))) — while cell
+    assignment ties break (score DESC, cell ASC) — array_position of
+    the first max."""
+    cos9 = _sql_cos
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "pool AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10000)",
+        "c0 AS (SELECT v FROM pool ORDER BY vec_id LIMIT 1)",
+        f"s0 AS (SELECT p.vec_id, p.v, {cos9('p.v', 'c0.v', 9)} AS m "
+        "FROM pool p CROSS JOIN c0)",
+    ]
+    for i in range(1, n_cells):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT v FROM {prev} ORDER BY m ASC, vec_id ASC LIMIT 1)")
+        if i < n_cells - 1:
+            parts.append(
+                f"s{i} AS (SELECT s.vec_id, s.v, "
+                f"greatest(s.m, {cos9('s.v', f'c{i}.v', 9)}) AS m "
+                f"FROM {prev} s CROSS JOIN c{i})")
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS cell, v FROM c{i}" for i in range(n_cells))
+    parts.append(f"cells AS ({cells})")
+    parts.append(
+        "assigned AS (SELECT vec_id, v, cell FROM ("
+        "SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell ASC) AS rn "
+        "FROM e CROSS JOIN cells c) WHERE rn = 1)")
+    parts.append(
+        "probes AS (SELECT query_id, qv, cell FROM ("
+        "SELECT e.vec_id AS query_id, e.v AS qv, c.cell, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell DESC) AS rn "
+        f"FROM e CROSS JOIN cells c WHERE e.vec_id < 5) WHERE rn <= {nprobe})")
+    parts.append(
+        f"scored AS (SELECT p.query_id, a.vec_id, {cos9('a.v', 'p.qv', 6)} AS cosine_sim "
+        "FROM assigned a JOIN probes p USING (cell))")
+    return f"""
+WITH {','.join(parts)}
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
+def _emb_neardup_blocked_sql(dim: int = 64, n_planes: int = 4,
+                             threshold: float = 0.3) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_sql_lsh_bucket('v', dim, n_planes)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cos('a.v', 'b.v', 6)} AS cosine_sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v', 6)} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+EMB_NEARDUP_BLOCKED_SQL = _emb_neardup_blocked_sql()
 
 
 def q11_important_parts(spark, sf_dir):
@@ -2371,10 +2495,11 @@ def embedding_neardup_blocked(spark, sf_dir):
     Same logical result as ``embedding_neardup_pairs`` but computed the
     way a real corpus requires: map-side hyperplane bucket id on each
     vector, same-bucket equi-join (never all-pairs), Arrow-batched dot
-    UDF per candidate, no driver collect anywhere. Rows-only check by
-    design: recall < 1 for pairs straddling a hyperplane (lower
-    block_planes to trade compute for recall); the exact all-pairs
-    baseline next to it is the oracle for values.
+    UDF per candidate, no driver collect anywhere. Recall < 1 for pairs
+    straddling a hyperplane (lower block_planes to trade compute for
+    recall) — but the blocking itself is deterministic (md5 planes), so
+    the oracle replays the SAME buckets in SQL and the check is EXACT:
+    both engines must agree on precisely which pairs the blocking keeps.
     """
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(
@@ -2798,10 +2923,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
-        Query("embedding_ann_ivf", embedding_ann_ivf, None),
-        Query("embedding_ann_lsh", embedding_ann_lsh, None),
+        Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
+        Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
         Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
-        Query("embedding_neardup_blocked", embedding_neardup_blocked, None),
+        Query("embedding_neardup_blocked", embedding_neardup_blocked,
+              EMB_NEARDUP_BLOCKED_SQL),
         # --- round-3 additions (training-data pipeline + as-of join) ---
         Query("pii_redaction", pii_redaction, PII_SQL),
         Query("contamination_check", contamination_check, CONTAM_SQL),
