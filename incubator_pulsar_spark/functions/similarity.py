@@ -325,16 +325,34 @@ def cosine_neardup_pairs(
       to every task and matmul a partition's slice against it (the matrix
       analogue of a broadcast join). Fastest when the table fits in one
       executor's memory; numpy BLAS does the N² work.
-    - ``strategy="join"`` — distributed pair join + Arrow-batched dot UDF;
-      no driver collect, scales with the cluster, but materializes both
-      vectors per pair.
-    - ``strategy="auto"`` — gram when count ≤ ``gram_max_rows``, else join.
+    - ``strategy="join"`` — EXPLICIT-ONLY distributed pair join +
+      Arrow-batched dot UDF: an O(N²) non-equi join (plans as a nested
+      loop) that no automatic path ever selects — it exists for small
+      corpora that need exact recall without a driver collect.
+    - ``strategy="auto"`` — gram when count ≤ ``gram_max_rows``; above
+      that the ONLY sane physical shape is the LSH-blocked equi-join,
+      so auto routes there (block_planes=4 unless given, dim inferred
+      from the first vector). Approximate above the cutoff — recall < 1
+      for pairs straddling a hyperplane — because at that size exact
+      all-pairs is the scale-killer, not an option.
 
     Sum order (BLAS/numpy vs sequential fold) differs only in the last
     ulp; outputs are rounded to 6 decimals, far above that noise.
     """
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_vec"))
+
+    if strategy == "auto" and block_planes is None:
+        if e.count() <= gram_max_rows:
+            strategy = "gram"
+        else:
+            block_planes = 4
+            if dim is None:
+                first = e.select(F.size("_vec").alias("d")).head()
+                if first is None:
+                    return e.sparkSession.createDataFrame(
+                        [], "id_a long, id_b long, cosine_sim double")
+                dim = first["d"]
 
     if block_planes is not None:
         if dim is None:
@@ -349,9 +367,6 @@ def cosine_neardup_pairs(
                      lsh_bucket_id(F.col("_vec"), planes).alias("_bkt"))
         joined = a.join(b, (a["_bkt"] == b["_bkt"]) & (F.col("id_a") < F.col("id_b")))
         return _neardup_from_pairs(joined, threshold)
-
-    if strategy == "auto":
-        strategy = "gram" if e.count() <= gram_max_rows else "join"
 
     if strategy == "join":
         e = e.withColumn("_norm", l2_norm(F.col("_vec")))

@@ -258,6 +258,18 @@ class TestNearDupPairs:
             assert sim == exact[pair]
         assert len(blocked) >= 0.2 * len(exact) if exact else True
 
+    def test_auto_above_cutoff_equals_explicit_blocked(self, spark, sf_dir):
+        """auto above gram_max_rows = the LSH-blocked strategy (planes=4,
+        dim inferred) — bit-identical output, never the quadratic join."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        auto = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+                for r in similarity.cosine_neardup_pairs(
+                    emb, threshold=0.3, gram_max_rows=10).collect()}
+        explicit = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+                    for r in similarity.cosine_neardup_pairs(
+                        emb, threshold=0.3, block_planes=4, dim=64).collect()}
+        assert auto == explicit and auto
+
 
 class TestWinnowing:
     def test_shared_substring_shares_fingerprint(self, spark):

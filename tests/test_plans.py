@@ -117,6 +117,27 @@ class TestPlanQuality:
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
+    def test_neardup_auto_never_plans_quadratic_above_cutoff(self, spark):
+        """strategy='auto' above gram_max_rows must route to the
+        LSH-blocked equi-join — the automatic path may NEVER pick the
+        O(N²) non-equi pair join that plans as a nested loop. Locked on
+        a >100k-row input (plan-only; the UDF never executes)."""
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions.similarity import cosine_neardup_pairs
+
+        big = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") % (i + 7)).cast("float") for i in range(8)])
+            .alias("embedding"))
+        out = cosine_neardup_pairs(big, threshold=0.9)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the blocked path is an equi-join on the bucket column
+        assert "_bkt" in plan
+
     @pytest.mark.parametrize("name", [
         "simhash_docs", "text_stats", "language_id", "media_frame_schedule",
     ])
