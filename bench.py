@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "media_ppm_decode",
     "media_wav_decode",
     "auto_consume_events",
+    # round-4: ANN trio + stub-feature query, now under exact oracles
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "embedding_neardup_blocked",
+    "media_features",
+    "antijoin_idle_customers",
 ]
 
 

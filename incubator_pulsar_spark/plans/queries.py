@@ -407,9 +407,14 @@ GROUP BY c_mktsegment
 
 
 def antijoin_idle_customers(spark, sf_dir):
-    """Anti-join (set-difference surface): customers with no orders."""
+    """Anti-join (set-difference surface): customers with no orders
+    since 2000-01-01. Every synthetic customer has SOME order, so the
+    unwindowed anti-join is vacuously empty at every SF — a hash match
+    on an empty result proves nothing. The date window keeps the result
+    non-empty and SF-stable (~9% of customers)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -418,7 +423,8 @@ def antijoin_idle_customers(spark, sf_dir):
 
 ANTIJOIN_SQL = """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= DATE '2000-01-01')
 """
 
 
@@ -901,9 +907,12 @@ FROM media
 
 
 def media_features(spark, sf_dir):
-    """Image decode→feature stub over mapInPandas (rows-only check: the
-    byte-fold kernel is Python-side by design — the real build swaps in a
-    vision model here).
+    """Image decode→feature stub over mapInPandas — now under an EXACT
+    oracle: the deterministic byte-fold (per-lane byte sums mod 256,
+    scaled /255) is replayed in DuckDB from character codes (the
+    documents corpus is pure ASCII, so char position == byte position;
+    the oracle would need blob indexing otherwise). The real build swaps
+    a vision model into the kernel; the Arrow plumbing is what's gated.
 
     The gated output renders the feature vector as a fixed-format CSV
     string: the driver's canonicalizer sorts every column with pandas,
@@ -921,6 +930,34 @@ def media_features(spark, sf_dir):
             ",", F.transform("feature", lambda v: F.format_string("%.6f", v))
         ).alias("feature_csv"),
     )
+
+
+# Byte-fold replay: lane j accumulates bytes at positions ≡ j (mod 8),
+# mod 256, scaled /255 and %.6f-formatted. acc/255.0 is never an exact
+# 7-decimal halfway case (only 0 and 255 terminate early, both exact),
+# so printf and Java format_string round identically.
+MEDIA_FEATURES_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents
+),
+lanes AS (
+  SELECT doc_id, (i - 1) % 8 AS lane,
+         SUM(ord(substr(text, i, 1))) % 256 AS acc
+  FROM chars GROUP BY doc_id, lane
+),
+spine AS (
+  SELECT doc_id, unnest(generate_series(0, 7)) AS lane FROM documents
+),
+vals AS (
+  SELECT s.doc_id, s.lane, coalesce(l.acc, 0) / 255.0 AS v
+  FROM spine s LEFT JOIN lanes l USING (doc_id, lane)
+)
+SELECT doc_id AS media_id,
+       string_agg(printf('%.6f', v), ',' ORDER BY lane) AS feature_csv
+FROM vals GROUP BY doc_id
+ORDER BY media_id
+"""
 
 
 def media_ppm_decode(spark, sf_dir):
@@ -2187,10 +2224,12 @@ ORDER BY part_value DESC, p_partkey
 def q20_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (adapted: shipped-quantity threshold replaces the
     partsupp availqty correlate): suppliers who shipped more than half
-    the total 1996 volume of some 'green' part — semi-join (EXISTS) of
-    supplier against a per-(part,supplier) vs per-part aggregate."""
+    the total 1996 volume of some 'red' part — semi-join (EXISTS) of
+    supplier against a per-(part,supplier) vs per-part aggregate.
+    ('red', not TPC-H's 'green': the synthetic p_name vocabulary has no
+    'green', which made the result vacuously empty at every SF.)"""
     part = _t(spark, sf_dir, "part").filter(
-        F.col("p_name").contains("green")).select("p_partkey")
+        F.col("p_name").contains("red")).select("p_partkey")
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
                   & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
@@ -2216,7 +2255,7 @@ Q20_SQL = """
 WITH li AS (
   SELECT l_partkey, l_suppkey, l_quantity
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_name LIKE '%green%'
+  WHERE p_name LIKE '%red%'
     AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 ),
 per_ps AS (
@@ -2904,7 +2943,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
@@ -2937,15 +2975,17 @@ ALL_QUERIES: dict[str, Query] = {
         Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
         Query("split_leakage", split_leakage, LEAKAGE_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
-        # --- TPC-H core (join/agg/scan shapes kept under driver check) ---
+        # --- round-4 edits (50-cap discipline: every new/edited query
+        # sits in the head so the driver re-proves it) ---
+        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
+        Query("media_features", media_features, MEDIA_FEATURES_SQL),
+        # --- tail: never-edited queries driver-green in at least two
+        # prior rounds (q1/q3 in r1-r3), unchanged; locally verified
+        # every round by tools/oracle_check.py ---
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
-        # --- tail: driver-green in r01 AND r02, unchanged; locally
-        # verified every round by tools/oracle_check.py (media_features:
-        # rows-only stub-kernel row, superseded in the head by the REAL
-        # ppm/wav decode queries with exact oracles) ---
         Query("persons_generator", persons_generator, PERSONS_SQL),
-        Query("media_features", media_features, None),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
@@ -2966,12 +3006,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
         Query("q11_important_parts", q11_important_parts, Q11_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("setops_customers", setops_customers, SETOPS_SQL),
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
     ]
 }
