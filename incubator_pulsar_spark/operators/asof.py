@@ -22,10 +22,15 @@ explosion:
 Cost at 100 TB: ONE shuffle of left+right combined (the window's
 partitionBy) — the same exchange a groupBy over the key would pay, and
 strictly cheaper than any range-condition join Catalyst would plan
-(BroadcastNestedLoop or a per-bucket explosion). Skewed keys salt the
-same way any keyed shuffle does; per-key state in the window is O(1)
-(one carried struct), so a hot key degrades to a sort, never to memory
-pressure.
+(BroadcastNestedLoop or a per-bucket explosion). Per-key state in the
+window is O(1) (one carried struct), so a hot key degrades to a sort,
+never to memory pressure — and with ``salt_interval`` set it does not
+even degrade to one task: the window partitions by (key, time-bucket),
+and a boundary pre-pass over the per-bucket SUMMARIES (one row per
+key-bucket, data-mass-free) carries the last right row of earlier
+buckets forward as a synthetic seed row at each bucket start. Identical
+output to the unsalted path; the hot key's sort splits into one task
+per bucket.
 
 Semantics cross-checked against DuckDB's ASOF JOIN in the correctness
 gate (``asof_join_events``): identical matches, including NULL matches
@@ -54,6 +59,7 @@ def asof_join(
     how: str = "left",
     tie_col: str | None = None,
     suffix: str = "",
+    salt_interval: str | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` on ``on`` with
     ``right[right_ts] <= left[left_ts]`` (latest such right row wins).
@@ -67,6 +73,13 @@ def asof_join(
     If the right side can hold several rows per (key, ts), pass
     ``tie_col``: the row with the greatest tie value wins, keeping the
     result deterministic. Without it, (key, ts) uniqueness is assumed.
+
+    ``salt_interval`` (e.g. ``"1 hour"``) splits a hot key across time
+    buckets: the window partitions by (key, bucket) and a boundary
+    pre-pass over per-bucket summaries seeds each bucket with the last
+    right row of all earlier buckets. Output is identical to the
+    unsalted path; pick an interval that gives the hot key tens-to-
+    hundreds of buckets at your data density.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -105,8 +118,46 @@ def asof_join(
         )
     )
 
+    if salt_interval is None:
+        part_cols = [on]
+    else:
+        # hot-key salting: bucket the timeline, seed each (key, bucket)
+        # with the last right row carried from earlier buckets, then
+        # window per (key, bucket) — the hot key's sort becomes one
+        # task per bucket instead of one task total.
+        bkt = "__asof_bucket"
+        unioned = unioned.withColumn(
+            bkt, F.window(F.col(_TS), salt_interval)["start"])
+
+        # per-bucket summary: the last right row of each (key, bucket) —
+        # one row per key-bucket, no data mass
+        r_b = r.withColumn(bkt, F.window(F.col(_TS), salt_interval)["start"])
+        summaries = r_b.groupBy(on, bkt).agg(
+            F.max_by(_RIGHT, _TS).alias(_RIGHT))
+
+        # spine = every (key, bucket) either side touches, so buckets
+        # with left rows but no right rows still receive the carry
+        spine = unioned.select(on, bkt).distinct()
+        w_carry = (Window.partitionBy(on).orderBy(bkt)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        seeds = (
+            spine.join(summaries, [on, bkt], "left")
+            .withColumn(_MATCH, F.last(_RIGHT, ignorenulls=True).over(w_carry))
+            .filter(F.col(_MATCH).isNotNull())
+            .select(
+                on,
+                F.col(bkt).cast(unioned.schema[_TS].dataType).alias(_TS),
+                F.lit(-1).alias(_SIDE),
+                F.lit(None).cast(l.schema[_LEFT].dataType).alias(_LEFT),
+                F.col(_MATCH).alias(_RIGHT),
+                bkt,
+            )
+        )
+        unioned = unioned.unionByName(seeds)
+        part_cols = [on, bkt]
+
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(_TS), F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -66,6 +66,42 @@ class TestAsofJoin:
         with pytest.raises(ValueError):
             asof_join(left, right, on="k", left_ts="ts", right_ts="ts", how="full")
 
+    def test_salted_hot_key_identical_output_multiple_tasks(self, spark):
+        """salt_interval splits ONE hot key across time buckets: output
+        is bit-identical to the unsalted path (including cross-bucket
+        carries and empty-bucket left rows), and the window exchange
+        partitions on (key, bucket) so the hot key runs as many tasks,
+        not one sorted partition."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # one hot key: 600 left events over 10 hours; right quotes every
+        # 23 min — several buckets have no right row at all, so their
+        # left rows depend on the carried boundary seed
+        left = spark.createDataFrame(
+            [Row(id=i, k="hot", ts=t0 + dt.timedelta(minutes=i))
+             for i in range(600)]
+            + [Row(id=10_000, k="cold", ts=t0 + dt.timedelta(minutes=90))])
+        right = spark.createDataFrame(
+            [Row(k="hot", ts=t0 + dt.timedelta(minutes=m), v=f"q@{m}")
+             for m in range(2, 600, 23)]
+            + [Row(k="cold", ts=t0 + dt.timedelta(minutes=1), v="cold-q")])
+
+        base = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        salted = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                           salt_interval="1 hour")
+        key = lambda r: (r["id"], r["v"], r["ts_right"])
+        assert sorted(map(key, salted.collect())) == sorted(map(key, base.collect()))
+
+        # the big window's exchange hashes on (key, bucket)
+        salted.count()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = salted._jdf.queryExecution().explainString(mode)
+        assert "__asof_bucket" in plan
+        import re
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any("k#" in p and "__asof_bucket" in p for p in parts), parts
+
 
 class TestPiiRedaction:
     def _one(self, spark, s, col):
