@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "embedding_neardup_blocked",
     "media_features",
     "antijoin_idle_customers",
+    "stratified_sample_docs",
+    "pack_sequences_docs",
 ]
 
 

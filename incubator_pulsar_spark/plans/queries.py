@@ -932,6 +932,71 @@ def media_features(spark, sf_dir):
     )
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling (dataset mixing by rate): keep
+    each document iff md5-uniform(doc_id) < its source's rate — the
+    map-only, RNG-free sampler a reproducible 100 TB pipeline needs.
+    Rates: src0 keeps all, src1 half, src2 a quarter, everything else
+    10%. The oracle replays the identical md5 math numerically
+    (DuckDB parses '0x'||hex natively)."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source", id_col="doc_id", default_rate=0.1)
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT / 4294967296.0
+      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
+ORDER BY doc_id
+"""
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing for training shards: shard documents by hash
+    (8 shards here; parallel packing with NO global sort), hash-shuffle
+    within each shard, running token cumsum → 512-token bins. Gated
+    output is the per-bin summary (docs + token fill), which proves the
+    whole assignment: any doc in the wrong bin shifts two bins' sums."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = sampling.pack_sequences(docs, capacity=512, id_col="doc_id",
+                                     n_shards=8)
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("shard", "bin_id")
+    )
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok,
+         CAST(('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+         md5('pack-o:' || doc_id) AS okey
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS cumx
+  FROM t
+)
+SELECT shard, CAST(floor(cumx / 512.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
+FROM c GROUP BY shard, bin_id
+ORDER BY shard, bin_id
+"""
+
+
 # Byte-fold replay: lane j accumulates bytes at positions ≡ j (mod 8),
 # mod 256, scaled /255 and %.6f-formatted. acc/255.0 is never an exact
 # 7-decimal halfway case (only 0 and 255 terminate early, both exact),
@@ -2927,7 +2992,6 @@ ALL_QUERIES: dict[str, Query] = {
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
         Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
         Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
-        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
@@ -2941,7 +3005,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
-        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
@@ -2975,14 +3038,19 @@ ALL_QUERIES: dict[str, Query] = {
         Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
         Query("split_leakage", split_leakage, LEAKAGE_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
-        # --- round-4 edits (50-cap discipline: every new/edited query
-        # sits in the head so the driver re-proves it) ---
+        # --- round-4 additions + edits (50-cap discipline: every
+        # new/edited query sits in the head so the driver proves it) ---
+        Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
+        Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
         Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("media_features", media_features, MEDIA_FEATURES_SQL),
         # --- tail: never-edited queries driver-green in at least two
-        # prior rounds (q1/q3 in r1-r3), unchanged; locally verified
-        # every round by tools/oracle_check.py ---
+        # prior rounds (q1/q3/tableview/window_udaf/multi_topic in
+        # r1-r3), unchanged; locally verified every round by
+        # tools/oracle_check.py ---
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

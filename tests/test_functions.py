@@ -548,3 +548,91 @@ class TestWavKernels:
         assert (r1.sample_rate, r1.n_samples, r1.peak) == (16000, 2, 4)
         assert r1.mean_square == 12.5 and r1.duration_ms == 0.125
         assert got[2].sample_rate is None
+
+
+class TestSampling:
+    """Deterministic md5-derived sampling + sequence packing."""
+
+    def _docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def test_hash_sample_deterministic_and_calibrated(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions import sampling
+
+        docs = self._docs(spark, sf_dir)
+        a = sorted(r.doc_id for r in sampling.hash_sample(
+            docs, 0.3, id_col="doc_id").select("doc_id").collect())
+        b = sorted(r.doc_id for r in sampling.hash_sample(
+            docs, 0.3, id_col="doc_id").select("doc_id").collect())
+        assert a == b  # no RNG state anywhere
+        n = docs.count()
+        assert 0.2 * n < len(a) < 0.4 * n  # calibrated-ish at n=500
+        # monotone: a smaller fraction is a SUBSET (same hash, lower cut)
+        c = {r.doc_id for r in sampling.hash_sample(
+            docs, 0.1, id_col="doc_id").select("doc_id").collect()}
+        assert c <= set(a)
+
+    def test_stratified_rates_respected(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions import sampling
+
+        docs = self._docs(spark, sf_dir)
+        out = sampling.stratified_sample(
+            docs, {"src0": 1.0, "src1": 0.0}, strata_col="source",
+            id_col="doc_id", default_rate=0.5)
+        kept = {r["source"]: r["n"] for r in
+                out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        tot = {r["source"]: r["n"] for r in
+               docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert kept["src0"] == tot["src0"]  # rate 1.0 keeps all
+        assert "src1" not in kept           # rate 0.0 drops all
+        others = sum(v for k, v in kept.items() if k not in ("src0", "src1"))
+        others_tot = sum(v for k, v in tot.items() if k not in ("src0", "src1"))
+        assert 0.3 * others_tot < others < 0.7 * others_tot
+
+    def test_stratified_fixed_exact_n(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions import sampling
+
+        docs = self._docs(spark, sf_dir)
+        out = sampling.stratified_fixed(docs, 5, strata_col="lang",
+                                        id_col="doc_id")
+        per = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 5 for v in per.values())
+        # deterministic selection
+        again = sampling.stratified_fixed(docs, 5, strata_col="lang",
+                                          id_col="doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == \
+            sorted(r.doc_id for r in again.collect())
+
+    def test_pack_sequences_invariants(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions import sampling
+
+        docs = self._docs(spark, sf_dir)
+        cap = 512
+        packed = sampling.pack_sequences(docs, cap, id_col="doc_id",
+                                         n_shards=8)
+        # every doc assigned exactly once
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+        max_tok = packed.agg(F.max("n_tokens")).collect()[0][0]
+        bins = (packed.groupBy("shard", "bin_id")
+                .agg(F.sum("n_tokens").alias("fill")).collect())
+        # spillover contract: fill <= capacity + (max doc tokens - 1)
+        assert all(b["fill"] <= cap + max_tok - 1 for b in bins)
+        # bins are contiguous per shard: 0..max with none missing
+        per_shard = {}
+        for b in bins:
+            per_shard.setdefault(b["shard"], set()).add(b["bin_id"])
+        for s, ids in per_shard.items():
+            assert ids == set(range(len(ids))), f"shard {s} has gaps"
+        # all bins except the last per shard are at least capacity-full
+        for s, ids in per_shard.items():
+            fills = {b["bin_id"]: b["fill"] for b in bins if b["shard"] == s}
+            for i in range(len(ids) - 1):
+                assert fills[i] >= cap - max_tok, (s, i, fills[i])
