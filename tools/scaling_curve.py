@@ -8,7 +8,14 @@ tables. A query whose input tables are missing in a dir is skipped for
 that dir.
 
 Usage:
-  python tools/scaling_curve.py out.json dir1 dir2 [dir3 ...]
+  python tools/scaling_curve.py out.json dir1 dir2 [dir3 ...] \
+      [--skip label:query ...]
+
+--skip excludes a query at one labeled dir (label = dir basename):
+known-superlinear combinations — e.g. exact all-pairs Jaccard verify
+on a low-shingle-diversity corpus at 50k docs, where the candidate set
+approaches N² — are skipped EXPLICITLY and documented in SCALING.md,
+never silently.
 
 Timings are steady-state (second run of two, same protocol as
 bench.py).
@@ -29,7 +36,15 @@ from incubator_pulsar_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     out_path = sys.argv[1]
-    dirs = sys.argv[2:]
+    dirs: list[str] = []
+    skips: set[tuple[str, str]] = set()
+    args = iter(sys.argv[2:])
+    for a in args:
+        if a == "--skip":
+            label, _, qname = next(args).partition(":")
+            skips.add((label, qname))
+        else:
+            dirs.append(a)
     spark = get_spark("scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -37,6 +52,9 @@ def main() -> None:
     for d in dirs:
         label = os.path.basename(d.rstrip("/"))
         for name, q in ALL_QUERIES.items():
+            if (label, name) in skips:
+                print(f"# skip {name} @ {label}: --skip", file=sys.stderr)
+                continue
             try:
                 q.build(spark, d).count()  # cold: codegen + listings
                 t0 = time.monotonic()
