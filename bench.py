@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "antijoin_idle_customers",
     "stratified_sample_docs",
     "pack_sequences_docs",
+    "asof_join_events_salted",
 ]
 
 

@@ -294,6 +294,17 @@ def ivf_search_index(
     )
 
 
+def auto_block_planes(n_rows: int, *, target_bucket: int = 4096,
+                      lo: int = 4, hi: int = 24) -> int:
+    """Plane count that holds expected LSH bucket occupancy near
+    ``target_bucket`` rows: per-bucket pair work is ~N²/2^planes, so
+    planes must grow with log2(N) or blocked near-dup goes quadratic
+    (the ×5.7-at-10× finding in SCALING.md)."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
+
+
 def _pair_dot_udf():
     """Arrow-batched pair dot product; marked nondeterministic so
     Catalyst evaluates it ONCE instead of duplicating it into pushed-down
@@ -331,10 +342,16 @@ def cosine_neardup_pairs(
       corpora that need exact recall without a driver collect.
     - ``strategy="auto"`` — gram when count ≤ ``gram_max_rows``; above
       that the ONLY sane physical shape is the LSH-blocked equi-join,
-      so auto routes there (block_planes=4 unless given, dim inferred
-      from the first vector). Approximate above the cutoff — recall < 1
-      for pairs straddling a hyperplane — because at that size exact
-      all-pairs is the scale-killer, not an option.
+      so auto routes there (dim inferred from the first vector).
+      Approximate above the cutoff — recall < 1 for pairs straddling a
+      hyperplane — because at that size exact all-pairs is the
+      scale-killer, not an option. The plane count scales with the
+      corpus: per-bucket pair work is ~N²/2^planes, so auto picks
+      ``planes = clamp(ceil(log2(N / 4096)), 4, 24)`` to hold expected
+      bucket occupancy near 4096 rows (measured: fixed 4 planes went
+      ×5.7 on 10× vectors in SCALING.md; scaled planes hold the
+      per-bucket load flat). Pin ``block_planes`` explicitly to trade
+      compute back for recall.
 
     Sum order (BLAS/numpy vs sequential fold) differs only in the last
     ulp; outputs are rounded to 6 decimals, far above that noise.
@@ -343,10 +360,11 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_vec"))
 
     if strategy == "auto" and block_planes is None:
-        if e.count() <= gram_max_rows:
+        n = e.count()
+        if n <= gram_max_rows:
             strategy = "gram"
         else:
-            block_planes = 4
+            block_planes = auto_block_planes(n)
             if dim is None:
                 first = e.select(F.size("_vec").alias("d")).head()
                 if first is None:

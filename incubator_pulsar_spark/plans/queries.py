@@ -1881,6 +1881,30 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def asof_join_events_salted(spark, sf_dir):
+    """The SAME point-in-time attribution through the skew-safe path:
+    salt_interval='6 hours' partitions the as-of window by (user,
+    time-bucket) with a boundary-carry pre-pass (operators/asof.py), so
+    a hot user splits into one task per bucket. Gated against the SAME
+    DuckDB ASOF oracle as the unsalted query — the driver proves the
+    salted physical plan is semantically invisible."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    res = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", salt_interval="6 hours")
+    return res.select(
+        "event_id", "user_id", _fmt_ts(F.col("ts")).alias("ts"),
+        "click_id", _fmt_ts(F.col("ts_right")).alias("click_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_right").cast("timestamp"))).alias("gap_us"),
+    )
+
+
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
@@ -2998,7 +3022,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
-        Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
@@ -3042,6 +3065,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("asof_join_events", asof_join_events, ASOF_SQL),
         # --- round-4 additions + edits (50-cap discipline: every
         # new/edited query sits in the head so the driver proves it) ---
+        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
         Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
@@ -3053,6 +3077,7 @@ ALL_QUERIES: dict[str, Query] = {
         # tools/oracle_check.py ---
         Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
+        Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

@@ -258,6 +258,19 @@ class TestNearDupPairs:
             assert sim == exact[pair]
         assert len(blocked) >= 0.2 * len(exact) if exact else True
 
+    def test_auto_block_planes_tracks_log_n(self):
+        """Planes grow with log2(N) so per-bucket pair load stays flat —
+        the scale knob SCALING.md's ×5.7 finding demands."""
+        f = similarity.auto_block_planes
+        assert f(500) == 4            # floor: small corpora keep recall
+        assert f(200_000) == 6        # ceil(log2(200k/4096))
+        assert f(10_000_000) == 12
+        assert f(10 ** 12) == 24      # cap
+        # occupancy stays in [target/2, target] above the floor
+        for n in (10 ** 6, 10 ** 8, 10 ** 10):
+            occ = n / 2 ** f(n)
+            assert 2048 <= occ <= 4096
+
     def test_auto_above_cutoff_equals_explicit_blocked(self, spark, sf_dir):
         """auto above gram_max_rows = the LSH-blocked strategy (planes=4,
         dim inferred) — bit-identical output, never the quadratic join."""
