@@ -142,17 +142,60 @@ def lsh_candidate_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def df_cut_candidates(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      max_df: float = 0.05) -> DataFrame:
+    """Candidate pairs sharing ≥1 RARE shingle (document frequency ≤
+    ``max_df``·N) — the df-cut that tames the inverted index on
+    low-diversity corpora.
+
+    SCALING.md measured exact all-pairs Jaccard going ×13.7 on 10×
+    docs because hot shingles (31-word vocabulary → 1763 shingles in
+    >100 docs each) make the candidate set ~N². Hot shingles carry no
+    discriminating signal, so dropping them from CANDIDATE GENERATION
+    (never from verification — feed this to ``jaccard_pairs(...,
+    candidates=)``, which recomputes exact Jaccard over FULL shingle
+    sets) collapses the pair stream while keeping every reported value
+    exact. Recall < 1 only for pairs whose every common shingle is
+    hot; such pairs are near-dups of boilerplate, the thing a cleanup
+    pipeline deliberately ignores.
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    cut = F.greatest(F.lit(1), F.floor(F.lit(max_df) * docs.count()))
+    rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= cut).select("shingle"))
+    shr = sh.join(rare, on="shingle")
+    a, b = shr.alias("a"), shr.alias("b")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 5, threshold: float = 0.5,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_df: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     (inverted-index join — never enumerates non-overlapping pairs).
 
     If ``candidates`` (doc_a, doc_b) is given (e.g. LSH output), verifies
     only those — the scale path: LSH prune then exact verify.
+    ``max_df`` (mutually exclusive with ``candidates``) builds the
+    candidate set with ``df_cut_candidates`` — the knob for corpora
+    whose hot shingles would otherwise make the pair stream quadratic.
+    Either way every reported jaccard is EXACT (full shingle sets).
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to
     6 places for cross-engine comparability.
     """
+    if max_df is not None:
+        if candidates is not None:
+            raise ValueError("pass either candidates or max_df, not both")
+        candidates = df_cut_candidates(docs, id_col=id_col, text_col=text_col,
+                                       k=k, max_df=max_df)
     # The shingle table feeds three plan branches (both join sides +
     # sizes). Recomputing it 3× is DELIBERATE: persisting the exploded
     # 1M-row table was measured 6× SLOWER (cache ser/deser + losing scan

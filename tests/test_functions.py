@@ -69,6 +69,29 @@ class TestFuzzy:
         assert out[0]["doc_a"] == 1 and out[0]["doc_b"] == 2
         assert out[0]["jaccard"] == 1.0
 
+    def test_jaccard_df_cut_values_exact_recall_documented(self, spark):
+        """max_df drops hot shingles from CANDIDATE GENERATION only:
+        surviving pairs carry the IDENTICAL exact jaccard; pairs whose
+        only common shingles are corpus-wide boilerplate drop out."""
+        boiler = "xxxxx"  # one hot 5-gram present in every doc
+        docs = spark.createDataFrame(
+            [(1, boiler + "abcdefgh"), (2, boiler + "abcdefgh"),
+             (3, boiler + "qqqqzzzz"), (4, boiler + "mnopmnop")],
+            "doc_id long, text string")
+        exact = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in fuzzy.jaccard_pairs(docs, k=5, threshold=0.05).collect()}
+        cut = {(r.doc_a, r.doc_b): r.jaccard
+               for r in fuzzy.jaccard_pairs(docs, k=5, threshold=0.05,
+                                            max_df=0.8).collect()}
+        assert set(cut) <= set(exact)
+        assert (1, 2) in cut                      # real dup survives the cut
+        for p, v in cut.items():
+            assert v == exact[p]                  # values stay exact
+        # pairs connected ONLY through the boilerplate shingle drop out
+        assert all(p == (1, 2) for p in cut)
+        with pytest.raises(ValueError):
+            fuzzy.jaccard_pairs(docs, max_df=0.5, candidates=docs.limit(0))
+
     def test_simhash_similar_texts_close(self, spark):
         df = spark.createDataFrame(
             [("the quick brown fox jumps over the lazy dog",),
