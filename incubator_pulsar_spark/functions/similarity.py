@@ -103,16 +103,23 @@ def lsh_bucket_id(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_bucket_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
-    n_planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, hamming_probes: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id", query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: compare only candidates in the query's bucket.
 
     Embedding side gets a map-side bucket column (no shuffle of vectors);
-    join on bucket; exact rank within. Recall < 1 by construction — the
-    approximation trade documented; probe multiple buckets by lowering
-    n_planes or unioning hamming-1 probes if recall matters more.
+    join on bucket; exact rank within. Recall < 1 by construction.
+    ``hamming_probes=1`` is the standard multi-probe recall lever: each
+    query ALSO probes the n_planes buckets one hyperplane-flip away
+    (the most likely homes of near neighbors that straddle a plane),
+    raising candidate volume ×(1+n_planes) on the tiny QUERY side only
+    — the corpus never re-buckets, so the scale posture is unchanged.
+    Deterministic (md5 planes + XOR probes), so the oracle replays it.
     """
+    if hamming_probes not in (0, 1):
+        raise ValueError("hamming_probes must be 0 or 1")
     planes = _hyperplanes(dim, n_planes)
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
@@ -120,6 +127,12 @@ def lsh_bucket_topk(
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
     q = q.withColumn("bucket", lsh_bucket_id(F.col("qvec"), planes))
+    if hamming_probes == 1:
+        flips = F.array(F.lit(0), *[F.lit(2 ** i) for i in range(n_planes)])
+        q = (q.withColumn("bucket",
+                          F.explode(F.transform(
+                              flips, lambda m: F.col("bucket").bitwiseXOR(m))))
+             .withColumn("bucket", F.col("bucket").cast("int")))
 
     scored = e.join(F.broadcast(q), on="bucket").select(
         "query_id", "vec_id",

@@ -2197,6 +2197,45 @@ QUALIFY rank <= {k}
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def embedding_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (hamming_probes=1): each query also probes
+    the n_planes buckets one hyperplane-flip away — the standard recall
+    lever that leaves the CORPUS bucketing untouched (probe fan-out is
+    on the tiny query side only). Deterministic XOR probing, so the
+    oracle replays the exact probe set in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucket_topk(emb, queries, k=10, dim=64, n_planes=4,
+                                      hamming_probes=1)
+
+
+def _ann_lsh_multiprobe_sql(dim: int = 64, n_planes: int = 4, k: int = 10) -> str:
+    masks = "[" + ", ".join(str(m) for m in [0] + [2 ** i for i in range(n_planes)]) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_sql_lsh_bucket('v', dim, n_planes)} AS bucket FROM e),
+qb AS (
+  SELECT vec_id AS query_id, v AS qv, xor(bucket, m.m) AS bucket
+  FROM eb CROSS JOIN (SELECT unnest({masks}) AS m) m
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {_sql_cos('eb.v', 'qb.qv', 6)} AS cosine_sim
+  FROM eb JOIN qb USING (bucket)
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+ANN_LSH_MULTIPROBE_SQL = _ann_lsh_multiprobe_sql()
+
+
 def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
     """Replay similarity._seed_centroids + ivf_topk in pure SQL.
 
@@ -3021,7 +3060,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
-        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
@@ -3051,6 +3089,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
         Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
+        Query("embedding_ann_lsh_multiprobe", embedding_ann_lsh_multiprobe,
+              ANN_LSH_MULTIPROBE_SQL),
         Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
         Query("embedding_neardup_blocked", embedding_neardup_blocked,
               EMB_NEARDUP_BLOCKED_SQL),
@@ -3078,6 +3118,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("session_windows_users", session_windows_users, SESSION_SQL),
+        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

@@ -138,6 +138,37 @@ class TestSimilarity:
         out = similarity.ivf_topk(emb, q, k=3, dim=8, n_cells=4, nprobe=2).collect()
         assert out and out[0]["vec_id"] == 7  # own cell always probed first
 
+    def test_lsh_multiprobe_recall_dominates_single_probe(self, spark, sf_dir):
+        """Hamming-1 probing must return a SUPERSET of the single-probe
+        candidates per query (the own bucket is always probed) and so
+        recall vs exact top-k can only go up; values stay exact."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+
+        def topset(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.vec_id)
+            return out
+
+        exact = topset(similarity.cosine_topk(emb, q, k=10))
+        single = topset(similarity.lsh_bucket_topk(emb, q, k=10, dim=64, n_planes=4))
+        multi = topset(similarity.lsh_bucket_topk(emb, q, k=10, dim=64, n_planes=4,
+                                                  hamming_probes=1))
+
+        def recall(approx):
+            return sum(len(approx.get(k_, set()) & exact[k_]) for k_ in exact) / \
+                sum(len(v) for v in exact.values())
+
+        assert recall(multi) >= recall(single)
+        # each query still finds itself
+        for k_ in exact:
+            assert k_ in multi.get(k_, set())
+        with pytest.raises(ValueError):
+            similarity.lsh_bucket_topk(emb, q, k=10, dim=64, hamming_probes=2)
+
     def test_ivf_persisted_index_prunes_partitions(self, spark, sf_dir, tmp_path):
         """The persisted IVF index must (a) return exactly what the
         in-memory ivf_topk returns for the same centroids/probes and
