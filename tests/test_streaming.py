@@ -628,3 +628,28 @@ def test_asof_enrich_requires_right_topic(spark, tmp_path):
         enrich_batch(batch, 0, right_topic_path=str(tmp_path / "missing"),
                      out_path=str(tmp_path / "out"),
                      on="k", left_ts="ts", right_ts="ts")
+
+
+def test_hash_sample_on_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The md5-uniform sampler is stateless, so it runs unchanged on a
+    stream and keeps EXACTLY the rows the batch path keeps — the
+    reproducibility property that makes re-running an ingest pipeline
+    (or replaying a failed micro-batch) emit identical samples."""
+    from incubator_pulsar_spark.functions import sampling
+
+    src = str(tmp_path / "docs_topic")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    sampled = sampling.stratified_sample(
+        stream, {"src0": 1.0, "src1": 0.0}, strata_col="source",
+        id_col="doc_id", default_rate=0.3).select("doc_id")
+    _run_to_memory(sampled, "sampled_stream", str(tmp_path / "c")) \
+        .awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.sql("SELECT * FROM sampled_stream").collect())
+
+    want = sorted(r.doc_id for r in sampling.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, strata_col="source",
+        id_col="doc_id", default_rate=0.3).select("doc_id").collect())
+    assert got == want and got
