@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "pack_sequences_docs",
     "asof_join_events_salted",
+    "embedding_ann_lsh_multiprobe",
+    "kmv_distinct_events",
 ]
 
 

@@ -2197,6 +2197,61 @@ QUALIFY rank <= {k}
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def kmv_distinct_events(spark, sf_dir):
+    """KMV distinct-user sketch per event_type next to the exact count.
+
+    The sketch runs the REAL two-phase shape (map-side per-partition
+    k-minimums via mapInPandas, merge by global k-smallest — fixed
+    k·8 B state per group, the 100 TB alternative to shuffling every
+    distinct value) while the oracle computes the GLOBAL k-minimums
+    directly in SQL: their equality under the exact-value gate is the
+    sketch's mergeability proof, not a tolerance check. 48-bit md5
+    uniforms are exact in doubles and BIGINTs, so both engines see
+    bit-identical hash order."""
+    from ..functions.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, ["event_type"], "user_id", k=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(sk, "event_type")
+        .select("event_type", F.col("n_exact").cast("long").alias("n_exact"),
+                "n_kept", "kmv_estimate")
+        .orderBy("event_type")
+    )
+
+
+KMV_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 12))::BIGINT
+           / 281474976710656.0 AS uu
+  FROM events
+),
+ranked AS (
+  SELECT event_type, uu,
+         row_number() OVER (PARTITION BY event_type ORDER BY uu) AS rn
+  FROM u
+),
+sk AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rn <= 256 THEN rn END) AS BIGINT) AS n_kept,
+         max(CASE WHEN rn <= 256 THEN uu END) AS uk
+  FROM ranked GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact, s.n_kept,
+       CASE WHEN s.n_kept >= 256 THEN round(255.0 / s.uk, 6)
+            ELSE CAST(s.n_kept AS DOUBLE) END AS kmv_estimate
+FROM ex e JOIN sk s USING (event_type)
+ORDER BY event_type
+"""
+
+
 def embedding_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (hamming_probes=1): each query also probes
     the n_planes buckets one hyperplane-flip away — the standard recall
@@ -3065,7 +3120,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
-        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
+        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
@@ -3119,6 +3174,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
+        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

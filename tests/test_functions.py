@@ -703,3 +703,45 @@ class TestSampling:
             fills = {b["bin_id"]: b["fill"] for b in bins if b["shard"] == s}
             for i in range(len(ids) - 1):
                 assert fills[i] >= cap - max_tok, (s, i, fills[i])
+
+
+class TestKmvSketch:
+    def test_small_cardinality_is_exact(self, spark):
+        from incubator_pulsar_spark.functions.sketches import kmv_distinct
+
+        rows = [(g, v) for g in ("a", "b") for v in range(50)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=256).collect()}
+        # fewer than k distinct -> the sketch IS the exact count
+        assert out["a"].n_kept == 50 and out["a"].kmv_estimate == 50.0
+        assert out["b"].kmv_estimate == 50.0
+
+    def test_estimate_within_bound_and_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions.sketches import kmv_distinct
+
+        n = 20_000
+        df = spark.range(n).select((F.col("id") % 2).cast("string").alias("g"),
+                                   F.col("id").alias("v"))
+        got = {r.g: r.kmv_estimate
+               for r in kmv_distinct(df, ["g"], "v", k=512).collect()}
+        for g, true in (("0", n / 2), ("1", n / 2)):
+            assert abs(got[g] - true) / true < 0.2  # ~4.4 sigma at k=512
+        # mergeability: radically different partitioning, identical sketch
+        again = {r.g: r.kmv_estimate
+                 for r in kmv_distinct(df.repartition(97), ["g"], "v",
+                                       k=512).collect()}
+        assert got == again
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from pyspark.sql import functions as F
+
+        from incubator_pulsar_spark.functions.sketches import kmv_distinct
+
+        base = spark.range(1000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+        dup = base.union(base).union(base)
+        a = kmv_distinct(base, ["g"], "v", k=128).collect()[0]
+        b = kmv_distinct(dup, ["g"], "v", k=128).collect()[0]
+        assert (a.n_kept, a.kmv_estimate) == (b.n_kept, b.kmv_estimate)
