@@ -159,3 +159,60 @@ def test_word_shingles_match_python_model(spark, ts):
     got = {r.i: r.o for r in words.select(
         "i", t.word_shingles(F.col("_w"), 3, distinct=False).alias("o")).collect()}
     assert got == {i: model(s) for i, s in enumerate(ts)}
+
+
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=0, max_size=30),
+                      min_size=1, max_size=25),
+       capacity=st.integers(5, 60),
+       n_shards=st.integers(1, 4))
+@SLOW
+def test_pack_sequences_matches_cumsum_model(spark, texts, capacity, n_shards):
+    """pack_sequences == the pure-Python model: shard by the same md5,
+    order by the same hash, exclusive-prefix cumsum // capacity."""
+    import hashlib
+
+    from incubator_pulsar_spark.functions.sampling import pack_sequences
+    from incubator_pulsar_spark.functions.text import TOKEN_PATTERN
+    import re
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.shard, r.bin_id, r.n_tokens)
+           for r in pack_sequences(df, capacity, id_col="doc_id",
+                                   n_shards=n_shards).collect()}
+
+    pat = re.compile(TOKEN_PATTERN)
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    model = {}
+    shards: dict[int, list] = {}
+    for i, t in enumerate(texts):
+        shards.setdefault(h(f"pack:{i}") % n_shards, []).append(i)
+    for shard, ids in shards.items():
+        ids.sort(key=lambda i: (hashlib.md5(f"pack-o:{i}".encode()).hexdigest(), i))
+        cum = 0
+        for i in ids:
+            tok = len(pat.findall(texts[i]))
+            model[i] = (shard, cum // capacity, tok)
+            cum += tok
+    assert got == model
+
+
+@given(ids=st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=40,
+                    unique=True),
+       frac=st.floats(0.0, 1.0))
+@SLOW
+def test_hash_sample_matches_python_model(spark, ids, frac):
+    """hash_sample == the same md5 threshold computed in pure Python."""
+    import hashlib
+
+    from incubator_pulsar_spark.functions.sampling import hash_sample
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids], "doc_id LONG")
+    got = sorted(r.doc_id for r in hash_sample(df, frac, id_col="doc_id").collect())
+    want = sorted(
+        i for i in ids
+        if int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16) / 2 ** 32 < frac)
+    assert got == want
