@@ -653,3 +653,50 @@ def test_hash_sample_on_stream_matches_batch(spark, tmp_path, sf_dir):
         docs, {"src0": 1.0, "src1": 0.0}, strata_col="source",
         id_col="doc_id", default_rate=0.3).select("doc_id").collect())
     assert got == want and got
+
+
+def test_kmv_stream_converges_to_batch_sketch(spark, tmp_path, sf_dir):
+    """Incremental min-merge across micro-batches equals the batch
+    sketch of the union — run two availableNow passes over a growing
+    topic with one checkpoint; the final streaming estimate must EQUAL
+    functions.sketches.kmv_distinct on the full data."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.sketches import kmv_distinct
+    from incubator_pulsar_spark.streaming.sketches import kmv_distinct_stream
+
+    src = str(tmp_path / "events_topic")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "user_id")
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 == 1)
+    first.write.parquet(src)
+
+    sink = str(tmp_path / "kmv_out")
+
+    def run_pass(batch_tag):
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        out = kmv_distinct_stream(stream, ["event_type"], "user_id", k=64)
+
+        def write(df, batch_id):
+            df.withColumn("pass_tag", F.lit(batch_tag)) \
+                .write.mode("append").parquet(sink)
+
+        (out.writeStream.foreachBatch(write)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass(0)
+    second.write.mode("append").parquet(src)
+    run_pass(1)
+
+    # latest update per group (second pass wins)
+    got = {}
+    for r in spark.read.parquet(sink).orderBy("pass_tag").collect():
+        got[r.event_type] = (r.n_kept, r.kmv_estimate)
+
+    want = {r.event_type: (r.n_kept, r.kmv_estimate)
+            for r in kmv_distinct(ev, ["event_type"], "user_id", k=64).collect()}
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g])
