@@ -132,13 +132,15 @@ def main() -> None:
             "metric": "headline_queries_total_time",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": qs,
+            # 2 decimals + compact separators keep all 62 queries inside
+            # the driver's 2000-char stdout tail capture
+            "queries": {k: round(v, 2) for k, v in qs.items()},
             "cold_total": round(cold_total, 3),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
         if omitted:
             payload["queries_omitted"] = omitted
-        return json.dumps(payload)
+        return json.dumps(payload, separators=(",", ":"))
 
     # hard guard: the one stdout line must fit the 2000-char tail capture
     out = line(timings, 0)
