@@ -1947,8 +1947,10 @@ def minhash_lsh_pairs(spark, sf_dir):
     return fuzzy.lsh_candidate_pairs(docs, k=_SHINGLE_K, num_hashes=16, bands=4)
 
 
-def _minhash_sql() -> str:
-    # mirrors minhash_signatures: 4 digests, four disjoint 8-hex slices each
+def _minhash_ctes() -> str:
+    """sigs + banded CTE bodies — mirrors minhash_signatures: 4 digests,
+    four disjoint 8-hex slices each. Shared by the candidate-pair oracle
+    and the LSH-clusters oracle."""
     sig_cols = ", ".join(
         f"min(substr(md5(shingle || '{'#' * (i // 4)}'), {(i % 4) * 8 + 1}, 8)) AS sig_{i}"
         for i in range(16)
@@ -1961,11 +1963,16 @@ def _minhash_sql() -> str:
         )
     bands_sql = " UNION ALL ".join(band_rows)
     return f"""
-WITH {_shingles_cte()},
 sigs AS (
   SELECT doc_id, {sig_cols} FROM shing GROUP BY doc_id
 ),
-banded AS ({bands_sql})
+banded AS ({bands_sql})"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_shingles_cte()},
+{_minhash_ctes()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -2017,6 +2024,61 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def neardup_clusters_lsh(spark, sf_dir):
+    """The 100 TB shape of cluster resolution: LSH banding generates
+    candidates, exact Jaccard verifies ONLY those, connected components
+    label the verified graph. Unlike `neardup_clusters` (exact
+    inverted-index pair stream — Θ(N²) on low-diversity corpora, see
+    SCALING.md), the pair stream here is bounded by band collisions.
+    Recall < 1 only for true pairs that collide in no band (the
+    standard banding trade); the oracle replays the SAME banding, so
+    the check stays EXACT."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = fuzzy.lsh_candidate_pairs(docs, k=_SHINGLE_K, num_hashes=16, bands=4)
+    pairs = fuzzy.jaccard_pairs(docs, k=_SHINGLE_K, threshold=0.4,
+                                candidates=cands)
+    cc = fuzzy.connected_components(pairs, all_ids=docs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("cluster") == F.col("id")).alias("is_canonical"),
+    )
+
+
+NEARDUP_CLUSTERS_LSH_SQL = f"""
+WITH RECURSIVE {_shingles_cte()},
+{_minhash_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -3121,7 +3183,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
@@ -3140,6 +3201,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
         Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
+        Query("neardup_clusters_lsh", neardup_clusters_lsh,
+              NEARDUP_CLUSTERS_LSH_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
@@ -3175,6 +3238,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
+        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

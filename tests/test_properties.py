@@ -216,3 +216,24 @@ def test_hash_sample_matches_python_model(spark, ids, frac):
         i for i in ids
         if int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16) / 2 ** 32 < frac)
     assert got == want
+
+
+@given(vals=st.lists(st.integers(0, 10 ** 5), min_size=1, max_size=60),
+       k=st.integers(2, 32))
+@SLOW
+def test_kmv_matches_python_model(spark, vals, k):
+    """kmv_distinct == the pure-Python model: k smallest distinct
+    48-bit md5 uniforms, estimate (k-1)/u_k above k else exact."""
+    import hashlib
+
+    from incubator_pulsar_spark.functions.sketches import kmv_distinct
+
+    df = spark.createDataFrame([Row(g="g", v=v) for v in vals],
+                               "g STRING, v LONG")
+    got = kmv_distinct(df, ["g"], "v", k=k).collect()[0]
+
+    us = sorted({int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16) / 2 ** 48
+                 for v in vals})[:k]
+    n_kept = len(us)
+    est = round((k - 1) / us[-1], 6) if n_kept >= k else float(n_kept)
+    assert (got.n_kept, got.kmv_estimate) == (n_kept, est)
