@@ -246,3 +246,39 @@ def winnow_gram_hashes(chars: Column, *, k: int = 5) -> Column:
         gram_idx,
         lambda i: F.substring(F.md5(F.array_join(F.slice(chars, i, k), "")), 1, 8),
     )
+
+
+def top_vocabulary(docs, n: int, *, text_col: str = "text"):
+    """Top-n corpus words by frequency (ties broken by word) — the
+    reference vocabulary for OOV-rate quality filtering. The global
+    rank runs over the AGGREGATED vocabulary (|vocab| rows, corpus-size
+    independent), so the single-task window is metadata-scale."""
+    from pyspark.sql import Window  # local: column-only module
+
+    words = docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.orderBy(F.col("n").desc(), "w")
+    return (counts.withColumn("_r", F.row_number().over(win))
+            .filter(F.col("_r") <= n).select("w"))
+
+
+def oov_rate(docs, vocab, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document out-of-vocabulary rate: 1 − (tokens in ``vocab`` /
+    word tokens); 0.0 for wordless docs. ``vocab`` broadcasts (it is
+    top-n by contract), so the corpus side is explode + map-side join +
+    one keyed agg — the scan-speed quality-filter shape."""
+    w = docs.select(F.col(id_col),
+                    F.explode_outer(word_tokens(F.col(text_col))).alias("_w"))
+    v = vocab.select(F.col("w").alias("_vw"))
+    hits = w.join(F.broadcast(v), w["_w"] == v["_vw"], "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count("_w").alias("n_words"), F.count("_vw").alias("_n_in"))
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.when(F.col("n_words") > 0,
+                   F.round(1 - F.col("_n_in") / F.col("n_words"), 6))
+            .otherwise(F.lit(0.0)).alias("oov_rate"),
+        )
+    )

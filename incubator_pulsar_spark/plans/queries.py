@@ -2045,6 +2045,39 @@ FROM reach GROUP BY id
 """
 
 
+def oov_rate_docs(spark, sf_dir):
+    """Out-of-vocabulary rate vs the corpus's own top-20 vocabulary —
+    the rare-token quality signal (high OOV = gibberish/noise in a
+    cleanup funnel). Vocabulary ranking is exact counting with a
+    deterministic tiebreak (count DESC, word), the rate is a pure
+    division of identical doubles — fully oracle-replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.top_vocabulary(docs, 20)
+    return text.oov_rate(docs, vocab)
+
+
+OOV_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+vocab AS (SELECT w FROM counts ORDER BY n DESC, w LIMIT 20),
+per AS (
+  SELECT d.doc_id, count(wo.w) AS n_words, count(v.w) AS n_in
+  FROM documents d
+  LEFT JOIN words wo ON wo.doc_id = d.doc_id
+  LEFT JOIN vocab v ON v.w = wo.w
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN n_words > 0
+            THEN round(1 - CAST(n_in AS DOUBLE) / n_words, 6)
+            ELSE 0.0 END AS oov_rate
+FROM per
+"""
+
+
 def neardup_clusters_lsh(spark, sf_dir):
     """The 100 TB shape of cluster resolution: LSH banding generates
     candidates, exact Jaccard verifies ONLY those, connected components
@@ -3173,7 +3206,6 @@ ALL_QUERIES: dict[str, Query] = {
     for q in [
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
         Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
-        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
@@ -3193,6 +3225,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
         # --- LLM-data-pipeline operators (BASELINE.json extras) ---
         Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
@@ -3239,6 +3272,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
+        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),

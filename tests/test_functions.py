@@ -745,3 +745,18 @@ class TestKmvSketch:
         a = kmv_distinct(base, ["g"], "v", k=128).collect()[0]
         b = kmv_distinct(dup, ["g"], "v", k=128).collect()[0]
         assert (a.n_kept, a.kmv_estimate) == (b.n_kept, b.kmv_estimate)
+
+
+class TestOovRate:
+    def test_oov_rate_against_hand_model(self, spark):
+        from incubator_pulsar_spark.functions.text import oov_rate, top_vocabulary
+
+        docs = spark.createDataFrame(
+            [(1, "aa aa bb"), (2, "aa zz"), (3, "!!!")],
+            "doc_id long, text string")
+        vocab = top_vocabulary(docs, 2)  # {aa (3), bb (1)} — zz loses tie rank
+        got = {r.doc_id: (r.n_words, r.oov_rate)
+               for r in oov_rate(docs, vocab).collect()}
+        assert got[1] == (3, 0.0)                 # all in vocab
+        assert got[2] == (2, 0.5)                 # zz is OOV
+        assert got[3] == (0, 0.0)                 # wordless doc kept, rate 0
