@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "asof_join_events_salted",
     "embedding_ann_lsh_multiprobe",
     "kmv_distinct_events",
+    "oov_rate_docs",
 ]
 
 
