@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "embedding_ann_lsh_multiprobe",
     "kmv_distinct_events",
     "oov_rate_docs",
+    # round-4b: heavy hitters / bloom / linkage / gapfill / bigram LM
+    "heavy_hitter_words",
+    "bloom_semijoin_orders",
+    "levenshtein_neardup_docs",
+    "gapfill_events",
+    "bigram_lm_docs",
 ]
 
 

@@ -391,6 +391,50 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def levenshtein_blocked_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    prefix_len: int = 40, max_dist: int = 8,
+) -> DataFrame:
+    """Record linkage by edit distance, made tractable by blocking.
+
+    All-pairs Levenshtein is O(N²·L²) — never viable. The standard
+    record-linkage decomposition (Fellegi–Sunter blocking): group rows
+    into small blocks by a cheap deterministic key, verify the expensive
+    distance only within a block. Here the block key is the FIRST WORD
+    of the normalized text and the verifier is Levenshtein over the
+    ``prefix_len``-char normalized prefix — recall is defined by the
+    blocking (pairs whose first word differs are unseen, the documented
+    trade; swap in `lsh_candidate_pairs` when edits may hit word 1).
+
+    Scale shape: one equi-join on the block key (shuffle hash join —
+    never a cartesian), distance evaluated JVM-side (`F.levenshtein`,
+    whole-stage codegen) on fixed-width prefixes so the comparison cost
+    is O(prefix_len²) per candidate, independent of document size. A
+    pathological hot block (every row sharing one first word) degrades
+    to that block's pair space — cap it upstream with `df_cut_candidates`
+    semantics if the corpus has stopword-led text.
+
+    Output: (doc_a, doc_b, lev) for in-block pairs with distance ≤
+    ``max_dist``, doc_a < doc_b.
+    """
+    norm = normalize_text(F.col(text_col))
+    b = docs.select(
+        F.col(id_col),
+        F.substring_index(norm, " ", 1).alias("_blk"),
+        F.substring(norm, 1, prefix_len).alias("_pfx"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col(f"a._blk") == F.col(f"b._blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.levenshtein(F.col("a._pfx"), F.col("b._pfx")).alias("lev"))
+        .filter(F.col("lev") <= max_dist)
+        .select("doc_a", "doc_b", F.col("lev").cast("int").alias("lev"))
+    )
+
+
 def exact_dedup_docs(docs: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the lowest-id doc per normalized-text fingerprint.

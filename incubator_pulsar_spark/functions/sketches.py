@@ -31,6 +31,70 @@ from pyspark.sql import functions as F
 _U48 = float(2 ** 48)
 
 
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries → distinct candidate keys.
+
+    Each partition keeps at most ``k`` counters (Misra & Gries, "Finding
+    repeated elements", Sci. Comput. Program. 1982); when a batch merge
+    overflows the budget, the (k+1)-th largest count is subtracted from
+    every counter and non-positive ones are dropped (the mergeable-
+    summaries combine step of Agarwal et al., PODS 2012). Guarantee:
+    any key whose PARTITION count exceeds n_p/(k+1) survives that
+    partition's summary, so — by pigeonhole over partitions — any key
+    with GLOBAL count > N/(k+1) appears in the union of candidates.
+
+    At 100 TB this is the point: the shuffle carries ≤ partitions·k
+    candidate keys instead of every distinct key the partial-agg
+    hashmaps spill (frequent-term mining over a 10⁹-word vocabulary
+    moves kilobytes, not the vocabulary).
+    """
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts(dropna=True).items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count, keep positives
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {c: n - cut for c, n in counters.items() if n > cut}
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    field = next(f for f in df.schema.fields if f.name == key_col)
+    out = df.select(key_col).mapInPandas(
+        summarize, f"{key_col} {field.dataType.simpleString()}")
+    return out.dropDuplicates([key_col])
+
+
+def heavy_hitters(df: DataFrame, key_col: str, *, phi_num: int, phi_den: int,
+                  k: int | None = None) -> DataFrame:
+    """EXACT heavy hitters (count ≥ N·phi_num/phi_den) in two passes.
+
+    Pass 1: Misra-Gries candidates (superset of every true heavy hitter
+    when k ≥ phi_den/phi_num − 1; see misra_gries_candidates). Pass 2:
+    broadcast-semi-join the fact to the candidate set and exact-count
+    ONLY candidates — the MG summary's order-dependence cannot leak
+    into the output because every candidate is re-counted exactly and
+    the threshold test uses integer arithmetic (cnt·phi_den ≥ N·phi_num,
+    no float rounding on either engine).
+
+    Output: key_col, cnt (exact), share = round(cnt/N, 6).
+    """
+    if k is None:
+        k = max(1, (phi_den + phi_num - 1) // phi_num)
+    cands = misra_gries_candidates(df, key_col, k)
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    counted = (
+        df.join(F.broadcast(cands), key_col)
+        .groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * phi_den >= F.col("_n") * phi_num)
+        .select(key_col, F.col("cnt").cast("long").alias("cnt"),
+                F.round(F.col("cnt") / F.col("_n"), 6).alias("share"))
+    )
+
+
 def kmv_uniform(col, salt: str = "kmv"):
     """48-bit md5 uniform in [0, 1): exact in IEEE doubles (< 2^53) and
     in BIGINTs, so DuckDB replays it bit-for-bit."""

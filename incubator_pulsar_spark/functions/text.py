@@ -262,6 +262,64 @@ def top_vocabulary(docs, n: int, *, text_col: str = "text"):
             .filter(F.col("_r") <= n).select("w"))
 
 
+def bigram_lm_scores(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document corpus-LM fluency score: mean log₂ P(w₂|w₁) under an
+    add-one-smoothed bigram model estimated on the corpus itself — the
+    classic perplexity-style quality signal (a document of improbable
+    word transitions scores low; boilerplate scores high).
+
+    P(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁·)+V), with c(w₁·) the count of w₁
+    as a bigram PREFIX and V the corpus unigram vocabulary.
+
+    Cross-engine exactness: the per-bigram log-likelihood is snapped to
+    integer micro-units (round(log₂p·10⁶) → BIGINT) before summing, so
+    the per-document sum is order-independent integer arithmetic on
+    both engines — no float-accumulation drift can reach the gate. The
+    final score divides that exact sum by 10⁶·n once.
+
+    Scale shape: tokens materialize ONCE per doc (the documented
+    Catalyst-inlining trap — slicing an unmaterialized regexp column
+    re-runs the regexp per element), bigrams explode map-side, the
+    model join keys on the bigram (broadcast under AQE when the
+    aggregated model is small; keyed shuffle otherwise), and one keyed
+    agg lands the per-doc sums. Corpus-size-independent state: the
+    MODEL is |bigram vocab| rows, never the corpus.
+
+    Output: (doc_id, n_bigrams, lm_score) for docs with ≥ 1 bigram.
+    """
+    ws = docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_ws"))
+    n = F.size("_ws")
+    bigrams = ws.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice("_ws", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("_ws", 2, F.greatest(n - 1, F.lit(0))),
+            lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+        )).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (docs.select(F.explode(word_tokens(F.col(text_col))).alias("_w"))
+             .agg(F.countDistinct("_w").alias("_v")))
+
+    model = c12.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
+        "w1", "w2",
+        F.round(F.log2((F.col("_c12") + F.lit(1.0)) / (F.col("_c1") + F.col("_v")))
+                * F.lit(1000000.0), 0).cast("long").alias("_ll_micro"),
+    )
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_ll_micro").alias("_s"))
+        .select(
+            id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(F.col("_s") / (F.lit(1000000.0) * F.col("n_bigrams")), 6)
+            .alias("lm_score"),
+        )
+    )
+
+
 def oov_rate(docs, vocab, *, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document out-of-vocabulary rate: 1 − (tokens in ``vocab`` /
     word tokens); 0.0 for wordless docs. ``vocab`` broadcasts (it is

@@ -264,3 +264,48 @@ class TestPlanQuality:
         assert plan.count("Exchange hashpartitioning") <= 4, (
             "repetition_stats grew extra shuffles")
         assert "CartesianProduct" not in plan
+
+    # --- round-4b plan locks ---
+
+    def test_heavy_hitters_candidates_broadcast(self, spark):
+        """Two-pass MG: the candidate pass is the ONLY Python stage, and
+        the recount joins candidates via broadcast — the fact side never
+        shuffles its full key domain."""
+        plan = executed_plan(spark, "heavy_hitter_words")
+        assert "MapInPandas" in plan, "MG candidate stage missing"
+        assert "BroadcastHashJoin" in plan, "candidate join must broadcast"
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bloom_semijoin_jvm_and_broadcast(self, spark):
+        """Bloom bitmap check is pure column exprs at scan speed; the
+        exactness join broadcasts the key set. No Python anywhere."""
+        plan = executed_plan(spark, "bloom_semijoin_orders")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_levenshtein_blocked_equi_join_only(self, spark):
+        """Blocked linkage must plan the block key as an equi-join —
+        a cartesian/BNLJ here is the O(N²) failure mode."""
+        plan = executed_plan(spark, "levenshtein_neardup_docs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+
+    def test_gapfill_jvm_with_single_locf_window(self, spark):
+        """Gap-fill: generated grid + keyed agg + ONE window for LOCF,
+        everything JVM-side."""
+        plan = executed_plan(spark, "gapfill_events")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert plan.count("Window") <= 2, "extra window stages appeared"
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_lm_stays_jvm_side(self, spark):
+        """Bigram LM: explode + model joins + keyed agg — no Python, no
+        cartesian (the vocab scalar rides a 1-row broadcast BNLJ, which
+        is fine; a CartesianProduct is not)."""
+        plan = executed_plan(spark, "bigram_lm_docs")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,225 @@
+"""Round-4b operators vs pure-Python models: exact heavy hitters
+(Misra-Gries two-pass), Bloom semi-join, blocked Levenshtein linkage,
+time-grid gap-fill with LOCF, and bigram-LM scoring."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import bloom, fuzzy, text
+from incubator_pulsar_spark.functions.sketches import (
+    heavy_hitters, misra_gries_candidates)
+from incubator_pulsar_spark.operators.gapfill import gapfill_locf
+
+
+class TestHeavyHitters:
+    def _zipf_df(self, spark, n_keys=200, scale=1000):
+        # deterministic Zipf stream: key i appears max(1, scale/(i+1)) times
+        rows = []
+        for i in range(n_keys):
+            rows.extend([Row(word=f"k{i}")] * max(1, scale // (i + 1)))
+        return spark.createDataFrame(rows, "word STRING")
+
+    def test_exact_vs_groupby_model(self, spark):
+        df = self._zipf_df(spark).repartition(8)
+        got = {r["word"]: (r["cnt"], r["share"])
+               for r in heavy_hitters(df, "word", phi_num=2,
+                                      phi_den=100).collect()}
+        n = df.count()
+        exact = {r["word"]: r["c"] for r in
+                 df.groupBy("word").agg(F.count(F.lit(1)).alias("c")).collect()}
+        want = {w: c for w, c in exact.items() if c * 100 >= n * 2}
+        assert set(got) == set(want)
+        for w, (cnt, share) in got.items():
+            assert cnt == want[w]
+            assert share == round(cnt / n, 6)
+
+    def test_candidates_prune_zipf_tail(self, spark):
+        """The point of MG at scale: candidates ≪ distinct keys."""
+        df = self._zipf_df(spark, n_keys=400).repartition(4)
+        k = 20
+        cands = misra_gries_candidates(df, "word", k)
+        n_cands = cands.count()
+        n_distinct = df.select("word").distinct().count()
+        assert n_cands < n_distinct / 2, (n_cands, n_distinct)
+
+    def test_candidates_superset_of_heavy(self, spark):
+        """Guarantee: global count > N/(k+1) ⇒ key in candidate union."""
+        df = self._zipf_df(spark).repartition(16)  # many partitions
+        k = 10
+        n = df.count()
+        cands = {r["word"] for r in
+                 misra_gries_candidates(df, "word", k).collect()}
+        exact = {r["word"]: r["c"] for r in
+                 df.groupBy("word").agg(F.count(F.lit(1)).alias("c")).collect()}
+        for w, c in exact.items():
+            if c > n / (k + 1):
+                assert w in cands, f"{w} ({c}/{n}) missed by MG k={k}"
+
+
+def _positions(key, m_bits=1 << 16, j=3):
+    return [int(hashlib.md5(f"bf{i}:{key}".encode()).hexdigest()[:12], 16)
+            % m_bits for i in range(j)]
+
+
+class TestBloom:
+    def test_bitmap_matches_python_model(self, spark):
+        keys = list(range(0, 500, 7))
+        df = spark.createDataFrame([Row(k=k) for k in keys], "k LONG")
+        bitmap = bloom.build_bloom(df, "k")
+        want = [0] * (1 << 10)
+        for key in keys:
+            for p in _positions(key):
+                want[p >> 6] |= 1 << (p & 63)
+        # java longs are signed; normalize
+        got = [w & ((1 << 64) - 1) for w in bitmap]
+        assert got == want
+
+    def test_no_false_negatives(self, spark):
+        keys = list(range(100))
+        build = spark.createDataFrame([Row(k=k) for k in keys], "k LONG")
+        bitmap = bloom.build_bloom(build, "k")
+        probe = spark.createDataFrame([Row(k=k) for k in range(200)], "k LONG")
+        passed = {r["k"] for r in
+                  probe.filter(bloom.might_contain(bitmap, F.col("k")))
+                  .collect()}
+        assert set(keys) <= passed
+        # 300 bits set in 65536 → fpp ~ (300/65536)^3: essentially zero here
+        assert len(passed - set(keys)) <= 2
+
+    def test_prefiltered_join_verdicts_exact(self, spark):
+        build = spark.createDataFrame([Row(k=k) for k in range(0, 60, 3)],
+                                      "k LONG")
+        fact = spark.createDataFrame([Row(k=k, v=k * 10) for k in range(60)],
+                                     "k LONG, v LONG")
+        out = bloom.bloom_prefiltered_join(fact, build, "k", "k").collect()
+        for r in out:
+            assert r["_bloom_true"] == (r["k"] % 3 == 0)
+        true_keys = {r["k"] for r in out if r["_bloom_true"]}
+        assert true_keys == set(range(0, 60, 3))
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+class TestLevenshteinLinkage:
+    DOCS = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delts"),       # 1 edit, same block
+        (3, "alpha beta GAMMA   delta"),     # normalizes equal to 1
+        (4, "omega beta gamma delta"),       # different block
+        (5, "alpha completely different text here that exceeds"),
+        (6, "zeta one"),
+    ]
+
+    def test_matches_python_model(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id LONG, text STRING")
+        got = {(r["doc_a"], r["doc_b"]): r["lev"]
+               for r in fuzzy.levenshtein_blocked_pairs(
+                   df, prefix_len=40, max_dist=8).collect()}
+        import re as _re
+        norm = {i: _re.sub(r"\s+", " ", t.lower()).strip()
+                for i, t in self.DOCS}
+        want = {}
+        ids = sorted(norm)
+        for a in ids:
+            for b in ids:
+                if a < b and norm[a].split(" ")[0] == norm[b].split(" ")[0]:
+                    d = _lev(norm[a][:40], norm[b][:40])
+                    if d <= 8:
+                        want[(a, b)] = d
+        assert got == want
+        assert (1, 2) in got and got[(1, 3)] == 0
+        assert not any(4 in p for p in got)
+
+
+class TestGapfill:
+    def test_matches_pandas_model(self, spark):
+        rows = [
+            Row(k="a", ts="2024-01-01 00:01:00", v=10.0),
+            Row(k="a", ts="2024-01-01 00:05:00", v=20.0),
+            # 00:15 slot empty, 00:30 slot empty
+            Row(k="a", ts="2024-01-01 00:47:00", v=40.0),
+            Row(k="b", ts="2024-01-01 00:20:00", v=1.0),
+        ]
+        df = spark.createDataFrame(rows).select(
+            "k", F.to_timestamp("ts").alias("ts"), F.col("v"))
+        out = gapfill_locf(df, key_cols=["k"], ts_col="ts", value_col="v",
+                           slot_seconds=900)
+        got = {(r["k"], r["slot"]): (r["n_events"], r["value_locf"], r["filled"])
+               for r in out.collect()}
+        base = 1704067200 // 900  # 2024-01-01 00:00 UTC
+        # grid is global min..max slot for every key
+        assert set(got) == {(k, base + s) for k in "ab" for s in range(4)}
+        assert got[("a", base)] == (2, 15.0, False)
+        assert got[("a", base + 1)] == (0, 15.0, True)
+        assert got[("a", base + 2)] == (0, 15.0, True)
+        assert got[("a", base + 3)] == (1, 40.0, False)
+        # leading slots before b's first observation: NULL carry, filled
+        assert got[("b", base)] == (0, None, True)
+        assert got[("b", base + 1)] == (1, 1.0, False)
+        assert got[("b", base + 2)] == (0, 1.0, True)
+
+    def test_exact_decimal_mean(self, spark):
+        # means that differ under float summation order: 0.1+0.2
+        rows = [Row(k="a", ts="2024-01-01 00:00:30", v=0.1),
+                Row(k="a", ts="2024-01-01 00:00:40", v=0.2)]
+        df = spark.createDataFrame(rows).select(
+            "k", F.to_timestamp("ts").alias("ts"), F.col("v"))
+        out = gapfill_locf(df, key_cols=["k"], ts_col="ts", value_col="v",
+                           slot_seconds=900).collect()
+        assert out[0]["value_locf"] == pytest.approx(0.15, abs=1e-9)
+
+
+class TestBigramLm:
+    DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
+            (4, "single"), (5, "")]
+
+    def test_matches_python_model(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id LONG, text STRING")
+        got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+               for r in text.bigram_lm_scores(df).collect()}
+
+        import re as _re
+        toks = {i: _re.findall(r"[a-z]+", t.lower()) for i, t in self.DOCS}
+        bigrams = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+        c12: dict = {}
+        c1: dict = {}
+        for bs in bigrams.values():
+            for w1, w2 in bs:
+                c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+                c1[w1] = c1.get(w1, 0) + 1
+        vocab = len({w for ws in toks.values() for w in ws})
+        want = {}
+        for i, bs in bigrams.items():
+            if not bs:
+                continue
+            s = sum(round(math.log2((c12[bg] + 1.0) / (c1[bg[0]] + vocab))
+                          * 1e6) for bg in bs)
+            want[i] = (len(bs), round(s / 1e6 / len(bs), 6))
+        assert set(got) == set(want)  # docs with <2 tokens are absent
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+    def test_repeated_boilerplate_scores_higher(self, spark):
+        docs = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(1, 9)] + [(9, "zebra quantum kumquat axolotl")]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        scores = {r["doc_id"]: r["lm_score"]
+                  for r in text.bigram_lm_scores(df).collect()}
+        assert scores[1] > scores[9]
