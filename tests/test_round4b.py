@@ -87,8 +87,7 @@ class TestBloom:
         bitmap = bloom.build_bloom(build, "k")
         probe = spark.createDataFrame([Row(k=k) for k in range(200)], "k LONG")
         passed = {r["k"] for r in
-                  probe.filter(bloom.might_contain(bitmap, F.col("k")))
-                  .collect()}
+                  bloom.apply_bloom_filter(probe, bitmap, "k").collect()}
         assert set(keys) <= passed
         # 300 bits set in 65536 → fpp ~ (300/65536)^3: essentially zero here
         assert len(passed - set(keys)) <= 2
@@ -103,6 +102,21 @@ class TestBloom:
             assert r["_bloom_true"] == (r["k"] % 3 == 0)
         true_keys = {r["k"] for r in out if r["_bloom_true"]}
         assert true_keys == set(range(0, 60, 3))
+
+    def test_literal_form_agrees_with_broadcast_form(self, spark):
+        """might_contain (literal array, small maps) and
+        apply_bloom_filter (broadcast row, query plans) are the same
+        predicate."""
+        build = spark.createDataFrame([Row(k=k) for k in range(40)], "k LONG")
+        m = 1 << 10
+        bitmap = bloom.build_bloom(build, "k", m_bits=m)
+        probe = spark.createDataFrame([Row(k=k) for k in range(300)], "k LONG")
+        a = {r["k"] for r in
+             probe.filter(bloom.might_contain(bitmap, F.col("k"), m_bits=m))
+             .collect()}
+        b = {r["k"] for r in
+             bloom.apply_bloom_filter(probe, bitmap, "k", m_bits=m).collect()}
+        assert a == b and set(range(40)) <= a
 
 
 def _lev(a: str, b: str) -> int:
@@ -136,9 +150,10 @@ class TestLevenshteinLinkage:
                 for i, t in self.DOCS}
         want = {}
         ids = sorted(norm)
+        blk = {i: " ".join(n.split(" ")[:2]) for i, n in norm.items()}
         for a in ids:
             for b in ids:
-                if a < b and norm[a].split(" ")[0] == norm[b].split(" ")[0]:
+                if a < b and blk[a] == blk[b]:
                     d = _lev(norm[a][:40], norm[b][:40])
                     if d <= 8:
                         want[(a, b)] = d
