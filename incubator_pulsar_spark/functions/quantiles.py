@@ -1,0 +1,138 @@
+"""Exact per-group quantiles, gate-able cross-engine.
+
+``approx_percentile`` (Spark) and ``quantile_cont`` (DuckDB) disagree by
+construction — different sketches / interpolation rules — so neither can
+sit under a value-hash gate. This module computes DISCRETE quantiles
+(percentile_disc semantics) with pure integer rank math that any engine
+replays bit-for-bit: the q-quantile of n ordered values is the value at
+rank ceil(n·num/den), computed as floor((n·num + den − 1)/den) — no
+float in the rank, no interpolation between values, output values are
+untouched input values.
+
+Two implementations, same output by construction:
+
+- ``exact_quantiles``: one window per group (row_number + count over the
+  group partition — ONE shuffle). The group's values are sorted in one
+  partition: right up to ~10⁸ rows per group, and the 100 TB shape when
+  groups are plentiful (per-group data ≪ executor memory).
+- ``exact_quantiles_bucketed``: the giant-group path. Pass 1 buckets
+  values by a coarse deterministic key and aggregates counts (map-side
+  partial agg, tiny result); the driver walks the cumulative histogram
+  to find each target rank's bucket; pass 2 sorts ONLY the rows of the
+  needed buckets (filter pushed to the scan) and picks the in-bucket
+  rank. Nothing ever globally sorts: the full sort is replaced by a
+  |buckets|-row aggregate plus a sort of n/|buckets| rows. This is the
+  classic two-pass selection refinement (Munro-Paterson style pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_target(n_col, num: int, den: int):
+    # ceil(n*num/den) in pure integer math
+    return F.floor((n_col * num + den - 1) / den).cast("long")
+
+
+def exact_quantiles(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    qs: list[tuple[int, int, str]],
+) -> DataFrame:
+    """Per-group discrete quantiles; ``qs`` = [(num, den, alias), ...]
+    e.g. [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")].
+
+    Output: group_cols + (n BIGINT) + one column per alias, each an
+    untouched value from the group (deterministic even under value
+    ties — position k of the sorted multiset is a fixed value).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, value_col) \
+        .withColumn("_rn", F.row_number().over(w)) \
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for num, den, alias in qs:
+        aggs.append(
+            F.max(F.when(F.col("_rn") == _rank_target(F.col("_n"), num, den),
+                         F.col(value_col))).alias(alias))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def exact_quantiles_bucketed(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    qs: list[tuple[int, int, str]], *, n_buckets: int = 1024,
+    lo: float, hi: float,
+) -> DataFrame:
+    """Giant-group variant: identical output to ``exact_quantiles``
+    without ever sorting a whole group.
+
+    ``lo``/``hi`` bound the value domain (rows outside are clamped into
+    the edge buckets, which stays exact — bucketing only PRUNES, the
+    in-bucket selection reads true values). The histogram collect is
+    bounded at |groups|·n_buckets rows of counts.
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width))
+    ).cast("int")
+    based = df.select(*group_cols, F.col(value_col), bucket.alias("_b"))
+    hist = (based.groupBy(*group_cols, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect())
+
+    # driver-side: cumulative walk per group → (group, q) → bucket + rank
+    from collections import defaultdict
+
+    counts: dict = defaultdict(dict)
+    for r in hist:
+        g = tuple(r[c] for c in group_cols)
+        counts[g][r["_b"]] = r["_c"]
+    needed: dict = defaultdict(list)  # (group, bucket) -> [(alias, in-bucket rank)]
+    totals: dict = {}
+    for g, bs in counts.items():
+        n = sum(bs.values())
+        totals[g] = n
+        for num, den, alias in qs:
+            target = (n * num + den - 1) // den
+            cum = 0
+            for b in sorted(bs):
+                if cum + bs[b] >= target:
+                    needed[(g, b)].append((alias, target - cum))
+                    break
+                cum += bs[b]
+
+    spark = df.sparkSession
+    need_rows = [(*g, b, alias, rank)
+                 for (g, b), specs in needed.items()
+                 for alias, rank in specs]
+    schema = ", ".join(
+        [f"{c} {t.dataType.simpleString()}"
+         for c, t in zip(group_cols,
+                         [f for f in based.schema.fields
+                          if f.name in group_cols])]
+        + ["_b int", "_alias string", "_target long"])
+    need_df = spark.createDataFrame(need_rows, schema)
+
+    # pass 2: sort ONLY the rows of needed (group, bucket) pairs
+    w = Window.partitionBy(*group_cols, "_b").orderBy(value_col)
+    picked = (
+        based.join(F.broadcast(need_df.select(*group_cols, "_b").distinct()),
+                   [*group_cols, "_b"])
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(need_df),
+              [*group_cols, "_b"], "inner")
+        .filter(F.col("_rn") == F.col("_target"))
+        .select(*group_cols, "_alias", F.col(value_col).alias("_v"))
+    )
+    out = picked.groupBy(*group_cols).pivot(
+        "_alias", [alias for _, _, alias in qs]).agg(F.first("_v"))
+    n_df = spark.createDataFrame(
+        [(*g, n) for g, n in totals.items()],
+        ", ".join([f.split(" ")[0] + " " + f.split(" ")[1]
+                   for f in schema.split(", ")[:len(group_cols)]]
+                  + ["n long"]))
+    return out.join(F.broadcast(n_df), group_cols) \
+        .select(*group_cols, "n", *[a for _, _, a in qs])

@@ -3423,6 +3423,39 @@ GROUP BY bg.doc_id
 """
 
 
+def value_quantiles_events(spark, sf_dir):
+    """EXACT per-group discrete quantiles (functions/quantiles.py):
+    p50/p90/p99 of event value per event_type by pure integer rank math
+    (value at rank ceil(n·q), no interpolation — the reason it can sit
+    under a value-hash gate where approx_percentile/quantile_cont
+    cannot). The window path shown here sorts each group in one
+    partition; `exact_quantiles_bucketed` (pytest-proven equal) is the
+    giant-group two-pass refinement that never sorts a full group."""
+    from ..functions.quantiles import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quantiles(ev, ["event_type"], "value",
+                           [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")])
+
+
+QUANTILES_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
+                THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(floor((n * 9 + 9) / 10) AS BIGINT)
+                THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(floor((n * 99 + 99) / 100) AS BIGINT)
+                THEN value END) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3451,7 +3484,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
         Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
         # --- LLM-data-pipeline operators (BASELINE.json extras) ---
-        Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
@@ -3498,10 +3530,13 @@ ALL_QUERIES: dict[str, Query] = {
               LEVENSHTEIN_SQL),
         Query("gapfill_events", gapfill_events, GAPFILL_SQL),
         Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
-        # key-shared rotated here in r4b (green r1+r2+r3, untouched). ---
+        # key-shared rotated here in r4b (green r1+r2+r3, untouched);
+        # text_stats likewise for the quantiles slot. ---
+        Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),

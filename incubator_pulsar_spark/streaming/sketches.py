@@ -70,3 +70,74 @@ def kmv_distinct_stream(
         .applyInPandasWithState(fn, out_schema, STATE_SCHEMA, "update",
                                 "NoTimeout")
     )
+
+
+MG_STATE_SCHEMA = T.StructType([
+    T.StructField("keys", T.ArrayType(T.StringType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("total", T.LongType()),
+])
+
+
+def misra_gries_stream(
+    stream: DataFrame, key_col: str, *, k: int = 64, n_shards: int = 8,
+    salt: str = "mg",
+) -> DataFrame:
+    """Running heavy-hitter candidates over a stream: per-shard
+    Misra-Gries counters maintained across micro-batches.
+
+    Keys shard by md5 (every occurrence of a key lands in ONE shard),
+    so each shard's MG summary carries the standard guarantee over its
+    own substream: any key with shard count > shard_total/(k+1)
+    survives — and since a shard holds ALL of a key's occurrences, any
+    key with GLOBAL count > total/(k+1) survives its shard. State is
+    2·k values per shard, fixed forever; a running exact count per key
+    would grow with the key domain.
+
+    Output (update mode), one row per surviving key per batch:
+    (shard, key_col, mg_count, shard_total). ``mg_count`` is the MG
+    lower bound (true_count − mg_count ≤ shard_total/(k+1)); exact when
+    the shard has seen ≤ k distinct keys. Downstream exact recount —
+    the second pass of ``functions.sketches.heavy_hitters`` — applies
+    unchanged when exactness is needed.
+    """
+    from pyspark.sql import functions as F
+
+    pre = stream.select(
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                              F.col(key_col))), 1, 12),
+                16, 10).cast("long") % n_shards).alias("shard"),
+        F.col(key_col).cast("string").alias("_key"),
+    )
+    out_schema = T.StructType([
+        T.StructField("shard", T.LongType()),
+        T.StructField(key_col, T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("shard_total", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        keys, counts, total = (state.get if state.exists else ([], [], 0))
+        counters = dict(zip(keys, counts))
+        for pdf in pdfs:
+            vc = pdf["_key"].value_counts(dropna=True)
+            total += int(vc.sum())
+            for kk, cnt in vc.items():
+                counters[kk] = counters.get(kk, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {c: n - cut for c, n in counters.items() if n > cut}
+        state.update((list(counters.keys()), list(counters.values()), total))
+        (shard,) = key
+        yield pd.DataFrame({
+            "shard": [shard] * len(counters),
+            key_col: list(counters.keys()),
+            "mg_count": list(counters.values()),
+            "shard_total": [total] * len(counters),
+        })
+
+    return (
+        pre.groupBy("shard")
+        .applyInPandasWithState(fn, out_schema, MG_STATE_SCHEMA, "update",
+                                "NoTimeout")
+    )

@@ -302,6 +302,14 @@ class TestPlanQuality:
         assert plan.count("Window") <= 2, "extra window stages appeared"
         assert "CartesianProduct" not in plan
 
+    def test_quantiles_single_keyed_shuffle(self, spark):
+        """Exact quantiles: window + agg share the group partitioning —
+        one keyed exchange, all JVM."""
+        plan = executed_plan(spark, "value_quantiles_events")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "CartesianProduct" not in plan
+
     def test_bigram_lm_stays_jvm_side(self, spark):
         """Bigram LM: explode + model joins + keyed agg — no Python, no
         cartesian (the vocab scalar rides a 1-row broadcast BNLJ, which

@@ -200,6 +200,49 @@ class TestGapfill:
         assert out[0]["value_locf"] == pytest.approx(0.15, abs=1e-9)
 
 
+class TestQuantiles:
+    def test_window_and_bucketed_paths_agree(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions.quantiles import (
+            exact_quantiles, exact_quantiles_bucketed)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        qs = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+        a = {tuple(r) for r in
+             exact_quantiles(ev, ["event_type"], "value", qs).collect()}
+        b = {tuple(r) for r in
+             exact_quantiles_bucketed(ev, ["event_type"], "value", qs,
+                                      lo=0.0, hi=1000.0).collect()}
+        assert a == b and a
+
+    def test_matches_python_model(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import exact_quantiles
+
+        vals = [float(v) for v in [5, 1, 9, 3, 3, 7, 2, 8, 6, 4]]
+        df = spark.createDataFrame([Row(g="x", v=v) for v in vals],
+                                   "g STRING, v DOUBLE")
+        out = exact_quantiles(df, ["g"], "v",
+                              [(1, 2, "p50"), (9, 10, "p90")]).collect()[0]
+        s = sorted(vals)
+        assert out["n"] == 10
+        assert out["p50"] == s[math.ceil(10 * 0.5) - 1]   # rank 5 → value 4.0
+        assert out["p90"] == s[math.ceil(10 * 0.9) - 1]   # rank 9 → value 8.0
+
+    def test_bucketed_clamps_out_of_range_exactly(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import (
+            exact_quantiles, exact_quantiles_bucketed)
+
+        # values outside [lo, hi) land in edge buckets; result stays exact
+        vals = [-5.0, 0.5, 1.5, 2.5, 99.0, 250.0, 300.0]
+        df = spark.createDataFrame([Row(g="x", v=v) for v in vals],
+                                   "g STRING, v DOUBLE")
+        qs = [(1, 2, "p50"), (99, 100, "p99")]
+        a = {tuple(r) for r in exact_quantiles(df, ["g"], "v", qs).collect()}
+        b = {tuple(r) for r in
+             exact_quantiles_bucketed(df, ["g"], "v", qs, n_buckets=8,
+                                      lo=0.0, hi=100.0).collect()}
+        assert a == b
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]

@@ -700,3 +700,54 @@ def test_kmv_stream_converges_to_batch_sketch(spark, tmp_path, sf_dir):
             for r in kmv_distinct(ev, ["event_type"], "user_id", k=64).collect()}
     for g in want:
         assert got[g] == want[g], (g, got[g], want[g])
+
+
+def test_mg_stream_guarantee_and_exactness(spark, tmp_path, sf_dir):
+    """Streaming Misra-Gries across two availableNow passes: (a) with a
+    small k, every key whose TOTAL count exceeds total/(k+1) appears in
+    the final candidate emission (the MG guarantee survives
+    micro-batching); (b) with k ≥ distinct keys, emitted counts are
+    EXACT (no decrement ever fires) and equal the batch groupBy."""
+    from incubator_pulsar_spark.streaming.sketches import misra_gries_stream
+
+    src = str(tmp_path / "ev_topic")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "event_id")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(src)
+
+    def run(tag, k, sink, ckpt):
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        out = misra_gries_stream(stream, "event_type", k=k, n_shards=2)
+
+        def write(df, batch_id):
+            df.withColumn("pass_tag", F.lit(tag)) \
+                .write.mode("append").parquet(sink)
+
+        (out.writeStream.foreachBatch(write)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    # (a) k=1: only the per-shard plurality key is guaranteed
+    sink_a = str(tmp_path / "mg_a")
+    run(0, 1, sink_a, str(tmp_path / "ca"))
+    second.write.mode("append").parquet(src)
+    run(1, 1, sink_a, str(tmp_path / "ca"))
+    latest = {}
+    for r in spark.read.parquet(sink_a).orderBy("pass_tag").collect():
+        latest[(r.shard, r.event_type)] = r.mg_count
+    exact = {r.event_type: r.c for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(exact.values())
+    surviving = {t for (_, t) in latest}
+    for t, c in exact.items():
+        if c > total / 2:  # k=1 ⇒ guarantee threshold total/(k+1)
+            assert t in surviving
+    # (b) k=64 ≥ 5 distinct event types ⇒ exact counts
+    sink_b = str(tmp_path / "mg_b")
+    run(0, 64, sink_b, str(tmp_path / "cb"))
+    got = {r.event_type: r.mg_count
+           for r in spark.read.parquet(sink_b).collect()}
+    assert got == exact
