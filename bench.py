@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "gapfill_events",
     "bigram_lm_docs",
     "value_quantiles_events",
+    "topic_digest_events",
+    "funnel_conversion_events",
 ]
 
 

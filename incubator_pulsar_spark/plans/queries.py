@@ -3456,6 +3456,112 @@ FROM r GROUP BY event_type
 """
 
 
+def topic_digest_events(spark, sf_dir):
+    """Replica-verification digest (operators/digest.py): per
+    (event_type, day) row count + exact decimal sum of 48-bit md5 row
+    hashes — the order-independent, duplicate-sensitive checksum that
+    lets two geo-replicas be compared with two scans and a tiny join
+    (digest_diff; corruption-detection path pytest-covered). Gate-able
+    because the checksum itself replays in ANSI SQL."""
+    from ..operators.digest import topic_digest
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+          # doubles render engine-specifically; a fixed-scale decimal
+          # prints identically everywhere ("35.2800")
+          .withColumn("value", F.col("value").cast("decimal(18,4)")))
+    return topic_digest(ev, ["event_type", "day"],
+                        ["event_id", "user_id", "value"])
+
+
+TOPIC_DIGEST_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substr(md5(
+              'dg:' || event_id || ':' || user_id || ':'
+                    || CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)), 1, 12)
+            )::BIGINT AS DECIMAL(38,0))) AS VARCHAR)
+         AS checksum
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+def funnel_conversion_events(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase) per user with
+    ONE keyed shuffle: stage timestamps are nested conditional
+    window-mins over the same user partitioning (t_click = min ts of a
+    click AFTER t_view, etc.), so Catalyst plans a single exchange and
+    three Window ops — no self-joins, no re-scans. Output: per-stage
+    user counts plus mean view→purchase hours (exact decimal mean)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("t_view", F.min(F.when(F.col("event_type") == "view",
+                                           F.col("ts"))).over(w))
+        .withColumn("t_click", F.min(F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"))).over(w))
+        .withColumn("t_buy", F.min(F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"))).over(w))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"), F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"))
+    # integer microseconds end-to-end: summing a DOUBLE hours value
+    # through a decimal cast can hit exact halfway cases (micro-grid
+    # diffs are multiples of 180000·(2k+1) µs) where Spark rounds
+    # HALF_UP and DuckDB HALF_EVEN — the r1 q1 trap in time form
+    micros = (F.unix_micros(F.col("t_buy").cast("timestamp"))
+              - F.unix_micros(F.col("t_view").cast("timestamp")))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_buy").cast("long").alias("n_full_funnel"),
+        F.round(
+            F.sum(micros).cast("double")
+            / (F.lit(3600000000.0) * F.count("t_buy")), 6)
+        .alias("avg_hours_to_convert"),
+    )
+
+
+FUNNEL_CONV_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_buy
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_buy) AS t_buy
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t_buy) AS BIGINT) AS n_full_funnel,
+       round(CAST(SUM(epoch_us(t_buy) - epoch_us(t_view)) AS DOUBLE)
+             / (3600000000.0 * COUNT(t_buy)), 6) AS avg_hours_to_convert
+FROM per_user
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3475,12 +3581,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
         Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
         # --- LLM-data-pipeline operators (BASELINE.json extras) ---
@@ -3531,12 +3635,18 @@ ALL_QUERIES: dict[str, Query] = {
         Query("gapfill_events", gapfill_events, GAPFILL_SQL),
         Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
         Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
+        Query("funnel_conversion_events", funnel_conversion_events,
+              FUNNEL_CONV_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
         # key-shared rotated here in r4b (green r1+r2+r3, untouched);
-        # text_stats likewise for the quantiles slot. ---
+        # text_stats/compacted_read/media_frames likewise for the
+        # quantiles/digest/funnel slots. ---
         Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
+        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),

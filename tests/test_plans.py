@@ -310,6 +310,22 @@ class TestPlanQuality:
         assert plan.count("Exchange hashpartitioning") <= 2
         assert "CartesianProduct" not in plan
 
+    def test_topic_digest_single_agg_shuffle(self, spark):
+        """Digest is one map-side partial agg + one keyed exchange —
+        the two-scans-and-a-tiny-join anti-entropy shape."""
+        plan = executed_plan(spark, "topic_digest_events")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "Join" not in plan
+
+    def test_funnel_single_keyed_shuffle(self, spark):
+        """Funnel stages are nested window-mins over ONE user
+        partitioning + a same-key agg: one exchange, no self-joins."""
+        plan = executed_plan(spark, "funnel_conversion_events")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "Join" not in plan
+
     def test_bigram_lm_stays_jvm_side(self, spark):
         """Bigram LM: explode + model joins + keyed agg — no Python, no
         cartesian (the vocab scalar rides a 1-row broadcast BNLJ, which

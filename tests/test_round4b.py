@@ -243,6 +243,62 @@ class TestQuantiles:
         assert a == b
 
 
+class TestTopicDigest:
+    def test_replicas_match_then_corruption_detected(self, spark, tmp_path,
+                                                     sf_dir):
+        """Geo-replicate a topic to two 'clusters', digest both sides:
+        clean replicas agree on every group; dropping one row and
+        double-writing another each flip exactly their group's digest
+        (sum-checksum catches duplicates that XOR would cancel)."""
+        from incubator_pulsar_spark.operators.digest import (
+            digest_diff, topic_digest)
+        from incubator_pulsar_spark.streaming.retry import geo_replicate
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "event_type", "value")
+        src = str(tmp_path / "topic")
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        qs = geo_replicate(
+            stream,
+            cluster_paths={"east": str(tmp_path / "east"),
+                           "west": str(tmp_path / "west")},
+            checkpoint_root=str(tmp_path / "ck"),
+            trigger_available_now=True)
+        for q in qs.values():
+            q.awaitTermination(120)
+
+        east = spark.read.parquet(str(tmp_path / "east"))
+        west = spark.read.parquet(str(tmp_path / "west"))
+        gcols, ccols = ["event_type"], ["event_id", "value"]
+        clean = digest_diff(topic_digest(east, gcols, ccols),
+                            topic_digest(west, gcols, ccols), gcols)
+        assert clean.count() == 0
+
+        # corrupt west: drop one 'click' row, duplicate one 'view' row
+        some_click = west.filter(F.col("event_type") == "click").limit(1)
+        some_view = west.filter(F.col("event_type") == "view").limit(1)
+        corrupted = west.join(some_click, ["event_id"], "left_anti") \
+            .unionByName(some_view)
+        diff = digest_diff(topic_digest(east, gcols, ccols),
+                           topic_digest(corrupted, gcols, ccols), gcols)
+        bad = {r["event_type"] for r in diff.collect()}
+        assert bad == {"click", "view"}
+
+    def test_duplicate_row_changes_checksum(self, spark):
+        """The XOR trap: a row present twice must NOT digest equal to
+        the clean topic."""
+        from incubator_pulsar_spark.operators.digest import topic_digest
+
+        rows = [Row(t="a", k=1), Row(t="a", k=2)]
+        clean = spark.createDataFrame(rows, "t STRING, k LONG")
+        duped = spark.createDataFrame(rows + [Row(t="a", k=1)],
+                                      "t STRING, k LONG")
+        c = topic_digest(clean, ["t"], ["k"]).collect()[0]
+        d = topic_digest(duped, ["t"], ["k"]).collect()[0]
+        assert c["checksum"] != d["checksum"]
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]
