@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "value_quantiles_events",
     "topic_digest_events",
     "funnel_conversion_events",
+    "html_strip_docs",
+    "bpe_pair_counts_docs",
 ]
 
 

@@ -262,6 +262,63 @@ def top_vocabulary(docs, n: int, *, text_col: str = "text"):
             .filter(F.col("_r") <= n).select("w"))
 
 
+def strip_html(text: Column) -> Column:
+    """C4-style HTML cleanup: drop <script>/<style> blocks wholesale,
+    strip remaining tags, decode the common entities, collapse
+    whitespace. Pure regexp_replace chain — map-only scan-speed, and
+    each pattern sits in the RE2 ∩ java.util.regex dialect so the SQL
+    oracle replays it exactly ((?is) dotall+case, non-greedy, no
+    lookbehind)."""
+    t = F.regexp_replace(text, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")]:
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def tag_count(text: Column) -> Column:
+    """Number of HTML tags in the raw text (markup-density signal for
+    quality filtering)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"<[^>]+>"), 0)).cast("long")
+
+
+def bpe_pair_counts(docs, k: int = 20, *, text_col: str = "text"):
+    """The first BPE-trainer merge iteration at corpus scale: corpus-
+    frequency-weighted counts of adjacent CHARACTER pairs inside words,
+    top-k candidates ranked (count desc, pair asc).
+
+    The scale property BPE trainers rely on: pair counting runs over
+    the AGGREGATED word-frequency table (|vocab| rows), never the
+    corpus — one corpus scan builds the vocab table, then each merge
+    iteration is vocab-sized work. This implements that shape: words →
+    (word, freq) → explode the ≤ len−1 in-word pairs → weighted sum.
+    Iterating merges (re-segmenting against a learned merge list) is a
+    driver loop over the same vocab-table kernel.
+
+    Output: (rank, pair, cnt) — the merge candidates of iteration 1.
+    """
+    from pyspark.sql import Window  # local: column-only module
+
+    words = docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # SQL-expr transform: F.substring takes only Python-int pos, so the
+    # per-index slice runs as a SQL lambda (w is a plain column here —
+    # words are ≤ ~20 chars, the O(pos) substring walk is noise)
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), "
+                         "i -> substring(w, i, 2))")).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    win = Window.orderBy(F.col("cnt").desc(), "pair")
+    return (counted.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("int").alias("rank"), "pair",
+                    F.col("cnt").cast("long").alias("cnt")))
+
+
 def bigram_lm_scores(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document corpus-LM fluency score: mean log₂ P(w₂|w₁) under an
     add-one-smoothed bigram model estimated on the corpus itself — the

@@ -3562,6 +3562,110 @@ FROM per_user
 """
 
 
+def html_strip_docs(spark, sf_dir):
+    """C4-style HTML cleanup (text.strip_html) verified bit-for-bit:
+    the fixture corpus is plain text, so the query first INJECTS
+    deterministic markup (every 3rd doc gains tags around its first
+    words, every 4th a <script> block that must vanish WHOLESALE, every
+    6th entity-encoded ampersands — identical construction in the
+    oracle), then strips and md5s. Map-only scan-speed; the tag-count
+    column doubles as the markup-density quality signal."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.when(did % 3 == 0,
+                 F.concat(F.lit("<div class=\"post\"><p>"), F.col("text"),
+                          F.lit("</p></div>"))).otherwise(F.col("text"))
+    txt = F.when(did % 4 == 0,
+                 F.concat(F.lit("<script>var x = 1 < 2;</script>"), txt)
+                 ).otherwise(txt)
+    txt = F.when(did % 6 == 0,
+                 F.concat(txt, F.lit(" a &amp; b &lt;tag&gt; &nbsp;end"))
+                 ).otherwise(txt)
+    injected = docs.select("doc_id", txt.alias("_html"))
+    h = F.col("_html")
+    stripped = text.strip_html(h)
+    return injected.select(
+        "doc_id",
+        text.tag_count(h).alias("n_tags"),
+        F.md5(stripped).alias("stripped_md5"),
+        (F.length(h) - F.length(stripped)).cast("long").alias("len_delta"),
+    )
+
+
+HTML_STRIP_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN b2 || ' a &amp; b &lt;tag&gt; &nbsp;end' ELSE b2 END AS html
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '<script>var x = 1 < 2;</script>' || b1
+                    ELSE b1 END AS b2
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '<div class="post"><p>' || text || '</p></div>'
+                          ELSE text END AS b1
+              FROM documents) i1) i2
+),
+stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
+             html,
+             '(?is)<script\b.*?</script>', ' ', 'g'),
+             '(?is)<style\b.*?</style>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+             '&amp;', '&', 'g'),
+             '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+             '&nbsp;', ' ', 'g'),
+           '\s+', ' ', 'g')) AS s
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+       md5(s) AS stripped_md5,
+       CAST(length(html) - length(s) AS BIGINT) AS len_delta
+FROM stripped
+"""
+
+
+def bpe_pair_counts_docs(spark, sf_dir):
+    """First BPE-trainer merge iteration (text.bpe_pair_counts): top-20
+    corpus-frequency-weighted adjacent char pairs. The kernel runs over
+    the AGGREGATED word-frequency table — |vocab| rows — which is why a
+    BPE trainer scales to 100 TB: one corpus scan builds the vocab,
+    every merge iteration after that is vocab-sized work."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, k=20)
+
+
+BPE_PAIRS_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM w GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) ix
+  WHERE length(substr(w, i, 2)) = 2
+),
+counted AS (SELECT pair, SUM(freq) AS cnt FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+  FROM counted
+)
+SELECT CAST(rank AS INTEGER) AS rank, pair, CAST(cnt AS BIGINT) AS cnt
+FROM ranked WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3578,8 +3682,6 @@ ALL_QUERIES: dict[str, Query] = {
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
         Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
-        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
-        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
@@ -3638,12 +3740,17 @@ ALL_QUERIES: dict[str, Query] = {
         Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
         Query("funnel_conversion_events", funnel_conversion_events,
               FUNNEL_CONV_SQL),
+        Query("html_strip_docs", html_strip_docs, HTML_STRIP_SQL),
+        Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
         # key-shared rotated here in r4b (green r1+r2+r3, untouched);
         # text_stats/compacted_read/media_frames likewise for the
-        # quantiles/digest/funnel slots. ---
+        # quantiles/digest/funnel slots; ttl/retry_dlq for the
+        # html-strip/bpe slots. ---
+        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
+        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),

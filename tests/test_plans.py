@@ -326,6 +326,23 @@ class TestPlanQuality:
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "Join" not in plan
 
+    @pytest.mark.parametrize("name", ["html_strip_docs"])
+    def test_html_strip_map_only(self, spark, name):
+        """HTML cleanup is a pure regexp chain: zero shuffles, zero
+        Python, scan-speed."""
+        plan = executed_plan(spark, name)
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "Join" not in plan
+
+    def test_bpe_pairs_vocab_sized_work(self, spark):
+        """BPE pair counting: corpus scan → vocab agg → pair agg →
+        top-k window; all JVM, no joins."""
+        plan = executed_plan(spark, "bpe_pair_counts_docs")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+
     def test_bigram_lm_stays_jvm_side(self, spark):
         """Bigram LM: explode + model joins + keyed agg — no Python, no
         cartesian (the vocab scalar rides a 1-row broadcast BNLJ, which

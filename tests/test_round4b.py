@@ -299,6 +299,60 @@ class TestTopicDigest:
         assert c["checksum"] != d["checksum"]
 
 
+class TestHtmlStrip:
+    def test_matches_python_model(self, spark):
+        import re as _re
+
+        raw = ('<div class="x"><p>Hello &amp; welcome</p></div>'
+               '<script>if (1 < 2) alert("hi");</script>'
+               '<style>p { color: red; }</style>'
+               'tail &lt;tag&gt; &nbsp; done')
+        df = spark.createDataFrame([Row(doc_id=1, text=raw)])
+        got = df.select(
+            text.strip_html(F.col("text")).alias("s"),
+            text.tag_count(F.col("text")).alias("n")).collect()[0]
+
+        t = _re.sub(r"(?is)<script\b.*?</script>", " ", raw)
+        t = _re.sub(r"(?is)<style\b.*?</style>", " ", t)
+        t = _re.sub(r"<[^>]+>", " ", t)
+        for ent, rep in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+            t = t.replace(ent, rep)
+        want = _re.sub(r"\s+", " ", t).strip()
+        assert got["s"] == want == "Hello & welcome tail <tag> done"
+        assert got["n"] == len(_re.findall(r"<[^>]+>", raw))
+
+    def test_script_with_angle_brackets_vanishes_wholesale(self, spark):
+        # '1 < 2' inside the script must not survive as text
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a<script>x = 1 < 2 && y > 0;</script>b")])
+        got = df.select(text.strip_html(F.col("text")).alias("s")).collect()[0]
+        assert got["s"] == "a b"
+
+
+class TestBpePairs:
+    def test_matches_python_model(self, spark):
+        docs = [(1, "aba abc"), (2, "aba"), (3, "xy")]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        got = [(r["rank"], r["pair"], r["cnt"])
+               for r in text.bpe_pair_counts(df, k=10).collect()]
+
+        import re as _re
+        from collections import Counter
+        vocab = Counter()
+        for _, t in docs:
+            vocab.update(_re.findall(r"[a-z]+", t.lower()))
+        pairs: Counter = Counter()
+        for w, freq in vocab.items():
+            for i in range(len(w) - 1):
+                pairs[w[i:i + 2]] += freq
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = [(i + 1, p, c) for i, (p, c) in enumerate(ranked[:10])]
+        assert got == want
+        # 'ab' appears in 'aba' (freq 2) and 'abc' (1) = 3 -> rank 1
+        assert got[0] == (1, "ab", 3)
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]
