@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "funnel_conversion_events",
     "html_strip_docs",
     "bpe_pair_counts_docs",
+    "label_centroid_stats",
 ]
 
 

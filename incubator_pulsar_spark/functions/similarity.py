@@ -470,3 +470,50 @@ def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
+
+
+def label_centroid_stats(
+    embeddings: DataFrame, *, label_col: str = "label",
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid + cluster-tightness stats — the evaluation
+    pass of a clustering/labeling pipeline (how coherent is each
+    label's region of embedding space?).
+
+    Cross-engine exactness at every float boundary:
+    - per-dim means go through exact DECIMAL sums over exact counts,
+      then round(·, 6) — the centroid both engines see is identical;
+    - the centroid ARRAY is reassembled in dim order (sort_array over
+      (dim, value) structs), so the fold-based dot/norm sums run in the
+      same sequence everywhere;
+    - per-vector cosines round to 6 before the per-label mean, which
+      sums them as exact DECIMAL(18,6).
+
+    Scale shape: one posexplode (map-side) + a (label, dim) agg whose
+    result is |labels|·dim rows, a broadcast join of that tiny centroid
+    table back to the vectors, and one final per-label agg. The vectors
+    themselves shuffle ZERO times.
+
+    Output: label, n_vecs, centroid_norm, avg_cos_to_centroid.
+    """
+    e = ensure_parallelism(embeddings).select(
+        F.col(label_col).alias("label"), F.col(id_col).alias("_id"),
+        as_double_array(F.col(vec_col)).alias("vec"))
+    dims = e.select("label", F.posexplode("vec").alias("d", "x"))
+    m = dims.groupBy("label", "d").agg(
+        F.round(F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("m"))
+    cent = m.groupBy("label").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"]).alias("carr"))
+    joined = e.join(F.broadcast(cent), "label")
+    cos_r = F.round(cosine(F.col("vec"), F.col("carr")), 6)
+    return (
+        joined.select("label", F.col("carr"), cos_r.alias("_c"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+             F.round(F.sqrt(dot(F.first("carr"), F.first("carr"))), 6)
+             .alias("centroid_norm"),
+             F.round(F.sum(F.col("_c").cast("decimal(18,6)")).cast("double")
+                     / F.count(F.lit(1)), 6).alias("avg_cos_to_centroid"))
+    )

@@ -3666,6 +3666,49 @@ FROM ranked WHERE rank <= 20
 """
 
 
+def label_centroid_stats_emb(spark, sf_dir):
+    """Cluster-coherence evaluation (similarity.label_centroid_stats):
+    per-label centroid norm + mean cosine-to-centroid. Decimal per-dim
+    means, dim-ordered array reassembly, and 6-dec cosine snapping make
+    every float step replayable; the vectors shuffle zero times (only
+    the |labels|·dim centroid table moves)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_stats(emb)
+
+
+LABEL_CENTROID_SQL = """
+WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, u.d, u.x
+  FROM e, LATERAL (SELECT unnest(v) AS x,
+                          generate_subscripts(v, 1) AS d) u
+),
+m AS (
+  SELECT label, d,
+         round(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
+           AS m
+  FROM dims GROUP BY label, d
+),
+cent AS (SELECT label, list(m ORDER BY d) AS carr FROM m GROUP BY label),
+scored AS (
+  SELECT e.label, c.carr,
+         round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                     AND sqrt(list_dot_product(c.carr, c.carr)) > 0
+                    THEN list_dot_product(e.v, c.carr)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.carr, c.carr)))
+                    ELSE 0.0 END, 6) AS c
+  FROM e JOIN cent c USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(sqrt(list_dot_product(any_value(carr), any_value(carr))), 6)
+         AS centroid_norm,
+       round(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cos_to_centroid
+FROM scored GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3681,7 +3724,6 @@ ALL_QUERIES: dict[str, Query] = {
     for q in [
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
         Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
-        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
@@ -3742,13 +3784,16 @@ ALL_QUERIES: dict[str, Query] = {
               FUNNEL_CONV_SQL),
         Query("html_strip_docs", html_strip_docs, HTML_STRIP_SQL),
         Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
+        Query("label_centroid_stats", label_centroid_stats_emb,
+              LABEL_CENTROID_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
         # key-shared rotated here in r4b (green r1+r2+r3, untouched);
         # text_stats/compacted_read/media_frames likewise for the
         # quantiles/digest/funnel slots; ttl/retry_dlq for the
-        # html-strip/bpe slots. ---
+        # html-strip/bpe slots; dedup_sequence_ids for centroid-stats. ---
+        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),

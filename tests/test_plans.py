@@ -343,6 +343,15 @@ class TestPlanQuality:
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_label_centroids_broadcast_vectors_never_shuffle(self, spark):
+        """Centroid table (|labels|·dim rows) broadcasts back to the
+        vectors; the vectors themselves never move through an exchange
+        keyed on them — only posexploded (label, dim) cells do."""
+        plan = executed_plan(spark, "label_centroid_stats")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_bigram_lm_stays_jvm_side(self, spark):
         """Bigram LM: explode + model joins + keyed agg — no Python, no
         cartesian (the vocab scalar rides a 1-row broadcast BNLJ, which

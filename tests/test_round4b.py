@@ -353,6 +353,44 @@ class TestBpePairs:
         assert got[0] == (1, "ab", 3)
 
 
+class TestLabelCentroids:
+    def test_tight_cluster_scores_near_one(self, spark):
+        from incubator_pulsar_spark.functions.similarity import (
+            label_centroid_stats)
+
+        rows = (
+            # label 0: near-identical vectors → avg cos ≈ 1
+            [Row(vec_id=i, label=0, embedding=[1.0, 0.0, 0.01 * i])
+             for i in range(5)]
+            # label 1: orthogonal spread → much lower coherence
+            + [Row(vec_id=10, label=1, embedding=[1.0, 0.0, 0.0]),
+               Row(vec_id=11, label=1, embedding=[0.0, 1.0, 0.0]),
+               Row(vec_id=12, label=1, embedding=[0.0, 0.0, 1.0])]
+        )
+        df = spark.createDataFrame(rows)
+        got = {r["label"]: r for r in label_centroid_stats(df).collect()}
+        assert got[0]["n_vecs"] == 5 and got[1]["n_vecs"] == 3
+        assert got[0]["avg_cos_to_centroid"] > 0.999
+        assert got[1]["avg_cos_to_centroid"] < 0.7
+        # label-1 centroid is (1/3,1/3,1/3): norm = 1/sqrt(3)
+        assert got[1]["centroid_norm"] == pytest.approx(1 / math.sqrt(3),
+                                                        abs=1e-5)
+
+    def test_centroid_matches_numpy_mean(self, spark):
+        import numpy as np
+
+        from incubator_pulsar_spark.functions.similarity import (
+            label_centroid_stats)
+
+        vecs = [[0.1 * i + 0.01 * j for j in range(8)] for i in range(6)]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, label=0, embedding=v) for i, v in enumerate(vecs)])
+        got = label_centroid_stats(df).collect()[0]
+        m = np.round(np.mean(np.array(vecs), axis=0), 6)
+        assert got["centroid_norm"] == pytest.approx(
+            float(np.sqrt((m * m).sum())), abs=2e-6)
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]
