@@ -72,5 +72,8 @@ def gapfill_locf(
         "slot",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.last("_obs", ignorenulls=True).over(w).alias("value_locf"),
-        F.col("_obs").isNull().alias("filled"),
+        # "filled" = the grid invented this slot (no events at all). A
+        # slot whose events all carry NULL values is NOT filled — it was
+        # observed, its mean is just NULL (and LOCF carries past it).
+        (F.coalesce(F.col("n_events"), F.lit(0)) == 0).alias("filled"),
     )

@@ -3379,7 +3379,7 @@ SELECT event_type, slot,
        last_value(obs IGNORE NULLS)
          OVER (PARTITION BY event_type ORDER BY slot
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
-       obs IS NULL AS filled
+       COALESCE(n_events, 0) = 0 AS filled
 FROM j
 """
 

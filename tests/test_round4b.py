@@ -189,6 +189,27 @@ class TestGapfill:
         assert got[("b", base + 1)] == (1, 1.0, False)
         assert got[("b", base + 2)] == (0, 1.0, True)
 
+    def test_all_null_values_slot_is_observed_not_filled(self, spark):
+        """A slot whose events all carry NULL values was OBSERVED
+        (filled=false, n_events>0); its mean is NULL and LOCF carries
+        the previous value straight past it."""
+        rows = [
+            Row(k="a", ts="2024-01-01 00:01:00", v=10.0),
+            Row(k="a", ts="2024-01-01 00:16:00", v=None),
+            Row(k="a", ts="2024-01-01 00:31:00", v=7.0),
+        ]
+        df = spark.createDataFrame(rows, "k STRING, ts STRING, v DOUBLE") \
+            .select("k", F.to_timestamp("ts").alias("ts"), "v")
+        out = {r["slot"]: r for r in
+               gapfill_locf(df, key_cols=["k"], ts_col="ts", value_col="v",
+                            slot_seconds=900).collect()}
+        base = 1704067200 // 900
+        assert out[base]["filled"] is False
+        assert out[base + 1]["n_events"] == 1
+        assert out[base + 1]["filled"] is False          # observed slot
+        assert out[base + 1]["value_locf"] == 10.0       # LOCF carries past
+        assert out[base + 2]["value_locf"] == 7.0
+
     def test_exact_decimal_mean(self, spark):
         # means that differ under float summation order: 0.1+0.2
         rows = [Row(k="a", ts="2024-01-01 00:00:30", v=0.1),

@@ -702,6 +702,56 @@ def test_kmv_stream_converges_to_batch_sketch(spark, tmp_path, sf_dir):
         assert got[g] == want[g], (g, got[g], want[g])
 
 
+def test_gapfill_stream_matches_batch_across_passes(spark, tmp_path):
+    """Two availableNow passes over a growing topic emit, in total,
+    exactly the batch gapfill_locf grid of the union (single key, so
+    the batch global bounds equal the key's observed range). Values are
+    binary-exact halves so float mean order cannot blur the compare."""
+    from incubator_pulsar_spark.operators.gapfill import gapfill_locf
+    from incubator_pulsar_spark.streaming.gapfill import gapfill_stream
+
+    rows1 = [Row(k="a", ts="2024-01-01 00:01:00", v=10.0),
+             Row(k="a", ts="2024-01-01 00:05:00", v=20.0),
+             # 00:15 and 00:30 slots empty
+             Row(k="a", ts="2024-01-01 00:47:00", v=40.0)]
+    rows2 = [Row(k="a", ts="2024-01-01 01:02:00", v=8.0),
+             # 01:15 empty
+             Row(k="a", ts="2024-01-01 01:31:00", v=6.0)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k STRING, ts STRING, v DOUBLE") \
+            .select("k", F.to_timestamp("ts").alias("ts"), "v")
+
+    src = str(tmp_path / "topic")
+    sink = str(tmp_path / "out")
+    mk(rows1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(mk(rows1).schema).parquet(src)
+        out = gapfill_stream(stream, key_cols=["k"], ts_col="ts",
+                             value_col="v", slot_seconds=900)
+        (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True)
+         .start().awaitTermination(120))
+
+    run()
+    mk(rows2).write.mode("append").parquet(src)
+    run()
+
+    got = {r["slot"]: (r["n_events"], r["value_locf"], r["filled"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {r["slot"]: (r["n_events"], r["value_locf"], r["filled"])
+            for r in gapfill_locf(mk(rows1 + rows2), key_cols=["k"],
+                                  ts_col="ts", value_col="v",
+                                  slot_seconds=900).collect()}
+    assert got == want and len(got) >= 7
+    # third pass over the unchanged checkpoint emits nothing new
+    n_before = spark.read.parquet(sink).count()
+    run()
+    assert spark.read.parquet(sink).count() == n_before
+
+
 def test_mg_stream_guarantee_and_exactness(spark, tmp_path, sf_dir):
     """Streaming Misra-Gries across two availableNow passes: (a) with a
     small k, every key whose TOTAL count exceeds total/(k+1) appears in
