@@ -320,6 +320,43 @@ class TestTopicDigest:
         assert c["checksum"] != d["checksum"]
 
 
+class TestNullSafety:
+    """NULLs in key/text columns must degrade, never crash."""
+
+    def test_mg_and_heavy_hitters_skip_null_keys(self, spark):
+        rows = [Row(word="a")] * 5 + [Row(word=None)] * 3 + [Row(word="b")]
+        df = spark.createDataFrame(rows, "word STRING")
+        cands = {r["word"] for r in
+                 misra_gries_candidates(df, "word", 4).collect()}
+        assert None not in cands and "a" in cands
+        hh = {r["word"]: r["cnt"] for r in
+              heavy_hitters(df, "word", phi_num=1, phi_den=2).collect()}
+        # N counts all 9 rows; only 'a' (5/9) clears 50%
+        assert hh == {"a": 5}
+
+    def test_bloom_null_probe_key_never_matches(self, spark):
+        build = spark.createDataFrame([Row(k=1), Row(k=2)], "k LONG")
+        bitmap = bloom.build_bloom(build, "k")
+        probe = spark.createDataFrame([Row(k=1), Row(k=None)], "k LONG")
+        got = [r["k"] for r in
+               bloom.apply_bloom_filter(probe, bitmap, "k").collect()]
+        assert got == [1]
+
+    def test_levenshtein_pairs_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta one"), (2, "alpha beta two"), (3, None)],
+            "doc_id LONG, text STRING")
+        pairs = fuzzy.levenshtein_blocked_pairs(df).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+    def test_bigram_lm_null_and_empty_docs_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat the cat"), (2, None), (3, ""), (4, "one")],
+            "doc_id LONG, text STRING")
+        got = {r["doc_id"] for r in text.bigram_lm_scores(df).collect()}
+        assert got == {1}
+
+
 class TestHtmlStrip:
     def test_matches_python_model(self, spark):
         import re as _re
