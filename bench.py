@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "html_strip_docs",
     "bpe_pair_counts_docs",
     "label_centroid_stats",
+    "weighted_sample_docs",
+    # cluster_safe_split excluded like its CC siblings: exact-pair CC is
+    # quadratic-output on this constant-collision corpus at sf0.1
 ]
 
 

@@ -108,3 +108,26 @@ def pack_sequences(df: DataFrame, capacity: int, *, id_col: str,
         .select(F.col(id_col), F.col("__shard").alias("shard"),
                 F.col("__bin").alias("bin_id"), F.col("__tok").alias("n_tokens"))
     )
+
+
+def weighted_sample_fixed(df: DataFrame, n: int, *, id_col: str,
+                          weight_col: str, salt: str = "wsample") -> DataFrame:
+    """Weighted sampling without replacement: top-n by the
+    Efraimidis-Spirakis A-ES key (u^(1/w), computed as ln(u)/w — the
+    same ordering, no pow underflow), u the deterministic md5-uniform.
+    Inclusion probability is proportional to weight; reruns and other
+    engines reproduce the identical sample (no RNG).
+
+    Rows with weight ≤ 0 or NULL are excluded (zero-weight items are
+    unsampleable by definition). Scale shape: map-side key computation
+    + distributed top-n (TakeOrdered — no global sort materializes).
+    """
+    u = hash_uniform(F.col(id_col), salt)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__es_key")
+    )

@@ -3709,6 +3709,130 @@ FROM scored GROUP BY label
 """
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Importance sampling for training mixes (sampling.
+    weighted_sample_fixed): 50 documents drawn without replacement with
+    probability ∝ word count, via the Efraimidis-Spirakis key
+    ln(u)/w over deterministic md5 uniforms — the standard one-pass
+    weighted reservoir (Efraimidis & Spirakis, IPL 2006), reproducible
+    cross-engine because nothing is random."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select("doc_id", text.word_count(F.col("text"))
+                           .alias("n_words"))
+    return sampling.weighted_sample_fixed(weighted, 50, id_col="doc_id",
+                                          weight_col="n_words")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_words
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_words,
+         ln(('0x' || substr(md5('wsample:' || doc_id), 1, 8))::BIGINT
+            / 4294967296.0) / n_words AS k
+  FROM w WHERE n_words > 0
+)
+SELECT doc_id, n_words
+FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
+def cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: near-dup CLUSTERS (not documents)
+    are the split unit, so two near-duplicate documents can never
+    straddle train and validation — the failure mode `split_leakage`
+    detects, prevented by construction. Pipeline: exact Jaccard pair
+    graph (threshold 0.4, same as neardup_clusters; the LSH-blocked
+    candidate path is the 100 TB variant) → connected components →
+    md5(cluster) mod 10 < 8 ⇒ train. Output per split: docs, clusters,
+    and the cross-split pair count — provably zero, and the oracle
+    recomputes it rather than trusting it."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy.jaccard_pairs(docs, k=_SHINGLE_K, threshold=0.4)
+    cc = fuzzy.connected_components(pairs, all_ids=docs)
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                                               F.col("cluster"))), 1, 8),
+                    16, 10).cast("long") % 10
+    assigned = cc.select(
+        F.col("id").alias("doc_id"), "cluster",
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("val"))
+        .alias("split"))
+    a = assigned.select(F.col("doc_id").alias("doc_a"),
+                        F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"),
+                        F.col("split").alias("split_b"))
+    leaked = (pairs.join(a, "doc_a").join(b, "doc_b")
+              .filter(F.col("split_a") != F.col("split_b")))
+    leak_counts = (
+        leaked.select(F.col("split_a").alias("split"))
+        .unionByName(leaked.select(F.col("split_b").alias("split")))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n_leaked")))
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("cluster").cast("long").alias("n_clusters"))
+        .join(leak_counts, "split", "left")
+        .select("split", "n_docs", "n_clusters",
+                F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long")
+                .alias("n_leaked"))
+    )
+
+
+CLUSTER_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+assigned AS (
+  SELECT doc_id, cluster,
+         CASE WHEN ('0x' || substr(md5('split:' || cluster), 1, 8))::BIGINT
+                   % 10 < 8
+              THEN 'train' ELSE 'val' END AS split
+  FROM cc
+),
+leaked AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p JOIN assigned sa ON p.doc_a = sa.doc_id
+               JOIN assigned sb ON p.doc_b = sb.doc_id
+  WHERE sa.split <> sb.split
+),
+leak_counts AS (
+  SELECT split, COUNT(*) AS n_leaked FROM (
+    SELECT split_a AS split FROM leaked
+    UNION ALL SELECT split_b FROM leaked) GROUP BY split
+)
+SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(any_value(l.n_leaked), 0) AS BIGINT) AS n_leaked
+FROM assigned a LEFT JOIN leak_counts l ON a.split = l.split
+GROUP BY a.split
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3723,10 +3847,8 @@ ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
-        Query("compaction_publish_order", compaction_publish_order, COMPACT_PUB_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
-        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
@@ -3786,13 +3908,21 @@ ALL_QUERIES: dict[str, Query] = {
         Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
         Query("label_centroid_stats", label_centroid_stats_emb,
               LABEL_CENTROID_SQL),
+        Query("weighted_sample_docs", weighted_sample_docs,
+              WEIGHTED_SAMPLE_SQL),
+        Query("cluster_safe_split", cluster_safe_split,
+              CLUSTER_SAFE_SPLIT_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
         # key-shared rotated here in r4b (green r1+r2+r3, untouched);
         # text_stats/compacted_read/media_frames likewise for the
         # quantiles/digest/funnel slots; ttl/retry_dlq for the
-        # html-strip/bpe slots; dedup_sequence_ids for centroid-stats. ---
+        # html-strip/bpe slots; dedup/compaction/salted for the
+        # centroid/weighted-sample/cluster-split slots (all 3x green). ---
+        Query("compaction_publish_order", compaction_publish_order,
+              COMPACT_PUB_SQL),
+        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),

@@ -449,6 +449,66 @@ class TestLabelCentroids:
             float(np.sqrt((m * m).sum())), abs=2e-6)
 
 
+class TestWeightedSample:
+    def test_matches_python_model(self, spark):
+        from incubator_pulsar_spark.functions.sampling import (
+            weighted_sample_fixed)
+
+        rows = [Row(doc_id=i, w=float(1 + i % 7)) for i in range(100)]
+        df = spark.createDataFrame(rows)
+        got = sorted(r["doc_id"] for r in
+                     weighted_sample_fixed(df, 10, id_col="doc_id",
+                                           weight_col="w").collect())
+        keys = {}
+        for i in range(100):
+            u = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16) \
+                / 2 ** 32
+            keys[i] = math.log(u) / (1 + i % 7)
+        want = sorted(sorted(keys, key=lambda i: (-keys[i], i))[:10])
+        assert got == want
+
+    def test_zero_weight_rows_never_selected(self, spark):
+        from incubator_pulsar_spark.functions.sampling import (
+            weighted_sample_fixed)
+
+        rows = [Row(doc_id=1, w=0.0), Row(doc_id=2, w=None),
+                Row(doc_id=3, w=5.0)]
+        df = spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+        got = [r["doc_id"] for r in
+               weighted_sample_fixed(df, 3, id_col="doc_id",
+                                     weight_col="w").collect()]
+        assert got == [3]
+
+    def test_heavier_rows_sampled_more_often(self, spark):
+        """Aggregate E-S behavior: with weights 10 vs 1, the heavy
+        stratum should dominate a small sample."""
+        from incubator_pulsar_spark.functions.sampling import (
+            weighted_sample_fixed)
+
+        rows = [Row(doc_id=i, w=10.0 if i < 50 else 1.0) for i in range(500)]
+        df = spark.createDataFrame(rows)
+        got = [r["doc_id"] for r in
+               weighted_sample_fixed(df, 40, id_col="doc_id",
+                                     weight_col="w").collect()]
+        heavy = sum(1 for i in got if i < 50)
+        # 50 heavy rows carry 500/950 of total weight; E-S without
+        # replacement should fill roughly half the sample with them
+        assert heavy >= 15
+
+
+class TestClusterSafeSplit:
+    def test_no_cross_split_pairs_and_partition(self, spark, sf_dir):
+        from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+
+        rows = {r["split"]: r for r in
+                ALL_QUERIES["cluster_safe_split"].build(spark, sf_dir)
+                .collect()}
+        assert set(rows) == {"train", "val"}
+        assert all(r["n_leaked"] == 0 for r in rows.values())
+        total = sum(r["n_docs"] for r in rows.values())
+        assert total == 500  # every doc assigned exactly once
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]

@@ -51,6 +51,12 @@ def main():
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # the default max_temp_directory_size is 0 in this container —
+    # DuckDB cannot spill AT ALL and big recursive CTEs (the CC cluster
+    # oracles on the constant-collision corpus) die with a misleading
+    # "No space left on device". Allow real spill.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
