@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts_docs",
     "label_centroid_stats",
     "weighted_sample_docs",
+    "subscription_backlog_events",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

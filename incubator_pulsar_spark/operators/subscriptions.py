@@ -219,3 +219,48 @@ class SubscriptionCursor:
 
     def backlog_count(self, df: DataFrame, **kw) -> int:
         return self.unacked(df, **kw).count()
+
+
+def subscription_backlog(
+    msgs: DataFrame, cursors: DataFrame, *, ts_col: str = "publish_time",
+) -> DataFrame:
+    """Admin-API backlog stats per subscription (the
+    ``SubscriptionStatsImpl.msgBacklog`` / ``getEarliestMsgPublishTimeOfOldestBacklog``
+    surface of the reference's PersistentSubscription): given a cursor
+    table (subscription, ack_through) — the time-based
+    markDeletePosition — report how much each subscription is behind.
+
+    Scale shape: the cursor table is operator-config-sized and
+    broadcasts; backlog classification is a scan-side predicate per
+    subscription and one keyed agg — computing lag over a 100 TB topic
+    is one scan regardless of subscription count. Subscriptions with an
+    empty backlog still emit a row (n_backlog = 0).
+
+    Output: subscription, n_backlog, oldest_unacked (string),
+    newest_unacked (string), backlog_hours (span of the pending
+    window, integer-microsecond arithmetic).
+    """
+    pending = (
+        msgs.crossJoin(F.broadcast(cursors))
+        .filter(F.col(ts_col) > F.col("ack_through"))
+    )
+    span_us = (F.unix_micros(F.max(ts_col).cast("timestamp"))
+               - F.unix_micros(F.min(ts_col).cast("timestamp")))
+    agg = pending.groupBy("subscription").agg(
+        F.count(F.lit(1)).cast("long").alias("n_backlog"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss")
+        .alias("oldest_unacked"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss")
+        .alias("newest_unacked"),
+        F.round(span_us.cast("double") / 3600000000.0, 6)
+        .alias("backlog_hours"),
+    )
+    return (
+        cursors.select("subscription").join(agg, "subscription", "left")
+        .select("subscription",
+                F.coalesce(F.col("n_backlog"), F.lit(0)).cast("long")
+                .alias("n_backlog"),
+                "oldest_unacked", "newest_unacked",
+                F.coalesce(F.col("backlog_hours"), F.lit(0.0))
+                .alias("backlog_hours"))
+    )

