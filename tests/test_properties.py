@@ -237,3 +237,103 @@ def test_kmv_matches_python_model(spark, vals, k):
     n_kept = len(us)
     est = round((k - 1) / us[-1], 6) if n_kept >= k else float(n_kept)
     assert (got.n_kept, got.kmv_estimate) == (n_kept, est)
+
+
+@given(keys=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=80),
+       phi_den=st.integers(2, 12), k=st.integers(1, 12))
+@SLOW
+def test_heavy_hitters_exact_vs_counter_model(spark, keys, phi_den, k):
+    """heavy_hitters == Counter-threshold model for ANY stream and any
+    k ≥ phi_den−1 (the MG guarantee bound); output is exact regardless
+    of partitioning."""
+    from collections import Counter
+
+    from incubator_pulsar_spark.functions.sketches import heavy_hitters
+
+    k = max(k, phi_den - 1)  # guarantee requires k ≥ den/num − 1
+    df = spark.createDataFrame([Row(word=w) for w in keys],
+                               "word STRING").repartition(3)
+    got = {r.word: r.cnt for r in
+           heavy_hitters(df, "word", phi_num=1, phi_den=phi_den,
+                         k=k).collect()}
+    n = len(keys)
+    want = {w: c for w, c in Counter(keys).items() if c * phi_den >= n}
+    assert got == want
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 400)),
+    min_size=1, max_size=40))
+@SLOW
+def test_gapfill_matches_pandas_model(spark, events):
+    """gapfill_locf == reindex+ffill over the global slot range. Values
+    are quarters (exact at the operator's DECIMAL(18,4) quantization),
+    and the model replicates the operator's mean formula exactly:
+    round(exact_sum / n, 6)."""
+    from collections import defaultdict
+
+    from incubator_pulsar_spark.operators.gapfill import gapfill_locf
+
+    rows = [Row(k="a", ts=1_700_000_000 + slot * 900 + 10, v=q / 4.0)
+            for slot, q in events]
+    df = spark.createDataFrame(rows).select(
+        "k", F.timestamp_seconds("ts").alias("ts"), "v")
+    got = {r.slot: (r.n_events, r.value_locf, r.filled)
+           for r in gapfill_locf(df, key_cols=["k"], ts_col="ts",
+                                 value_col="v", slot_seconds=900).collect()}
+
+    per_slot = defaultdict(list)
+    for s, q in events:
+        per_slot[(1_700_000_000 + s * 900 + 10) // 900].append(q / 4.0)
+    lo, hi = min(per_slot), max(per_slot)
+    carry = None
+    for slot in range(lo, hi + 1):
+        vals = per_slot.get(slot, [])
+        if vals:
+            carry = round(float(sum(vals)) / len(vals), 6)
+        g = got[slot]
+        assert g[0] == len(vals) and g[2] == (len(vals) == 0)
+        assert g[1] == carry
+
+
+@given(ids=st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=40,
+                    unique=True),
+       n=st.integers(1, 10))
+@SLOW
+def test_weighted_sample_prefix_monotone(spark, ids, n):
+    """Top-n by the E-S key is a PREFIX of top-(n+5): growing the
+    sample never swaps earlier choices (determinism under resizing)."""
+    from incubator_pulsar_spark.functions.sampling import weighted_sample_fixed
+
+    df = spark.createDataFrame([Row(doc_id=i, w=1.0 + (i % 5)) for i in ids])
+    small = {r.doc_id for r in
+             weighted_sample_fixed(df, n, id_col="doc_id",
+                                   weight_col="w").collect()}
+    big = {r.doc_id for r in
+           weighted_sample_fixed(df, n + 5, id_col="doc_id",
+                                 weight_col="w").collect()}
+    assert small <= big and len(small) == min(n, len(ids))
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from("xy"), st.integers(0, 50)),
+                     min_size=1, max_size=30))
+@SLOW
+def test_digest_permutation_invariant_duplicate_sensitive(spark, rows):
+    """topic_digest is invariant under row order but NOT under
+    duplicating a row (the sum-checksum contract)."""
+    from incubator_pulsar_spark.operators.digest import topic_digest
+
+    df = spark.createDataFrame([Row(t=t, k=k) for t, k in rows],
+                               "t STRING, k LONG")
+    rev = spark.createDataFrame([Row(t=t, k=k) for t, k in reversed(rows)],
+                                "t STRING, k LONG").repartition(3)
+    d1 = {r.t: (r.n_rows, r.checksum)
+          for r in topic_digest(df, ["t"], ["k"]).collect()}
+    d2 = {r.t: (r.n_rows, r.checksum)
+          for r in topic_digest(rev, ["t"], ["k"]).collect()}
+    assert d1 == d2
+    duped = spark.createDataFrame(
+        [Row(t=t, k=k) for t, k in rows + [rows[0]]], "t STRING, k LONG")
+    d3 = {r.t: (r.n_rows, r.checksum)
+          for r in topic_digest(duped, ["t"], ["k"]).collect()}
+    assert d3[rows[0][0]] != d1[rows[0][0]]
