@@ -178,14 +178,28 @@ def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
     return [pool[j].tolist() for j in chosen]
 
 
-def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
-    return F.array(*[F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9)
-                     for c in cents])
+def _attach_centroids(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Ship the centroid table as a broadcast ARRAY<ARRAY<DOUBLE>> DATA
+    column (``_cents``). The former literal form — 16 centroids × 64
+    dims inlined as ~1k literal expressions — cost seconds of
+    whole-stage-codegen compilation PER QUERY (the same measured
+    pathology as the literal Bloom bitmap, functions/bloom.py); a data
+    column compiles in milliseconds and computes identical values
+    (same sequential folds, same round-9 snapping)."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(cents,)], "_cents ARRAY<ARRAY<DOUBLE>>")
+    return df.crossJoin(F.broadcast(bdf))
 
 
-def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+def _cell_scores(vec: Column) -> Column:
+    """Round-9 cosine against every centroid in the ``_cents`` column."""
+    return F.transform(F.col("_cents"),
+                       lambda c: F.round(cosine(vec, c), 9))
+
+
+def _nearest_cell(vec: Column) -> Column:
     """argmax via array_position(scores, array_max(scores)) — deterministic."""
-    s = _cell_scores(vec, cents)
+    s = _cell_scores(vec)
     return (F.array_position(s, F.array_max(s)) - 1).cast("int")
 
 
@@ -214,9 +228,11 @@ def ivf_topk(
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
 
-    e = e.withColumn("cell", _nearest_cell(F.col("vec"), cents))
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
 
-    q = q.withColumn("_scores", _cell_scores(F.col("qvec"), cents))
+    q = (_attach_centroids(q, cents)
+         .withColumn("_scores", _cell_scores(F.col("qvec"))).drop("_cents"))
     # top-nprobe cells per query: sort (score, idx) pairs desc
     idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
     pairs = F.zip_with(q["_scores"], idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
@@ -258,7 +274,9 @@ def ivf_write_index(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         as_double_array(F.col(vec_col)).alias("vec"),
-    ).withColumn("cell", _nearest_cell(F.col("vec"), cents))
+    )
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
     e.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(_os.path.join(path, "_centroids.json"), "w") as f:
         _json.dump(cents, f)
@@ -281,7 +299,8 @@ def ivf_search_index(
         cents = _json.load(f)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qvec"))
-    q = q.withColumn("_scores", _cell_scores(F.col("qvec"), cents))
+    q = (_attach_centroids(q, cents)
+         .withColumn("_scores", _cell_scores(F.col("qvec"))).drop("_cents"))
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
     pairs = F.zip_with(q["_scores"], idx,
                        lambda s, i: F.struct(s.alias("s"), i.alias("i")))
