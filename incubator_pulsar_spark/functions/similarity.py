@@ -93,12 +93,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "plane") -> list[list[floa
 
 
 def lsh_bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bucket id (random hyperplane LSH, Charikar)."""
+    """Sign-of-projection bucket id (random hyperplane LSH, Charikar).
+
+    Literal-plane form — measured FASTER than the data-column
+    alternative at the plane counts this library uses (4-8 planes ≈
+    256-512 literals: JIT constant-folds the dots, compile cost is
+    negligible). ``with_lsh_bucket`` (data-column planes) is the form
+    for LARGE plane sets, where literal codegen would dominate the way
+    the 1024-entry centroid table did (see ``_attach_centroids``);
+    pytest asserts the two agree bit-for-bit."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
         bucket = bucket + F.when(proj >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
+                    out_col: str = "bucket") -> DataFrame:
+    """Add the hyperplane-LSH bucket column with the planes shipped as
+    broadcast DATA — the form for LARGE plane sets, where inlining
+    ``n_planes × dim`` literals would pay codegen compilation the way
+    the centroid table did (bloom.py / _attach_centroids lesson). At
+    the 4-8 planes the gated queries use, the literal form measured
+    slightly faster and is kept there. Values are identical to
+    ``lsh_bucket_id``: same sequential fold per projection, same sign
+    rule, same bit weights."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(planes,)], "_planes ARRAY<ARRAY<DOUBLE>>")
+    weights = F.array(*[F.lit(2 ** i) for i in range(len(planes))])
+    signs = F.transform(
+        F.col("_planes"),
+        lambda p: F.when(dot(F.col(vec_col), p) >= 0, 1).otherwise(0))
+    bucket = F.aggregate(
+        F.zip_with(signs, weights, lambda s, w: s * w),
+        F.lit(0), lambda acc, x: acc + x).cast("int")
+    return (df.crossJoin(F.broadcast(bdf))
+            .withColumn(out_col, bucket).drop("_planes"))
 
 
 def lsh_bucket_topk(

@@ -411,6 +411,24 @@ class TestBpePairs:
         assert got[0] == (1, "ab", 3)
 
 
+class TestLshBucketForms:
+    def test_literal_and_data_column_forms_agree(self, spark):
+        from incubator_pulsar_spark.functions.similarity import (
+            _hyperplanes, lsh_bucket_id, with_lsh_bucket)
+
+        vecs = [[((i * 7 + j * 13) % 19 - 9) / 9.0 for j in range(16)]
+                for i in range(40)]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, v=v) for i, v in enumerate(vecs)])
+        planes = _hyperplanes(16, 6)
+        lit = {r["vec_id"]: r["b"] for r in
+               df.select("vec_id", lsh_bucket_id(F.col("v"), planes)
+                         .alias("b")).collect()}
+        dat = {r["vec_id"]: r["bucket"] for r in
+               with_lsh_bucket(df, "v", planes).collect()}
+        assert lit == dat and len(set(lit.values())) > 1
+
+
 class TestLabelCentroids:
     def test_tight_cluster_scores_near_one(self, spark):
         from incubator_pulsar_spark.functions.similarity import (
