@@ -643,3 +643,50 @@ def test_trim_topic_skips_unparseable_partitions(tmp_path):
     removed = trim_topic_by_date(path, dt.date(2024, 6, 1))
     assert removed == ["publish_date=2024-01-01"]
     assert os.path.isdir(os.path.join(path, "publish_date=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_tiered_offload_moves_days_and_read_spans_tiers(spark, tmp_path):
+    """Tiered-storage offload: old day directories MOVE to the cold
+    tier, the tiered read returns the identical topic, a recent-window
+    seek prunes to hot-side partitions only, and re-running the offload
+    is a no-op."""
+    import datetime as dt
+    import os
+    import re
+
+    from incubator_pulsar_spark.envelope import build_envelope, write_topic
+    from incubator_pulsar_spark.operators.offload import (
+        offload_topic_by_date, read_topic_tiered)
+    from incubator_pulsar_spark.operators.subscriptions import seek_timestamp
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=str(i), v=f"m{i}", i=i,
+                pt=t0 + dt.timedelta(days=i // 4)) for i in range(16)]
+    env = build_envelope(spark.createDataFrame(rows), topic="t", key="k",
+                         value=F.col("v"), sequence="i", publish_time="pt")
+    hot = str(tmp_path / "hot")
+    cold = str(tmp_path / "cold")
+    write_topic(env, hot, partition_by_date=True)
+    before = {r.sequence for r in spark.read.parquet(hot).collect()}
+
+    moved = offload_topic_by_date(hot, cold, t0.date() + dt.timedelta(days=2))
+    assert moved == ["publish_date=2024-01-01", "publish_date=2024-01-02"]
+    assert sorted(n for n in os.listdir(hot)
+                  if n.startswith("publish_date=")) == [
+        "publish_date=2024-01-03", "publish_date=2024-01-04"]
+
+    tiered = read_topic_tiered(spark, hot, cold)
+    assert {r.sequence for r in tiered.collect()} == before
+
+    # recent-window seek: partition pruning must keep it hot-only
+    recent = seek_timestamp(tiered, t0 + dt.timedelta(days=3))
+    assert sorted(r.sequence for r in recent.collect()) == list(range(12, 16))
+    plan = recent._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("publish_date" in f for f in pf), "seek lost partition pruning"
+
+    # idempotent re-run: nothing left to move
+    assert offload_topic_by_date(hot, cold,
+                                 t0.date() + dt.timedelta(days=2)) == []
