@@ -292,3 +292,52 @@ def subscribe_pattern(spark: SparkSession, base_dir: str, pattern: str) -> DataF
     if not topics:
         raise ValueError(f"no topics under {base_dir} match {pattern!r}")
     return read_topics(spark, topics)
+
+
+def kafka_records_to_messages(records: DataFrame, *,
+                              num_partitions: int = 32) -> DataFrame:
+    """Translate Kafka's well-known record schema (key BINARY, value
+    BINARY, topic, partition, offset, timestamp — what
+    ``format("kafka")`` yields) into the message envelope — the mapping
+    ``KafkaAbstractSource.KafkaRecord`` applies per record
+    (pulsar-io/kafka: key → message key, value → payload, offset →
+    sequence, record timestamp → event time).
+
+    Pure column expressions over ANY DataFrame with that schema, so the
+    translation is fully testable without the kafka package; only the
+    live connection (`kafka_source_stream`) needs it.
+    """
+    from .. import envelope as env
+
+    return env.build_envelope(
+        records,
+        topic="kafka-import",
+        key=F.col("key").cast("string"),
+        value="value",
+        sequence="offset",
+        event_time="timestamp",
+        publish_time="timestamp",
+        producer_name=F.concat_ws("-", F.lit("kafka"), F.col("topic"),
+                                  F.col("partition").cast("string")),
+        num_partitions=num_partitions,
+    )
+
+
+def messages_to_kafka_records(msgs: DataFrame, *, topic: str) -> DataFrame:
+    """The sink-side translation (KafkaAbstractSink.write): envelope →
+    the (key BINARY, value BINARY, topic) projection Spark's kafka
+    writer consumes. Headers carry the message properties when present."""
+    cols = [
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    ]
+    if "properties" in msgs.columns:
+        cols.append(
+            F.when(F.col("properties").isNotNull(),
+                   F.transform(F.map_entries("properties"),
+                               lambda e: F.struct(
+                                   e["key"].alias("key"),
+                                   e["value"].cast("binary").alias("value"))))
+            .alias("headers"))
+    return msgs.select(*cols)

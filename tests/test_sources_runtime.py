@@ -237,3 +237,34 @@ def test_jdbc_sql_builders():
     assert "ON CONFLICT(a) DO UPDATE SET b=excluded.b" in up
     assert con.jdbc_delete_sql("t", ["a", "b"]) == \
         "DELETE FROM t WHERE a = ? AND b = ?"
+
+
+def test_kafka_record_translation_round_trip(spark):
+    """KafkaRecord -> envelope -> kafka writer projection, with no
+    kafka package: the translations are pure column expressions over
+    the well-known schemas."""
+    import datetime as dt
+
+    from incubator_pulsar_spark.sources.connectors import (
+        kafka_records_to_messages, messages_to_kafka_records)
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1)
+    records = spark.createDataFrame(
+        [Row(key=b"k1", value=b"v1", topic="src", partition=0, offset=100,
+             timestamp=t0),
+         Row(key=None, value=b"v2", topic="src", partition=1, offset=101,
+             timestamp=t0 + dt.timedelta(seconds=1))],
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset LONG, timestamp TIMESTAMP")
+    msgs = kafka_records_to_messages(records)
+    by_seq = {r.sequence: r for r in msgs.collect()}
+    assert by_seq[100].key == "k1" and bytes(by_seq[100].value) == b"v1"
+    assert by_seq[100].producer_name == "kafka-src-0"
+    assert by_seq[100].event_time == t0
+    assert by_seq[101].key is None  # unkeyed records stay unkeyed
+
+    out = messages_to_kafka_records(msgs, topic="dst").collect()
+    got = {bytes(r.value): r for r in out}
+    assert bytes(got[b"v1"].key) == b"k1" and got[b"v1"].topic == "dst"
+    assert got[b"v2"].key is None
