@@ -439,7 +439,10 @@ def avro_functions_available(spark: SparkSession) -> bool:
 
 
 def avro_serialize(data: Column) -> Column:
-    """Struct column → Avro binary (SerDe.serialize for Schema.AVRO)."""
+    """Struct column → Avro binary (SerDe.serialize for Schema.AVRO) —
+    JVM path, needs spark-avro. Jar-free twin with the same wire
+    format: ``functions.avro_binary.avro_encode`` (pure-Python Avro
+    binary codec, spec-vector-tested)."""
     from pyspark.sql.avro.functions import to_avro
 
     return to_avro(data)
