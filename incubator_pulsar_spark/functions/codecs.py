@@ -230,8 +230,10 @@ class _ProtoParser:
     def __init__(self, tokens: list[str]):
         self.toks = tokens
         self.i = 0
-        # message name -> list of ('field'|'map', label, type, name)
-        self.raw: dict[str, list[tuple[str, str | None, str, str]]] = {}
+        # message name -> list of ('field'|'map', label, type, name, number)
+        # (number feeds the wire codec in proto_binary.py; schema
+        # translation ignores it)
+        self.raw: dict[str, list[tuple[str, str | None, str, str, int]]] = {}
         self.enums: set[str] = set()
 
     def peek(self) -> str | None:
@@ -302,7 +304,7 @@ class _ProtoParser:
                 continue
             fields.append(self.parse_field())
 
-    def parse_field(self) -> tuple[str, str | None, str, str]:
+    def parse_field(self) -> tuple[str, str | None, str, str, int]:
         label = None
         if self.peek() in ("optional", "required", "repeated"):
             label = self.next()
@@ -314,17 +316,26 @@ class _ProtoParser:
             vtype = self.next()
             assert self.next() == ">"
             fname = self.next()
-            self._skip_to_semicolon()
+            number = self._field_number_then_semicolon()
             if ktype != "string":
                 raise ValueError("Spark maps from protobuf require string keys")
-            return ("map", None, vtype, fname)
+            return ("map", None, vtype, fname, number)
         fname = self.next()
+        number = self._field_number_then_semicolon()
+        return ("field", label, ftype, fname, number)
+
+    def _field_number_then_semicolon(self) -> int:
+        number = 0
+        if self.peek() == "=":
+            self.next()
+            number = int(self.next())
         self._skip_to_semicolon()
-        return ("field", label, ftype, fname)
+        return number
 
     def _skip_to_semicolon(self) -> None:
-        while self.next() != ";":
-            pass
+        while self.peek() != ";":
+            self.next()
+        self.next()
 
     # ---- resolve pass
 
@@ -334,7 +345,7 @@ class _ProtoParser:
             raise ValueError(
                 f"recursive message {message_name!r} has no finite Spark schema")
         fields: list[T.StructField] = []
-        for kind, label, tname, fname in self.raw[message_name]:
+        for kind, label, tname, fname, _num in self.raw[message_name]:
             dt = self._resolve_type(tname, _stack + (message_name,),
                                     scope=message_name)
             if kind == "map":
