@@ -129,3 +129,49 @@ class TestSparkRoundTrip:
         enc = avro_encode(df, "rec", schema_json=v1)
         dec = avro_decode(enc, "avro", v1, out_col="rec")
         assert dec.count() == 2
+
+
+def test_avro_topic_end_to_end(spark, tmp_path, sf_dir):
+    """Schema.AVRO topic lifecycle in THIS container: events → Avro
+    binary payloads → envelope → parquet topic → read → decode under
+    the registry schema → aggregate equals the source aggregate."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.envelope import build_envelope, write_topic
+    from incubator_pulsar_spark.functions.avro_binary import (
+        avro_decode, avro_encode)
+    from incubator_pulsar_spark import registry as reg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "event_type", "value").limit(200)
+    payload_struct = F.struct("event_type", "value")
+    with_payload = avro_encode(
+        ev.withColumn("rec", payload_struct), "rec", out_col="payload")
+
+    avro_json = spark_to_avro_schema(
+        ev.select(payload_struct.alias("rec")).schema["rec"].dataType)
+    registry = reg.SchemaRegistry()
+    registry.register("avro-topic", avro_to_spark_schema_checked(avro_json))
+
+    env = build_envelope(with_payload, topic="avro-topic",
+                         key=F.col("user_id").cast("string"),
+                         value="payload", sequence="event_id")
+    path = str(tmp_path / "avro_topic")
+    write_topic(env, path)
+
+    msgs = spark.read.parquet(path)
+    decoded = avro_decode(msgs.select("key", "value"), "value", avro_json,
+                          out_col="rec")
+    got = {r["event_type"]: r["n"] for r in
+           decoded.select(F.col("rec.event_type").alias("event_type"))
+           .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == want and sum(got.values()) == 200
+
+
+def avro_to_spark_schema_checked(avro_json: str):
+    from incubator_pulsar_spark.functions.avro_binary import (
+        avro_to_spark_schema)
+
+    return avro_to_spark_schema(avro_json)
