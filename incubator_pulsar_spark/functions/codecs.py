@@ -492,3 +492,75 @@ def protobuf_deserialize(data: Column, message_name: str,
     from pyspark.sql.protobuf.functions import from_protobuf
 
     return from_protobuf(data, message_name, desc_file_path)
+
+
+def payload_codec(schema_type, *, avro_json: str | None = None,
+                  proto_text: str | None = None,
+                  message_name: str | None = None):
+    """SerDe dispatch by registry schema type (the AutoProduce /
+    AutoConsume codec-selection step): returns ``(encode, decode)``
+    DataFrame transformers for JSON / AVRO / PROTOBUF payloads, all
+    runnable in THIS container (JSON via JVM to_json/from_json; AVRO and
+    PROTOBUF via the pure-Python wire codecs in ``avro_binary`` /
+    ``proto_binary``; the jar-backed paths remain the full-distribution
+    hot swaps with the same wire formats).
+
+    ``encode(df, struct_col, out_col)`` → df with a binary column;
+    ``decode(df, bin_col, out_col)`` → df with a struct column.
+    """
+    from ..registry import SchemaType
+
+    if schema_type == SchemaType.AVRO:
+        from . import avro_binary
+
+        if avro_json is None:
+            raise ValueError("AVRO codec needs the registry's avro_json")
+
+        def enc(df, struct_col, out_col="value"):
+            return avro_binary.avro_encode(df, struct_col,
+                                           schema_json=avro_json,
+                                           out_col=out_col)
+
+        def dec(df, bin_col, out_col="record"):
+            return avro_binary.avro_decode(df, bin_col, avro_json,
+                                           out_col=out_col)
+
+        return enc, dec
+
+    if schema_type == SchemaType.PROTOBUF:
+        from . import proto_binary
+
+        if proto_text is None or message_name is None:
+            raise ValueError("PROTOBUF codec needs proto_text+message_name")
+
+        def enc(df, struct_col, out_col="value"):
+            return proto_binary.proto_encode(df, struct_col, proto_text,
+                                             message_name, out_col=out_col)
+
+        def dec(df, bin_col, out_col="record"):
+            return proto_binary.proto_decode(df, bin_col, proto_text,
+                                             message_name, out_col=out_col)
+
+        return enc, dec
+
+    if schema_type == SchemaType.JSON:
+        from pyspark.sql import functions as F
+
+        reader = avro_to_spark_schema(avro_json) if avro_json else None
+
+        def enc(df, struct_col, out_col="value"):
+            return df.withColumn(out_col,
+                                 F.to_json(F.col(struct_col)).cast("binary")) \
+                     .drop(struct_col)
+
+        def dec(df, bin_col, out_col="record"):
+            if reader is None:
+                raise ValueError("JSON decode needs a reader schema "
+                                 "(pass avro_json)")
+            return df.withColumn(out_col,
+                                 F.from_json(F.col(bin_col).cast("string"),
+                                             reader)).drop(bin_col)
+
+        return enc, dec
+
+    raise ValueError(f"no payload codec for {schema_type}")

@@ -26,39 +26,60 @@ from pyspark.sql import types as T
 
 
 class SchemaType(Enum):
-    """Public schema kinds (SchemaType.java:41-170) → Spark types."""
-    NONE = "binary"
-    BYTES = "binary"
-    STRING = "string"
-    BOOLEAN = "boolean"
-    INT8 = "tinyint"
-    INT16 = "smallint"
-    INT32 = "int"
-    INT64 = "bigint"
-    FLOAT = "float"
-    DOUBLE = "double"
-    DATE = "date"
-    TIME = "bigint"  # ms-of-day; Spark has no TimeType
-    TIMESTAMP = "timestamp"
-    INSTANT = "timestamp"
-    LOCAL_DATE = "date"
-    LOCAL_TIME = "bigint"
-    LOCAL_DATE_TIME = "timestamp"
-    JSON = "struct"
-    AVRO = "struct"
-    PROTOBUF = "struct"
-    KEY_VALUE = "struct"
+    """Public schema kinds (SchemaType.java:41-170).
+
+    Values are the member names: sharing Spark-type strings as values
+    made Python's Enum ALIAS members together (SchemaType.AVRO was
+    SchemaType.JSON was SchemaType.PROTOBUF — any dispatch on kind was
+    silently wrong, and TIME aliased INT64). The Spark mapping lives in
+    ``spark_type_for`` instead."""
+    NONE = "NONE"
+    BYTES = "BYTES"
+    STRING = "STRING"
+    BOOLEAN = "BOOLEAN"
+    INT8 = "INT8"
+    INT16 = "INT16"
+    INT32 = "INT32"
+    INT64 = "INT64"
+    FLOAT = "FLOAT"
+    DOUBLE = "DOUBLE"
+    DATE = "DATE"
+    TIME = "TIME"
+    TIMESTAMP = "TIMESTAMP"
+    INSTANT = "INSTANT"
+    LOCAL_DATE = "LOCAL_DATE"
+    LOCAL_TIME = "LOCAL_TIME"
+    LOCAL_DATE_TIME = "LOCAL_DATE_TIME"
+    JSON = "JSON"
+    AVRO = "AVRO"
+    PROTOBUF = "PROTOBUF"
+    KEY_VALUE = "KEY_VALUE"
+
+
+_SIMPLE_SPARK_TYPES: dict[SchemaType, T.DataType] = {
+    SchemaType.NONE: T.BinaryType(),
+    SchemaType.BYTES: T.BinaryType(),
+    SchemaType.STRING: T.StringType(),
+    SchemaType.BOOLEAN: T.BooleanType(),
+    SchemaType.INT8: T.ByteType(),
+    SchemaType.INT16: T.ShortType(),
+    SchemaType.INT32: T.IntegerType(),
+    SchemaType.INT64: T.LongType(),
+    SchemaType.FLOAT: T.FloatType(),
+    SchemaType.DOUBLE: T.DoubleType(),
+    SchemaType.DATE: T.DateType(),
+    SchemaType.TIME: T.LongType(),   # ms-of-day; Spark has no TimeType
+    SchemaType.TIMESTAMP: T.TimestampType(),
+    SchemaType.INSTANT: T.TimestampType(),
+    SchemaType.LOCAL_DATE: T.DateType(),
+    SchemaType.LOCAL_TIME: T.LongType(),
+    SchemaType.LOCAL_DATE_TIME: T.TimestampType(),
+}
 
 
 def spark_type_for(schema_type: SchemaType) -> T.DataType:
-    simple = {
-        "binary": T.BinaryType(), "string": T.StringType(), "boolean": T.BooleanType(),
-        "tinyint": T.ByteType(), "smallint": T.ShortType(), "int": T.IntegerType(),
-        "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
-        "date": T.DateType(), "timestamp": T.TimestampType(),
-    }
-    if schema_type.value in simple:
-        return simple[schema_type.value]
+    if schema_type in _SIMPLE_SPARK_TYPES:
+        return _SIMPLE_SPARK_TYPES[schema_type]
     raise ValueError(f"{schema_type} requires an explicit StructType")
 
 
