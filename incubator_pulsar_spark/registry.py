@@ -277,3 +277,77 @@ class SchemaRegistry:
             for t, vs in payload["versions"].items()
         }
         return reg
+
+
+def kv_inline_encode(df, *, key_col: str = "k", value_col: str = "v",
+                     out_col: str = "payload"):
+    """The reference's BYTE-EXACT INLINE KeyValue framing
+    (KeyValueSchemaImpl.encode): ``[int32 key-len][key bytes]
+    [int32 value-len][value bytes]``, big-endian, length −1 for a NULL
+    side. Key/value arrive as BINARY columns already serialized by
+    their own payload codecs (JSON/Avro/Protobuf — see
+    ``codecs.payload_codec``), so any schema combination frames the
+    same way. Arrow-batched kernel; other columns pass through."""
+    import struct as _struct
+    from pyspark.sql import types as _T
+
+    others = [f for f in df.schema.fields
+              if f.name not in (key_col, value_col)]
+    out_schema = _T.StructType(others + [_T.StructField(out_col,
+                                                        _T.BinaryType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for k, v in zip(pdf[key_col], pdf[value_col]):
+                buf = bytearray()
+                for part in (k, v):
+                    if part is None:
+                        buf.extend(_struct.pack(">i", -1))
+                    else:
+                        raw = bytes(part)
+                        buf.extend(_struct.pack(">i", len(raw)))
+                        buf.extend(raw)
+                payloads.append(bytes(buf))
+            res = pdf.drop(columns=[key_col, value_col])
+            res[out_col] = payloads
+            yield res
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def kv_inline_decode(df, *, payload_col: str = "payload",
+                     key_col: str = "k", value_col: str = "v"):
+    """Inverse framing: payload → (key BINARY, value BINARY), NULL for
+    −1 lengths."""
+    import struct as _struct
+    from pyspark.sql import types as _T
+
+    others = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = _T.StructType(others + [
+        _T.StructField(key_col, _T.BinaryType()),
+        _T.StructField(value_col, _T.BinaryType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for cell in pdf[payload_col]:
+                raw = bytes(cell)
+                pos = 0
+                parts = []
+                for _ in range(2):
+                    (n,) = _struct.unpack_from(">i", raw, pos)
+                    pos += 4
+                    if n < 0:
+                        parts.append(None)
+                    else:
+                        parts.append(raw[pos:pos + n])
+                        pos += n
+                ks.append(parts[0])
+                vs.append(parts[1])
+            res = pdf.drop(columns=[payload_col])
+            res[key_col] = ks
+            res[value_col] = vs
+            yield res
+
+    return df.mapInPandas(kernel, out_schema)
