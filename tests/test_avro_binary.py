@@ -175,3 +175,41 @@ def avro_to_spark_schema_checked(avro_json: str):
         avro_to_spark_schema)
 
     return avro_to_spark_schema(avro_json)
+
+
+_FIELD_TYPES = ["long", "int", "string", "boolean", "double",
+                ["null", "string"], ["null", "long"],
+                {"type": "array", "items": "long"}]
+
+
+@given(shape=st.lists(st.sampled_from(range(len(_FIELD_TYPES))),
+                      min_size=1, max_size=6),
+       seed=st.integers(0, 10 ** 6))
+@SLOW
+def test_random_schema_roundtrip(shape, seed):
+    """Schema fuzzing: random flat records of mixed field types
+    round-trip byte-exactly."""
+    import random
+
+    rnd = random.Random(seed)
+    schema = {"type": "record", "name": "F", "fields": [
+        {"name": f"f{i}", "type": _FIELD_TYPES[t]}
+        for i, t in enumerate(shape)]}
+
+    def gen(t):
+        if isinstance(t, list):
+            return None if rnd.random() < 0.3 else gen([x for x in t
+                                                        if x != "null"][0])
+        if isinstance(t, dict):
+            return [rnd.randint(-99, 99) for _ in range(rnd.randint(0, 4))]
+        return {"long": rnd.randint(-2 ** 40, 2 ** 40),
+                "int": rnd.randint(-2 ** 31, 2 ** 31 - 1),
+                "string": "".join(chr(rnd.randint(32, 0x24F))
+                                  for _ in range(rnd.randint(0, 12))),
+                "boolean": rnd.random() < 0.5,
+                "double": rnd.uniform(-1e6, 1e6)}[t]
+
+    v = {f["name"]: gen(f["type"]) for f in schema["fields"]}
+    buf = _enc(v, schema)
+    got, pos = decode_datum(memoryview(buf), 0, schema)
+    assert pos == len(buf) and got == v
