@@ -589,3 +589,48 @@ class TestBigramLm:
         scores = {r["doc_id"]: r["lm_score"]
                   for r in text.bigram_lm_scores(df).collect()}
         assert scores[1] > scores[9]
+
+
+class TestStreamingDigest:
+    def test_stream_digest_equals_batch_of_union(self, spark, tmp_path,
+                                                 sf_dir):
+        """Two availableNow passes over a growing topic: the LAST
+        emitted digest per group equals the batch digest of the union —
+        sum/count mergeability IS the streaming story."""
+        from incubator_pulsar_spark.operators.digest import topic_digest
+        from incubator_pulsar_spark.streaming.digest import (
+            topic_digest_stream)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_type", "event_id", "user_id")
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+        src = str(tmp_path / "topic")
+        sink = str(tmp_path / "digests")
+        first.write.parquet(src)
+
+        def run(tag):
+            stream = spark.readStream.schema(first.schema).parquet(src)
+            out = topic_digest_stream(stream, ["event_type"],
+                                      ["event_id", "user_id"])
+
+            def write(df, batch_id):
+                df.withColumn("pass_tag", F.lit(tag)) \
+                    .write.mode("append").parquet(sink)
+
+            (out.writeStream.foreachBatch(write)
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start().awaitTermination(120))
+
+        run(0)
+        second.write.mode("append").parquet(src)
+        run(1)
+
+        latest = {}
+        for r in spark.read.parquet(sink).orderBy("pass_tag").collect():
+            latest[r.event_type] = (r.n_rows, r.checksum)
+        want = {r.event_type: (r.n_rows, r.checksum)
+                for r in topic_digest(ev, ["event_type"],
+                                      ["event_id", "user_id"]).collect()}
+        assert latest == want
