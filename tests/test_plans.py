@@ -359,3 +359,24 @@ class TestPlanQuality:
         plan = executed_plan(spark, "bigram_lm_docs")
         assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
         assert "CartesianProduct" not in plan
+
+
+class TestRound4cPlans:
+    def test_range_rolling_single_keyed_window_shuffle(self, spark):
+        """Time-RANGE rolling frame: one exchange keyed on user_id, then
+        a single window sort pass — no self-join, no Python."""
+        plan = executed_plan(spark, "range_rolling_user_value")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+        assert "Join" not in plan
+
+    def test_interval_join_is_equi_not_nested_loop(self, spark):
+        """The whole point of operators/interval.py: the containment
+        join runs as a hash equi-join on the time-bucket index, never
+        the BroadcastNestedLoopJoin Catalyst plans for a raw
+        ts-BETWEEN-start-AND-end condition."""
+        plan = executed_plan(spark, "interval_join_events")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
