@@ -248,6 +248,60 @@ def winnow_gram_hashes(chars: Column, *, k: int = 5) -> Column:
     )
 
 
+def dup_spans(docs, *, k: int = 5, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Cross-document repeated-span detection at word granularity — the
+    public exact-substring-dedup semantic ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2021) approximated on
+    word k-grams instead of a suffix array: for every doc pair sharing
+    at least one k-gram, report the total positional matches and the
+    LONGEST contiguous run of matching k-grams, i.e. the longest shared
+    token span (run + k − 1 words).
+
+    Run extraction is the classic dot-plot diagonal trick, in pure
+    window algebra both engines share: a positional match (pos_a,
+    pos_b) lies on diagonal d = pos_a − pos_b; within a (pair, d)
+    group, consecutive pos_a values belong to one run, found by the
+    gaps-and-islands key pos_a − row_number().
+
+    Scale shape: grams ship as md5 (32 B) through ONE equi-join
+    shuffle; the runs window shuffles only the matched-pair rows
+    (corpus-size-independent once near-dup density is fixed). Ubiquitous
+    k-grams fan out quadratically per gram — the same df-cut used by
+    ``fuzzy.jaccard_pairs(max_df=)`` applies upstream if a corpus has
+    boilerplate; the synthetic fixture does not need it. Docs shorter
+    than k words degrade to one whole-doc gram (the ``word_shingles``
+    convention), so their "span" is the doc itself.
+    """
+    from pyspark.sql import Window  # local: column-only module
+
+    words_tbl = docs.select(F.col(id_col).alias("doc_id"),
+                            word_tokens(F.col(text_col)).alias("_words"))
+    grams = words_tbl.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("_words"), k, distinct=False))
+         .alias("pos", "gram"))
+    g = grams.select("doc_id", "pos", F.md5("gram").alias("_g"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
+                 "_g")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+                 "_g")
+    m = (a.join(b, "_g")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .select("doc_a", "doc_b", "pos_a",
+                 (F.col("pos_a") - F.col("pos_b")).alias("_diag")))
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    runs = m.withColumn("_run", F.col("pos_a") - F.row_number().over(w))
+    run_len = (runs.groupBy("doc_a", "doc_b", "_diag", "_run")
+               .agg(F.count(F.lit(1)).alias("_len")))
+    return (
+        run_len.groupBy("doc_a", "doc_b")
+        .agg(F.sum("_len").cast("long").alias("shared_grams"),
+             (F.max("_len") + F.lit(k - 1)).cast("long")
+             .alias("longest_span_tokens"))
+    )
+
+
 def top_vocabulary(docs, n: int, *, text_col: str = "text"):
     """Top-n corpus words by frequency (ties broken by word) — the
     reference vocabulary for OOV-rate quality filtering. The global

@@ -1268,6 +1268,51 @@ GROUP BY user_id, day, s, x
 """
 
 
+def dup_span_docs(spark, sf_dir):
+    """Cross-doc repeated-span audit (text.dup_spans): for every doc
+    pair sharing a word 5-gram, total positional matches + the longest
+    contiguous shared token span, via the dot-plot diagonal
+    gaps-and-islands (pos_a − pos_b diagonal, pos_a − row_number run
+    key) — pure window algebra, identical on both engines. Positions
+    are 0-based on Spark and 1-based in the oracle; the constant offset
+    cancels in both the diagonal and the run key."""
+    from ..session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return text.dup_spans(docs, k=5)
+
+
+DUP_SPAN_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+), pos AS (
+  SELECT doc_id, words,
+         unnest(range(1, greatest(len(words) - 4, 1) + 1)) AS i
+  FROM w
+), sh AS (
+  SELECT doc_id, i,
+         md5(COALESCE(array_to_string(list_slice(words, i, i + 4), ' '), ''))
+           AS g
+  FROM pos
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS pa, a.i - b.i AS diag
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+           AS run
+  FROM m
+), rl AS (
+  SELECT doc_a, doc_b, count(*) AS len
+  FROM runs GROUP BY doc_a, doc_b, diag, run
+)
+SELECT doc_a, doc_b, CAST(SUM(len) AS BIGINT) AS shared_grams,
+       CAST(MAX(len) + 4 AS BIGINT) AS longest_span_tokens
+FROM rl GROUP BY doc_a, doc_b
+"""
+
+
 def grouping_sets_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-sets surface."""
     li = _t(spark, sf_dir, "lineitem")
@@ -4108,6 +4153,7 @@ ALL_QUERIES: dict[str, Query] = {
               RANGE_ROLLING_SQL),
         Query("interval_join_events", interval_join_events,
               INTERVAL_JOIN_SQL),
+        Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

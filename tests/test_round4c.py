@@ -79,3 +79,66 @@ class TestIntervalJoin:
         points, intervals = fixture
         with pytest.raises(ValueError):
             interval_join(points, intervals, bucket_seconds=0)
+
+
+class TestDupSpans:
+    """dup_spans vs a brute-force pure-Python model on planted overlaps."""
+
+    DOCS = [
+        # 0 and 1 share the exact 8-word run "the quick brown fox jumps
+        # over the lazy" => 4 matching 5-grams in one diagonal run
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "yesterday the quick brown fox jumps over the lazy cat"),
+        # 2 shares two separate 5-gram runs with 3
+        (2, "alpha beta gamma delta epsilon zeta unrelated filler words "
+            "here omega psi chi phi upsilon tau"),
+        (3, "alpha beta gamma delta epsilon eta something else entirely "
+            "now omega psi chi phi upsilon sigma"),
+        # 4 shares nothing
+        (4, "completely disjoint vocabulary only appearing once"),
+        # 5/6: repeated gram INSIDE a doc (multiplicity) still works
+        (5, "repeat me repeat me repeat me repeat me now"),
+        (6, "others also repeat me repeat me sometimes"),
+    ]
+
+    @staticmethod
+    def _model(docs, k=5):
+        import re as _re
+
+        toks = {i: _re.findall(r"[a-z]+", t.lower()) for i, t in docs}
+        grams = {
+            i: [tuple(w[p:p + k]) for p in range(max(len(w) - k + 1, 1))]
+            for i, w in toks.items()
+        }
+        out = {}
+        ids = sorted(grams)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                matches = [(pa, pb) for pa, ga in enumerate(grams[a])
+                           for pb, gb in enumerate(grams[b]) if ga == gb]
+                if not matches:
+                    continue
+                diags = {}
+                for pa, pb in matches:
+                    diags.setdefault(pa - pb, []).append(pa)
+                longest = 0
+                for ps in diags.values():
+                    ps.sort()
+                    run = 1
+                    for x, y in zip(ps, ps[1:]):
+                        run = run + 1 if y == x + 1 else 1
+                        longest = max(longest, run)
+                    longest = max(longest, run if len(ps) > 1 else 1)
+                out[(a, b)] = (len(matches), longest + k - 1)
+        return out
+
+    def test_matches_bruteforce_model(self, spark):
+        from incubator_pulsar_spark.functions.text import dup_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): (r["shared_grams"],
+                                          r["longest_span_tokens"])
+               for r in dup_spans(df, k=5).collect()}
+        assert got == self._model(self.DOCS, k=5)
+        assert got[(0, 1)] == (4, 8)  # the planted 8-token span
