@@ -522,6 +522,69 @@ def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float, *, n_cells: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus coarsely, then prune near-identical vectors
+    WITHIN each cluster only — the clustering is what makes pairwise
+    comparison tractable (the paper's point: k clusters cut the pair
+    space by ~k).
+
+    Clusters are the deterministic farthest-point IVF cells this module
+    already uses (round-9 cosine snapping ⇒ the whole assignment is
+    replayable in SQL — same machinery as ANN_IVF_SQL). The prune rule
+    is the order-independent variant: drop x iff some SAME-CELL vector
+    with a smaller id has cosine ≥ threshold; ``dup_of`` is the
+    smallest such id. Unlike sequential greedy (whose kept set depends
+    on scan order and is inherently serial), this rule is pure
+    relational algebra — one within-cell pair join — at the cost of
+    occasionally dropping both ends of a chain (x dropped for y even
+    though y was itself dropped). For dedup that is the conservative
+    direction (never keeps a duplicate).
+
+    Scale: within-cell pair work is ~N²/n_cells — n_cells MUST grow
+    with the corpus (SemDeDup uses 50k clusters at 100M embeddings;
+    size cells to a few thousand vectors). The pair join is an
+    equi-join on cell; vectors ship once into it; the verdict join back
+    is keyed on id.
+
+    Output: (vec_id, cell, is_kept ∈ {0,1}, dup_of — smallest
+    triggering id, −1 when kept).
+    """
+    cents = _seed_centroids(embeddings, n_cells=n_cells,
+                            id_col=id_col, vec_col=vec_col)
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
+    e = e.withColumn("_norm", l2_norm(F.col("vec")))
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("cell"),
+                 F.col("vec").alias("_va"), F.col("_norm").alias("_na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("cell"),
+                 F.col("vec").alias("_vb"), F.col("_norm").alias("_nb"))
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    pd_dot = _pair_dot_udf()
+    sim = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                 pd_dot(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).otherwise(F.lit(0.0))
+    dups = (
+        pairs.select("id_b", F.round(sim, 6).alias("_c"), "id_a")
+        .filter(F.col("_c") >= F.lit(threshold))
+        .groupBy("id_b").agg(F.min("id_a").alias("_dup_of"))
+    )
+    return (
+        e.join(dups, e["vec_id"] == dups["id_b"], "left")
+        .select("vec_id", "cell",
+                F.when(F.col("_dup_of").isNull(), 1).otherwise(0)
+                 .cast("int").alias("is_kept"),
+                F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("long")
+                 .alias("dup_of"))
+    )
+
+
 def label_centroid_stats(
     embeddings: DataFrame, *, label_col: str = "label",
     vec_col: str = "embedding", id_col: str = "vec_id",

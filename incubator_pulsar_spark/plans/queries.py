@@ -1313,6 +1313,41 @@ FROM rl GROUP BY doc_a, doc_b
 """
 
 
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    deterministic IVF cells bound the pair space, then the
+    order-independent within-cell prune (drop x iff an earlier
+    same-cell vector has cosine ≥ 0.3). The oracle reuses the SAME
+    farthest-point seeding CTE chain as ANN_IVF_SQL and replays the
+    within-cell pair join in SQL — every verdict and every ``dup_of``
+    id is exact-checked, not just the keep counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.3, n_cells=8)
+
+
+def _semdedup_sql(n_cells: int = 8, threshold: float = 0.3) -> str:
+    parts = _ivf_assign_parts(n_cells)
+    parts.append(
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{_sql_cos('a.v', 'b.v', 6)} AS c "
+        "FROM assigned a JOIN assigned b "
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id)")
+    parts.append(
+        "dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of "
+        f"FROM pairs WHERE c >= {threshold!r} GROUP BY id_b)")
+    return f"""
+WITH {','.join(parts)}
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+# SEMDEDUP_SQL is assigned next to ANN_IVF_SQL below (after
+# _ivf_assign_parts is defined — module evaluation order).
+
+
 def grouping_sets_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-sets surface."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2547,16 +2582,12 @@ QUALIFY rank <= {k}
 ANN_LSH_MULTIPROBE_SQL = _ann_lsh_multiprobe_sql()
 
 
-def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
-    """Replay similarity._seed_centroids + ivf_topk in pure SQL.
-
-    The greedy farthest-point loop unrolls into one (argmin, update)
-    CTE pair per centroid; every cosine is rounded to 9 decimals before
-    comparison on BOTH engines, so BLAS-vs-sequential summation noise
-    cannot flip a selection. Probe tiebreak is (score DESC, cell DESC)
-    — the Spark side's reverse(array_sort(struct(s, i))) — while cell
-    assignment ties break (score DESC, cell ASC) — array_position of
-    the first max."""
+def _ivf_assign_parts(n_cells: int) -> list[str]:
+    """CTE chain replaying similarity._seed_centroids + cell assignment
+    (through the ``assigned`` CTE) — shared by the ANN-IVF and
+    semantic-dedup oracles. The greedy farthest-point loop unrolls into
+    one (argmin, update) CTE pair per centroid; round-9 snapping on
+    both engines makes every selection exactly reproducible."""
     cos9 = _sql_cos
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -2582,6 +2613,21 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
         "SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
         f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell ASC) AS rn "
         "FROM e CROSS JOIN cells c) WHERE rn = 1)")
+    return parts
+
+
+def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """Replay similarity._seed_centroids + ivf_topk in pure SQL.
+
+    The greedy farthest-point loop unrolls into one (argmin, update)
+    CTE pair per centroid; every cosine is rounded to 9 decimals before
+    comparison on BOTH engines, so BLAS-vs-sequential summation noise
+    cannot flip a selection. Probe tiebreak is (score DESC, cell DESC)
+    — the Spark side's reverse(array_sort(struct(s, i))) — while cell
+    assignment ties break (score DESC, cell ASC) — array_position of
+    the first max."""
+    parts = _ivf_assign_parts(n_cells)
+    cos9 = _sql_cos
     parts.append(
         "probes AS (SELECT query_id, qv, cell FROM ("
         "SELECT e.vec_id AS query_id, e.v AS qv, c.cell, "
@@ -2602,6 +2648,7 @@ QUALIFY rank <= {k}
 
 
 ANN_IVF_SQL = _ann_ivf_sql()
+SEMDEDUP_SQL = _semdedup_sql()
 
 
 def _emb_neardup_blocked_sql(dim: int = 64, n_planes: int = 4,
@@ -4154,6 +4201,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("interval_join_events", interval_join_events,
               INTERVAL_JOIN_SQL),
         Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
+        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

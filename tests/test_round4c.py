@@ -142,3 +142,65 @@ class TestDupSpans:
                for r in dup_spans(df, k=5).collect()}
         assert got == self._model(self.DOCS, k=5)
         assert got[(0, 1)] == (4, 8)  # the planted 8-token span
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_pruned_within_cells(self, spark):
+        """Near-identical vectors (cos ≈ 1) must land in the same cell
+        and all but the lowest id must drop, pointing dup_of at it;
+        orthogonal vectors all survive."""
+        import numpy as np
+
+        from incubator_pulsar_spark.functions.similarity import semantic_dedup
+
+        rng_free = []
+        base = np.eye(8)  # 8 mutually orthogonal directions
+        vid = 0
+        for d in range(8):
+            for rep in range(3):          # 3 near-copies per direction
+                v = base[d] + 1e-4 * rep  # tiny perturbation, cos ≈ 1
+                rng_free.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rng_free, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, threshold=0.95, n_cells=4).collect()}
+        assert len(out) == 24
+        for d in range(8):
+            ids = [3 * d, 3 * d + 1, 3 * d + 2]
+            cells = {out[i]["cell"] for i in ids}
+            assert len(cells) == 1          # copies share a cell
+            assert out[ids[0]]["is_kept"] in (0, 1)
+            # all but the group's smallest id must be dropped, and each
+            # dropped row's dup_of is a smaller id in the same group
+            dropped = [i for i in ids if out[i]["is_kept"] == 0]
+            for i in dropped:
+                assert out[i]["dup_of"] < i
+            kept = [i for i in ids if out[i]["is_kept"] == 1]
+            assert min(ids) in kept or out[min(ids)]["dup_of"] >= 0
+
+    def test_conservative_never_keeps_a_duplicate(self, spark):
+        """Order-independent rule: any vector with an earlier same-cell
+        neighbor above threshold is dropped — verified by recomputing
+        the predicate from the output."""
+        import itertools
+
+        import numpy as np
+
+        from incubator_pulsar_spark.functions.similarity import semantic_dedup
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 6))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, threshold=0.6, n_cells=2).collect()}
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        # float32 storage: recompute on the float32-rounded vectors
+        unit32 = vecs.astype(np.float32).astype(np.float64)
+        unit32 = unit32 / np.linalg.norm(unit32, axis=1, keepdims=True)
+        for a, b in itertools.combinations(range(40), 2):
+            if out[a]["cell"] != out[b]["cell"]:
+                continue
+            sim = round(float(unit32[a] @ unit32[b]), 6)
+            if sim >= 0.6 + 1e-9:
+                assert out[b]["is_kept"] == 0, (a, b, sim)
