@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "label_centroid_stats",
     "weighted_sample_docs",
     "subscription_backlog_events",
+    # round-4c: RANGE frame / interval join / dup spans / semantic dedup
+    "range_rolling_user_value",
+    "interval_join_events",
+    "dup_span_docs",
+    "semdedup_embeddings",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

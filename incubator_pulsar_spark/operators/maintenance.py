@@ -1,0 +1,100 @@
+"""Topic-storage maintenance: small-file compaction.
+
+The reference's storage layer rolls over and trims ledgers
+(``ManagedLedgerImpl.rollCurrentLedgerIfFull``, retention trimming in
+``internalTrimLedgers`` — /root/reference/managed-ledger/src/main/java/
+org/apache/bookkeeper/mledger/impl/ManagedLedgerImpl.java) so a topic
+never accumulates unbounded tiny segments. The parquet-topic analogue
+is the classic small-files problem: every micro-batch append writes
+``spark.sql.shuffle.partitions`` files, and after a day of 1-minute
+batches a topic directory holds tens of thousands of KB-sized files —
+scan planning, footer reads, and NameNode/object-store listing all
+degrade long before the data itself is big.
+
+``compact_parquet_dir`` rewrites a topic directory (flat, or one level
+of ``col=`` hive partitions, compacted per partition so pruning
+survives) into ``ceil(bytes / target_file_bytes)`` files. Rewrite is
+read → repartition(n) → write-to-temp → swap, so:
+
+- the swap is two directory renames (old → ``.pre-compact``, tmp →
+  live); a crash before the first rename leaves the original intact, a
+  crash between them is recovered by re-running (the leftover
+  ``.pre-compact`` is detected and removed once the live dir exists);
+- readers concurrent with the swap follow the same at-least-once +
+  idempotent-consumer contract as redelivery (same posture as
+  ``offload_topic_by_date``);
+- re-running is a no-op once file counts meet the target
+  (``files <= n_target`` leaves the leaf untouched).
+
+``sort_by`` optionally clusters rows during the rewrite
+(sortWithinPartitions) so min/max row-group stats become selective —
+the cheap half of a Z-order pass, worth it when one predicate column
+dominates reads.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+_TMP_SUFFIX = ".compact-tmp"
+_OLD_SUFFIX = ".pre-compact"
+
+
+def _leaf_dirs(path: str) -> list[str]:
+    """The directories actually holding parquet files: the path itself,
+    or its one level of hive ``col=`` partition children."""
+    parts = [os.path.join(path, n) for n in sorted(os.listdir(path))
+             if "=" in n and os.path.isdir(os.path.join(path, n))]
+    return parts if parts else [path]
+
+
+def _parquet_bytes(leaf: str) -> tuple[int, int]:
+    files = [n for n in os.listdir(leaf)
+             if n.endswith(".parquet") and not n.startswith(".")]
+    return sum(os.path.getsize(os.path.join(leaf, n)) for n in files), len(files)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, *,
+    target_file_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Compact every leaf under ``path``; returns
+    {leaf: (files_before, files_after)} for leaves rewritten."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+
+    def _recover(leaf: str) -> None:
+        old = leaf + _OLD_SUFFIX
+        if os.path.exists(old):           # crashed mid-swap last time
+            if os.path.exists(leaf):
+                shutil.rmtree(old)        # swap had completed; finish cleanup
+            else:
+                os.rename(old, leaf)      # swap never happened; roll back
+
+    _recover(path)                        # the topic dir itself may be mid-swap
+    out: dict[str, tuple[int, int]] = {}
+    for leaf in _leaf_dirs(path):
+        _recover(leaf)
+        nbytes, nfiles = _parquet_bytes(leaf)
+        if nfiles == 0:
+            continue
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if nfiles <= n_target:
+            continue
+        df = spark.read.parquet(leaf)
+        tmp = leaf + _TMP_SUFFIX
+        writer = df.repartition(n_target)
+        if sort_by:
+            writer = writer.sortWithinPartitions(*sort_by)
+        writer.write.mode("overwrite").parquet(tmp)
+        old = leaf + _OLD_SUFFIX
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        out[leaf] = (nfiles, _parquet_bytes(leaf)[1])
+    return out

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -204,3 +205,69 @@ class TestSemanticDedup:
             sim = round(float(unit32[a] @ unit32[b]), 6)
             if sim >= 0.6 + 1e-9:
                 assert out[b]["is_kept"] == 0, (a, b, sim)
+
+
+class TestCompaction:
+    def test_flat_dir_compacts_and_preserves_rows(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            compact_parquet_dir)
+
+        p = str(tmp_path / "topic")
+        spark.range(10_000).withColumn("v", F.col("id") * 2) \
+            .repartition(32).write.parquet(p)
+        before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+        stats = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
+        assert stats[p][0] == 32 and stats[p][1] == 1
+        after_df = spark.read.parquet(p)
+        assert sorted(r["id"] for r in after_df.collect()) == before
+        # second run is a no-op
+        assert compact_parquet_dir(spark, p, target_file_bytes=1 << 30) == {}
+
+    def test_partitioned_dir_compacts_per_partition(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            compact_parquet_dir)
+
+        p = str(tmp_path / "topic")
+        df = spark.range(6_000).withColumn("day", (F.col("id") % 3).cast("int"))
+        df.repartition(16).write.partitionBy("day").parquet(p)
+        rows_before = sorted((r["id"], r["day"]) for r in
+                             spark.read.parquet(p).collect())
+        stats = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
+        assert len(stats) == 3 and all(a > b for a, b in stats.values())
+        got = spark.read.parquet(p)
+        assert sorted((r["id"], r["day"]) for r in got.collect()) == rows_before
+        # partition pruning still works after the rewrite
+        plan = got.filter(F.col("day") == 1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "day" in plan
+
+    def test_sort_by_clusters_rowgroups(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from incubator_pulsar_spark.operators.maintenance import (
+            compact_parquet_dir)
+
+        p = str(tmp_path / "topic")
+        spark.range(50_000).withColumn("k", (F.col("id") * 2654435761) % 1000) \
+            .repartition(16).write.parquet(p)
+        compact_parquet_dir(spark, p, target_file_bytes=1 << 30, sort_by=["k"])
+        f = [n for n in os.listdir(p) if n.endswith(".parquet")]
+        assert len(f) == 1
+        md = pq.ParquetFile(os.path.join(p, f[0]))
+        # clustered: the single file's k column is globally sorted, so
+        # first row group min == global min
+        first = md.read_row_group(0).to_pandas()["k"]
+        assert first.is_monotonic_increasing
+
+    def test_crash_recovery_rolls_back(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            compact_parquet_dir)
+
+        p = str(tmp_path / "topic")
+        spark.range(1000).repartition(8).write.parquet(p)
+        # simulate a crash after old->pre-compact rename, before tmp->live
+        os.rename(p, p + ".pre-compact")
+        stats = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
+        assert sorted(r["id"] for r in spark.read.parquet(p).collect()) \
+            == list(range(1000))
+        assert stats[p][1] == 1
