@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "interval_join_events",
     "dup_span_docs",
     "semdedup_embeddings",
+    "quantile_sketch_events",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

@@ -157,3 +157,68 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str, *,
             .otherwise(F.col("n_kept").cast("double")).alias("kmv_estimate"),
         )
     )
+
+
+def sample_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                     id_col: str, *, k: int = 512,
+                     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     salt: str = "qsk") -> DataFrame:
+    """Per-group quantile ESTIMATES from a mergeable bottom-k uniform
+    sample — the fixed-state companion to ``quantiles.exact_quantiles``
+    (which must shuffle every value): each row gets a deterministic
+    md5 uniform keyed on its unique ``id_col``; the k smallest-u rows
+    per group are a uniform without-replacement sample of size k, and
+    bottom-k-by-u is mergeable the same way KMV is (the global bottom-k
+    of a union is the bottom-k of the parts' bottom-ks).
+
+    Phase 1 (mapInPandas): each partition reduces to its k smallest
+    (u, id) rows per group — the shuffle carries ≤ partitions·k rows
+    per group, never the full multiset. Phase 2: global bottom-k by
+    window rank, then the type-1 sample quantile (value at rank
+    ⌈p·m⌉) per requested p.
+
+    Exactly as with ``kmv_distinct``, the oracle computes the GLOBAL
+    bottom-k directly in SQL; equality under the exact-value gate IS
+    the mergeability proof. All tie-breaks are total orders shared by
+    both engines: (u, id) for sample membership, plain value for rank
+    selection (equal values yield the same selected value regardless
+    of order within the tie).
+
+    Output: group_cols + (sample_n, est_q<p> per prob). Groups smaller
+    than k are sampled in full, so their estimates are exact.
+    """
+    import numpy as np
+
+    pre = df.select(
+        *group_cols, F.col(value_col).alias("_v"),
+        kmv_uniform(F.col(id_col), salt).alias("_u"),
+        F.col(id_col).cast("long").alias("_id"))
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pre.schema.fields)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, pd.DataFrame] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                pool = sub if key not in state else pd.concat(
+                    [state[key], sub], ignore_index=True)
+                order = np.lexsort((pool["_id"].to_numpy(),
+                                    pool["_u"].to_numpy()))
+                state[key] = pool.iloc[order[:k]]
+        if state:
+            yield pd.concat(state.values(), ignore_index=True)
+
+    red = pre.mapInPandas(partial, out_fields)
+    w = Window.partitionBy(*group_cols).orderBy("_u", "_id")
+    kept = red.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    wv = Window.partitionBy(*group_cols).orderBy("_v", "_id")
+    wm = Window.partitionBy(*group_cols)
+    ranked = (kept.withColumn("_vr", F.row_number().over(wv))
+              .withColumn("_m", F.count(F.lit(1)).over(wm)))
+    aggs = [F.max("_m").cast("long").alias("sample_n")]
+    for p in probs:
+        rank = F.greatest(F.ceil(F.lit(p) * F.col("_m")), F.lit(1))
+        aggs.append(F.max(F.when(F.col("_vr") == rank, F.col("_v")))
+                    .alias(f"est_q{int(p * 100)}"))
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -1348,6 +1348,49 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
 # _ivf_assign_parts is defined — module evaluation order).
 
 
+def quantile_sketch_events(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (sketches.sample_quantiles)
+    next to nothing but its own math: the oracle computes the GLOBAL
+    bottom-512 sample directly in SQL, so the exact-value gate proves
+    the two-phase map-side reduction merges correctly — the same
+    equality-is-the-proof trick as ``kmv_distinct_events``."""
+    from ..functions.sketches import sample_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_quantiles(ev, ["event_type"], "value", "event_id", k=512)
+
+
+QUANTILE_SKETCH_SQL = """
+WITH t AS (
+  SELECT event_type, value, event_id,
+         ('0x' || substr(md5('qsk:' || event_id), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM events
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY u, event_id) AS rn
+  FROM t
+),
+samp AS (SELECT event_type, value FROM ranked WHERE rn <= 512),
+ordered AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM samp
+)
+SELECT event_type,
+       CAST(max(m) AS BIGINT) AS sample_n,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.5 * m) AS BIGINT), 1)
+                THEN value END) AS est_q50,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.9 * m) AS BIGINT), 1)
+                THEN value END) AS est_q90,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.99 * m) AS BIGINT), 1)
+                THEN value END) AS est_q99
+FROM ordered GROUP BY event_type
+"""
+
+
 def grouping_sets_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-sets surface."""
     li = _t(spark, sf_dir, "lineitem")
@@ -4202,6 +4245,8 @@ ALL_QUERIES: dict[str, Query] = {
               INTERVAL_JOIN_SQL),
         Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
         Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
+        Query("quantile_sketch_events", quantile_sketch_events,
+              QUANTILE_SKETCH_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

@@ -271,3 +271,46 @@ class TestCompaction:
         assert sorted(r["id"] for r in spark.read.parquet(p).collect()) \
             == list(range(1000))
         assert stats[p][1] == 1
+
+
+class TestSampleQuantiles:
+    def test_small_group_is_exact_type1_quantile(self, spark):
+        """Groups smaller than k are sampled in full -> type-1 exact."""
+        from incubator_pulsar_spark.functions.sketches import sample_quantiles
+
+        rows = [("g", float(v), i) for i, v in enumerate(range(1, 101))]
+        df = spark.createDataFrame(rows, "grp string, value double, id long")
+        out = sample_quantiles(df, ["grp"], "value", "id", k=512).collect()[0]
+        assert out["sample_n"] == 100
+        assert out["est_q50"] == 50.0    # ceil(0.5*100) = rank 50
+        assert out["est_q90"] == 90.0
+        assert out["est_q99"] == 99.0
+
+    def test_sketch_estimate_tracks_exact_quantile(self, spark):
+        """k=512 over 20k skewed values: estimates land within a few
+        percent of the exact quantiles (sampling error ~1/sqrt(k))."""
+        from incubator_pulsar_spark.functions.sketches import sample_quantiles
+
+        rows = [("g", float((i * 2654435761) % 97_003) ** 1.5, i)
+                for i in range(20_000)]
+        df = spark.createDataFrame(rows, "grp string, value double, id long") \
+            .repartition(8)
+        out = sample_quantiles(df, ["grp"], "value", "id", k=512).collect()[0]
+        vals = sorted(v for _, v, _ in rows)
+        assert out["sample_n"] == 512
+        for p, est in ((0.5, out["est_q50"]), (0.9, out["est_q90"])):
+            exact = vals[int(p * len(vals)) - 1]
+            assert abs(est - exact) / exact < 0.15, (p, est, exact)
+
+    def test_partition_layout_does_not_change_result(self, spark):
+        """Mergeability: 1 partition vs 16 partitions, identical output
+        (the map-side bottom-k loses nothing the global bottom-k needs)."""
+        from incubator_pulsar_spark.functions.sketches import sample_quantiles
+
+        rows = [(f"g{i % 3}", float((i * 37) % 1000), i) for i in range(5000)]
+        df = spark.createDataFrame(rows, "grp string, value double, id long")
+        a = {tuple(r) for r in sample_quantiles(
+            df.coalesce(1), ["grp"], "value", "id", k=64).collect()}
+        b = {tuple(r) for r in sample_quantiles(
+            df.repartition(16), ["grp"], "value", "id", k=64).collect()}
+        assert a == b
