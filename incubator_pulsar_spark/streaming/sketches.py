@@ -141,3 +141,71 @@ def misra_gries_stream(
         .applyInPandasWithState(fn, out_schema, MG_STATE_SCHEMA, "update",
                                 "NoTimeout")
     )
+
+
+QSK_STATE_SCHEMA = T.StructType([
+    T.StructField("us", T.ArrayType(T.DoubleType())),
+    T.StructField("ids", T.ArrayType(T.LongType())),
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+])
+
+
+def sample_quantiles_stream(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    k: int = 512,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    salt: str = "qsk",
+) -> DataFrame:
+    """Running per-group quantile estimates across micro-batches: the
+    streaming form of ``functions.sketches.sample_quantiles``. State is
+    the k smallest-(u, id) rows seen so far (3·k scalars per group,
+    fixed forever); each batch folds in and re-emits the refreshed
+    type-1 sample quantiles, so after ANY batch sequence the streaming
+    estimate equals the batch sketch of the union — same
+    min-merge-is-idempotent replay safety as ``kmv_distinct_stream``.
+
+    Output (update mode): group_cols + (sample_n, est_q<p>...).
+    """
+    pre = stream.select(
+        *group_cols,
+        kmv_uniform(stream[id_col], salt).alias("_u"),
+        stream[id_col].cast("long").alias("_id"),
+        stream[value_col].cast("double").alias("_v"))
+    base = [f for f in pre.schema.fields if f.name in group_cols]
+    out_schema = T.StructType(
+        base + [T.StructField("sample_n", T.LongType())]
+        + [T.StructField(f"est_q{int(p * 100)}", T.DoubleType())
+           for p in probs])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        us, ids, vals = (state.get if state.exists else ([], [], []))
+        u = np.asarray(us, dtype="float64")
+        i = np.asarray(ids, dtype="int64")
+        v = np.asarray(vals, dtype="float64")
+        for pdf in pdfs:
+            u = np.concatenate([u, pdf["_u"].to_numpy()])
+            i = np.concatenate([i, pdf["_id"].to_numpy()])
+            v = np.concatenate([v, pdf["_v"].to_numpy()])
+            order = np.lexsort((i, u))[:k]
+            u, i, v = u[order], i[order], v[order]
+        state.update((u.tolist(), i.tolist(), v.tolist()))
+        m = len(v)
+        sv = np.sort(v)
+        row = {c: [kv] for c, kv in zip(group_cols, key)}
+        row["sample_n"] = [m]
+        for p in probs:
+            rank = max(int(np.ceil(p * m)), 1)
+            row[f"est_q{int(p * 100)}"] = [float(sv[rank - 1]) if m else None]
+        yield pd.DataFrame(row)
+
+    return (
+        pre.groupBy(*group_cols)
+        .applyInPandasWithState(fn, out_schema, QSK_STATE_SCHEMA, "update",
+                                "NoTimeout")
+    )

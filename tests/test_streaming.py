@@ -801,3 +801,52 @@ def test_mg_stream_guarantee_and_exactness(spark, tmp_path, sf_dir):
     got = {r.event_type: r.mg_count
            for r in spark.read.parquet(sink_b).collect()}
     assert got == exact
+
+
+def test_sample_quantile_stream_converges_to_batch_sketch(spark, tmp_path, sf_dir):
+    """Streaming bottom-k quantile sample across two availableNow passes
+    over a growing topic equals functions.sketches.sample_quantiles on
+    the union — the min-merge replay-safety argument, proven end-to-end
+    through a checkpoint restart."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.sketches import sample_quantiles
+    from incubator_pulsar_spark.streaming.sketches import (
+        sample_quantiles_stream)
+
+    src = str(tmp_path / "events_topic")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "event_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(src)
+
+    sink = str(tmp_path / "qsk_out")
+
+    def run_pass(tag):
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        out = sample_quantiles_stream(stream, ["event_type"], "value",
+                                      "event_id", k=64)
+
+        def write(df, batch_id):
+            df.withColumn("pass_tag", F.lit(tag)) \
+                .write.mode("append").parquet(sink)
+
+        (out.writeStream.foreachBatch(write)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass(0)
+    second.write.mode("append").parquet(src)
+    run_pass(1)
+
+    got = {}
+    for r in spark.read.parquet(sink).orderBy("pass_tag").collect():
+        got[r.event_type] = (r.sample_n, r.est_q50, r.est_q90, r.est_q99)
+    want = {r.event_type: (r.sample_n, r.est_q50, r.est_q90, r.est_q99)
+            for r in sample_quantiles(ev, ["event_type"], "value",
+                                      "event_id", k=64).collect()}
+    assert set(want) <= set(got)
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g])
