@@ -1391,6 +1391,85 @@ FROM ordered GROUP BY event_type
 """
 
 
+def zorder_block_stats_events(spark, sf_dir):
+    """Data-layout evaluation harness (functions/layout.py): score three
+    physical orderings of events — Morton z-order on (user bucket,
+    minute-of-hour), row-major (x then y), and random (md5) — by how
+    many fixed-size row blocks a rectangular predicate touches. Blocks
+    model parquet row groups: blocks_touched is exactly what min/max
+    stats pruning would have to read.
+
+    The probe rectangle x,y ∈ [16,31]² is a Morton-ALIGNED quad, the
+    best case z-order is designed for: matching rows are contiguous in
+    z-space (blocks ≈ rows/block_size), while row-major touches one run
+    per x value and random touches nearly every block. The global
+    row_number here is the EVALUATION device (one sorted partition at
+    gate scale); the production writer is ``layout.zorder_write`` —
+    repartitionByRange + sortWithinPartitions, no global sort.
+    """
+    from ..functions.layout import zorder_key
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 64).alias("x"),
+        F.minute("ts").alias("y"),
+        F.md5(F.concat_ws(":", F.lit("z"), F.col("event_id"))).alias("_mk"),
+    ).withColumn("zkey", zorder_key(F.col("x"), F.col("y"), bits=6))
+    from pyspark.sql import Window
+
+    def ranked(order_cols, label):
+        w = Window.orderBy(*order_cols)
+        return base.withColumn("_rk", F.row_number().over(w)).select(
+            F.lit(label).alias("layout"), "x", "y",
+            F.floor((F.col("_rk") - 1) / 256).alias("_blk"))
+
+    u = (
+        ranked([F.col("zkey"), F.col("event_id")], "zorder")
+        .unionAll(ranked([F.col("x"), F.col("y"), F.col("event_id")],
+                         "rowmajor"))
+        .unionAll(ranked([F.col("_mk"), F.col("event_id")], "random"))
+    )
+    hit = u.filter(F.col("x").between(16, 31) & F.col("y").between(16, 31))
+    return hit.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_matched"),
+        F.countDistinct("_blk").cast("long").alias("blocks_touched"))
+
+
+def _zorder_sql() -> str:
+    from ..functions.layout import zorder_key_sql
+
+    z = zorder_key_sql("x", "y", bits=6)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id % 64 AS x, minute(ts) AS y,
+         md5('z:' || event_id) AS mk
+  FROM events
+), keyed AS (
+  SELECT *, {z} AS zkey FROM base
+), layouts AS (
+  SELECT 'zorder' AS layout, x, y,
+         (row_number() OVER (ORDER BY zkey, event_id) - 1) // 256 AS blk
+  FROM keyed
+  UNION ALL
+  SELECT 'rowmajor', x, y,
+         (row_number() OVER (ORDER BY x, y, event_id) - 1) // 256
+  FROM keyed
+  UNION ALL
+  SELECT 'random', x, y,
+         (row_number() OVER (ORDER BY mk, event_id) - 1) // 256
+  FROM keyed
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS rows_matched,
+       CAST(count(DISTINCT blk) AS BIGINT) AS blocks_touched
+FROM layouts
+WHERE x BETWEEN 16 AND 31 AND y BETWEEN 16 AND 31
+GROUP BY layout
+"""
+
+
+ZORDER_SQL = _zorder_sql()
+
+
 def grouping_sets_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-sets surface."""
     li = _t(spark, sf_dir, "lineitem")
@@ -4247,6 +4326,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
         Query("quantile_sketch_events", quantile_sketch_events,
               QUANTILE_SKETCH_SQL),
+        Query("zorder_block_stats_events", zorder_block_stats_events,
+              ZORDER_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

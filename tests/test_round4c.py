@@ -314,3 +314,75 @@ class TestSampleQuantiles:
         b = {tuple(r) for r in sample_quantiles(
             df.repartition(16), ["grp"], "value", "id", k=64).collect()}
         assert a == b
+
+
+class TestZorder:
+    def test_interleave_matches_python_model(self, spark):
+        from incubator_pulsar_spark.functions.layout import zorder_key
+
+        def model(x, y, bits=8):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [(x, y) for x in (0, 1, 5, 100, 255) for y in (0, 3, 77, 255)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select("x", "y", zorder_key(F.col("x"), F.col("y"))
+                        .alias("z")).collect()
+        for r in got:
+            assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
+
+    def test_locality_aligned_quad_is_contiguous(self, spark):
+        """An aligned 2^k x 2^k rectangle maps to one contiguous z-range
+        — the property file-level min/max pruning exploits."""
+        from incubator_pulsar_spark.functions.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(64) for y in range(64)], "x long, y long")
+        z = {(r["x"], r["y"]): r["z"] for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=6)
+            .alias("z")).collect()}
+        quad = sorted(z[(x, y)] for x in range(16, 32) for y in range(16, 32))
+        assert quad == list(range(min(quad), min(quad) + 256))
+
+    def test_zorder_write_files_cover_disjoint_zranges(self, spark, tmp_path):
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        from incubator_pulsar_spark.functions.layout import (
+            zorder_key, zorder_write)
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 251).alias("x"),
+            ((F.col("id") * 7) % 241).alias("y"),
+            F.col("id"))
+        p = str(tmp_path / "z")
+        zorder_write(df, p, "x", "y", n_files=8)
+        back = spark.read.parquet(p)
+        assert back.count() == 20_000
+        # recompute each file's z-range: ranges must not overlap
+        ranges = []
+        for name in _os.listdir(p):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(_os.path.join(p, name)).to_pandas()
+            if t.empty:
+                continue
+            zs = [int(z) for z in
+                  (lambda xs, ys: [sum((((x >> i) & 1) << (2 * i))
+                                       | (((y >> i) & 1) << (2 * i + 1))
+                                       for i in range(8))
+                                   for x, y in zip(xs, ys)])(t["x"], t["y"])]
+            ranges.append((min(zs), max(zs)))
+        ranges.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, (a_hi, b_lo)
+
+    def test_bits_validation(self, spark):
+        from incubator_pulsar_spark.functions.layout import zorder_key
+
+        with pytest.raises(ValueError):
+            zorder_key(F.lit(1), F.lit(1), bits=0)
