@@ -451,3 +451,105 @@ def oov_rate(docs, vocab, *, id_col: str = "doc_id", text_col: str = "text"):
             .otherwise(F.lit(0.0)).alias("oov_rate"),
         )
     )
+
+
+def _bpe_merge_word(symbols: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word greedily by rank (the standard BPE
+    segmenter: always merge the lowest-rank adjacent pair present)."""
+    while len(symbols) > 1:
+        best = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            break
+        a, b = symbols[best[1]], symbols[best[1] + 1]
+        out, i = [], 0
+        while i < len(symbols):
+            if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_train(docs, n_merges: int, *, text_col: str = "text") -> list[tuple[str, str]]:
+    """Train a BPE merge list at corpus scale, the way real trainers do:
+    ONE distributed pass builds the word-frequency table (the only
+    corpus-sized step), then every merge iteration is pure-Python work
+    over that vocab dict — corpus-size-independent, exactly the scale
+    property ``bpe_pair_counts`` documents. Ties break (count desc,
+    pair asc), matching ``bpe_pair_counts``' ranking, so iteration 1 of
+    this trainer reproduces that query's top candidate.
+
+    The vocab collect is bounded by |vocab| (Heaps'-law sublinear), not
+    corpus size — the same metadata-scale contract as
+    ``top_vocabulary``.
+    """
+    words = docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+    vocab_rows = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).collect()
+    vocab = {r["w"]: (list(r["w"]), int(r["freq"])) for r in vocab_rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        rank = {pair: 0}
+        vocab = {w: (_bpe_merge_word(syms, rank), f)
+                 for w, (syms, f) in vocab.items()}
+    return merges
+
+
+def bpe_encode(docs, merges: list[tuple[str, str]], *,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Apply a trained BPE merge list to every document — the
+    tokenizer-APPLY path (the trainer's counterpart): per doc, the BPE
+    token count and the md5 of the token stream (cheap equality witness
+    for tests and downstream dedup-by-tokenization).
+
+    Distributed shape: merges ship as a broadcast rank dict;
+    segmentation runs in Arrow batches with a per-batch word cache
+    (Zipf reuse makes the cache hit rate high), so the corpus text
+    never leaves the executors. Output: (doc_id, n_bpe_tokens,
+    token_md5).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    pre = docs.select(F.col(id_col).alias("doc_id"),
+                      word_tokens(F.col(text_col)).alias("_words"))
+
+    def seg(batches):
+        rk = bc.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_out, h_out = [], []
+            for ws in pdf["_words"]:
+                toks: list[str] = []
+                for w in ws:
+                    s = cache.get(w)
+                    if s is None:
+                        s = _bpe_merge_word(list(w), rk)
+                        cache[w] = s
+                    toks.extend(s)
+                n_out.append(len(toks))
+                h_out.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_bpe_tokens": n_out, "token_md5": h_out})
+
+    return pre.mapInPandas(
+        seg, "doc_id long, n_bpe_tokens long, token_md5 string")

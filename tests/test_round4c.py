@@ -386,3 +386,101 @@ class TestZorder:
 
         with pytest.raises(ValueError):
             zorder_key(F.lit(1), F.lit(1), bits=0)
+
+
+class TestBpeTrainEncode:
+    CORPUS = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new lower"),
+        (2, "widest wide wider new low"),
+        (3, "low low low newest widest"),
+    ]
+
+    @staticmethod
+    def _model_train(texts, n_merges):
+        import re as _re
+        from collections import Counter
+
+        vocab = Counter(w for t in texts for w in _re.findall(r"[a-z]+", t.lower()))
+        segs = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            counts = Counter()
+            for w, syms in segs.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += vocab[w]
+            if not counts:
+                break
+            pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(pair)
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1
+                            and (syms[i], syms[i + 1]) == pair):
+                        out.append(pair[0] + pair[1]); i += 2
+                    else:
+                        out.append(syms[i]); i += 1
+                segs[w] = out
+        return merges
+
+    @staticmethod
+    def _model_encode(text, merges):
+        import re as _re
+
+        from incubator_pulsar_spark.functions.text import _bpe_merge_word
+
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        toks = []
+        for w in _re.findall(r"[a-z]+", text.lower()):
+            toks.extend(_bpe_merge_word(list(w), ranks))
+        return toks
+
+    def test_train_matches_reference_algorithm(self, spark):
+        from incubator_pulsar_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = bpe_train(df, 8)
+        want = self._model_train([t for _, t in self.CORPUS], 8)
+        assert [tuple(m) for m in got] == want
+
+    def test_encode_matches_model_and_hash(self, spark):
+        import hashlib
+
+        from incubator_pulsar_spark.functions.text import (
+            bpe_encode, bpe_train)
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        merges = bpe_train(df, 6)
+        out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+        for doc_id, text in self.CORPUS:
+            toks = self._model_encode(text, merges)
+            assert out[doc_id]["n_bpe_tokens"] == len(toks)
+            want_md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+            assert out[doc_id]["token_md5"] == want_md5
+
+    def test_zero_merges_is_char_segmentation(self, spark):
+        import re as _re
+
+        from incubator_pulsar_spark.functions.text import bpe_encode
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        out = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_encode(df, []).collect()}
+        for doc_id, text in self.CORPUS:
+            n_chars = sum(len(w) for w in _re.findall(r"[a-z]+", text.lower()))
+            assert out[doc_id] == n_chars
+
+    def test_more_merges_never_increase_tokens(self, spark):
+        from incubator_pulsar_spark.functions.text import (
+            bpe_encode, bpe_train)
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        merges = bpe_train(df, 10)
+        prev = None
+        for n in (0, 3, 6, 10):
+            total = sum(r["n_bpe_tokens"]
+                        for r in bpe_encode(df, merges[:n]).collect())
+            if prev is not None:
+                assert total <= prev
+            prev = total
