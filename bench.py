@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     "quantile_sketch_events",
     "zorder_block_stats_events",
+    "chunk_docs",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

@@ -553,3 +553,43 @@ def bpe_encode(docs, merges: list[tuple[str, str]], *,
 
     return pre.mapInPandas(
         seg, "doc_id long, n_bpe_tokens long, token_md5 string")
+
+
+def chunk_documents(docs, *, chunk_words: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding-window document chunking — the context-window prep step
+    of an embedding/RAG pipeline: split each doc into word windows of
+    ``chunk_words`` starting every ``stride`` words (overlap =
+    chunk_words − stride keeps boundary context in two chunks).
+
+    Map-only: the chunk list is a higher-order transform over the
+    materialized word array (one Generate, no shuffle, no Python), so
+    chunking runs at scan speed at any corpus size. Docs shorter than
+    one window yield exactly one whole-doc chunk. Chunk count is
+    ⌈max(n_words − overlap, 1) / stride⌉, which covers every word
+    because stride ≤ chunk_words (enforced).
+
+    Output: (doc_id, chunk_id, n_words, chunk_md5) — the md5 is the
+    join key downstream embedding/dedup stages use, so the text itself
+    never needs to ship.
+    """
+    if not 1 <= stride <= chunk_words:
+        raise ValueError("need 1 <= stride <= chunk_words")
+    overlap = chunk_words - stride
+    pre = docs.select(F.col(id_col).alias("doc_id"),
+                      word_tokens(F.col(text_col)).alias("_words"))
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(F.size("_words") - F.lit(overlap), F.lit(1)))
+               / F.lit(stride)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("_words"), i * stride + 1, chunk_words), " "))
+    return (
+        pre.select("doc_id", F.posexplode(chunks).alias("chunk_id", "_chunk"))
+        .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                F.when(F.length("_chunk") > 0,
+                       F.size(F.split("_chunk", " ")))
+                 .otherwise(F.lit(0)).cast("long").alias("n_words"),
+                F.md5("_chunk").alias("chunk_md5"))
+    )

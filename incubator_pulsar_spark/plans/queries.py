@@ -1470,6 +1470,43 @@ GROUP BY layout
 ZORDER_SQL = _zorder_sql()
 
 
+def chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (text.chunk_documents): 64-word windows
+    every 48 words (16-word overlap) — the context-window prep of an
+    embedding/RAG pipeline. Map-only (one Generate, zero shuffles,
+    plan-locked); the oracle replays windows with list_slice and the
+    same ceil arithmetic."""
+    from ..session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return text.chunk_documents(docs, chunk_words=64, stride=48)
+
+
+CHUNK_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+), c0 AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(
+           CAST(ceil(greatest(len(words) - 16, 1) / 48.0) AS BIGINT), 1)))
+           AS i
+  FROM w
+), c AS (
+  SELECT doc_id, i,
+         COALESCE(array_to_string(
+           list_slice(words, i * 48 + 1, i * 48 + 64), ' '), '') AS chunk
+  FROM c0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(CASE WHEN length(chunk) > 0
+                 THEN len(string_split(chunk, ' ')) ELSE 0 END AS BIGINT)
+         AS n_words,
+       md5(chunk) AS chunk_md5
+FROM c
+"""
+
+
 def grouping_sets_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-sets surface."""
     li = _t(spark, sf_dir, "lineitem")
@@ -4328,6 +4365,7 @@ ALL_QUERIES: dict[str, Query] = {
               QUANTILE_SKETCH_SQL),
         Query("zorder_block_stats_events", zorder_block_stats_events,
               ZORDER_SQL),
+        Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

@@ -484,3 +484,46 @@ class TestBpeTrainEncode:
             if prev is not None:
                 assert total <= prev
             prev = total
+
+
+class TestChunkDocuments:
+    def test_windows_cover_every_word_with_overlap(self, spark):
+        from incubator_pulsar_spark.functions.text import chunk_documents
+
+        # purely alphabetic words: word_tokens keeps [a-z]+ only, so the
+        # recomputation below must see the same tokens
+        words = " ".join(
+            "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(100))
+        df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+        out = sorted(chunk_documents(df, chunk_words=64, stride=48).collect(),
+                     key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in out] == [0, 1]
+        assert out[0]["n_words"] == 64       # words 0..63
+        assert out[1]["n_words"] == 52       # words 48..99
+        # md5s match a direct recomputation of the window text
+        import hashlib
+        toks = words.split()
+        assert out[0]["chunk_md5"] == hashlib.md5(
+            " ".join(toks[0:64]).encode()).hexdigest()
+        assert out[1]["chunk_md5"] == hashlib.md5(
+            " ".join(toks[48:100]).encode()).hexdigest()
+
+    def test_short_and_empty_docs(self, spark):
+        from incubator_pulsar_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(0, "only five words in here"), (1, ""), (2, "one")],
+            "doc_id long, text string")
+        out = {(r["doc_id"], r["chunk_id"]): r["n_words"]
+               for r in chunk_documents(df, chunk_words=64, stride=48).collect()}
+        assert out[(0, 0)] == 5 and out[(1, 0)] == 0 and out[(2, 0)] == 1
+        assert len(out) == 3   # exactly one chunk each
+
+    def test_validation(self, spark):
+        from incubator_pulsar_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_words=10, stride=11)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_words=10, stride=0)
