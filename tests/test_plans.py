@@ -380,3 +380,16 @@ class TestRound4cPlans:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_chunk_docs_map_only(self, spark):
+        """Chunking is one Generate over the word array: no KEYED
+        shuffle, no Python stage. The single allowed Exchange is
+        ensure_parallelism's round-robin spread of the one-file scan
+        (ships narrow (doc_id, text) rows, disappears on a real
+        multi-split input)."""
+        plan = executed_plan(spark, "chunk_docs")
+        assert not re.search(r"ArrowEvalPython|MapInPandas", plan)
+        assert "hashpartitioning" not in plan
+        # formatted mode prints each node once in the tree and once as a
+        # "(n) Generate" detail header — count the headers
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
