@@ -1,0 +1,58 @@
+"""Watermarked stream-stream join: the click-attribution shape.
+
+The reference's data plane has no stream-stream join (consumers join
+streams application-side); Structured Streaming has it natively, and
+the ONLY scale-safe form is the one this wrapper enforces: both sides
+watermarked AND an event-time range bound in the join condition. Those
+two together are what let Spark evict buffered rows — a stream-stream
+join without them accumulates state forever (the join works in a demo
+and dies in production week two).
+
+``attribute_stream`` joins a trigger stream (views/impressions) with a
+response stream (clicks/conversions) per key, keeping responses that
+land inside ``(trigger_ts, trigger_ts + max_delay]``. State per key is
+bounded by watermark + max_delay: a view older than
+watermark + max_delay can never match a future click and is dropped.
+
+Batch parity: on finite inputs the streamed result equals the same
+join expressed in batch (pytest-proven through availableNow) — the
+wrapper adds semantics, not new algebra, which is exactly why it
+composes with checkpoint/replay like every built-in operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_stream(
+    triggers: DataFrame,
+    responses: DataFrame,
+    *,
+    key_col: str,
+    trigger_ts: str,
+    response_ts: str,
+    max_delay_seconds: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each response to the trigger(s) it answers within
+    ``max_delay_seconds``. Column names must be disjoint apart from
+    ``key_col`` (rename upstream). ``how='leftOuter'`` emits unmatched
+    TRIGGERS with null response columns once the watermark passes —
+    the "view that never converted" row, only correct to emit when no
+    late click can still arrive."""
+    if max_delay_seconds <= 0:
+        raise ValueError("max_delay_seconds must be positive")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("how must be 'inner' or 'leftOuter'")
+    t = triggers.withWatermark(trigger_ts, watermark)
+    r = responses.withWatermark(response_ts, watermark)
+    cond = (
+        (t[key_col] == r[key_col])
+        & (r[response_ts] > t[trigger_ts])
+        & (r[response_ts]
+           <= t[trigger_ts] + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
+    )
+    return t.join(r, cond, how).drop(r[key_col])

@@ -850,3 +850,61 @@ def test_sample_quantile_stream_converges_to_batch_sketch(spark, tmp_path, sf_di
     assert set(want) <= set(got)
     for g in want:
         assert got[g] == want[g], (g, got[g], want[g])
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, tmp_path, sf_dir):
+    """Watermarked stream-stream interval join over two availableNow
+    passes equals the batch join on the union — views are 'view'
+    events, clicks are 'click' events by the same user within 1 hour."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.streaming.joins import attribute_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # watermarks demand TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is a pure reinterpretation
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("view_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    # split passes by TIME (streams arrive roughly in event-time order;
+    # an id split would make pass-2 matches "late" beyond the watermark
+    # and correctly dropped — not what this parity test is about)
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    t_mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    views.filter(F.col("view_ts") <= t_mid).write.parquet(vsrc)
+    clicks.filter(F.col("click_ts") <= t_mid).write.parquet(csrc)
+
+    sink = str(tmp_path / "attr_out")
+
+    def run_pass():
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+        out = attribute_stream(vs, cs, key_col="user_id",
+                               trigger_ts="view_ts", response_ts="click_ts",
+                               max_delay_seconds=3600)
+        (out.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start().awaitTermination(180))
+
+    run_pass()
+    views.filter(F.col("view_ts") > t_mid).write.mode("append").parquet(vsrc)
+    clicks.filter(F.col("click_ts") > t_mid).write.mode("append").parquet(csrc)
+    run_pass()
+
+    got = {(r["view_id"], r["click_id"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {(r["view_id"], r["click_id"]) for r in views.alias("v").join(
+        clicks.alias("c"),
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("c.click_ts") > F.col("v.view_ts"))
+        & (F.col("c.click_ts") <= F.col("v.view_ts")
+           + F.expr("INTERVAL 3600 SECONDS"))).collect()}
+    # watermark after pass 1 sits 2h behind t_mid while the join range
+    # is 1h, so no pending cross-pass match is ever evicted early —
+    # exact equality with the batch join is the expected outcome
+    assert got == want, (len(got), len(want))
