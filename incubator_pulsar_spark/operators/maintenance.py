@@ -98,3 +98,61 @@ def compact_parquet_dir(
         shutil.rmtree(old)
         out[leaf] = (nfiles, _parquet_bytes(leaf)[1])
     return out
+
+
+def merge_into_topic(
+    spark: SparkSession, updates, path: str, *,
+    key_cols: list[str], order_col: str,
+    partition_col: str = "publish_date",
+) -> list[str]:
+    """Partition-scoped MERGE (upsert) into a hive-partitioned parquet
+    topic: for every partition the updates touch, read that partition,
+    union the updates, keep the winning row per key (max ``order_col``,
+    ties to the update side), and rewrite ONLY those partitions with
+    the same two-rename atomic swap as ``compact_parquet_dir``.
+    Untouched partitions are never read or written — the rewrite cost
+    is O(affected days), not O(topic), which is what makes upserts
+    viable on a 100 TB topic.
+
+    This is the storage-side analogue of the reference's compacted-
+    topic semantics (latest value per key wins —
+    TwoPhaseCompactor, /root/reference/pulsar-broker/src/main/java/org/
+    apache/pulsar/compaction/TwoPhaseCompactor.java) applied as a
+    lakehouse MERGE INTO. Returns the partition directory names
+    rewritten.
+
+    ``updates`` must contain ``partition_col`` (the day it lands in),
+    the key columns, and ``order_col``. Cross-partition key moves are
+    out of scope by design — a key lives in its partition (same
+    contract as the reference's per-topic compaction).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    days = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    rewritten: list[str] = []
+    for day in sorted(str(d) for d in days):
+        leaf = os.path.join(path, f"{partition_col}={day}")
+        _day_updates = updates.filter(
+            F.col(partition_col).cast("string") == day).drop(partition_col)
+        if os.path.exists(leaf):
+            current = spark.read.parquet(leaf).withColumn("_src", F.lit(0))
+        else:
+            current = None
+        merged = _day_updates.withColumn("_src", F.lit(1))
+        if current is not None:
+            merged = current.unionByName(merged)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col("_src").desc())
+        winner = (merged.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "_src"))
+        tmp = leaf + _TMP_SUFFIX
+        winner.write.mode("overwrite").parquet(tmp)
+        old = leaf + _OLD_SUFFIX
+        if os.path.exists(leaf):
+            os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        rewritten.append(os.path.basename(leaf))
+    return rewritten

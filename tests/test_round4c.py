@@ -527,3 +527,66 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_words=10, stride=11)
         with pytest.raises(ValueError):
             chunk_documents(df, chunk_words=10, stride=0)
+
+
+class TestMergeIntoTopic:
+    def _write_day(self, spark, path, day, rows):
+        df = spark.createDataFrame(rows, "k long, v string, seq long")
+        df.write.parquet(f"{path}/publish_date={day}")
+
+    def test_upsert_latest_wins_and_untouched_days_not_rewritten(
+            self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            merge_into_topic)
+
+        p = str(tmp_path / "topic")
+        self._write_day(spark, p, "2001-03-05",
+                        [(1, "a", 10), (2, "b", 10)])
+        self._write_day(spark, p, "2001-03-06", [(9, "z", 10)])
+        untouched = f"{p}/publish_date=2001-03-06"
+        before_files = sorted(os.listdir(untouched))
+        before_mtime = os.path.getmtime(untouched)
+
+        updates = spark.createDataFrame(
+            [("2001-03-05", 2, "b2", 20),     # update (newer seq)
+             ("2001-03-05", 3, "c", 5),       # insert
+             ("2001-03-07", 4, "d", 1)],      # new partition
+            "publish_date string, k long, v string, seq long")
+        out = merge_into_topic(spark, updates, p,
+                               key_cols=["k"], order_col="seq")
+        assert out == ["publish_date=2001-03-05", "publish_date=2001-03-07"]
+        got = {(r["k"]): (r["v"], r["seq"]) for r in
+               spark.read.parquet(f"{p}/publish_date=2001-03-05").collect()}
+        assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 5)}
+        assert sorted(os.listdir(untouched)) == before_files
+        assert os.path.getmtime(untouched) == before_mtime
+        new = spark.read.parquet(f"{p}/publish_date=2001-03-07").collect()
+        assert [(r["k"], r["v"]) for r in new] == [(4, "d")]
+
+    def test_equal_order_prefers_update_side(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            merge_into_topic)
+
+        p = str(tmp_path / "topic")
+        self._write_day(spark, p, "2001-03-05", [(1, "old", 10)])
+        updates = spark.createDataFrame(
+            [("2001-03-05", 1, "new", 10)],
+            "publish_date string, k long, v string, seq long")
+        merge_into_topic(spark, updates, p, key_cols=["k"], order_col="seq")
+        got = spark.read.parquet(f"{p}/publish_date=2001-03-05").collect()
+        assert [(r["k"], r["v"]) for r in got] == [(1, "new")]
+
+    def test_merge_is_idempotent(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.maintenance import (
+            merge_into_topic)
+
+        p = str(tmp_path / "topic")
+        self._write_day(spark, p, "2001-03-05", [(1, "a", 1), (2, "b", 1)])
+        updates = spark.createDataFrame(
+            [("2001-03-05", 1, "a2", 2)],
+            "publish_date string, k long, v string, seq long")
+        merge_into_topic(spark, updates, p, key_cols=["k"], order_col="seq")
+        merge_into_topic(spark, updates, p, key_cols=["k"], order_col="seq")
+        got = sorted((r["k"], r["v"], r["seq"]) for r in
+                     spark.read.parquet(f"{p}/publish_date=2001-03-05").collect())
+        assert got == [(1, "a2", 2), (2, "b", 1)]
