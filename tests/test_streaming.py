@@ -908,3 +908,70 @@ def test_stream_stream_attribution_matches_batch_join(spark, tmp_path, sf_dir):
     # is 1h, so no pending cross-pass match is ever evicted early —
     # exact equality with the batch join is the expected outcome
     assert got == want, (len(got), len(want))
+
+
+def test_stream_stream_attribution_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter mode: a view with no click inside max_delay is emitted
+    with null click columns — but only after the watermark passes its
+    join window (needs a later batch to advance the watermark)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.streaming.joins import attribute_stream
+
+    t0 = dt.datetime(2001, 3, 5, 12, 0, 0)
+    views = spark.createDataFrame(
+        [(1, t0, 100),                                   # click follows
+         (2, t0, 101)],                                  # never clicked
+        "user_id long, view_ts timestamp, view_id long")
+    clicks = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 200)],
+        "user_id long, click_ts timestamp, click_id long")
+    late = spark.createDataFrame(
+        [(7, t0 + dt.timedelta(hours=9), 300, 9)],
+        "user_id long, view_ts timestamp, view_id long, _pad long") \
+        .drop("_pad")
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views.write.parquet(vsrc)
+    clicks.write.parquet(csrc)
+
+    sink = str(tmp_path / "out")
+
+    def run_pass():
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+        out = attribute_stream(vs, cs, key_col="user_id",
+                               trigger_ts="view_ts", response_ts="click_ts",
+                               max_delay_seconds=3600, watermark="1 hour",
+                               how="leftOuter")
+        (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass()
+    # the GLOBAL watermark is the MIN across both streams (default
+    # multipleWatermarkPolicy): "no click ever arrived" is only
+    # decidable once the CLICK stream's own time moves past the join
+    # window — advance BOTH sides, then run one more batch (outer
+    # nulls emit in the batch after the watermark advances)
+    late.write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(7, t0 + dt.timedelta(hours=9), 299)],
+        "user_id long, click_ts timestamp, click_id long") \
+        .write.mode("append").parquet(csrc)
+    run_pass()
+    spark.createDataFrame(
+        [(8, dt.datetime(2001, 3, 5, 22, 0, 0), 301)],
+        "user_id long, view_ts timestamp, view_id long") \
+        .write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(8, dt.datetime(2001, 3, 5, 22, 30, 0), 302)],
+        "user_id long, click_ts timestamp, click_id long") \
+        .write.mode("append").parquet(csrc)
+    run_pass()
+
+    rows = {(r["view_id"], r["click_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert (100, 200) in rows          # matched pair
+    assert (101, None) in rows         # unmatched view, null-padded
