@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "quantile_sketch_events",
     "zorder_block_stats_events",
     "chunk_docs",
+    "cms_counts_events",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

@@ -222,3 +222,60 @@ def sample_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
         aggs.append(F.max(F.when(F.col("_vr") == rank, F.col("_v")))
                     .alias(f"est_q{int(p * 100)}"))
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def cms_table(df: DataFrame, key_col: str, *, d: int = 4, w: int = 1024,
+              salt: str = "cms") -> DataFrame:
+    """Count-Min sketch counter table: d hash rows × w buckets of
+    COUNTs — fixed d·w integers no matter how many keys flow through
+    (point-frequency estimation where an exact per-key count table
+    would grow with the key domain).
+
+    Pure column algebra: each record explodes to its d (row, bucket)
+    cells (md5-derived buckets, engine-portable like every hash in this
+    module), then ONE keyed agg builds the counters — partial
+    aggregation bounds the shuffle at partitions·d·w rows. Counters
+    are sums, so sketches merge by addition (unions/windows for free).
+
+    Output: (row_i, bucket, cnt).
+    """
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row_i"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"{salt}{i}"), F.col(key_col))),
+                1, 12), 16, 10).cast("long") % w).alias("bucket"))
+        for i in range(d)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row_i", "c.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(probes: DataFrame, counters: DataFrame, key_col: str, *,
+                 d: int = 4, w: int = 1024, salt: str = "cms") -> DataFrame:
+    """Point-frequency estimates for a probe set: min over the d
+    counter cells each probe hashes to (the CMS guarantee: estimate ≥
+    true count, over-counting bounded by collisions ~N/w per row).
+    Missing cells read as 0. Output: (key, cms_estimate)."""
+    p = probes.select(F.col(key_col).alias("_k")).distinct()
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row_i"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"{salt}{i}"), F.col("_k"))),
+                1, 12), 16, 10).cast("long") % w).alias("bucket"))
+        for i in range(d)
+    ])
+    exploded = p.select("_k", F.explode(cells).alias("c")) \
+        .select("_k", "c.row_i", "c.bucket")
+    joined = exploded.join(F.broadcast(counters), ["row_i", "bucket"], "left")
+    return (
+        joined.groupBy("_k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("cms_estimate"))
+        .select(F.col("_k").alias(key_col), "cms_estimate")
+    )

@@ -1391,6 +1391,57 @@ FROM ordered GROUP BY event_type
 """
 
 
+def cms_counts_events(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates
+    (sketches.cms_table/cms_estimate) next to exact counts for a
+    deterministic probe set. The oracle replays the d×w md5 counter
+    table AND the min-over-rows estimates in SQL, so the exact-value
+    gate proves the whole sketch — including every collision's
+    over-count — not just the happy path."""
+    from ..functions.sketches import cms_estimate, cms_table
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_table(ev, "user_id", d=4, w=1024)
+    probes = ev.filter(F.col("user_id") % 20 == 0)
+    est = cms_estimate(probes, counters, "user_id", d=4, w=1024)
+    exact = (probes.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    return exact.join(est, "user_id").select(
+        "user_id", "n_exact", F.col("cms_estimate").cast("long")
+        .alias("cms_estimate"))
+
+
+CMS_SQL = """
+WITH d AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+cells AS (
+  SELECT d.row_i,
+         ('0x' || substr(md5('cms' || d.row_i || ':' || user_id), 1, 12))
+           ::BIGINT % 1024 AS bucket
+  FROM events CROSS JOIN d
+),
+counters AS (
+  SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY row_i, bucket
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0),
+pc AS (
+  SELECT p.user_id, d.row_i,
+         ('0x' || substr(md5('cms' || d.row_i || ':' || p.user_id), 1, 12))
+           ::BIGINT % 1024 AS bucket
+  FROM probes p CROSS JOIN d
+),
+est AS (
+  SELECT pc.user_id, min(coalesce(c.cnt, 0)) AS cms_estimate
+  FROM pc LEFT JOIN counters c USING (row_i, bucket) GROUP BY pc.user_id
+),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+)
+SELECT e.user_id, e.n_exact, CAST(est.cms_estimate AS BIGINT) AS cms_estimate
+FROM ex e JOIN est USING (user_id)
+"""
+
+
 def zorder_block_stats_events(spark, sf_dir):
     """Data-layout evaluation harness (functions/layout.py): score three
     physical orderings of events — Morton z-order on (user bucket,
@@ -4366,6 +4417,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("zorder_block_stats_events", zorder_block_stats_events,
               ZORDER_SQL),
         Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
+        Query("cms_counts_events", cms_counts_events, CMS_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

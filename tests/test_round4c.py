@@ -590,3 +590,51 @@ class TestMergeIntoTopic:
         got = sorted((r["k"], r["v"], r["seq"]) for r in
                      spark.read.parquet(f"{p}/publish_date=2001-03-05").collect())
         assert got == [(1, "a2", 2), (2, "b", 1)]
+
+
+class TestCountMinSketch:
+    def test_estimate_never_underestimates_and_is_exact_when_sparse(self, spark):
+        from incubator_pulsar_spark.functions.sketches import (
+            cms_estimate, cms_table)
+
+        rows = [(f"k{i % 37}",) for i in range(5000)]
+        df = spark.createDataFrame(rows, "k string")
+        counters = cms_table(df, "k", d=4, w=1024)
+        est = {r["k"]: r["cms_estimate"] for r in
+               cms_estimate(df, counters, "k", d=4, w=1024).collect()}
+        exact = {f"k{j}": len([1 for i in range(5000) if i % 37 == j])
+                 for j in range(37)}
+        for k, n in exact.items():
+            assert est[k] >= n                    # CMS never undercounts
+        # 37 keys in 4×1024 cells: collisions are essentially impossible,
+        # so every estimate is exact
+        assert est == exact
+
+    def test_counter_table_is_fixed_size(self, spark):
+        from incubator_pulsar_spark.functions.sketches import cms_table
+
+        df = spark.range(50_000).select(F.col("id").cast("string").alias("k"))
+        counters = cms_table(df, "k", d=4, w=256)
+        assert counters.count() <= 4 * 256
+        # total mass per hash row equals the record count
+        per_row = {r["row_i"]: r["s"] for r in
+                   counters.groupBy("row_i")
+                   .agg(F.sum("cnt").alias("s")).collect()}
+        assert all(v == 50_000 for v in per_row.values())
+
+    def test_merge_by_addition(self, spark):
+        """CMS counters are sums: sketch(A ∪ B) == sketch(A) + sketch(B)
+        cell-wise — the mergeability CMS is used for."""
+        from incubator_pulsar_spark.functions.sketches import cms_table
+
+        df = spark.range(2000).select((F.col("id") % 97).cast("string").alias("k"))
+        a = df.filter(F.col("k").cast("long") % 2 == 0)
+        b = df.filter(F.col("k").cast("long") % 2 == 1)
+        whole = {(r["row_i"], r["bucket"]): r["cnt"]
+                 for r in cms_table(df, "k", d=3, w=128).collect()}
+        merged: dict = {}
+        for part in (a, b):
+            for r in cms_table(part, "k", d=3, w=128).collect():
+                key = (r["row_i"], r["bucket"])
+                merged[key] = merged.get(key, 0) + r["cnt"]
+        assert merged == whole
