@@ -209,3 +209,33 @@ def sample_quantiles_stream(
         .applyInPandasWithState(fn, out_schema, QSK_STATE_SCHEMA, "update",
                                 "NoTimeout")
     )
+
+
+def cms_stream(stream: DataFrame, key_col: str, *, d: int = 4,
+               w: int = 1024, salt: str = "cms") -> DataFrame:
+    """Running Count-Min counter table over a stream. CMS counters are
+    SUMS, so the streaming form needs no custom state at all — it IS a
+    built-in streaming aggregation over the exploded (row, bucket)
+    cells (update mode), and Spark's state store holds exactly the d·w
+    counters. After any batch sequence the counters equal
+    ``functions.sketches.cms_table`` of the union (sum-merge is the
+    same property the batch pytest proves cell-wise).
+
+    Probe with ``functions.sketches.cms_estimate`` against any emitted
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row_i"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"{salt}{i}"), F.col(key_col))),
+                1, 12), 16, 10).cast("long") % w).alias("bucket"))
+        for i in range(d)
+    ])
+    return (
+        stream.select(F.explode(cells).alias("c"))
+        .select("c.row_i", "c.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -975,3 +975,43 @@ def test_stream_stream_attribution_left_outer_emits_unmatched(spark, tmp_path):
             for r in spark.read.parquet(sink).collect()}
     assert (100, 200) in rows          # matched pair
     assert (101, None) in rows         # unmatched view, null-padded
+
+
+def test_cms_stream_counters_equal_batch_sketch(spark, tmp_path, sf_dir):
+    """Streaming CMS across two availableNow passes: the latest counter
+    snapshot equals the batch sketch of the union (sum-merge, via the
+    built-in streaming agg — no custom state)."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.sketches import cms_table
+    from incubator_pulsar_spark.streaming.sketches import cms_stream
+
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("k"), "event_id")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+
+    sink = str(tmp_path / "cms_out")
+
+    def run_pass(tag):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = cms_stream(stream.select("k"), "k", d=3, w=64)
+
+        def write(df, batch_id):
+            df.withColumn("pass_tag", F.lit(tag)) \
+                .write.mode("append").parquet(sink)
+
+        (out.writeStream.foreachBatch(write).outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass(0)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_pass(1)
+
+    snap = {}
+    for r in spark.read.parquet(sink).orderBy("pass_tag").collect():
+        snap[(r["row_i"], r["bucket"])] = r["cnt"]
+    want = {(r["row_i"], r["bucket"]): r["cnt"]
+            for r in cms_table(ev.select("k"), "k", d=3, w=64).collect()}
+    assert snap == want
