@@ -101,6 +101,27 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 5, num_hashes: int = 16,
+               bands: int = 4) -> DataFrame:
+    """The banded LSH signature table (doc_id, band_id, band_hash) —
+    the shared kernel of ``lsh_candidate_pairs`` (self-join form) and
+    the persisted incremental index (``write_minhash_index``)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k,
+                              num_hashes=num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{i}")
+                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5,
                         num_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -111,17 +132,8 @@ def lsh_candidate_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     The self-join is on (band_id, band_hash) — equi-join, hash shuffle,
     and the band groups are tiny, so no O(n²) blowup for non-dup corpora.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k,
-                              num_hashes=num_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band_id"),
-                                  F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = band_table(docs, id_col=id_col, text_col=text_col, k=k,
+                        num_hashes=num_hashes, bands=bands)
     # The self-join would otherwise recompute the whole shingle→signature
     # pipeline for BOTH sides (no ReusedExchange across the join — audited
     # with tools/explain_audit.py). The banded table is tiny relative to
@@ -509,3 +521,77 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+_INDEX_META = "_index_meta.json"
+
+
+def write_minhash_index(docs: DataFrame, path: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, num_hashes: int = 16,
+                        bands: int = 4) -> None:
+    """Persist the banded LSH index — the INCREMENTAL-dedup primitive:
+    once the corpus's (band_id, band_hash, doc_id) table is on disk, a
+    new batch of documents is checked for near-dups against the WHOLE
+    indexed corpus by banding the batch map-side and equi-joining the
+    index — the corpus text is never rescanned, and index size is
+    bands·~50 B per doc (0.00x of corpus bytes at any scale).
+
+    Parameters are pinned in a JSON sidecar; probe/append verify them
+    so two incompatible hash families can never silently join.
+    """
+    import json as _json
+    import os as _os
+
+    banded = band_table(docs, id_col=id_col, text_col=text_col, k=k,
+                        num_hashes=num_hashes, bands=bands)
+    banded.write.mode("overwrite").partitionBy("band_id").parquet(path)
+    with open(_os.path.join(path, _INDEX_META), "w") as f:
+        _json.dump({"k": k, "num_hashes": num_hashes, "bands": bands}, f)
+
+
+def _load_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _INDEX_META)) as f:
+        return _json.load(f)
+
+
+def append_minhash_index(docs: DataFrame, path: str, *,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Band a new batch with the index's pinned parameters and append —
+    O(batch), never touches existing index rows."""
+    meta = _load_index_meta(path)
+    banded = band_table(docs, id_col=id_col, text_col=text_col, **meta)
+    banded.write.mode("append").partitionBy("band_id").parquet(path)
+
+
+def probe_minhash_index(spark, docs: DataFrame, path: str, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup candidates between a NEW batch and the indexed corpus:
+    batch bands map-side, one equi-join on (band_id, band_hash) against
+    the index, distinct pairs. Cost is O(batch + matched bands) —
+    corpus-size-independent apart from the index scan, which is the
+    narrow 3-column table. Pairs where the batch doc is itself already
+    indexed (re-probe after append) drop the self-match.
+
+    Output: (probe_id, indexed_id) distinct. Verification (exact
+    Jaccard on the pair set) composes downstream exactly as with
+    ``lsh_candidate_pairs``; recall properties are identical — same
+    family, same banding.
+    """
+    meta = _load_index_meta(path)
+    banded = band_table(docs, id_col=id_col, text_col=text_col, **meta)
+    idx = spark.read.parquet(path).select(
+        F.col("doc_id").alias("indexed_id"), "band_id", "band_hash")
+    return (
+        banded.select(F.col("doc_id").alias("probe_id"), "band_id",
+                      "band_hash")
+        .join(idx, ["band_id", "band_hash"])
+        .filter(F.col("probe_id") != F.col("indexed_id"))
+        .select("probe_id", "indexed_id")
+        .distinct()
+    )

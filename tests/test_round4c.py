@@ -638,3 +638,56 @@ class TestCountMinSketch:
                 key = (r["row_i"], r["bucket"])
                 merged[key] = merged.get(key, 0) + r["cnt"]
         assert merged == whole
+
+
+class TestIncrementalMinhashIndex:
+    def test_probe_equals_cross_pairs_of_full_lsh(self, spark, tmp_path, sf_dir):
+        """Probing batch B against an index of corpus A finds exactly the
+        A×B candidate pairs the full self-join LSH would find."""
+        from incubator_pulsar_spark.functions.fuzzy import (
+            lsh_candidate_pairs, probe_minhash_index, write_minhash_index)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "lsh_idx")
+        write_minhash_index(a, idx)
+
+        got = {(r["probe_id"], r["indexed_id"])
+               for r in probe_minhash_index(spark, b, idx).collect()}
+        full = lsh_candidate_pairs(docs).collect()
+        want = set()
+        for r in full:
+            x, y = r["doc_a"], r["doc_b"]
+            if (x % 2 == 0) != (y % 2 == 0):          # cross A/B pairs only
+                probe, indexed = (x, y) if x % 2 == 1 else (y, x)
+                want.add((probe, indexed))
+        assert got == want and len(want) > 0
+
+    def test_append_then_reprobe_finds_new_vs_new(self, spark, tmp_path, sf_dir):
+        from incubator_pulsar_spark.functions.fuzzy import (
+            append_minhash_index, probe_minhash_index, write_minhash_index)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "lsh_idx")
+        write_minhash_index(a, idx)
+        append_minhash_index(b, idx)
+        # re-probing b against the appended index must now ALSO surface
+        # b-vs-b candidates, while never matching a doc to itself
+        pairs = probe_minhash_index(spark, b, idx).collect()
+        assert all(r["probe_id"] != r["indexed_id"] for r in pairs)
+        assert any(r["indexed_id"] % 2 == 1 for r in pairs)
+
+    def test_params_pinned_in_sidecar(self, spark, tmp_path, sf_dir):
+        import json
+
+        from incubator_pulsar_spark.functions.fuzzy import (
+            write_minhash_index)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        idx = str(tmp_path / "lsh_idx")
+        write_minhash_index(docs, idx, k=4, num_hashes=8, bands=2)
+        meta = json.load(open(f"{idx}/_index_meta.json"))
+        assert meta == {"k": 4, "num_hashes": 8, "bands": 2}
