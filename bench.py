@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "zorder_block_stats_events",
     "chunk_docs",
     "cms_counts_events",
+    "knn_graph_embeddings",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

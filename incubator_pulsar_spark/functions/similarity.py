@@ -522,6 +522,70 @@ def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, *, n_cells: int = 8, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — every vector's
+    top-k neighbors (the build step of SemDeDup-style clustering,
+    kNN-graph community detection, and graph-based ANN indexes).
+
+    Same deterministic IVF machinery as ``ivf_topk``, but corpus-vs-
+    corpus: ``ivf_topk`` broadcasts its QUERY side, which is only sane
+    when queries ≪ corpus. Here the "query" side IS the corpus, so
+    both sides key on cell and meet in a hash SHUFFLE join — the plan
+    that scales when neither side is small. Each vector probes its
+    ``nprobe`` nearest cells (recall lever — the top probe is the
+    vector's own cell, modulo exact round-9 score ties), candidates
+    rank by (cosine desc, id) within each source vector.
+
+    Scale: candidate volume is Σ_cells |cell|·|probers(cell)| ≈
+    N²·nprobe/n_cells — n_cells ∝ N (cells of a few thousand) holds
+    per-cell work flat, exactly the ``semantic_dedup`` contract.
+
+    Output: (src_id, dst_id, cosine_sim, rank), k rows per src.
+    """
+    cents = _seed_centroids(embeddings, n_cells=n_cells,
+                            id_col=id_col, vec_col=vec_col)
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("_scores", _cell_scores(F.col("vec"))).drop("_cents"))
+
+    members = e.select(F.col("vec_id").alias("dst_id"),
+                       F.col("vec").alias("_vd"),
+                       _argmax_cell(F.col("_scores")).alias("cell"))
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    pairs = F.zip_with(e["_scores"], idx,
+                       lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    probers = (e.withColumn("cell",
+                            F.explode(F.transform(probes, lambda p: p["i"])))
+               .withColumn("cell", F.col("cell").cast("int"))
+               .select(F.col("vec_id").alias("src_id"),
+                       F.col("vec").alias("_vs"), "cell"))
+
+    scored = (probers.join(members, "cell")
+              .filter(F.col("src_id") != F.col("dst_id"))
+              .select("src_id", "dst_id",
+                      F.round(cosine(F.col("_vs"), F.col("_vd")), 6)
+                      .alias("cosine_sim")))
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine_sim").desc(),
+                                             F.col("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine_sim", "rank")
+    )
+
+
+def _argmax_cell(scores: Column) -> Column:
+    """argmax via array_position(scores, array_max(scores)) — the same
+    deterministic first-max rule as ``_nearest_cell``, over an already
+    computed score array."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
 def semantic_dedup(
     embeddings: DataFrame, threshold: float, *, n_cells: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1391,6 +1391,42 @@ FROM ordered GROUP BY event_type
 """
 
 
+def knn_graph_embeddings(spark, sf_dir):
+    """Corpus-wide approximate k-NN graph (similarity.knn_graph): both
+    sides of the candidate join are the corpus, keyed on IVF cell —
+    the shuffle-join form of ANN that ``ivf_topk``'s broadcast-query
+    shape cannot scale to. The oracle reuses the farthest-point seeding
+    CTE chain and replays the per-vector probe selection, candidate
+    join, and top-k rank in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5, n_cells=8, nprobe=2)
+
+
+def _knn_graph_sql(n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    parts = _ivf_assign_parts(n_cells)
+    cos9 = _sql_cos
+    parts.append(
+        "probers AS (SELECT src_id, vs, cell FROM ("
+        "SELECT e.vec_id AS src_id, e.v AS vs, c.cell, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell DESC) AS rn "
+        f"FROM e CROSS JOIN cells c) WHERE rn <= {nprobe})")
+    parts.append(
+        "scored AS (SELECT p.src_id, a.vec_id AS dst_id, "
+        f"{cos9('a.v', 'p.vs', 6)} AS cosine_sim "
+        "FROM assigned a JOIN probers p USING (cell) "
+        "WHERE p.src_id <> a.vec_id)")
+    return f"""
+WITH {','.join(parts)}
+SELECT src_id, dst_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY src_id
+                               ORDER BY cosine_sim DESC, dst_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def cms_counts_events(spark, sf_dir):
     """Count-Min sketch point-frequency estimates
     (sketches.cms_table/cms_estimate) next to exact counts for a
@@ -2859,6 +2895,7 @@ QUALIFY rank <= {k}
 
 ANN_IVF_SQL = _ann_ivf_sql()
 SEMDEDUP_SQL = _semdedup_sql()
+KNN_GRAPH_SQL = _knn_graph_sql()
 
 
 def _emb_neardup_blocked_sql(dim: int = 64, n_planes: int = 4,
@@ -4418,6 +4455,7 @@ ALL_QUERIES: dict[str, Query] = {
               ZORDER_SQL),
         Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
         Query("cms_counts_events", cms_counts_events, CMS_SQL),
+        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

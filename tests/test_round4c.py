@@ -691,3 +691,53 @@ class TestIncrementalMinhashIndex:
         write_minhash_index(docs, idx, k=4, num_hashes=8, bands=2)
         meta = json.load(open(f"{idx}/_index_meta.json"))
         assert meta == {"k": 4, "num_hashes": 8, "bands": 2}
+
+
+class TestKnnGraph:
+    def test_shape_and_no_self_edges(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = knn_graph(emb, k=5, n_cells=8, nprobe=2).collect()
+        by_src: dict = {}
+        for r in out:
+            assert r["src_id"] != r["dst_id"]
+            by_src.setdefault(r["src_id"], []).append(r)
+        n = emb.count()
+        assert len(by_src) == n
+        for src, rows in by_src.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            assert len(rows) <= 5
+
+    def test_recall_vs_exact_topk(self, spark, sf_dir):
+        """Probing 2/8 cells on the near-uniform fixture: recall@5 vs
+        exact brute force must beat the random-scan baseline (2/8) by a
+        wide margin — the own-cell probe plus the nearest spill-over
+        cell is where neighbors live."""
+        import numpy as np
+
+        from incubator_pulsar_spark.functions.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, -2)
+        exact = {ids[i]: set(ids[np.argsort(-sims[i])[:5]])
+                 for i in range(len(ids))}
+        got: dict = {}
+        for r in knn_graph(emb, k=5, n_cells=8, nprobe=2).collect():
+            got.setdefault(r["src_id"], set()).add(r["dst_id"])
+        hits = sum(len(got.get(i, set()) & exact[i]) for i in exact)
+        recall = hits / (5 * len(exact))
+        # measured 0.43 on this NEAR-UNIFORM fixture (no cluster
+        # structure for cell probing to exploit — same caveat as
+        # ivf_topk's documented recall); random 2-of-8 scan ≈ 0.25
+        assert recall > 0.35, recall
