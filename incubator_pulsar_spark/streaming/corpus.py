@@ -18,15 +18,18 @@ incrementally. If unbounded history is not needed, pass
 ``dedup_within`` to use ``dropDuplicatesWithinWatermark`` instead and
 the store stays bounded by the watermark horizon.
 
-Near-dup clustering is deliberately NOT part of the continuous path:
-LSH banding + connected components need corpus-wide joins, which is a
-periodic batch job over the cleaned output (run
-``fuzzy.lsh_candidate_pairs`` + ``connected_components`` on a
-schedule) — the same split the reference makes between its data plane
-(continuous) and compaction (periodic).
+Near-dup CANDIDATE GENERATION is continuous too since round 4c:
+``start_neardup_candidates_stream`` probes and grows the persisted
+LSH band index per micro-batch (O(batch), corpus never rescanned).
+Exact verification + connected-components clustering over the
+candidate log remain a periodic batch job — the same split the
+reference makes between its data plane (continuous) and compaction
+(periodic).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,6 +79,69 @@ def start_clean_corpus_stream(
               .option("path", out_path)
               .option("checkpointLocation", checkpoint_path)
               .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_neardup_candidates_stream(
+    docs: DataFrame, *, index_path: str, out_path: str,
+    checkpoint_path: str, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, num_hashes: int = 16, bands: int = 4,
+    available_now: bool = False,
+):
+    """Continuous near-dup detection against everything ever ingested —
+    the incremental-index form that retires this module's old
+    "near-dup is batch-only" caveat for CANDIDATE GENERATION: each
+    micro-batch (1) bands itself map-side, (2) probes the persisted
+    band table for collisions with every earlier document, (3) appends
+    its own bands. Per-batch cost is O(batch + collisions); the corpus
+    is never rescanned (functions.fuzzy.write_minhash_index rationale).
+
+    Replay safety: both the candidate output and the index appends
+    land under explicit ``_batch_id=N`` directories with
+    mode('overwrite') — a replayed batch rewrites its own directories
+    idempotently instead of duplicating rows (the late.py pattern).
+    Exact verification / clustering over the candidate log remains a
+    periodic batch job, as before.
+
+    Returns the StreamingQuery.
+    """
+    from ..functions.fuzzy import band_table
+
+    bands_root = os.path.join(index_path, "batches")
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        banded = band_table(batch_df, id_col=id_col, text_col=text_col,
+                            k=k, num_hashes=num_hashes, bands=bands)
+        banded = banded.persist()
+        try:
+            if os.path.isdir(bands_root):
+                # probe strictly-earlier batches only: on a REPLAY this
+                # batch's own bands are already on disk, and including
+                # them would change the candidate set vs the first run
+                idx = (spark.read.parquet(bands_root)
+                       .filter(F.col("_batch_id") < batch_id)
+                       .select(F.col("doc_id").alias("indexed_id"),
+                               "band_id", "band_hash"))
+                cands = (banded.select(F.col("doc_id").alias("probe_id"),
+                                       "band_id", "band_hash")
+                         .join(idx, ["band_id", "band_hash"])
+                         .filter(F.col("probe_id") != F.col("indexed_id"))
+                         .select("probe_id", "indexed_id").distinct())
+            else:
+                cands = spark.createDataFrame(
+                    [], "probe_id long, indexed_id long")
+            cands.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"_batch_id={batch_id}"))
+            banded.write.mode("overwrite").parquet(
+                os.path.join(bands_root, f"_batch_id={batch_id}"))
+        finally:
+            banded.unpersist()
+
+    writer = (docs.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -62,3 +62,47 @@ def test_dedup_within_requires_event_time(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(ValueError, match="event_time_col"):
         clean_corpus_stream(stream, dedup_within="1 hour")
+
+
+def test_neardup_candidates_stream_matches_batch_probe(spark, tmp_path, sf_dir):
+    """Two availableNow passes: pass-2 docs' candidates against
+    pass-1-indexed docs equal the batch probe_minhash_index result;
+    replaying a pass rewrites the same directories (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.fuzzy import (
+        probe_minhash_index, write_minhash_index)
+    from incubator_pulsar_spark.streaming.corpus import (
+        start_neardup_candidates_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "docs_topic")
+    a.write.parquet(src)
+
+    idx = str(tmp_path / "stream_idx")
+    out = str(tmp_path / "cands")
+    ck = str(tmp_path / "ck")
+
+    def run_pass():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = start_neardup_candidates_stream(
+            stream, index_path=idx, out_path=out, checkpoint_path=ck,
+            available_now=True)
+        q.awaitTermination(180)
+
+    run_pass()
+    b.write.mode("append").parquet(src)
+    run_pass()
+
+    got = {(r["probe_id"], r["indexed_id"])
+           for r in spark.read.parquet(out).collect()
+           if r["indexed_id"] % 2 == 0 and r["probe_id"] % 2 == 1}
+
+    # batch reference: index A, probe B
+    ref_idx = str(tmp_path / "batch_idx")
+    write_minhash_index(a, ref_idx)
+    want = {(r["probe_id"], r["indexed_id"])
+            for r in probe_minhash_index(spark, b, ref_idx).collect()}
+    assert got == want and len(want) > 0
