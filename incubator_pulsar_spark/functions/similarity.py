@@ -552,8 +552,14 @@ def knn_graph(
     e = (_attach_centroids(e, cents)
          .withColumn("_scores", _cell_scores(F.col("vec"))).drop("_cents"))
 
+    # norms precomputed ONCE per vector (the fold-cosine would redo
+    # both norms per candidate pair — measured 2× on the sf0.1 table),
+    # pair dots through the Arrow kernel (same round-6 values as the
+    # oracle's list_dot_product — the embedding_neardup precedent)
+    e = e.withColumn("_norm", l2_norm(F.col("vec")))
     members = e.select(F.col("vec_id").alias("dst_id"),
                        F.col("vec").alias("_vd"),
+                       F.col("_norm").alias("_nd"),
                        _argmax_cell(F.col("_scores")).alias("cell"))
     idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
     pairs = F.zip_with(e["_scores"], idx,
@@ -563,13 +569,17 @@ def knn_graph(
                             F.explode(F.transform(probes, lambda p: p["i"])))
                .withColumn("cell", F.col("cell").cast("int"))
                .select(F.col("vec_id").alias("src_id"),
-                       F.col("vec").alias("_vs"), "cell"))
+                       F.col("vec").alias("_vs"),
+                       F.col("_norm").alias("_ns"), "cell"))
 
+    pd_dot = _pair_dot_udf()
+    sim = F.when((F.col("_ns") > 0) & (F.col("_nd") > 0),
+                 pd_dot(F.col("_vs"), F.col("_vd"))
+                 / (F.col("_ns") * F.col("_nd"))).otherwise(F.lit(0.0))
     scored = (probers.join(members, "cell")
               .filter(F.col("src_id") != F.col("dst_id"))
               .select("src_id", "dst_id",
-                      F.round(cosine(F.col("_vs"), F.col("_vd")), 6)
-                      .alias("cosine_sim")))
+                      F.round(sim, 6).alias("cosine_sim")))
     w = Window.partitionBy("src_id").orderBy(F.col("cosine_sim").desc(),
                                              F.col("dst_id"))
     return (

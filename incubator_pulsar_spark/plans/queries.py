@@ -1397,12 +1397,16 @@ def knn_graph_embeddings(spark, sf_dir):
     the shuffle-join form of ANN that ``ivf_topk``'s broadcast-query
     shape cannot scale to. The oracle reuses the farthest-point seeding
     CTE chain and replays the per-vector probe selection, candidate
-    join, and top-k rank in SQL."""
+    join, and top-k rank in SQL. n_cells=16 (vs the ANN queries' 8)
+    follows the operator's own contract — cells ∝ N — sized for the
+    2000-vector sf0.1 table: at a FIXED 8 cells the candidate volume
+    measured quadratic (3.3 s -> 27.4 s on 4x vectors); 16 cells holds
+    the per-cell load flat across the gate SFs."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, k=5, n_cells=8, nprobe=2)
+    return similarity.knn_graph(emb, k=5, n_cells=16, nprobe=2)
 
 
-def _knn_graph_sql(n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
+def _knn_graph_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:
     parts = _ivf_assign_parts(n_cells)
     cos9 = _sql_cos
     parts.append(
@@ -2835,25 +2839,32 @@ def _ivf_assign_parts(n_cells: int) -> list[str]:
     one (argmin, update) CTE pair per centroid; round-9 snapping on
     both engines makes every selection exactly reproducible."""
     cos9 = _sql_cos
+    # MATERIALIZED on every chain CTE: without it DuckDB inlines each
+    # reference, and the c_i/s_i chain re-expands combinatorially —
+    # at 16 cells the planner re-opened the parquet past the 20k fd
+    # limit ("Too many open files"). Pure hint, identical values.
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        "pool AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10000)",
-        "c0 AS (SELECT v FROM pool ORDER BY vec_id LIMIT 1)",
-        f"s0 AS (SELECT p.vec_id, p.v, {cos9('p.v', 'c0.v', 9)} AS m "
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "pool AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id "
+        "LIMIT 10000)",
+        "c0 AS MATERIALIZED (SELECT v FROM pool ORDER BY vec_id LIMIT 1)",
+        f"s0 AS MATERIALIZED (SELECT p.vec_id, p.v, {cos9('p.v', 'c0.v', 9)} AS m "
         "FROM pool p CROSS JOIN c0)",
     ]
     for i in range(1, n_cells):
         prev = f"s{i - 1}"
         parts.append(
-            f"c{i} AS (SELECT v FROM {prev} ORDER BY m ASC, vec_id ASC LIMIT 1)")
+            f"c{i} AS MATERIALIZED (SELECT v FROM {prev} "
+            "ORDER BY m ASC, vec_id ASC LIMIT 1)")
         if i < n_cells - 1:
             parts.append(
-                f"s{i} AS (SELECT s.vec_id, s.v, "
+                f"s{i} AS MATERIALIZED (SELECT s.vec_id, s.v, "
                 f"greatest(s.m, {cos9('s.v', f'c{i}.v', 9)}) AS m "
                 f"FROM {prev} s CROSS JOIN c{i})")
     cells = " UNION ALL ".join(
         f"SELECT {i} AS cell, v FROM c{i}" for i in range(n_cells))
-    parts.append(f"cells AS ({cells})")
+    parts.append(f"cells AS MATERIALIZED ({cells})")
     parts.append(
         "assigned AS (SELECT vec_id, v, cell FROM ("
         "SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
