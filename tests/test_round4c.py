@@ -741,3 +741,61 @@ class TestKnnGraph:
         # structure for cell probing to exploit — same caveat as
         # ivf_topk's documented recall); random 2-of-8 scan ≈ 0.25
         assert recall > 0.35, recall
+
+
+class TestRandomizedEquivalence:
+    def test_interval_join_random_batch_vs_naive(self, spark):
+        """500 pseudo-random points × 120 pseudo-random intervals
+        (deterministic congruential stream, incl. degenerate and
+        multi-day spans): bucketed join == naive inequality join."""
+        import datetime as dt
+
+        base = dt.datetime(2001, 3, 1)
+        pts, ivs = [], []
+        x = 7
+        for i in range(500):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            pts.append((i, base + dt.timedelta(seconds=x % (86400 * 14))))
+        for i in range(120):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            s = x % (86400 * 14)
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            dur = x % 90000          # 0s .. ~25h, crosses bucket+day lines
+            ivs.append((i, base + dt.timedelta(seconds=s),
+                        base + dt.timedelta(seconds=s + dur)))
+        points = spark.createDataFrame(pts, "pid long, ts timestamp_ntz")
+        intervals = spark.createDataFrame(
+            ivs, "iid long, start_ts timestamp_ntz, end_ts timestamp_ntz")
+        got = sorted((r["iid"], r["pid"]) for r in
+                     interval_join(points, intervals).collect())
+        naive = sorted((r["iid"], r["pid"]) for r in points.join(
+            intervals, (points["ts"] >= intervals["start_ts"])
+            & (points["ts"] <= intervals["end_ts"])).collect())
+        assert got == naive and len(got) > 100
+
+    def test_chunk_coverage_and_overlap_invariants(self, spark):
+        """Every word position is covered by ≥1 chunk; full-length
+        consecutive chunks overlap by exactly chunk_words − stride."""
+        from incubator_pulsar_spark.functions.text import chunk_documents
+
+        docs = []
+        for doc_id, n in enumerate([1, 5, 47, 48, 49, 63, 64, 65, 100,
+                                    111, 200, 500]):
+            words = " ".join(
+                "w" + chr(97 + i // 676) + chr(97 + (i // 26) % 26)
+                + chr(97 + i % 26) for i in range(n))
+            docs.append((doc_id, n, words))
+        df = spark.createDataFrame([(d, t) for d, _, t in docs],
+                                   "doc_id long, text string")
+        out = {}
+        for r in chunk_documents(df, chunk_words=64, stride=48).collect():
+            out.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_words"]))
+        for doc_id, n, _ in docs:
+            chunks = sorted(out[doc_id])
+            covered = set()
+            for cid, nw in chunks:
+                covered.update(range(cid * 48, cid * 48 + nw))
+            assert covered == set(range(n)), (doc_id, n)
+            for (c1, n1), (c2, _) in zip(chunks, chunks[1:]):
+                if n1 == 64:
+                    assert (c1 * 48 + 64) - c2 * 48 == 16  # exact overlap
