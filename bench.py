@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "chunk_docs",
     "cms_counts_events",
     "knn_graph_embeddings",
+    "analytic_functions_orders",
+    "pivot_event_matrix",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

@@ -1431,6 +1431,69 @@ QUALIFY rank <= {k}
 """
 
 
+def analytic_functions_orders(spark, sf_dir):
+    """The remaining analytic-window family in one gated shape:
+    lag/lead (neighbor rows), ntile (equi-depth buckets), percent_rank
+    and cume_dist (rank ratios) over each customer's order history.
+    All SQL-standard semantics shared by both engines; the ratio
+    functions divide exact integers in IEEE doubles (deterministic),
+    rounded to 6 like every float output."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ANALYTIC_FUNCS_SQL = """
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def pivot_event_matrix(spark, sf_dir):
+    """Wide-format feature matrix via the DataFrame PIVOT API: one row
+    per user, one count column per event type (explicit value list —
+    the scale-safe form: no extra distinct-values job, stable schema).
+    The oracle is the portable CASE-sum unpivot of the same matrix."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (ev.groupBy("user_id").pivot("event_type", types).count())
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in types])
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def cms_counts_events(spark, sf_dir):
     """Count-Min sketch point-frequency estimates
     (sketches.cms_table/cms_estimate) next to exact counts for a
@@ -4467,6 +4530,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
         Query("cms_counts_events", cms_counts_events, CMS_SQL),
         Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
+        Query("analytic_functions_orders", analytic_functions_orders,
+              ANALYTIC_FUNCS_SQL),
+        Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
