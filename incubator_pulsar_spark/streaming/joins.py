@@ -42,11 +42,13 @@ def attribute_stream(
     ``key_col`` (rename upstream). ``how='leftOuter'`` emits unmatched
     TRIGGERS with null response columns once the watermark passes —
     the "view that never converted" row, only correct to emit when no
-    late click can still arrive."""
+    late click can still arrive. ``how='rightOuter'`` is the mirror:
+    unmatched RESPONSES (a click with no prior view — broken tracking)
+    emit null-padded once no matching trigger can still arrive."""
     if max_delay_seconds <= 0:
         raise ValueError("max_delay_seconds must be positive")
-    if how not in ("inner", "leftOuter"):
-        raise ValueError("how must be 'inner' or 'leftOuter'")
+    if how not in ("inner", "leftOuter", "rightOuter"):
+        raise ValueError("how must be 'inner', 'leftOuter' or 'rightOuter'")
     t = triggers.withWatermark(trigger_ts, watermark)
     r = responses.withWatermark(response_ts, watermark)
     cond = (
@@ -55,4 +57,9 @@ def attribute_stream(
         & (r[response_ts]
            <= t[trigger_ts] + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
     )
-    return t.join(r, cond, how).drop(r[key_col])
+    joined = t.join(r, cond, how)
+    # keep the side of the join that is never null-padded: the trigger
+    # key for inner/leftOuter, the response key for rightOuter (orphan
+    # responses have every trigger column null)
+    return (joined.drop(t[key_col]) if how == "rightOuter"
+            else joined.drop(r[key_col]))

@@ -1015,3 +1015,62 @@ def test_cms_stream_counters_equal_batch_sketch(spark, tmp_path, sf_dir):
     want = {(r["row_i"], r["bucket"]): r["cnt"]
             for r in cms_table(ev.select("k"), "k", d=3, w=64).collect()}
     assert snap == want
+
+
+def test_stream_stream_attribution_right_outer_emits_orphan_clicks(
+        spark, tmp_path):
+    """rightOuter: a click with no prior view inside the window emits
+    null-padded once both watermarks pass (broken-tracking detector)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.streaming.joins import attribute_stream
+
+    t0 = dt.datetime(2001, 3, 5, 12, 0, 0)
+    views = spark.createDataFrame(
+        [(1, t0, 100)], "user_id long, view_ts timestamp, view_id long")
+    clicks = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 200),   # attributed
+         (2, t0 + dt.timedelta(minutes=20), 201)],  # orphan
+        "user_id long, click_ts timestamp, click_id long")
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views.write.parquet(vsrc)
+    clicks.write.parquet(csrc)
+    sink = str(tmp_path / "out")
+
+    def run_pass():
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+        out = attribute_stream(vs, cs, key_col="user_id",
+                               trigger_ts="view_ts", response_ts="click_ts",
+                               max_delay_seconds=3600, watermark="1 hour",
+                               how="rightOuter")
+        (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass()
+    for df, src in (
+        (spark.createDataFrame([(7, t0 + dt.timedelta(hours=9), 300)],
+                               "user_id long, view_ts timestamp, view_id long"),
+         vsrc),
+        (spark.createDataFrame([(7, t0 + dt.timedelta(hours=9), 299)],
+                               "user_id long, click_ts timestamp, click_id long"),
+         csrc)):
+        df.write.mode("append").parquet(src)
+    run_pass()
+    for df, src in (
+        (spark.createDataFrame([(8, t0 + dt.timedelta(hours=10), 301)],
+                               "user_id long, view_ts timestamp, view_id long"),
+         vsrc),
+        (spark.createDataFrame([(8, t0 + dt.timedelta(hours=10, minutes=30), 302)],
+                               "user_id long, click_ts timestamp, click_id long"),
+         csrc)):
+        df.write.mode("append").parquet(src)
+    run_pass()
+
+    rows = {(r["view_id"], r["click_id"], r["user_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert (100, 200, 1) in rows
+    assert (None, 201, 2) in rows      # orphan keeps ITS user_id
