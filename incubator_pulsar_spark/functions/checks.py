@@ -1,0 +1,118 @@
+"""Declarative data-quality checks — the dbt-test / Deequ-style
+constraint pass a production topic runs before data is served or
+trained on: not-null, accepted-values, range, uniqueness, referential
+integrity.
+
+Scale shape: every SCALAR rule (not_null / accepted_values / in_range)
+compiles to a CASE flag summed in ONE aggregate over ONE scan of the
+table — adding rules adds columns to that pass, never scans.
+Uniqueness rides the same pass as count(*) − count(distinct keys)
+(excess-row count). Referential rules each add one anti-join against
+the (broadcastable) reference side. The report is rule-count rows —
+metadata-sized regardless of table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str
+    col: str | None = None
+    cols: tuple[str, ...] = ()
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_col: str | None = None
+
+
+def not_null(col: str, name: str | None = None) -> Rule:
+    return Rule(name or f"not_null:{col}", "not_null", col=col)
+
+
+def accepted_values(col: str, values, name: str | None = None) -> Rule:
+    """Violation = non-null value outside the list (nulls are
+    not_null's business, the dbt convention)."""
+    return Rule(name or f"accepted_values:{col}", "accepted_values",
+                col=col, values=tuple(values))
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Rule:
+    """Violation = non-null value outside [lo, hi]."""
+    return Rule(name or f"in_range:{col}", "in_range", col=col, lo=lo, hi=hi)
+
+
+def unique(cols, name: str | None = None) -> Rule:
+    """Violation count = rows in excess of distinct key tuples
+    (count(*) − count(distinct keys)); null-keyed rows count as one
+    distinct null like SQL DISTINCT does."""
+    cols = tuple(cols)
+    return Rule(name or "unique:" + ",".join(cols), "unique", cols=cols)
+
+
+def references(col: str, ref: DataFrame, ref_col: str,
+               name: str | None = None) -> Rule:
+    """Violation = non-null value with no match in the reference column
+    (foreign-key orphan)."""
+    return Rule(name or f"references:{col}", "references",
+                col=col, ref=ref, ref_col=ref_col)
+
+
+def _scalar_flag(r: Rule) -> Column:
+    c = F.col(r.col)
+    if r.kind == "not_null":
+        return c.isNull()
+    if r.kind == "accepted_values":
+        return c.isNotNull() & ~c.isin(*r.values)
+    if r.kind == "in_range":
+        return c.isNotNull() & ((c < F.lit(r.lo)) | (c > F.lit(r.hi)))
+    raise ValueError(r.kind)
+
+
+def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, n_violations) — one scan for
+    all scalar + uniqueness rules, one anti-join per referential rule."""
+    scalar = [r for r in rules if r.kind in
+              ("not_null", "accepted_values", "in_range")]
+    uniq = [r for r in rules if r.kind == "unique"]
+    refs = [r for r in rules if r.kind == "references"]
+    spark = df.sparkSession
+
+    parts: list[DataFrame] = []
+    aggs = [F.sum(_scalar_flag(r).cast("long")).alias(r.name)
+            for r in scalar]
+    for r in uniq:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols]))
+            .alias(r.name))
+    if aggs:
+        one = df.agg(*aggs)
+        pairs = F.array(*[
+            F.struct(F.lit(r.name).alias("rule"),
+                     F.coalesce(F.col(r.name), F.lit(0)).cast("long")
+                     .alias("n_violations"))
+            for r in scalar + uniq])
+        parts.append(
+            one.select(F.explode(pairs).alias("z"))
+            .select("z.rule", "z.n_violations"))
+    for r in refs:
+        orphans = (df.select(F.col(r.col).alias("_v")).filter(
+            F.col("_v").isNotNull())
+            .join(F.broadcast(r.ref.select(
+                F.col(r.ref_col).alias("_v")).distinct()), "_v", "left_anti"))
+        parts.append(orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(r.name).alias("rule"), "n_violations"))
+    if not parts:
+        return spark.createDataFrame([], "rule string, n_violations long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

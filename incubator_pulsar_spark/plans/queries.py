@@ -1431,6 +1431,59 @@ QUALIFY rank <= {k}
 """
 
 
+def dq_checks_orders(spark, sf_dir):
+    """Declarative data-quality report (functions/checks.py): five rule
+    kinds over orders — null, uniqueness, accepted values, range,
+    referential integrity — with all scalar+unique rules folded into
+    ONE scan (adding rules adds agg columns, never scans) and the
+    FK check as one broadcast anti-join. The range/accepted-values
+    rules are chosen to have real violations at every SF, so the gate
+    proves counting, not just zeros."""
+    from ..functions import checks as C
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        C.not_null("o_custkey"),
+        C.unique(["o_orderkey"]),
+        C.accepted_values("o_orderstatus", ["O", "F"]),
+        C.in_range("o_totalprice", 1000.0, 400000.0),
+        C.references("o_custkey", cust, "c_custkey"),
+    ]
+    return C.run_checks(o, rules).orderBy("rule")
+
+
+DQ_CHECKS_SQL = """
+SELECT 'accepted_values:o_orderstatus' AS rule,
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'not_null:o_custkey',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'references:o_custkey',
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY rule
+"""
+
+
 def analytic_functions_orders(spark, sf_dir):
     """The remaining analytic-window family in one gated shape:
     lag/lead (neighbor rows), ntile (equi-depth buckets), percent_rank
@@ -4533,6 +4586,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("analytic_functions_orders", analytic_functions_orders,
               ANALYTIC_FUNCS_SQL),
         Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
+        Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

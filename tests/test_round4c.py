@@ -799,3 +799,51 @@ class TestRandomizedEquivalence:
             for (c1, n1), (c2, _) in zip(chunks, chunks[1:]):
                 if n1 == 64:
                     assert (c1 * 48 + 64) - c2 * 48 == 16  # exact overlap
+
+
+class TestDataQualityChecks:
+    def test_every_rule_kind_counts_planted_violations(self, spark):
+        from incubator_pulsar_spark.functions import checks as C
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, 100),
+             (1, "a", 20.0, 100),     # duplicate id -> 1 excess row
+             (2, None, 5.0, 100),     # null name
+             (3, "zz", -1.0, 100),    # bad value + below range
+             (4, "b", 999.0, 777)],   # above range + orphan ref
+            "id long, name string, amount double, fk long")
+        ref = spark.createDataFrame([(100,)], "k long")
+        out = {r["rule"]: r["n_violations"] for r in C.run_checks(df, [
+            C.not_null("name"),
+            C.unique(["id"]),
+            C.accepted_values("name", ["a", "b"]),
+            C.in_range("amount", 0.0, 100.0),
+            C.references("fk", ref, "k"),
+        ]).collect()}
+        assert out == {
+            "not_null:name": 1,
+            "unique:id": 1,
+            "accepted_values:name": 1,   # 'zz' (null not counted here)
+            "in_range:amount": 2,        # -1.0 and 999.0
+            "references:fk": 1,          # 777
+        }
+
+    def test_scalar_rules_share_one_scan(self, spark):
+        """All scalar + uniqueness rules fold into a single aggregate
+        over one table scan — the plan has exactly one parquet-free
+        source and no joins."""
+        from incubator_pulsar_spark.functions import checks as C
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 5).alias("v"))
+        out = C.run_checks(df, [
+            C.not_null("v"), C.in_range("v", 0, 3), C.unique(["id"])])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert out.count() == 3
+
+    def test_empty_rules(self, spark):
+        from incubator_pulsar_spark.functions import checks as C
+
+        df = spark.range(5)
+        assert C.run_checks(df, []).count() == 0
