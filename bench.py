@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "analytic_functions_orders",
     "pivot_event_matrix",
     "dq_checks_orders",
+    "profile_lineitem",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

@@ -116,3 +116,49 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_NUMERIC = ("int", "bigint", "double", "float", "decimal", "smallint",
+            "tinyint", "long")
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Deequ-style column profile in ONE scan: per column — data type,
+    null count, distinct count, numeric min/max (NULL for non-numeric
+    types, so the report schema stays fixed). The aggregate computes
+    4·|columns| expressions over a single pass; the result is
+    |columns| rows — metadata-sized for any table.
+
+    Pairs with ``run_checks``: profile first to discover ranges and
+    null rates, then pin them as rules.
+    """
+    cols = df.schema.fields
+    aggs: list[Column] = []
+    for f_ in cols:
+        c = F.col(f_.name)
+        is_num = any(f_.dataType.simpleString().startswith(t)
+                     for t in _NUMERIC)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"__nn_{f_.name}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{f_.name}"))
+        if is_num:
+            aggs.append(F.round(F.min(c).cast("double"), 6)
+                        .alias(f"__mn_{f_.name}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6)
+                        .alias(f"__mx_{f_.name}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mn_{f_.name}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__mx_{f_.name}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(f_.name).alias("column"),
+            F.lit(f_.dataType.simpleString()).alias("dtype"),
+            F.coalesce(F.col(f"__nn_{f_.name}"), F.lit(0)).cast("long")
+             .alias("n_nulls"),
+            F.col(f"__nd_{f_.name}").cast("long").alias("n_distinct"),
+            F.col(f"__mn_{f_.name}").alias("min_num"),
+            F.col(f"__mx_{f_.name}").alias("max_num"))
+        for f_ in cols])
+    return one.select(F.explode(rows).alias("z")).select(
+        "z.column", "z.dtype", "z.n_nulls", "z.n_distinct",
+        "z.min_num", "z.max_num")

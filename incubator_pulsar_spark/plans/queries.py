@@ -1431,6 +1431,46 @@ QUALIFY rank <= {k}
 """
 
 
+def profile_lineitem(spark, sf_dir):
+    """One-scan column profile (functions/checks.profile_table) of the
+    widest fact table: dtype, null count, distinct count, numeric
+    min/max per column — 4·|columns| agg expressions over a single
+    pass, |columns| output rows. The discovery half of the DQ pair
+    (profile → pin rules)."""
+    from ..functions.checks import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem")).orderBy("column")
+
+
+_LINEITEM_PROFILE = [
+    ("l_orderkey", "bigint", True), ("l_partkey", "bigint", True),
+    ("l_suppkey", "bigint", True), ("l_linenumber", "int", True),
+    ("l_quantity", "double", True), ("l_extendedprice", "double", True),
+    ("l_discount", "double", True), ("l_tax", "double", True),
+    ("l_returnflag", "string", False), ("l_linestatus", "string", False),
+    ("l_shipdate", "timestamp_ntz", False),
+]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, dt, num in _LINEITEM_PROFILE:
+        mn = (f"round(CAST(min({name}) AS DOUBLE), 6)" if num
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"round(CAST(max({name}) AS DOUBLE), 6)" if num
+              else "CAST(NULL AS DOUBLE)")
+        parts.append(
+            f"SELECT '{name}' AS \"column\", '{dt}' AS dtype, "
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num FROM lineitem")
+    return " UNION ALL ".join(parts) + " ORDER BY \"column\""
+
+
+PROFILE_SQL = _profile_sql()
+
+
 def dq_checks_orders(spark, sf_dir):
     """Declarative data-quality report (functions/checks.py): five rule
     kinds over orders — null, uniqueness, accepted values, range,
@@ -4587,6 +4627,7 @@ ALL_QUERIES: dict[str, Query] = {
               ANALYTIC_FUNCS_SQL),
         Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
         Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
+        Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
