@@ -130,8 +130,10 @@ def merge_into_topic(
     from pyspark.sql import functions as F
 
     days = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # NULL-day updates have no home partition — skipped, same rule as
+    # trim_topic_by_date / offload for __HIVE_DEFAULT_PARTITION__
     rewritten: list[str] = []
-    for day in sorted(str(d) for d in days):
+    for day in sorted(str(d) for d in days if d is not None):
         leaf = os.path.join(path, f"{partition_col}={day}")
         _day_updates = updates.filter(
             F.col(partition_col).cast("string") == day).drop(partition_col)

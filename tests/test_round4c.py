@@ -847,3 +847,22 @@ class TestDataQualityChecks:
 
         df = spark.range(5)
         assert C.run_checks(df, []).count() == 0
+
+
+def test_merge_skips_null_day_updates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.operators.maintenance import merge_into_topic
+
+    p = str(tmp_path / "topic")
+    spark.createDataFrame([(1, "a", 1)], "k long, v string, seq long") \
+        .write.parquet(f"{p}/publish_date=2001-03-05")
+    updates = spark.createDataFrame(
+        [(None, 9, "x", 9), ("2001-03-05", 1, "a2", 2)],
+        "publish_date string, k long, v string, seq long")
+    out = merge_into_topic(spark, updates, p, key_cols=["k"],
+                           order_col="seq")
+    assert out == ["publish_date=2001-03-05"]
+    got = {(r["k"], r["v"]) for r in
+           spark.read.parquet(f"{p}/publish_date=2001-03-05").collect()}
+    assert got == {(1, "a2")}
