@@ -162,3 +162,32 @@ def profile_table(df: DataFrame) -> DataFrame:
     return one.select(F.explode(rows).alias("z")).select(
         "z.column", "z.dtype", "z.n_nulls", "z.n_distinct",
         "z.min_num", "z.max_num")
+
+
+def start_checks_stream(stream: DataFrame, rules: list[Rule], *,
+                        out_path: str, checkpoint_path: str,
+                        available_now: bool = False):
+    """Continuous data-quality monitoring: evaluate the rule set on
+    every micro-batch and append (batch_id, rule, n_violations,
+    n_rows) to a parquet report topic — the violation-rate time series
+    an alerting layer thresholds on. Each batch's report overwrites its
+    own ``batch_id=N`` directory, so replays are idempotent (the
+    late.py pattern). Scalar/unique rules stay one scan per batch;
+    referential rules join the (static) reference side per batch.
+
+    Returns the StreamingQuery.
+    """
+    import os as _os
+
+    def process(batch_df, batch_id: int) -> None:
+        report = run_checks(batch_df, rules)
+        n_rows = batch_df.count()
+        (report.withColumn("n_rows", F.lit(n_rows).cast("long"))
+         .write.mode("overwrite")
+         .parquet(_os.path.join(out_path, f"batch_id={batch_id}")))
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

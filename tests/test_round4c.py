@@ -866,3 +866,41 @@ def test_merge_skips_null_day_updates(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in
            spark.read.parquet(f"{p}/publish_date=2001-03-05").collect()}
     assert got == {(1, "a2")}
+
+
+def test_checks_stream_reports_per_batch(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions import checks as C
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+    out, ck = str(tmp_path / "report"), str(tmp_path / "ck")
+    rules = [C.not_null("event_type"),
+             C.accepted_values("event_type", ["click", "view"]),
+             C.in_range("value", 0.0, 1e9)]
+
+    def run_pass():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = C.start_checks_stream(stream, rules, out_path=out,
+                                  checkpoint_path=ck, available_now=True)
+        q.awaitTermination(120)
+
+    run_pass()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_pass()
+
+    rep = spark.read.parquet(out)
+    got = {(r["batch_id"], r["rule"]): (r["n_violations"], r["n_rows"])
+           for r in rep.collect()}
+    assert len({b for b, _ in got}) == 2          # one report per batch
+    # whole-table reference: per-batch violations sum to the batch total
+    whole = {r["rule"]: r["n_violations"]
+             for r in C.run_checks(ev, rules).collect()}
+    for rule, total in whole.items():
+        assert sum(v for (b, ru), (v, _) in got.items() if ru == rule) == total
+    # n_rows sums to the full table
+    per_batch_rows = {b: n for (b, ru), (v, n) in got.items()}
+    assert sum(per_batch_rows.values()) == ev.count()
