@@ -904,3 +904,40 @@ def test_checks_stream_reports_per_batch(spark, tmp_path, sf_dir):
     # n_rows sums to the full table
     per_batch_rows = {b: n for (b, ru), (v, n) in got.items()}
     assert sum(per_batch_rows.values()) == ev.count()
+
+
+def test_compactor_reclusters_with_zorder_key(spark, tmp_path):
+    """compact_parquet_dir(sort_by=) composes with zorder_key: an
+    append-fragmented topic reclusters into one file whose rows are
+    z-sorted — the periodic OPTIMIZE pass of a lakehouse table."""
+    import pyarrow.parquet as pq
+
+    from incubator_pulsar_spark.functions.layout import zorder_key
+    from incubator_pulsar_spark.operators.maintenance import (
+        compact_parquet_dir)
+
+    p = str(tmp_path / "topic")
+    df = spark.range(30_000).select(
+        (F.col("id") % 251).alias("x"), ((F.col("id") * 13) % 241).alias("y"),
+        F.col("id"))
+    # simulate fragmented appends
+    for i in range(4):
+        df.filter(F.col("id") % 4 == i).repartition(8) \
+            .write.mode("append").parquet(p)
+    keyed = df.withColumn("zkey", zorder_key(F.col("x"), F.col("y")))
+    keyed.drop("zkey")  # (zkey recomputed by the compactor sort expr)
+
+    stats = compact_parquet_dir(
+        spark, p, target_file_bytes=1 << 30, sort_by=None)
+    assert stats[p][0] == 32 and stats[p][1] == 1
+    # now recluster by a persisted z-key column
+    spark.read.parquet(p) \
+        .withColumn("zkey", zorder_key(F.col("x"), F.col("y"))) \
+        .repartition(8).write.mode("overwrite").parquet(p + "2")
+    stats2 = compact_parquet_dir(
+        spark, p + "2", target_file_bytes=1 << 30, sort_by=["zkey"])
+    f = [n for n in os.listdir(p + "2") if n.endswith(".parquet")]
+    assert len(f) == 1 and stats2
+    t = pq.read_table(os.path.join(p + "2", f[0])).to_pandas()
+    assert t["zkey"].is_monotonic_increasing
+    assert len(t) == 30_000
