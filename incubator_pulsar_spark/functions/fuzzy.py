@@ -595,3 +595,46 @@ def probe_minhash_index(spark, docs: DataFrame, path: str, *,
         .select("probe_id", "indexed_id")
         .distinct()
     )
+
+
+def compact_minhash_index(spark, index_path: str) -> int:
+    """Consolidate a STOPPED candidate stream's per-batch band
+    directories (``batches/_batch_id=N``) into one ``_batch_id=-1``
+    directory — the index-maintenance pass that keeps probe-side file
+    counts flat as micro-batches accumulate (same small-files story as
+    ``operators.maintenance.compact_parquet_dir``, specialised to the
+    streaming index layout).
+
+    Correctness with the stream's replay rule: compacted rows carry
+    ``_batch_id=-1``, which is strictly smaller than every real batch
+    id, so the stream's "probe strictly-earlier batches" filter always
+    sees them, and the next batch id (from the checkpoint) is larger
+    than anything compacted. Run only while the stream is stopped; the
+    whole-directory two-rename swap recovers from a crash on the next
+    call. Returns the number of batch directories folded (0 = no-op).
+    """
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    root = os.path.join(index_path, "batches")
+    old = root + ".pre-compact"
+    if os.path.exists(old):              # crashed mid-swap last time
+        if os.path.exists(root):
+            _shutil.rmtree(old)
+        else:
+            os.rename(old, root)
+    if not os.path.isdir(root):
+        return 0
+    dirs = [d for d in os.listdir(root) if d.startswith("_batch_id=")]
+    if len(dirs) <= 1:
+        return 0
+    tmp = root + ".compact-tmp"
+    (spark.read.parquet(root).drop("_batch_id")
+     .withColumn("_batch_id", _F.lit(-1))
+     .write.mode("overwrite").partitionBy("_batch_id").parquet(tmp))
+    os.rename(root, old)
+    os.rename(tmp, root)
+    _shutil.rmtree(old)
+    return len(dirs)

@@ -70,3 +70,24 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str, *,
      .sortWithinPartitions("_zkey")
      .drop("_zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def zorder_key_n(cols: list[Column], *, bits: int = 8) -> Column:
+    """N-dimensional Morton interleave (round-robin bit placement:
+    result bit n·i + d is dimension d's bit i). Dimensions beyond 2
+    follow the same locality argument — an axis-aligned hyper-rectangle
+    of aligned power-of-two extent maps to one contiguous z-range.
+    n·bits ≤ 62."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= bits <= 62 // n:
+        raise ValueError(f"bits must be in [1, {62 // n}] for {n} dims")
+    z = F.lit(0).cast("long")
+    for d, col in enumerate(cols):
+        cl = col.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)),
+                            n * i + d))
+    return z

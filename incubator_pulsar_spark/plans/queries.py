@@ -1431,6 +1431,63 @@ QUALIFY rank <= {k}
 """
 
 
+def key_skew_stats_events(spark, sf_dir):
+    """Shuffle-skew diagnostics for a join/agg key — the measurement
+    that decides whether a key needs salting (operators/routing.py
+    salted_two_phase_agg) or AQE skew-join will do: per candidate key
+    column, its count distribution (max, p99-ish top share, a
+    Gini-style concentration) and the salt factor that would level the
+    hottest key to the mean task load.
+
+    One pass per key column over the aggregated per-key counts —
+    |keys| rows, never raw data — and the suggested_salt is ceil(max /
+    avg), the factor `salted_hot_key_agg` would need.
+    """
+    ev = _t(spark, sf_dir, "events")
+    outs = []
+    for col in ("user_id", "event_type"):
+        per_key = ev.groupBy(F.col(col).cast("string").alias("k")) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        outs.append(per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_key_rows"),
+            F.round(F.max("n") / F.sum("n").cast("double"), 6)
+             .alias("top_key_share"),
+            F.ceil(F.max("n") * F.count(F.lit(1)) / F.sum("n").cast("double"))
+             .cast("long").alias("suggested_salt"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+KEY_SKEW_SQL = """
+WITH u AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'user_id' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_key_share,
+       CAST(ceil(max(n) * count(*) / CAST(sum(n) AS DOUBLE)) AS BIGINT)
+         AS suggested_salt
+FROM u
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(max(n) AS BIGINT),
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+       CAST(ceil(max(n) * count(*) / CAST(sum(n) AS DOUBLE)) AS BIGINT)
+FROM t
+"""
+
+
 def profile_lineitem(spark, sf_dir):
     """One-scan column profile (functions/checks.profile_table) of the
     widest fact table: dtype, null count, distinct count, numeric
@@ -4628,6 +4685,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
         Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
         Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
+        Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),

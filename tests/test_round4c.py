@@ -941,3 +941,48 @@ def test_compactor_reclusters_with_zorder_key(spark, tmp_path):
     t = pq.read_table(os.path.join(p + "2", f[0])).to_pandas()
     assert t["zkey"].is_monotonic_increasing
     assert len(t) == 30_000
+
+
+class TestZorderN:
+    @staticmethod
+    def _model(vals, bits):
+        z = 0
+        n = len(vals)
+        for d, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (n * i + d)
+        return z
+
+    def test_3d_matches_model_and_is_bijective(self, spark):
+        from incubator_pulsar_spark.functions.layout import zorder_key_n
+
+        rows = [(x, y, w) for x in (0, 1, 7, 15) for y in (0, 2, 9, 15)
+                for w in (0, 5, 15)]
+        df = spark.createDataFrame(rows, "x long, y long, w long")
+        got = df.select("x", "y", "w", zorder_key_n(
+            [F.col("x"), F.col("y"), F.col("w")], bits=4).alias("z")).collect()
+        zs = set()
+        for r in got:
+            assert r["z"] == self._model((r["x"], r["y"], r["w"]), 4)
+            zs.add(r["z"])
+        assert len(zs) == len(rows)        # injective on the sample
+
+    def test_2d_form_agrees_with_pairwise_function(self, spark):
+        from incubator_pulsar_spark.functions.layout import (
+            zorder_key, zorder_key_n)
+
+        df = spark.createDataFrame(
+            [(x, y) for x in (0, 3, 200, 255) for y in (0, 7, 255)],
+            "x long, y long")
+        got = df.select(
+            (zorder_key(F.col("x"), F.col("y")) ==
+             zorder_key_n([F.col("x"), F.col("y")])).alias("eq")).collect()
+        assert all(r["eq"] for r in got)
+
+    def test_dims_validation(self, spark):
+        from incubator_pulsar_spark.functions.layout import zorder_key_n
+
+        with pytest.raises(ValueError):
+            zorder_key_n([], bits=4)
+        with pytest.raises(ValueError):
+            zorder_key_n([F.lit(1)] * 4, bits=20)   # 4*20 > 62

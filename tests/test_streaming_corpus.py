@@ -106,3 +106,64 @@ def test_neardup_candidates_stream_matches_batch_probe(spark, tmp_path, sf_dir):
     want = {(r["probe_id"], r["indexed_id"])
             for r in probe_minhash_index(spark, b, ref_idx).collect()}
     assert got == want and len(want) > 0
+
+
+def test_compacted_index_still_probes_identically(spark, tmp_path, sf_dir):
+    """Pass 1 indexes corpus A; compacting its batch dirs into
+    _batch_id=-1 must leave pass 2's candidates identical to the batch
+    probe of an A-index — the strictly-earlier probe rule keeps seeing
+    compacted rows."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.fuzzy import (
+        compact_minhash_index, probe_minhash_index, write_minhash_index)
+    from incubator_pulsar_spark.streaming.corpus import (
+        start_neardup_candidates_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "docs_topic")
+    a.write.parquet(src)
+    idx, out, ck = (str(tmp_path / "sidx"), str(tmp_path / "cands"),
+                    str(tmp_path / "ck"))
+
+    def run_pass():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = start_neardup_candidates_stream(
+            stream, index_path=idx, out_path=out, checkpoint_path=ck,
+            available_now=True)
+        q.awaitTermination(180)
+
+    run_pass()
+    # one batch dir is already compact — explicitly a no-op
+    assert compact_minhash_index(spark, idx) == 0
+
+    b.write.mode("append").parquet(src)
+    run_pass()
+    n2 = compact_minhash_index(spark, idx)
+    assert n2 == 2  # both batch dirs folded into _batch_id=-1
+    import os as _os
+    dirs = [d for d in _os.listdir(f"{idx}/batches")
+            if d.startswith("_batch_id=")]
+    assert dirs == ["_batch_id=-1"]
+
+    # candidates collected during the passes == batch reference
+    got = {(r["probe_id"], r["indexed_id"])
+           for r in spark.read.parquet(out).collect()
+           if r["indexed_id"] % 2 == 0 and r["probe_id"] % 2 == 1}
+    ref_idx = str(tmp_path / "batch_idx")
+    write_minhash_index(a, ref_idx)
+    want = {(r["probe_id"], r["indexed_id"])
+            for r in probe_minhash_index(spark, b, ref_idx).collect()}
+    assert got == want and len(want) > 0
+
+    # and a THIRD pass probing the compacted index still works: new
+    # docs (a shifted copy of b) must see candidates from -1 rows
+    c = b.withColumn("doc_id", F.col("doc_id") + 100000)
+    c.write.mode("append").parquet(src)
+    run_pass()
+    got3 = {(r["probe_id"], r["indexed_id"])
+            for r in spark.read.parquet(out).collect()
+            if r["probe_id"] > 100000}
+    assert any(i % 2 == 0 for _, i in got3)  # hits against compacted A rows
