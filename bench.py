@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "pivot_event_matrix",
     "dq_checks_orders",
     "profile_lineitem",
+    "key_skew_stats_events",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]
