@@ -89,8 +89,14 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     aggs = [F.sum(_scalar_flag(r).cast("long")).alias(r.name)
             for r in scalar]
     for r in uniq:
+        # count_distinct drops tuples containing any NULL, which would
+        # report every null-keyed row as a violation; wrapping the keys
+        # in a struct makes the tuple non-null (null FIELDS are fine),
+        # so null keys count as one distinct value — SQL DISTINCT
+        # semantics, per unique()'s contract.
         aggs.append(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols]))
+            (F.count(F.lit(1))
+             - F.count_distinct(F.struct(*[F.col(c) for c in r.cols])))
             .alias(r.name))
     if aggs:
         one = df.agg(*aggs)
@@ -118,10 +124,6 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
-_NUMERIC = ("int", "bigint", "double", "float", "decimal", "smallint",
-            "tinyint", "long")
-
-
 def profile_table(df: DataFrame) -> DataFrame:
     """Deequ-style column profile in ONE scan: per column — data type,
     null count, distinct count, numeric min/max (NULL for non-numeric
@@ -132,12 +134,16 @@ def profile_table(df: DataFrame) -> DataFrame:
     Pairs with ``run_checks``: profile first to discover ranges and
     null rates, then pin them as rules.
     """
+    from pyspark.sql.types import NumericType
+
     cols = df.schema.fields
     aggs: list[Column] = []
     for f_ in cols:
         c = F.col(f_.name)
-        is_num = any(f_.dataType.simpleString().startswith(t)
-                     for t in _NUMERIC)
+        # isinstance, not simpleString() prefixes: "interval day to
+        # second".startswith("int") would misclassify interval columns
+        # as numeric and min(c).cast("double") raises on them.
+        is_num = isinstance(f_.dataType, NumericType)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"__nn_{f_.name}"))
         aggs.append(F.count_distinct(c).alias(f"__nd_{f_.name}"))
         if is_num:

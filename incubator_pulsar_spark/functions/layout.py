@@ -17,9 +17,11 @@ Pieces:
 - ``zorder_write(df, path, cols)`` — the DISTRIBUTED layout writer:
   ``repartitionByRange`` on the z-key + ``sortWithinPartitions`` means
   no global sort bottleneck at 100 TB, then each output file covers a
-  contiguous z-range. Compose with
-  ``operators.maintenance.compact_parquet_dir(sort_by=["_zkey"])`` to
-  re-cluster an existing topic;
+  contiguous z-range. To later re-cluster with
+  ``operators.maintenance.compact_parquet_dir(sort_by=["_zkey"])``,
+  pass ``keep_key=True`` so ``_zkey`` is persisted in the files (by
+  default it is dropped and the compactor would have nothing to sort
+  by — recompute it before compacting otherwise);
 - the gated query (plans/queries.py: ``zorder_block_stats_events``) is
   the EVALUATION harness, not the writer: it scores layouts by blocks
   touched for a rectangular predicate, replayable exactly in SQL.
@@ -57,19 +59,24 @@ def zorder_key_sql(x: str, y: str, *, bits: int = 8) -> str:
 
 
 def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str, *,
-                 bits: int = 8, n_files: int | None = None) -> None:
+                 bits: int = 8, n_files: int | None = None,
+                 keep_key: bool = False) -> None:
     """Write ``df`` z-clustered on (x_col, y_col): range-partition by
-    the z-key (distributed — no global sort), sort within partitions,
-    drop the helper column. Each output file then covers a contiguous
-    z-range, which is what makes min/max stats selective on BOTH
-    dimensions."""
+    the z-key (distributed — no global sort), sort within partitions.
+    Each output file then covers a contiguous z-range, which is what
+    makes min/max stats selective on BOTH dimensions.
+
+    ``keep_key=True`` persists the ``_zkey`` helper column so later
+    maintenance passes (``compact_parquet_dir(sort_by=["_zkey"])``) can
+    re-cluster without recomputing it; the default drops it."""
     keyed = df.withColumn("_zkey", zorder_key(F.col(x_col), F.col(y_col),
                                               bits=bits))
     parts = n_files or keyed.sparkSession.sparkContext.defaultParallelism
-    (keyed.repartitionByRange(parts, "_zkey")
-     .sortWithinPartitions("_zkey")
-     .drop("_zkey")
-     .write.mode("overwrite").parquet(path))
+    clustered = (keyed.repartitionByRange(parts, "_zkey")
+                 .sortWithinPartitions("_zkey"))
+    if not keep_key:
+        clustered = clustered.drop("_zkey")
+    clustered.write.mode("overwrite").parquet(path)
 
 
 def zorder_key_n(cols: list[Column], *, bits: int = 8) -> Column:

@@ -159,6 +159,23 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str, *,
     )
 
 
+def _id_order_key(df: DataFrame, id_col: str):
+    """Total-order key over ``id_col`` for (u, id) tie-breaks: the id
+    itself when integral; otherwise a 60-bit md5-derived long (same
+    portable construction as ``kmv_uniform``, different salt so it is
+    independent of u). Distinct non-integral ids collide only if both
+    the 48-bit u AND this 60-bit key collide (~2^-108) — order stays
+    effectively total and identical on any engine that replays md5."""
+    from pyspark.sql.types import IntegralType
+
+    c = df.schema[id_col].dataType
+    if isinstance(c, IntegralType):
+        return F.col(id_col).cast("long")
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("tb"), F.col(id_col))),
+                    1, 15), 16, 10).cast("long")
+
+
 def sample_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
                      id_col: str, *, k: int = 512,
                      probs: tuple[float, ...] = (0.5, 0.9, 0.99),
@@ -186,13 +203,19 @@ def sample_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
 
     Output: group_cols + (sample_n, est_q<p> per prob). Groups smaller
     than k are sampled in full, so their estimates are exact.
+
+    ``id_col`` may be any type: integral ids are used directly as the
+    (u, id) tie-break; non-integral ids (string doc ids, …) are mapped
+    through a 60-bit md5 hash so the order stays total and engine-
+    portable — a plain cast("long") would silently turn them into
+    NULL/NaN and break the lexsort contract.
     """
     import numpy as np
 
     pre = df.select(
         *group_cols, F.col(value_col).alias("_v"),
         kmv_uniform(F.col(id_col), salt).alias("_u"),
-        F.col(id_col).cast("long").alias("_id"))
+        _id_order_key(df, id_col).alias("_id"))
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pre.schema.fields)
 

@@ -44,6 +44,19 @@ _TMP_SUFFIX = ".compact-tmp"
 _OLD_SUFFIX = ".pre-compact"
 
 
+def _recover(leaf: str) -> None:
+    """Heal a leaf that crashed mid-swap on a previous run: if the
+    ``.pre-compact`` dir exists and the live leaf does not, the first
+    rename happened but the second didn't — roll back; if both exist,
+    the swap completed — finish the cleanup."""
+    old = leaf + _OLD_SUFFIX
+    if os.path.exists(old):               # crashed mid-swap last time
+        if os.path.exists(leaf):
+            shutil.rmtree(old)            # swap had completed; finish cleanup
+        else:
+            os.rename(old, leaf)          # swap never happened; roll back
+
+
 def _leaf_dirs(path: str) -> list[str]:
     """The directories actually holding parquet files: the path itself,
     or its one level of hive ``col=`` partition children."""
@@ -67,14 +80,6 @@ def compact_parquet_dir(
     {leaf: (files_before, files_after)} for leaves rewritten."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
-
-    def _recover(leaf: str) -> None:
-        old = leaf + _OLD_SUFFIX
-        if os.path.exists(old):           # crashed mid-swap last time
-            if os.path.exists(leaf):
-                shutil.rmtree(old)        # swap had completed; finish cleanup
-            else:
-                os.rename(old, leaf)      # swap never happened; roll back
 
     _recover(path)                        # the topic dir itself may be mid-swap
     out: dict[str, tuple[int, int]] = {}
@@ -135,6 +140,13 @@ def merge_into_topic(
     rewritten: list[str] = []
     for day in sorted(str(d) for d in days if d is not None):
         leaf = os.path.join(path, f"{partition_col}={day}")
+        # Heal a crash from a previous merge on this partition BEFORE
+        # testing existence: a crash between os.rename(leaf, old) and
+        # os.rename(tmp, leaf) leaves the live dir missing — without
+        # recovery the merge below would rebuild the partition from the
+        # updates alone and rmtree the .pre-compact dir holding every
+        # pre-existing row.
+        _recover(leaf)
         _day_updates = updates.filter(
             F.col(partition_col).cast("string") == day).drop(partition_col)
         if os.path.exists(leaf):

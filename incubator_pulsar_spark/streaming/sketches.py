@@ -170,10 +170,12 @@ def sample_quantiles_stream(
 
     Output (update mode): group_cols + (sample_n, est_q<p>...).
     """
+    from ..functions.sketches import _id_order_key
+
     pre = stream.select(
         *group_cols,
         kmv_uniform(stream[id_col], salt).alias("_u"),
-        stream[id_col].cast("long").alias("_id"),
+        _id_order_key(stream, id_col).alias("_id"),
         stream[value_col].cast("double").alias("_v"))
     base = [f for f in pre.schema.fields if f.name in group_cols]
     out_schema = T.StructType(

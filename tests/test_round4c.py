@@ -315,6 +315,41 @@ class TestSampleQuantiles:
             df.repartition(16), ["grp"], "value", "id", k=64).collect()}
         assert a == b
 
+    def test_string_ids_total_order_matches_python_model(self, spark):
+        """Non-integral ids go through the md5 order key (a raw
+        cast('long') would NULL them out and break the lexsort
+        contract): result must equal a Python replay of the exact
+        bottom-k-by-(u, md5-id) algorithm, and must be partition-
+        layout independent."""
+        import hashlib
+        import math
+
+        from incubator_pulsar_spark.functions.sketches import sample_quantiles
+
+        rows = [(f"doc-{i:05d}", float((i * 37) % 1000)) for i in range(3000)]
+        df = spark.createDataFrame(rows, "id string, value double") \
+            .withColumn("grp", F.lit("g"))
+        k = 64
+        out = sample_quantiles(df.repartition(16), ["grp"], "value", "id",
+                               k=k).collect()[0]
+        out1 = sample_quantiles(df.coalesce(1), ["grp"], "value", "id",
+                                k=k).collect()[0]
+        assert tuple(out) == tuple(out1)
+
+        def u_of(s):
+            h = hashlib.md5(f"qsk:{s}".encode()).hexdigest()[:12]
+            return int(h, 16) / float(1 << 48)
+
+        def tb_of(s):
+            return int(hashlib.md5(f"tb:{s}".encode()).hexdigest()[:15], 16)
+
+        pool = sorted(((u_of(i), tb_of(i), v) for i, v in rows))[:k]
+        vals = sorted(v for _, _, v in pool)
+        assert out["sample_n"] == k
+        for p in (0.5, 0.9, 0.99):
+            rank = max(math.ceil(p * k), 1)
+            assert out[f"est_q{int(p * 100)}"] == vals[rank - 1]
+
 
 class TestZorder:
     def test_interleave_matches_python_model(self, spark):
@@ -575,6 +610,33 @@ class TestMergeIntoTopic:
         merge_into_topic(spark, updates, p, key_cols=["k"], order_col="seq")
         got = spark.read.parquet(f"{p}/publish_date=2001-03-05").collect()
         assert [(r["k"], r["v"]) for r in got] == [(1, "new")]
+
+    def test_crash_between_renames_recovers_preexisting_rows(
+            self, spark, tmp_path):
+        """A crash between os.rename(leaf, old) and os.rename(tmp, leaf)
+        leaves the partition dir missing with the original rows stranded
+        in ``.pre-compact``. The next merge must roll that back before
+        merging — otherwise it builds the day from the updates alone and
+        rmtree's the only copy of the pre-existing data."""
+        from incubator_pulsar_spark.operators.maintenance import (
+            _OLD_SUFFIX, merge_into_topic)
+
+        p = str(tmp_path / "topic")
+        self._write_day(spark, p, "2001-03-05", [(1, "a", 10), (2, "b", 10)])
+        leaf = f"{p}/publish_date=2001-03-05"
+        # simulate the crash window: first rename done, second never ran
+        os.rename(leaf, leaf + _OLD_SUFFIX)
+        assert not os.path.exists(leaf)
+
+        updates = spark.createDataFrame(
+            [("2001-03-05", 2, "b2", 20)],
+            "publish_date string, k long, v string, seq long")
+        merge_into_topic(spark, updates, p, key_cols=["k"], order_col="seq")
+        got = {r["k"]: (r["v"], r["seq"]) for r in
+               spark.read.parquet(leaf).collect()}
+        # key 1 survived the crash; key 2 took the update
+        assert got == {1: ("a", 10), 2: ("b2", 20)}
+        assert not os.path.exists(leaf + _OLD_SUFFIX)
 
     def test_merge_is_idempotent(self, spark, tmp_path):
         from incubator_pulsar_spark.operators.maintenance import (
@@ -848,6 +910,45 @@ class TestDataQualityChecks:
         df = spark.range(5)
         assert C.run_checks(df, []).count() == 0
 
+    def test_unique_null_keys_count_as_one_distinct(self, spark):
+        """SQL-DISTINCT semantics per the docstring: a single null-keyed
+        row is NOT a violation; N null-keyed rows are N-1 excess rows
+        (they all collapse to the one distinct null)."""
+        from incubator_pulsar_spark.functions import checks as C
+
+        one_null = spark.createDataFrame([(None,), (1,)], "id long")
+        out = {r["rule"]: r["n_violations"]
+               for r in C.run_checks(one_null, [C.unique(["id"])]).collect()}
+        assert out == {"unique:id": 0}
+
+        three_nulls = spark.createDataFrame(
+            [(None,), (None,), (None,), (1,)], "id long")
+        out = {r["rule"]: r["n_violations"] for r in
+               C.run_checks(three_nulls, [C.unique(["id"])]).collect()}
+        assert out == {"unique:id": 2}
+
+        # composite key: (1, NULL) twice is one excess row
+        comp = spark.createDataFrame(
+            [(1, None), (1, None), (1, "a")], "a long, b string")
+        out = {r["rule"]: r["n_violations"] for r in
+               C.run_checks(comp, [C.unique(["a", "b"])]).collect()}
+        assert out == {"unique:a,b": 1}
+
+    def test_profile_interval_column_not_numeric(self, spark):
+        """'interval day to second'.startswith('int') must not classify
+        interval columns as numeric — min(c).cast('double') would raise
+        an AnalysisException on them."""
+        from incubator_pulsar_spark.functions import checks as C
+
+        df = spark.sql(
+            "SELECT id, INTERVAL '1' DAY + make_dt_interval(0, 0, CAST(id AS INT), 0) AS gap "
+            "FROM range(3)")
+        prof = {r["column"]: r for r in C.profile_table(df).collect()}
+        assert prof["gap"]["min_num"] is None
+        assert prof["gap"]["max_num"] is None
+        assert prof["gap"]["n_nulls"] == 0
+        assert prof["id"]["min_num"] == 0.0 and prof["id"]["max_num"] == 2.0
+
 
 def test_merge_skips_null_day_updates(spark, tmp_path):
     from pyspark.sql import functions as F
@@ -941,6 +1042,35 @@ def test_compactor_reclusters_with_zorder_key(spark, tmp_path):
     t = pq.read_table(os.path.join(p + "2", f[0])).to_pandas()
     assert t["zkey"].is_monotonic_increasing
     assert len(t) == 30_000
+
+
+def test_zorder_write_keep_key_composes_with_compactor(spark, tmp_path):
+    """keep_key=True persists _zkey so compact_parquet_dir can
+    re-cluster with sort_by=["_zkey"] without recomputing the key —
+    the composition the module docstring promises."""
+    import pyarrow.parquet as pq
+
+    from incubator_pulsar_spark.functions.layout import zorder_write
+    from incubator_pulsar_spark.operators.maintenance import (
+        compact_parquet_dir)
+
+    p = str(tmp_path / "zt")
+    df = spark.range(10_000).select(
+        (F.col("id") % 251).alias("x"), ((F.col("id") * 13) % 241).alias("y"))
+    zorder_write(df, p, "x", "y", n_files=6, keep_key=True)
+    cols = spark.read.parquet(p).columns
+    assert "_zkey" in cols
+    stats = compact_parquet_dir(spark, p, target_file_bytes=1 << 30,
+                                sort_by=["_zkey"])
+    f = [n for n in os.listdir(p) if n.endswith(".parquet")]
+    assert len(f) == 1 and stats
+    t = pq.read_table(os.path.join(p, f[0])).to_pandas()
+    assert t["_zkey"].is_monotonic_increasing and len(t) == 10_000
+
+    # default still drops the helper column
+    p2 = str(tmp_path / "zt2")
+    zorder_write(df, p2, "x", "y", n_files=2)
+    assert "_zkey" not in spark.read.parquet(p2).columns
 
 
 class TestZorderN:
