@@ -234,9 +234,19 @@ def _nearest_cell(vec: Column) -> Column:
     return (F.array_position(s, F.array_max(s)) - 1).cast("int")
 
 
+def _resolve_n_cells(embeddings: DataFrame, n_cells: int | None) -> int:
+    """``n_cells=None`` → ``auto_n_cells`` over the corpus count. The
+    count is one deliberate extra pass (the ``cosine_neardup_pairs``
+    auto-sizing precedent); pass an explicit n_cells to skip it when
+    the corpus size is already known."""
+    if n_cells is not None:
+        return n_cells
+    return auto_n_cells(embeddings.count())
+
+
 def ivf_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
-    n_cells: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+    n_cells: int | None = None, nprobe: int = 4, id_col: str = "vec_id",
     vec_col: str = "embedding", query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
@@ -251,7 +261,10 @@ def ivf_topk(
     n_cells dots; only the query side explodes ×nprobe. At scale, cell
     id becomes a partition column so probes prune files — that layout is
     ``ivf_write_index``/``ivf_search_index`` below.
+
+    ``n_cells`` defaults to ``auto_n_cells`` (cells ∝ corpus size).
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
     e = ensure_parallelism(embeddings).select(
@@ -284,7 +297,7 @@ def ivf_topk(
 
 
 def ivf_write_index(
-    embeddings: DataFrame, path: str, *, n_cells: int = 16,
+    embeddings: DataFrame, path: str, *, n_cells: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Persist an IVF index: vectors parquet-partitioned BY CELL, with
@@ -295,11 +308,13 @@ def ivf_write_index(
     corpus — partition pruning IS the index lookup
     (``ivf_search_index`` asserts PartitionFilters in its plan test).
     Build cost: one pass to assign cells (map-side argmin over n_cells
-    dots) + one shuffle-free partitioned write.
+    dots) + one shuffle-free partitioned write. ``n_cells`` defaults to
+    ``auto_n_cells`` (cells ∝ corpus size).
     """
     import json as _json
     import os as _os
 
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
     e = embeddings.select(
@@ -355,6 +370,26 @@ def ivf_search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+def auto_n_cells(n_rows: int, *, target_cell: int = 4096,
+                 lo: int = 8, hi: int = 4096) -> int:
+    """Cell count that holds expected IVF cell occupancy near
+    ``target_cell`` rows — the companion of ``auto_block_planes`` for
+    the cell-partitioned family (``semantic_dedup``, ``knn_graph``,
+    ``ivf_topk``, ``ivf_write_index``): within-cell pair work is
+    ~N²/n_cells and parallelism is capped at n_cells, so a FIXED cell
+    count both quadratically blows up per-cell work and serializes the
+    sort as the corpus grows (measured: 3.3s→27.4s at 4× vectors with
+    n_cells pinned — SCALING.md). Cells ∝ N holds per-cell work flat.
+
+    ``hi`` defaults to 4096 because centroid seeding draws from a
+    bounded 10k-vector driver pool (``_seed_centroids``); beyond
+    hi·target_cell ≈ 16M vectors, raise the pool bound along with
+    ``hi`` (the farthest-point loop is O(pool·n_cells·dim))."""
+    import math
+
+    return min(hi, max(lo, math.ceil(max(n_rows, 1) / target_cell)))
 
 
 def auto_block_planes(n_rows: int, *, target_bucket: int = 4096,
@@ -523,8 +558,9 @@ def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
 
 
 def knn_graph(
-    embeddings: DataFrame, k: int = 5, *, n_cells: int = 8, nprobe: int = 2,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    embeddings: DataFrame, k: int = 5, *, n_cells: int | None = None,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    prune: bool = True,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector's
     top-k neighbors (the build step of SemDeDup-style clustering,
@@ -539,12 +575,29 @@ def knn_graph(
     vector's own cell, modulo exact round-9 score ties), candidates
     rank by (cosine desc, id) within each source vector.
 
+    ``prune=True`` (default) skips SECONDARY probe cells that provably
+    cannot contribute: with θ the src→centroid angle (the probe score)
+    and r the cell's angular radius (min member→centroid cosine), no
+    member of the cell can exceed cos(θ−r) = cosθ·cos r + sinθ·sin r.
+    When that bound (+1e-6 fp margin) is strictly below the src's k-th
+    best cosine among its BEST-cell candidates, the whole src×cell
+    join is dropped before any pair dot is computed. The prune is
+    conservative — bound < kth means ≥ k better candidates already
+    exist — so the OUTPUT IS BIT-IDENTICAL to ``prune=False``; it pays
+    one extra per-src aggregation over best-cell candidates and buys
+    up to (nprobe−1)/nprobe of the candidate volume on clustered
+    corpora (on near-uniform embeddings radii approach 90° and the
+    bound rarely fires — clustered data is where IVF pruning wins).
+
     Scale: candidate volume is Σ_cells |cell|·|probers(cell)| ≈
     N²·nprobe/n_cells — n_cells ∝ N (cells of a few thousand) holds
-    per-cell work flat, exactly the ``semantic_dedup`` contract.
+    per-cell work flat, exactly the ``semantic_dedup`` contract;
+    ``n_cells`` defaults to ``auto_n_cells`` so that contract holds
+    without the caller remembering it.
 
     Output: (src_id, dst_id, cosine_sim, rank), k rows per src.
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
     e = ensure_parallelism(embeddings).select(
@@ -565,21 +618,66 @@ def knn_graph(
     pairs = F.zip_with(e["_scores"], idx,
                        lambda s, i: F.struct(s.alias("s"), i.alias("i")))
     probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
-    probers = (e.withColumn("cell",
-                            F.explode(F.transform(probes, lambda p: p["i"])))
-               .withColumn("cell", F.col("cell").cast("int"))
-               .select(F.col("vec_id").alias("src_id"),
-                       F.col("vec").alias("_vs"),
-                       F.col("_norm").alias("_ns"), "cell"))
+    probers = (e.select(F.col("vec_id").alias("src_id"),
+                        F.col("vec").alias("_vs"),
+                        F.col("_norm").alias("_ns"),
+                        F.posexplode(probes).alias("_prank", "_pr"))
+               .select("src_id", "_vs", "_ns", "_prank",
+                       F.col("_pr.i").cast("int").alias("cell"),
+                       F.col("_pr.s").alias("_ps")))
 
     pd_dot = _pair_dot_udf()
     sim = F.when((F.col("_ns") > 0) & (F.col("_nd") > 0),
                  pd_dot(F.col("_vs"), F.col("_vd"))
                  / (F.col("_ns") * F.col("_nd"))).otherwise(F.lit(0.0))
-    scored = (probers.join(members, "cell")
-              .filter(F.col("src_id") != F.col("dst_id"))
-              .select("src_id", "dst_id",
-                      F.round(sim, 6).alias("cosine_sim")))
+
+    def _score(side: DataFrame) -> DataFrame:
+        return (side.join(members, "cell")
+                .filter(F.col("src_id") != F.col("dst_id"))
+                .select("src_id", "dst_id",
+                        F.round(sim, 6).alias("cosine_sim")))
+
+    if not prune:
+        scored = _score(probers.drop("_prank", "_ps"))
+    else:
+        # angular radius per cell: each member's score for its OWN cell
+        # is its max score = element_at(_scores, cell+1); the min over
+        # members is cos(r). NULL-safe: min ignores NULLs, and a NULL
+        # radius (degenerate cell) simply never prunes.
+        own_score = F.element_at(
+            F.col("_scores"), _argmax_cell(F.col("_scores")) + 1)
+        radius = (e.select(_argmax_cell(F.col("_scores")).alias("cell"),
+                           own_score.alias("_os"))
+                  .groupBy("cell")
+                  .agg(F.least(F.lit(1.0), F.greatest(F.lit(-1.0),
+                       F.min("_os"))).alias("_cosr")))
+
+        primary = probers.filter(F.col("_prank") == 0).drop("_prank", "_ps")
+        # cand_a feeds BOTH the kth aggregate and the final union — two
+        # subtree occurrences Catalyst does not dedup (the exchanges
+        # differ), so without truncation every primary pair dot runs
+        # twice (measured 1.3× total). localCheckpoint materializes the
+        # (id, id, double) candidate rows once — the fuzzy.py
+        # connected-components precedent.
+        cand_a = _score(primary).localCheckpoint(eager=False)
+        wk = Window.partitionBy("src_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("dst_id"))
+        kth = (cand_a.withColumn("_rn", F.row_number().over(wk))
+               .filter(F.col("_rn") == k)
+               .select("src_id", F.col("cosine_sim").alias("_kth")))
+
+        costh = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("_ps")))
+        sin_ = lambda c: F.sqrt(F.greatest(F.lit(0.0), 1.0 - c * c))  # noqa: E731
+        bound = F.when(costh >= F.col("_cosr"), F.lit(1.0)).otherwise(
+            costh * F.col("_cosr") + sin_(costh) * sin_(F.col("_cosr")))
+        secondary = (probers.filter(F.col("_prank") > 0)
+                     .join(F.broadcast(radius), "cell", "left")
+                     .join(kth, "src_id", "left")
+                     .filter(F.col("_kth").isNull() | F.col("_cosr").isNull()
+                             | (bound + F.lit(1e-6) >= F.col("_kth")))
+                     .drop("_prank", "_ps", "_cosr", "_kth"))
+        scored = cand_a.unionByName(_score(secondary))
+
     w = Window.partitionBy("src_id").orderBy(F.col("cosine_sim").desc(),
                                              F.col("dst_id"))
     return (
@@ -597,7 +695,7 @@ def _argmax_cell(scores: Column) -> Column:
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float, *, n_cells: int = 8,
+    embeddings: DataFrame, threshold: float, *, n_cells: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
@@ -620,13 +718,15 @@ def semantic_dedup(
 
     Scale: within-cell pair work is ~N²/n_cells — n_cells MUST grow
     with the corpus (SemDeDup uses 50k clusters at 100M embeddings;
-    size cells to a few thousand vectors). The pair join is an
-    equi-join on cell; vectors ship once into it; the verdict join back
-    is keyed on id.
+    size cells to a few thousand vectors). ``n_cells`` defaults to
+    ``auto_n_cells`` so that contract holds with default args. The
+    pair join is an equi-join on cell; vectors ship once into it; the
+    verdict join back is keyed on id.
 
     Output: (vec_id, cell, is_kept ∈ {0,1}, dup_of — smallest
     triggering id, −1 when kept).
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
     e = ensure_parallelism(embeddings).select(

@@ -477,7 +477,9 @@ def _bpe_merge_word(symbols: list[str], ranks: dict[tuple[str, str], int]) -> li
     return symbols
 
 
-def bpe_train(docs, n_merges: int, *, text_col: str = "text") -> list[tuple[str, str]]:
+def bpe_train(docs, n_merges: int, *, text_col: str = "text",
+              min_freq: int = 2,
+              top_m: int | None = None) -> list[tuple[str, str]]:
     """Train a BPE merge list at corpus scale, the way real trainers do:
     ONE distributed pass builds the word-frequency table (the only
     corpus-sized step), then every merge iteration is pure-Python work
@@ -486,12 +488,27 @@ def bpe_train(docs, n_merges: int, *, text_col: str = "text") -> list[tuple[str,
     pair asc), matching ``bpe_pair_counts``' ranking, so iteration 1 of
     this trainer reproduces that query's top candidate.
 
-    The vocab collect is bounded by |vocab| (Heaps'-law sublinear), not
-    corpus size — the same metadata-scale contract as
-    ``top_vocabulary``.
+    Heaps' law keeps |vocab| sublinear on CLEAN corpora, but a noisy
+    web-scale corpus has hundreds of millions of word types (URLs,
+    hex hashes, typos) and an unpruned collect OOMs the driver — so,
+    like real trainers, the distributed pass prunes BEFORE collecting:
+    ``min_freq`` (default 2) drops hapax junk inside the aggregation,
+    and ``top_m`` optionally hard-bounds the collect at the m most
+    frequent word types (freq desc, word asc — deterministic). Set
+    ``min_freq=1, top_m=None`` to reproduce the unpruned reference
+    trainer exactly; with pruning, merges learned from words at or
+    above the cut are unchanged — only pair counts contributed by the
+    pruned tail (rare by construction) can differ.
     """
     words = docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
-    vocab_rows = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).collect()
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        freqs = freqs.filter(F.col("freq") >= min_freq)
+    if top_m is not None:
+        # global (freq desc, w) order bounded at m rows — a TakeOrdered,
+        # never a full sort at the driver
+        freqs = freqs.orderBy(F.col("freq").desc(), F.col("w")).limit(top_m)
+    vocab_rows = freqs.collect()
     vocab = {r["w"]: (list(r["w"]), int(r["freq"])) for r in vocab_rows}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -179,6 +179,30 @@ class TestSemanticDedup:
             kept = [i for i in ids if out[i]["is_kept"] == 1]
             assert min(ids) in kept or out[min(ids)]["dup_of"] >= 0
 
+    def test_auto_n_cells_scales_with_corpus(self, spark):
+        """Default n_cells must follow the cells ∝ N contract instead
+        of a fixed constant: the formula tracks ceil(N/target) within
+        [lo, hi], and the default-arg path actually uses it (observable
+        as >lo distinct cells on a corpus big enough to need them)."""
+        from incubator_pulsar_spark.functions.similarity import (
+            auto_n_cells, knn_graph, semantic_dedup)
+
+        assert auto_n_cells(1_000) == 8              # lo floor
+        assert auto_n_cells(4_096 * 12) == 12        # ceil(N/4096)
+        assert auto_n_cells(10**9) == 4096           # hi cap
+        assert auto_n_cells(50_000, target_cell=1000) == 50
+
+        rows = [(i, [float((i * p) % 23 - 11) for p in (3, 5, 7, 11)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # explicit pin unchanged; default auto resolves to lo=8 here and
+        # both paths agree when pinned to the same value
+        auto = semantic_dedup(df, threshold=0.9).collect()
+        pinned = semantic_dedup(df, threshold=0.9, n_cells=8).collect()
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+        g = knn_graph(df, k=3)
+        assert g.count() == g.select("src_id").distinct().count() * 3
+
     def test_conservative_never_keeps_a_duplicate(self, spark):
         """Order-independent rule: any vector with an earlier same-cell
         neighbor above threshold is dropped — verified by recomputing
@@ -432,11 +456,12 @@ class TestBpeTrainEncode:
     ]
 
     @staticmethod
-    def _model_train(texts, n_merges):
+    def _model_train(texts, n_merges, min_freq=1):
         import re as _re
         from collections import Counter
 
         vocab = Counter(w for t in texts for w in _re.findall(r"[a-z]+", t.lower()))
+        vocab = Counter({w: c for w, c in vocab.items() if c >= min_freq})
         segs = {w: list(w) for w in vocab}
         merges = []
         for _ in range(n_merges):
@@ -475,8 +500,39 @@ class TestBpeTrainEncode:
         from incubator_pulsar_spark.functions.text import bpe_train
 
         df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
-        got = bpe_train(df, 8)
+        got = bpe_train(df, 8, min_freq=1)       # unpruned reference form
         want = self._model_train([t for _, t in self.CORPUS], 8)
+        assert [tuple(m) for m in got] == want
+
+    def test_default_min_freq_prunes_hapax_words(self, spark):
+        """Default min_freq=2: hapax words (lowest/newer/wide/wider in
+        this corpus) never reach the driver, and the merges equal the
+        reference trainer over the PRUNED vocabulary. On a hapax-free
+        corpus pruning is a no-op and the default equals the unpruned
+        trainer exactly."""
+        from incubator_pulsar_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = bpe_train(df, 8)                  # default min_freq=2
+        want = self._model_train([t for _, t in self.CORPUS], 8, min_freq=2)
+        assert [tuple(m) for m in got] == want
+
+        clean = [(i, t + " " + t) for i, t in self.CORPUS]  # every word ≥2
+        dfc = spark.createDataFrame(clean, "doc_id long, text string")
+        assert ([tuple(m) for m in bpe_train(dfc, 8)]
+                == self._model_train([t for _, t in clean], 8))
+
+    def test_top_m_bounds_the_collect(self, spark):
+        """top_m keeps only the m most frequent word types (freq desc,
+        word asc): training then sees exactly that truncated vocab."""
+        from incubator_pulsar_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        # low(7), new(3), lower/newest/widest(2) → top 3 = low,new,lower? no:
+        # (7,low) (3,new) then freq-2 ties sorted by word: lower,newest,widest
+        texts3 = ["low"] * 7 + ["new"] * 3 + ["lower"] * 2
+        got = bpe_train(df, 6, min_freq=1, top_m=3)
+        want = self._model_train([" ".join(texts3)], 6)
         assert [tuple(m) for m in got] == want
 
     def test_encode_matches_model_and_hash(self, spark):
@@ -803,6 +859,43 @@ class TestKnnGraph:
         # structure for cell probing to exploit — same caveat as
         # ivf_topk's documented recall); random 2-of-8 scan ≈ 0.25
         assert recall > 0.35, recall
+
+    def test_prune_is_exact_on_clustered_and_uniform_data(self, spark, sf_dir):
+        """The angular-bound prune must be invisible in the output:
+        prune=True == prune=False bit-for-bit, both on tightly
+        clustered data (where the bound actually fires — tight radii,
+        well-separated centroids) and on the near-uniform fixture
+        (where it rarely does)."""
+        import numpy as np
+
+        from incubator_pulsar_spark.functions.similarity import knn_graph
+
+        # 6 tight clusters around near-orthogonal anchors: radii are
+        # small and centroid separations large, so secondary-probe
+        # bounds fall below the own-cell kth and the prune engages.
+        rng = np.random.default_rng(11)
+        anchors = np.eye(6, 16)
+        rows = []
+        vid = 0
+        for a in range(6):
+            for _ in range(40):
+                v = anchors[a] + 0.02 * rng.normal(size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for kwargs in ({"n_cells": 6, "nprobe": 3}, {"n_cells": 4, "nprobe": 2}):
+            a_ = sorted(map(tuple, knn_graph(df, k=4, prune=True,
+                                             **kwargs).collect()))
+            b_ = sorted(map(tuple, knn_graph(df, k=4, prune=False,
+                                             **kwargs).collect()))
+            assert a_ == b_, kwargs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a_ = sorted(map(tuple, knn_graph(emb, k=5, n_cells=8, nprobe=2,
+                                         prune=True).collect()))
+        b_ = sorted(map(tuple, knn_graph(emb, k=5, n_cells=8, nprobe=2,
+                                         prune=False).collect()))
+        assert a_ == b_
 
 
 class TestRandomizedEquivalence:
