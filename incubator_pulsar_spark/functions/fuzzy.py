@@ -317,16 +317,33 @@ def jaccard_pairs_prefix(
 def jaccard_pairs_auto(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, threshold: float = 0.5, prefix_cutoff: float = 0.7,
+    df_cut_docs: int = 10_000, max_df: float = 0.05,
 ) -> DataFrame:
-    """Exact Jaccard pairs with the physical strategy picked from the
-    threshold (see ``jaccard_pairs_prefix`` measurements): prefix
-    filtering above ``prefix_cutoff`` (strong pruning, prefix ≤ 30% of
-    each set), plain inverted-index join below it (where the prefix
-    would cover most of the set and only add overhead). Result is
-    identical either way."""
+    """Jaccard pairs with the physical strategy picked automatically —
+    the safe path is the default path at every (threshold, size):
+
+    - threshold ≥ ``prefix_cutoff``: prefix-filter-then-verify (exact,
+      no recall loss; prefixes ≤ 30% of each set prune hard);
+    - low threshold, corpus ≤ ``df_cut_docs``: plain inverted-index
+      join (exact; small enough that hot shingles can't hurt);
+    - low threshold, corpus > ``df_cut_docs``: ``max_df`` df-cut
+      candidates then exact verify — the same auto-escalation rule as
+      ``cosine_neardup_pairs`` switching to LSH blocking. Every
+      REPORTED jaccard is still exact (full shingle sets); recall < 1
+      only for pairs whose every common shingle sits in > ``max_df``·N
+      docs — boilerplate near-dups by construction (the SCALING.md §1
+      quadratic-candidate pathology this cut exists to kill).
+
+    Pin behavior explicitly with ``jaccard_pairs(...)`` /
+    ``jaccard_pairs(..., max_df=...)`` / ``jaccard_pairs_prefix`` when
+    the corpus size is already known. The size probe is one count()
+    pass (the cosine_neardup_pairs precedent)."""
     if threshold >= prefix_cutoff:
         return jaccard_pairs_prefix(docs, id_col=id_col, text_col=text_col,
                                     k=k, threshold=threshold)
+    if docs.count() > df_cut_docs:
+        return jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                             k=k, threshold=threshold, max_df=max_df)
     return jaccard_pairs(docs, id_col=id_col, text_col=text_col,
                          k=k, threshold=threshold)
 

@@ -44,11 +44,25 @@ def attribute_stream(
     the "view that never converted" row, only correct to emit when no
     late click can still arrive. ``how='rightOuter'`` is the mirror:
     unmatched RESPONSES (a click with no prior view — broken tracking)
-    emit null-padded once no matching trigger can still arrive."""
+    emit null-padded once no matching trigger can still arrive.
+    ``how='fullOuter'`` emits both kinds of unmatched rows; its output
+    ``key_col`` is the coalesce of the two sides (whichever side is
+    present carries the key).
+
+    Outer-null timing (all three outer modes): "no match arrived" is
+    only decidable once the GLOBAL watermark — the MIN across BOTH
+    input streams (default multipleWatermarkPolicy) — passes the row's
+    join window, so null-padded rows emit a batch after both streams'
+    event time has moved on. A match arriving later than that (more
+    than watermark + max_delay behind the stream head) is dropped by
+    watermark eviction; its partner has already been finalized as
+    unmatched — the documented at-most-once contract for late data,
+    identical to every watermarked operator."""
     if max_delay_seconds <= 0:
         raise ValueError("max_delay_seconds must be positive")
-    if how not in ("inner", "leftOuter", "rightOuter"):
-        raise ValueError("how must be 'inner', 'leftOuter' or 'rightOuter'")
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(
+            "how must be 'inner', 'leftOuter', 'rightOuter' or 'fullOuter'")
     t = triggers.withWatermark(trigger_ts, watermark)
     r = responses.withWatermark(response_ts, watermark)
     cond = (
@@ -58,6 +72,12 @@ def attribute_stream(
            <= t[trigger_ts] + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
     )
     joined = t.join(r, cond, how)
+    if how == "fullOuter":
+        # either side may be null-padded: surface ONE key column
+        return (joined
+                .withColumn("_k", F.coalesce(t[key_col], r[key_col]))
+                .drop(t[key_col]).drop(r[key_col])
+                .withColumnRenamed("_k", key_col))
     # keep the side of the join that is never null-padded: the trigger
     # key for inner/leftOuter, the response key for rightOuter (orphan
     # responses have every trigger column null)

@@ -90,6 +90,7 @@ def start_table_view_listener(
     value_col: str = "value",
     sequence_col: str = "sequence",
     trigger_available_now: bool = False,
+    mode: str = "driver",
 ) -> StreamingQuery:
     """``TableView.listen``/``forEach`` (TableView.java:89,97): invoke
     ``listener(key, value)`` for every key whose value CHANGED in the
@@ -98,17 +99,36 @@ def start_table_view_listener(
     remove too).
 
     Update-mode aggregation means each micro-batch's output is exactly
-    the changed keys — the listen contract. The per-batch ``collect``
-    is the listener seam itself: callbacks are client-side by
-    definition (same as the reference's reader thread), and the batch
-    holds only the keys that changed this trigger, not the map.
+    the changed keys — the listen contract. Two delivery modes:
+
+    - ``mode="driver"`` (default): per-batch ``collect`` then local
+      callbacks — the reference's own shape (its TableView is a
+      client-side map fed by one reader thread), correct for
+      control-topic-sized views. The bound is explicit: every changed
+      row of every micro-batch is copied to the driver, so a hot
+      million-key topic makes each trigger a driver-sized transfer.
+    - ``mode="partitions"``: ``foreachPartition`` delivery — the
+      listener is pickled to the EXECUTORS and runs against each
+      partition's rows where they already live; nothing is
+      materialized on the driver. Required for large/hot key spaces;
+      the listener must be serializable and side-effect through
+      shared storage or a service, not driver state.
     """
+    if mode not in ("driver", "partitions"):
+        raise ValueError(f"mode must be 'driver' or 'partitions': {mode!r}")
     view = table_view_updates(stream, key_col=key_col, value_col=value_col,
                               sequence_col=sequence_col)
 
-    def deliver(batch: DataFrame, batch_id: int) -> None:
-        for r in batch.collect():
-            listener(r["key"], r["value"])
+    if mode == "driver":
+        def deliver(batch: DataFrame, batch_id: int) -> None:
+            for r in batch.collect():
+                listener(r["key"], r["value"])
+    else:
+        def deliver(batch: DataFrame, batch_id: int) -> None:
+            def run(rows) -> None:
+                for r in rows:
+                    listener(r["key"], r["value"])
+            batch.foreachPartition(run)
 
     w = (
         view.writeStream.outputMode("update")

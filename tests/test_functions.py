@@ -447,6 +447,28 @@ def test_jaccard_auto_picks_strategy(spark):
     assert hi == hi_ref and lo == lo_ref
 
 
+def test_jaccard_auto_df_cut_engages_above_size_threshold(spark):
+    """Past df_cut_docs at low threshold, auto must route through the
+    max_df df-cut (the safe default on big corpora): identical result
+    to the explicit max_df call, and values still exact where reported."""
+    docs = spark.createDataFrame(
+        [(i, f"abcdefghij{i % 7}") for i in range(30)]
+        + [(100, "zzzzyyyyxxxx"), (101, "zzzzyyyyxxxw")],
+        "doc_id long, text string")
+    auto = {(r.doc_a, r.doc_b, r.jaccard) for r in fuzzy.jaccard_pairs_auto(
+        docs, k=3, threshold=0.3, df_cut_docs=10).collect()}
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in fuzzy.jaccard_pairs(
+        docs, k=3, threshold=0.3, max_df=0.05).collect()}
+    assert auto == want
+    # below the size threshold the plain exact join is unchanged
+    small = docs.limit(5)
+    a2 = {(r.doc_a, r.doc_b, r.jaccard) for r in fuzzy.jaccard_pairs_auto(
+        small, k=3, threshold=0.3, df_cut_docs=10).collect()}
+    w2 = {(r.doc_a, r.doc_b, r.jaccard) for r in fuzzy.jaccard_pairs(
+        small, k=3, threshold=0.3).collect()}
+    assert a2 == w2
+
+
 class TestPpmKernels:
     """REAL image kernels on the dependency-free PPM (P6) format."""
 

@@ -473,6 +473,46 @@ def test_table_view_listener(spark, tmp_path, topic_dir):
     assert latest["C"] == "c1"
 
 
+def test_table_view_listener_partitions_mode(spark, tmp_path, topic_dir):
+    """mode='partitions': callbacks run on the EXECUTORS via
+    foreachPartition — no driver materialization. The listener side-
+    effects through shared storage (a spool dir); the union of spooled
+    callbacks equals driver-mode delivery, and the worker PIDs prove
+    the callbacks did not run in the driver process."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    def listener(k, v):
+        p = os.path.join(spool, f"{os.getpid()}-{uuid.uuid4().hex}.json")
+        with open(p, "w") as f:
+            json.dump({"pid": os.getpid(), "k": k, "v": v}, f)
+
+    q = stv.start_table_view_listener(
+        _stream(spark, topic_dir), listener,
+        checkpoint=str(tmp_path / "c"), trigger_available_now=True,
+        mode="partitions")
+    q.awaitTermination(120)
+
+    heard = [json.load(open(p)) for p in glob.glob(f"{spool}/*.json")]
+    pairs = {(h["k"], h["v"]) for h in heard}
+    # the final winners were all delivered (earlier-batch intermediates
+    # may additionally appear if the run split into multiple triggers)
+    assert {("A", "a2"), ("B", None), ("C", "c1")} <= pairs
+    assert {h["k"] for h in heard} == {"A", "B", "C"}
+    assert all(h["pid"] != os.getpid() for h in heard)  # executor-side
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stv.start_table_view_listener(
+            _stream(spark, topic_dir), listener,
+            checkpoint=str(tmp_path / "c2"), mode="bogus")
+
+
 def test_nack_then_retry_escalation(spark, tmp_path):
     """Full failure-handling composition (ConsumerImpl lifecycle):
     nacked rows redeliver after backoff; rows that keep failing escalate
@@ -1074,3 +1114,131 @@ def test_stream_stream_attribution_right_outer_emits_orphan_clicks(
             for r in spark.read.parquet(sink).collect()}
     assert (100, 200, 1) in rows
     assert (None, 201, 2) in rows      # orphan keeps ITS user_id
+
+
+def test_stream_stream_attribution_full_outer_matrix(spark, tmp_path):
+    """fullOuter: one run covers all three row kinds — matched pair,
+    never-clicked view (null click side), orphan click (null view
+    side) — with the single coalesced key column present on every row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.streaming.joins import attribute_stream
+
+    t0 = dt.datetime(2001, 3, 5, 12, 0, 0)
+    views = spark.createDataFrame(
+        [(1, t0, 100),                                  # click follows
+         (2, t0, 101)],                                 # never clicked
+        "user_id long, view_ts timestamp, view_id long")
+    clicks = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 200),       # attributed
+         (3, t0 + dt.timedelta(minutes=20), 201)],      # orphan
+        "user_id long, click_ts timestamp, click_id long")
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views.write.parquet(vsrc)
+    clicks.write.parquet(csrc)
+    sink = str(tmp_path / "out")
+
+    def run_pass():
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+        out = attribute_stream(vs, cs, key_col="user_id",
+                               trigger_ts="view_ts", response_ts="click_ts",
+                               max_delay_seconds=3600, watermark="1 hour",
+                               how="fullOuter")
+        assert "user_id" in out.columns and out.columns.count("user_id") == 1
+        (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass()
+    # advance BOTH watermarks past the join windows, then once more so
+    # the outer nulls (finalized at the min watermark) land in the sink
+    for h in (9, 10):
+        spark.createDataFrame(
+            [(7, t0 + dt.timedelta(hours=h), 300 + h)],
+            "user_id long, view_ts timestamp, view_id long") \
+            .write.mode("append").parquet(vsrc)
+        spark.createDataFrame(
+            [(7, t0 + dt.timedelta(hours=h), 400 + h)],
+            "user_id long, click_ts timestamp, click_id long") \
+            .write.mode("append").parquet(csrc)
+        run_pass()
+
+    rows = {(r["view_id"], r["click_id"], r["user_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert (100, 200, 1) in rows       # matched
+    assert (101, None, 2) in rows      # unmatched view, key from views
+    assert (None, 201, 3) in rows      # orphan click, key from clicks
+
+
+def test_stream_stream_attribution_late_arrival_edges(spark, tmp_path):
+    """Watermark-late edge cases (leftOuter): (a) an in-window click
+    arriving BEFORE the global watermark passes its view still matches
+    across passes; (b) a click arriving AFTER its view was finalized as
+    unmatched is evicted — the view's null-padded row stands and no
+    duplicate matched row appears."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.streaming.joins import attribute_stream
+
+    t0 = dt.datetime(2001, 3, 5, 12, 0, 0)
+    views = spark.createDataFrame(
+        [(1, t0, 100),         # click arrives next pass, slightly late but
+                               # inside watermark -> must still match
+         (2, t0, 101)],        # click arrives only after finalization
+        "user_id long, view_ts timestamp, view_id long")
+    clicks_schema = "user_id long, click_ts timestamp, click_id long"
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views.write.parquet(vsrc)
+    # pass 1: empty click side (schema-only directory via 0-row write)
+    spark.createDataFrame([], clicks_schema).write.parquet(csrc)
+    sink = str(tmp_path / "out")
+
+    def run_pass():
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        cs = spark.readStream.schema(clicks_schema).parquet(csrc)
+        out = attribute_stream(vs, cs, key_col="user_id",
+                               trigger_ts="view_ts", response_ts="click_ts",
+                               max_delay_seconds=3600, watermark="1 hour",
+                               how="leftOuter")
+        (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+    run_pass()
+    # pass 2: user 1's click (event time inside the window; watermark has
+    # not advanced yet, so state still holds the view) + both streams'
+    # time advances far enough to finalize user 2's view as unmatched
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), 200),
+         (9, t0 + dt.timedelta(hours=9), 900)], clicks_schema) \
+        .write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=9), 901)],
+        "user_id long, view_ts timestamp, view_id long") \
+        .write.mode("append").parquet(vsrc)
+    run_pass()
+    # pass 3: user 2's click finally arrives — hours beyond watermark +
+    # max_delay, after view 101 was finalized null-padded: it must be
+    # EVICTED, not matched (no (101, 202) row ever)
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=20), 202)], clicks_schema) \
+        .write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=11), 902)],
+        "user_id long, view_ts timestamp, view_id long") \
+        .write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=11), 903)], clicks_schema) \
+        .write.mode("append").parquet(csrc)
+    run_pass()
+
+    rows = {(r["view_id"], r["click_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert (100, 200) in rows          # cross-pass in-watermark match
+    assert (101, None) in rows         # finalized unmatched
+    assert (101, 202) not in rows      # late click evicted, not revived
