@@ -177,17 +177,12 @@ def lsh_bucket_topk(
     )
 
 
-def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
-                    id_col: str, vec_col: str) -> list[list[float]]:
-    """Deterministic greedy farthest-point centroid seeding over a
-    bounded pool (k-means++ analogue without RNG or training
-    iterations). Collecting the pool is a metadata-scale driver op.
-
-    Every cosine is rounded to 9 decimals BEFORE any argmin/argmax
-    comparison: BLAS pairwise summation and a SQL engine's sequential
-    fold differ in the last ulp, and rounding makes the selection
-    sequence exactly replayable in DuckDB (the ANN oracle unrolls this
-    loop as SQL CTEs — see plans/queries.py ANN_IVF_SQL)."""
+def _seed_centroids_with_pool(embeddings: DataFrame, *, n_cells: int,
+                              id_col: str, vec_col: str):
+    """``_seed_centroids`` plus the unit-normalized seed pool it drew
+    from — callers that need driver-side geometry estimates (e.g.
+    ``knn_graph``'s prune='auto' decision) get them for free instead
+    of a second corpus pass."""
     import numpy as np
 
     sample = (
@@ -206,7 +201,23 @@ def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
         nxt = int(np.argmin(sims_to_chosen))  # farthest from chosen set
         chosen.append(nxt)
         sims_to_chosen = np.maximum(sims_to_chosen, np.round(unit @ unit[nxt], 9))
-    return [pool[j].tolist() for j in chosen]
+    return [pool[j].tolist() for j in chosen], unit
+
+
+def _seed_centroids(embeddings: DataFrame, *, n_cells: int,
+                    id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic greedy farthest-point centroid seeding over a
+    bounded pool (k-means++ analogue without RNG or training
+    iterations). Collecting the pool is a metadata-scale driver op.
+
+    Every cosine is rounded to 9 decimals BEFORE any argmin/argmax
+    comparison: BLAS pairwise summation and a SQL engine's sequential
+    fold differ in the last ulp, and rounding makes the selection
+    sequence exactly replayable in DuckDB (the ANN oracle unrolls this
+    loop as SQL CTEs — see plans/queries.py ANN_IVF_SQL)."""
+    cents, _ = _seed_centroids_with_pool(embeddings, n_cells=n_cells,
+                                         id_col=id_col, vec_col=vec_col)
+    return cents
 
 
 def _attach_centroids(df: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -560,7 +571,7 @@ def _neardup_from_pairs(joined: DataFrame, threshold: float) -> DataFrame:
 def knn_graph(
     embeddings: DataFrame, k: int = 5, *, n_cells: int | None = None,
     nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector's
     top-k neighbors (the build step of SemDeDup-style clustering,
@@ -575,19 +586,29 @@ def knn_graph(
     vector's own cell, modulo exact round-9 score ties), candidates
     rank by (cosine desc, id) within each source vector.
 
-    ``prune=True`` (default) skips SECONDARY probe cells that provably
-    cannot contribute: with θ the src→centroid angle (the probe score)
-    and r the cell's angular radius (min member→centroid cosine), no
-    member of the cell can exceed cos(θ−r) = cosθ·cos r + sinθ·sin r.
-    When that bound (+1e-6 fp margin) is strictly below the src's k-th
-    best cosine among its BEST-cell candidates, the whole src×cell
-    join is dropped before any pair dot is computed. The prune is
-    conservative — bound < kth means ≥ k better candidates already
-    exist — so the OUTPUT IS BIT-IDENTICAL to ``prune=False``; it pays
-    one extra per-src aggregation over best-cell candidates and buys
-    up to (nprobe−1)/nprobe of the candidate volume on clustered
-    corpora (on near-uniform embeddings radii approach 90° and the
-    bound rarely fires — clustered data is where IVF pruning wins).
+    ``prune=True`` skips SECONDARY probe cells that provably cannot
+    contribute: with θ the src→centroid angle (the probe score) and r
+    the cell's angular radius (min member→centroid cosine), no member
+    of the cell can exceed cos(θ−r) = cosθ·cos r + sinθ·sin r. When
+    that bound (+1e-6 fp margin) is strictly below the src's k-th best
+    cosine among its BEST-cell candidates, the whole src×cell join is
+    dropped before any pair dot is computed. The prune is conservative
+    — bound < kth means ≥ k better candidates already exist — so the
+    OUTPUT IS BIT-IDENTICAL to ``prune=False``; it pays one extra
+    per-src aggregation over best-cell candidates and buys up to
+    (nprobe−1)/nprobe of the candidate volume on clustered corpora
+    (measured 1.7× on an 8-cluster fixture; on near-uniform
+    embeddings radii approach 90°, the bound never fires, and the
+    bookkeeping is pure overhead — measured +35%).
+
+    ``prune="auto"`` (default) decides from the seed pool already on
+    the driver — zero extra passes: pool vectors are assigned to cells
+    with the same round-9 first-max rule, and pruning engages only
+    when at least half the cells have an estimated radius tighter than
+    60° (pool cos_r ≥ 0.5 — bounds can only fire on tight cells). The
+    pool RADIUS ESTIMATE is used solely for this go/no-go choice; when
+    engaged, the bound itself is recomputed EXACTLY over the full
+    corpus, so exactness never depends on the pool.
 
     Scale: candidate volume is Σ_cells |cell|·|probers(cell)| ≈
     N²·nprobe/n_cells — n_cells ∝ N (cells of a few thousand) holds
@@ -597,9 +618,25 @@ def knn_graph(
 
     Output: (src_id, dst_id, cosine_sim, rank), k rows per src.
     """
+    if prune not in (True, False, "auto"):
+        raise ValueError(f"prune must be True, False or 'auto': {prune!r}")
     n_cells = _resolve_n_cells(embeddings, n_cells)
-    cents = _seed_centroids(embeddings, n_cells=n_cells,
-                            id_col=id_col, vec_col=vec_col)
+    cents, pool_unit = _seed_centroids_with_pool(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if prune == "auto":
+        import numpy as np
+
+        cmat = np.array(cents)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        # pool→centroid round-9 cosines, first-max assignment — the
+        # numpy mirror of _nearest_cell's array_position rule
+        sims = np.round(pool_unit @ (cmat / cnorm[:, None]).T, 9)
+        assign = np.argmax(sims, axis=1)
+        own = sims[np.arange(len(assign)), assign]
+        tight = [float(own[assign == c].min()) >= 0.5
+                 for c in range(len(cents)) if (assign == c).any()]
+        prune = sum(tight) * 2 >= len(tight)
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("vec"))
     e = (_attach_centroids(e, cents)
