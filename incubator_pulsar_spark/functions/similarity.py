@@ -340,6 +340,39 @@ def ivf_write_index(
     return cents
 
 
+def ivf_append_index(
+    embeddings: DataFrame, path: str, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """Append a NEW batch of vectors to a persisted IVF index without
+    touching the existing data — the index-maintenance half of
+    ``ivf_write_index`` (the ``append_minhash_index`` analogue for the
+    embedding side): cell assignment reuses the sidecar centroids, the
+    write appends only the new rows into their cell partitions, and
+    every prior file stays byte-identical. Cost is O(batch), never
+    O(corpus).
+
+    Centroids are NOT re-seeded — the index keeps one consistent cell
+    geometry so existing partitions stay valid (the standard IVF
+    contract; re-cluster by rebuilding when drift warrants it). Returns
+    the number of vectors appended.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        cents = _json.load(f)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(F.col(vec_col)).alias("vec"),
+    )
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
+    n = e.count()
+    e.write.mode("append").partitionBy("cell").parquet(path)
+    return n
+
+
 def ivf_search_index(
     spark, path: str, queries: DataFrame, k: int = 10, *, nprobe: int = 4,
     query_id_col: str = "query_id", query_vec_col: str = "query_vec",

@@ -1391,6 +1391,55 @@ FROM ordered GROUP BY event_type
 """
 
 
+def quantile_sketch_docs(spark, sf_dir):
+    """sample_quantiles over STRING ids: non-integral ids route through
+    the 60-bit md5 order key (sketches._id_order_key) instead of a
+    cast — this gate replays that exact hash in SQL, proving the
+    (u, md5-id) total order is engine-portable end to end (a raw
+    cast('long') would NULL every id and break the sample). Groups are
+    languages over the documents table; value is n_chars as double."""
+    from ..functions.sketches import sample_quantiles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("sid"),
+        F.col("n_chars").cast("double").alias("len_chars"))
+    return sample_quantiles(d, ["lang"], "len_chars", "sid", k=128)
+
+
+QUANTILE_SKETCH_DOCS_SQL = """
+WITH t AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS len_chars,
+         ('0x' || substr(md5('qsk:' || 'doc-' || doc_id), 1, 12))::BIGINT
+           / 281474976710656.0 AS u,
+         ('0x' || substr(md5('tb:' || 'doc-' || doc_id), 1, 15))::BIGINT
+           AS tb
+  FROM documents
+),
+ranked AS (
+  SELECT lang, len_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY u, tb) AS rn
+  FROM t
+),
+samp AS (SELECT lang, len_chars FROM ranked WHERE rn <= 128),
+ordered AS (
+  SELECT lang, len_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY len_chars) AS vr,
+         count(*) OVER (PARTITION BY lang) AS m
+  FROM samp
+)
+SELECT lang,
+       CAST(max(m) AS BIGINT) AS sample_n,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.5 * m) AS BIGINT), 1)
+                THEN len_chars END) AS est_q50,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.9 * m) AS BIGINT), 1)
+                THEN len_chars END) AS est_q90,
+       max(CASE WHEN vr = greatest(CAST(ceil(0.99 * m) AS BIGINT), 1)
+                THEN len_chars END) AS est_q99
+FROM ordered GROUP BY lang
+"""
+
+
 def knn_graph_embeddings(spark, sf_dir):
     """Corpus-wide approximate k-NN graph (similarity.knn_graph): both
     sides of the candidate join are the corpus, keyed on IVF cell —
@@ -1548,6 +1597,40 @@ def dq_checks_orders(spark, sf_dir):
         C.references("o_custkey", cust, "c_custkey"),
     ]
     return C.run_checks(o, rules).orderBy("rule")
+
+
+def dq_unique_nullkeys_events(spark, sf_dir):
+    """unique() under NULL keys — the r5 distinct-null fix under the
+    gate: keys are derived nullable columns over events (user buckets
+    with a planted NULL stripe × event_type), so null-keyed rows are
+    common and the rule must count them as ONE distinct null tuple
+    (SQL DISTINCT semantics; the pre-fix count_distinct dropped every
+    null-keyed tuple and reported each as a violation). The oracle
+    replays the same struct-distinct — both engines treat a tuple with
+    NULL fields as a value, not as NULL."""
+    from ..functions import checks as C
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 13 == 0, F.lit(None))
+         .otherwise(F.col("user_id") % 101).alias("k_bucket"),
+        F.col("event_type").alias("k_type"))
+    return C.run_checks(ev, [C.unique(["k_bucket", "k_type"])]) \
+        .orderBy("rule")
+
+
+DQ_UNIQUE_NULLKEYS_SQL = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 13 = 0 THEN NULL
+              ELSE user_id % 101 END AS k_bucket,
+         event_type AS k_type
+  FROM events
+)
+SELECT 'unique:k_bucket,k_type' AS rule,
+       CAST(COUNT(*) - COUNT(DISTINCT (k_bucket, k_type)) AS BIGINT)
+         AS n_violations
+FROM t
+ORDER BY rule
+"""
 
 
 DQ_CHECKS_SQL = """
@@ -4571,63 +4654,62 @@ FROM cursors c LEFT JOIN agg a USING (subscription)
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
-# FIRST 50 entries only (CORRECTNESS_r01/r02 both recorded exactly the
-# first 50 in insertion order).  The head therefore carries the queries
-# that most need fresh driver evidence — the messaging/streaming data
-# plane, every LLM-data-pipeline operator, and a TPC-H core — while the
-# TPC-H remainder (driver-green in BOTH r01 and r02, unchanged since)
-# rotates to the tail.  All 67+ stay verified every round by
-# tools/oracle_check.py regardless of position.
+# FIRST 50 entries only (CORRECTNESS_r01-r04 each recorded exactly the
+# first 50 in insertion order). Round-5 rotation (the r4 verdict's top
+# action item): the head now carries, in priority order,
+#   1-14  the round-4c queries NEVER driver-proven in any round
+#         (local-sweep-only evidence until now),
+#   15-16 the two queries ADDED this round (r5 gate discipline),
+#   17-45 the 29 queries driver-proven exactly ONCE (r3 or r4),
+#   46-50 five representative multi-round-green rows so every family
+#         keeps a fresh driver check (flagship compaction, TPC-H Q1,
+#         MinHash-LSH, as-of join, tumbling windows).
+# Everything else — driver-green in ≥2 prior rounds, unchanged — sits
+# in the tail in its previous relative order; ALL queries stay
+# verified every round by tools/oracle_check.py regardless of slot.
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- messaging / streaming data plane (SURVEY §2.1-§2.5) ---
+        # --- 1-14: never driver-proven (round-4c tail, rotated in) ---
+        Query("range_rolling_user_value", range_rolling_user_value,
+              RANGE_ROLLING_SQL),
+        Query("interval_join_events", interval_join_events,
+              INTERVAL_JOIN_SQL),
+        Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
+        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
+        Query("quantile_sketch_events", quantile_sketch_events,
+              QUANTILE_SKETCH_SQL),
+        Query("zorder_block_stats_events", zorder_block_stats_events,
+              ZORDER_SQL),
+        Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
+        Query("cms_counts_events", cms_counts_events, CMS_SQL),
+        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
+        Query("analytic_functions_orders", analytic_functions_orders,
+              ANALYTIC_FUNCS_SQL),
+        Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
+        Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
+        Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
+        Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
+        # --- 15-16: NEW this round (r5) ---
+        Query("quantile_sketch_docs", quantile_sketch_docs,
+              QUANTILE_SKETCH_DOCS_SQL),
+        Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
+              DQ_UNIQUE_NULLKEYS_SQL),
+        # --- 17-45: driver-proven exactly once (r3/r4) ---
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
-        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
-        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
-        # --- LLM-data-pipeline operators (BASELINE.json extras) ---
         Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
-        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
-        Query("language_id", language_id, LANG_ID_SQL),
-        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
-        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
-        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
-        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
         Query("neardup_clusters_lsh", neardup_clusters_lsh,
               NEARDUP_CLUSTERS_LSH_SQL),
-        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
-        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
         Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
         Query("embedding_ann_lsh_multiprobe", embedding_ann_lsh_multiprobe,
               ANN_LSH_MULTIPROBE_SQL),
-        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
         Query("embedding_neardup_blocked", embedding_neardup_blocked,
               EMB_NEARDUP_BLOCKED_SQL),
-        # --- round-3 additions (training-data pipeline + as-of join) ---
-        Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("contamination_check", contamination_check, CONTAM_SQL),
-        Query("repetition_stats", repetition_stats, REPETITION_SQL),
-        Query("train_split_stats", train_split_stats, SPLIT_SQL),
-        Query("dataset_mixing", dataset_mixing, MIX_SQL),
-        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
-        Query("split_leakage", split_leakage, LEAKAGE_SQL),
-        Query("asof_join_events", asof_join_events, ASOF_SQL),
-        # --- round-4 additions + edits (50-cap discipline: every
-        # new/edited query sits in the head so the driver proves it) ---
         Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
         Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
-        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("media_features", media_features, MEDIA_FEATURES_SQL),
-        # --- round-4b additions (new families: exact heavy hitters,
-        # Bloom semi-join, blocked edit-distance linkage, time-grid
-        # gap-fill, bigram-LM scoring) ---
         Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
         Query("bloom_semijoin_orders", bloom_semijoin_orders, BLOOM_SEMIJOIN_SQL),
         Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
@@ -4648,55 +4730,48 @@ ALL_QUERIES: dict[str, Query] = {
               CLUSTER_SAFE_SPLIT_SQL),
         Query("subscription_backlog_events", subscription_backlog_events,
               SUBSCRIPTION_BACKLOG_SQL),
-        # --- tail: never-edited queries driver-green in at least two
-        # prior rounds, unchanged; locally verified every round by
-        # tools/oracle_check.py. tumbling/count-window/pane/delayed/
-        # key-shared rotated here in r4b (green r1+r2+r3, untouched);
-        # text_stats/compacted_read/media_frames likewise for the
-        # quantiles/digest/funnel slots; ttl/retry_dlq for the
-        # html-strip/bpe slots; dedup/compaction/salted for the
-        # centroid/weighted-sample/cluster-split slots (all 3x green).
-        # batch_receive_cap is the ONE exception to the twice-green
-        # rotation rule: the twice-green pool is exhausted, it is
-        # r3-driver-green + never edited + exact-pass in every local
-        # sweep since — rotated to make room for subscription_backlog
-        # and disclosed here rather than hidden. ---
-        # --- round-4c additions: the head-50 is already fully occupied
-        # by round-4/4b work and the twice-green rotation pool is
-        # exhausted, so these sit at the TAIL TOP (outside the driver's
-        # 50-row snapshot) — verified this round by the local oracle
-        # sweep at sf0.001/0.01/0.1 instead, and first in line for head
-        # rotation next round. ---
-        Query("range_rolling_user_value", range_rolling_user_value,
-              RANGE_ROLLING_SQL),
-        Query("interval_join_events", interval_join_events,
-              INTERVAL_JOIN_SQL),
-        Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
-        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
-        Query("quantile_sketch_events", quantile_sketch_events,
-              QUANTILE_SKETCH_SQL),
-        Query("zorder_block_stats_events", zorder_block_stats_events,
-              ZORDER_SQL),
-        Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
-        Query("cms_counts_events", cms_counts_events, CMS_SQL),
-        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
-        Query("analytic_functions_orders", analytic_functions_orders,
-              ANALYTIC_FUNCS_SQL),
-        Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
-        Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
-        Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
-        Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
+        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
+        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
+        # --- 46-50: representative multi-round-green rows ---
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
-        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
+        Query("asof_join_events", asof_join_events, ASOF_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        # --- tail (51+): driver-green in ≥2 prior rounds, unchanged;
+        # re-verified every round by the local oracle sweep ---
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
+        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
+        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
+        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
+        Query("language_id", language_id, LANG_ID_SQL),
+        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
+        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
+        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
+        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
+        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
+        Query("pii_redaction", pii_redaction, PII_SQL),
+        Query("contamination_check", contamination_check, CONTAM_SQL),
+        Query("repetition_stats", repetition_stats, REPETITION_SQL),
+        Query("train_split_stats", train_split_stats, SPLIT_SQL),
+        Query("dataset_mixing", dataset_mixing, MIX_SQL),
+        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
+        Query("split_leakage", split_leakage, LEAKAGE_SQL),
+        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
-        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
@@ -4708,7 +4783,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
@@ -4719,7 +4793,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
         Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
@@ -4736,6 +4809,5 @@ ALL_QUERIES: dict[str, Query] = {
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("setops_customers", setops_customers, SETOPS_SQL),
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
     ]
 }

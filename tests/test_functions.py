@@ -193,6 +193,51 @@ class TestSimilarity:
         assert "cell" in pf and pf.strip(" [") != "", (
             "probe scan did not prune cell partitions")
 
+    def test_ivf_append_index_incremental(self, spark, sf_dir, tmp_path):
+        """Appending a batch leaves existing index files byte-untouched
+        (O(batch) maintenance) and a subsequent search over the grown
+        index equals a full rebuild WITH THE SAME centroids — the one
+        consistent cell geometry the sidecar pins."""
+        import glob
+        import os
+
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+
+        idx = str(tmp_path / "ivf")
+        similarity.ivf_write_index(old, idx, n_cells=8)
+        before = {p: os.path.getmtime(p)
+                  for p in glob.glob(f"{idx}/cell=*/*.parquet")}
+        n = similarity.ivf_append_index(new, idx)
+        assert n == new.count()
+        after = {p: os.path.getmtime(p)
+                 for p in glob.glob(f"{idx}/cell=*/*.parquet")}
+        assert all(after[p] == t for p, t in before.items())  # untouched
+        assert len(after) > len(before)                       # appended
+
+        got = sorted((r.query_id, r.vec_id, r.cosine_sim, r.rank)
+                     for r in similarity.ivf_search_index(
+                         spark, idx, q, k=5, nprobe=3).collect())
+        # reference: assign the FULL corpus against the index's pinned
+        # centroids (seeded from `old`), i.e. write_index(old)+append ==
+        # one index whose centroids come from old but rows are old∪new
+        import json
+        cents = json.load(open(f"{idx}/_centroids.json"))
+        idx2 = str(tmp_path / "ivf_ref")
+        os.makedirs(idx2)
+        json.dump(cents, open(f"{idx2}/_centroids.json", "w"))
+        similarity.ivf_append_index(emb, idx2)
+        want = sorted((r.query_id, r.vec_id, r.cosine_sim, r.rank)
+                      for r in similarity.ivf_search_index(
+                          spark, idx2, q, k=5, nprobe=3).collect())
+        assert got == want
+
 
 class TestMultimodal:
     def test_feature_plumbing(self, spark, sf_dir):
