@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "dq_checks_orders",
     "profile_lineitem",
     "key_skew_stats_events",
+    # round-5: mixture / token-budget / shuffle-shard training ops
+    "mixture_sample_docs",
+    "token_budget_docs",
+    "shuffle_shards_docs",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

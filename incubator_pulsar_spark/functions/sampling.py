@@ -110,6 +110,208 @@ def pack_sequences(df: DataFrame, capacity: int, *, id_col: str,
     )
 
 
+def mixture_rates(df: DataFrame, targets: dict[str, float], *,
+                  domain_col: str, weight_col: str | None = None,
+                  total: float | None = None,
+                  max_epochs: float = 1.0) -> dict[str, float]:
+    """Per-domain sampling/repetition rates that turn the corpus into
+    the target mixture (training-mix recipes a la The Pile / DoReMi:
+    "30% web, 20% code, ..." BY WEIGHT, where weight is rows or
+    tokens).
+
+    Given observed domain weights w_d (SUM(weight_col), or row counts)
+    and target shares t_d, the output rate_d = t_d * S / w_d where S is
+    the mixture size: the caller's ``total``, or else the largest S
+    with every rate_d <= max_epochs (epoch cap — no domain repeats
+    more than max_epochs times). rate_d > 1 means upsampling: the
+    domain is repeated ceil(rate) times with the fractional epoch kept
+    Bernoulli(frac) per row. Domains absent from ``targets`` get rate
+    0 (dropped).
+
+    Scale shape: ONE aggregate over the corpus collects #domains rows
+    to the driver (domains are config-sized by contract — languages /
+    sources / crawl snapshots); everything downstream is map-only.
+    """
+    wcol = F.col(weight_col).cast("double") if weight_col \
+        else F.lit(1.0)
+    stats = {r["d"]: r["w"] for r in
+             df.groupBy(F.col(domain_col).alias("d"))
+               .agg(F.sum(wcol).alias("w")).collect()}
+    missing = [d for d in targets if d not in stats or not stats[d]]
+    if missing:
+        raise ValueError(f"target domains absent from corpus: {missing}")
+    if total is not None:
+        s = float(total)
+    else:
+        s = min(max_epochs * stats[d] / targets[d]
+                for d in targets if targets[d] > 0)
+    return {d: targets[d] * s / stats[d] for d in targets}
+
+
+def mixture_sample(df: DataFrame, targets: dict[str, float], *,
+                   domain_col: str, id_col: str,
+                   weight_col: str | None = None,
+                   total: float | None = None, max_epochs: float = 1.0,
+                   salt: str = "mix") -> DataFrame:
+    """Materialize the target mixture: each row appears ``epoch`` times
+    where E[epochs] = rate_d from :func:`mixture_rates` — floor(rate)
+    guaranteed copies plus one more iff md5-uniform < frac(rate). Rows
+    gain an ``epoch`` column (1-based); downsampled domains (rate < 1)
+    keep a Bernoulli subset, upsampled ones (rate > 1, low-resource
+    languages) genuinely repeat — the epoch column lets the training
+    writer interleave repeats instead of emitting them back-to-back.
+
+    Map-only after the one rate-computing aggregate: the rate lookup is
+    a literal CASE chain, copies come from an explode of a bounded
+    sequence (<= ceil(max_epochs)), nothing shuffles. Deterministic:
+    reruns and other engines reproduce the identical multiset.
+    """
+    rates = mixture_rates(df, targets, domain_col=domain_col,
+                          weight_col=weight_col, total=total,
+                          max_epochs=max_epochs)
+    rate = F.lit(0.0)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == k, F.lit(float(v))).otherwise(rate)
+    u = hash_uniform(F.col(id_col), salt)
+    n_copies = (F.floor(rate).cast("long")
+                + (u < rate - F.floor(rate)).cast("long"))
+    return (df.withColumn("__n", n_copies)
+            .filter(F.col("__n") >= 1)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(1),
+                                             F.col("__n").cast("int"))))
+            .drop("__n"))
+
+
+def token_budget_select(df: DataFrame, budget: int, *, quality_col: str,
+                        token_col: str, id_col: str,
+                        domain_col: str | None = None,
+                        n_buckets: int = 1024,
+                        salt: str = "budget") -> DataFrame:
+    """Select the highest-quality documents until the token budget is
+    spent (per domain if ``domain_col`` given): rank by (quality DESC,
+    md5 tiebreak) and keep every row whose inclusive running token sum
+    is <= budget — a pure prefix cut, the "take the best N tokens"
+    selection every curated-pretraining recipe ends with.
+
+    The naive form is one window over the whole domain — a single task
+    sorting the domain's entire corpus, dead at 100 TB. This runs
+    two-phase instead: (1) one aggregate builds a (domain, quality-
+    bucket) token histogram (<= domains x n_buckets rows to the
+    driver), from which the boundary bucket b* and the tokens already
+    consumed by strictly-better buckets are computed; (2) rows in
+    buckets above b* are kept outright MAP-SIDE (broadcast of the tiny
+    per-domain plan), rows below dropped map-side, and only the
+    boundary bucket — ~1/n_buckets of the data — pays the exact
+    (quality DESC, md5) window. Output is identical to the naive
+    window because bucketing is monotone in quality.
+
+    NULL quality rows are excluded (unrankable). Ties in quality are
+    totally ordered by md5(salt:id) then id, so the cut is
+    deterministic and engine-independent.
+    """
+    dom = F.col(domain_col).cast("string") if domain_col \
+        else F.lit("__all__")
+    q = F.col(quality_col).cast("double")
+    base = (df.filter(q.isNotNull())
+            .withColumn("__dom", dom)
+            .withColumn("__q", q)
+            .withColumn("__tok", F.col(token_col).cast("long")))
+    mm = base.groupBy("__dom").agg(F.min("__q").alias("lo"),
+                                   F.max("__q").alias("hi"))
+    rng = {r["__dom"]: (r["lo"], r["hi"]) for r in mm.collect()}
+    lo = F.lit(0.0)
+    span = F.lit(1.0)
+    for d, (l, h) in sorted(rng.items()):
+        lo = F.when(F.col("__dom") == d, F.lit(float(l))).otherwise(lo)
+        span = F.when(F.col("__dom") == d,
+                      F.lit(float(h - l) if h > l else 1.0)).otherwise(span)
+    bucket = F.least(
+        F.floor((F.col("__q") - lo) / span * n_buckets).cast("int"),
+        F.lit(n_buckets - 1))
+    base = base.withColumn("__bkt", bucket)
+    hist = (base.groupBy("__dom", "__bkt")
+            .agg(F.sum("__tok").alias("t")).collect())
+    per_dom: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_dom.setdefault(r["__dom"], []).append((r["__bkt"], r["t"]))
+    plan: list[tuple[str, int, int]] = []  # (dom, b_star, offset)
+    for d, rows in per_dom.items():
+        cum = 0
+        b_star, offset = -1, 0
+        for b, t in sorted(rows, reverse=True):
+            if cum + t > budget:
+                b_star, offset = b, cum
+                break
+            cum += t
+        plan.append((d, b_star, offset))
+    spark = df.sparkSession
+    plan_df = F.broadcast(spark.createDataFrame(
+        plan, "__dom_p string, b_star int, offset long"))
+    joined = base.join(plan_df, base["__dom"] == plan_df["__dom_p"], "left")
+    keep_cols = [F.col(c) for c in df.columns] + \
+        [F.col("__dom"), F.col("__q"), F.col("__tok")]
+    full_keep = joined.filter(
+        F.col("b_star").isNull() | (F.col("__bkt") > F.col("b_star"))
+    ).select(*keep_cols)
+    order_key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col)))
+    w = (Window.partitionBy("__dom")
+         .orderBy(F.col("__q").desc(), order_key, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (joined.filter(F.col("__bkt") == F.col("b_star"))
+                .select(*keep_cols, F.col("offset"))
+                .withColumn("__cum", F.col("offset") + F.sum("__tok").over(w))
+                .filter(F.col("__cum") <= budget)
+                .drop("offset", "__cum"))
+    out = full_keep.unionByName(boundary)
+    out = out.select(*[F.col(c) for c in df.columns],
+                     F.col("__tok").alias("n_tokens_sel"))
+    return out
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, *, id_col: str,
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle into training shards: shard =
+    md5(salt:id) mod n_shards, position = rank of the full md5 within
+    the shard. The standard pre-training "global shuffle" without a
+    global sort: one hash-partition shuffle, a per-shard local sort,
+    every shard an independent task — the only shape that survives
+    100 TB (a true ORDER BY rand() is a single total-order sort AND
+    nondeterministic on retry; this is neither).
+
+    Adds (shard int, pos long). Writers should
+    ``repartition(n_shards, shard).sortWithinPartitions(...)`` — see
+    :func:`write_shuffle_shards`.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col)))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (df.withColumn("__h", h).withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__h"))
+
+
+def write_shuffle_shards(df: DataFrame, path: str, n_shards: int, *,
+                         id_col: str, salt: str = "shuffle") -> None:
+    """Write the shuffled corpus as one parquet dir per shard
+    (shard=K subdirs), rows within a shard in their pseudo-random
+    order. Exactly one output task per shard (repartition on the shard
+    key), so file counts stay bounded and replays are byte-stable."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col)))
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    # shard leads the sort so the writer's required partition-column
+    # ordering is already satisfied — otherwise FileFormatWriter
+    # inserts its own (unstable) sort by `shard` and destroys the
+    # pseudo-random __h order inside each file.
+    (df.withColumn("shard", shard).withColumn("__h", h)
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "__h", id_col)
+     .drop("__h")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
 def weighted_sample_fixed(df: DataFrame, n: int, *, id_col: str,
                           weight_col: str, salt: str = "wsample") -> DataFrame:
     """Weighted sampling without replacement: top-n by the

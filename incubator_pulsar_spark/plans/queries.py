@@ -15,6 +15,7 @@ Cross-engine determinism rules used throughout (both sides identical):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -4651,6 +4652,181 @@ FROM cursors c LEFT JOIN agg a USING (subscription)
 """
 
 
+def mixture_sample_docs(spark, sf_dir):
+    """Target-proportion training mixture (sampling.mixture_sample):
+    re-weight the corpus to 50% en / 20% de / 30% zh by document count
+    with an epoch cap of 2 — the recipe step every pretraining mix
+    (Pile-style weights, DoReMi outputs) ends with. The binding domain
+    (zh) is repeated up to 2x (true upsampling, epoch column 1..n);
+    en/de downsample; es/fr are absent from the targets and drop.
+    Deterministic: rates derive from one count aggregate, the
+    keep/repeat decision from md5-uniforms, so the oracle recomputes
+    the identical multiset from scratch in SQL."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs.select("doc_id", "lang"),
+        {"en": 0.5, "de": 0.2, "zh": 0.3},
+        domain_col="lang", id_col="doc_id", max_epochs=2.0)
+    return out.select("doc_id", "lang", "epoch")
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT lang AS d, CAST(COUNT(*) AS DOUBLE) AS wt
+  FROM documents GROUP BY lang
+),
+tg(d, tshare) AS (VALUES ('en', 0.5), ('de', 0.2), ('zh', 0.3)),
+s AS (SELECT MIN(2.0 * w.wt / tg.tshare) AS s FROM w JOIN tg USING (d)),
+r AS (SELECT tg.d, tg.tshare * s.s / w.wt AS rate
+      FROM tg JOIN w USING (d), s),
+c AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(rate) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
+                     / 4294967296.0 < rate - FLOOR(rate)
+                THEN 1 ELSE 0 END AS n
+  FROM documents JOIN r ON documents.lang = r.d
+)
+SELECT doc_id, lang,
+       CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+FROM c WHERE n >= 1
+"""
+
+
+def token_budget_docs(spark, sf_dir):
+    """Quality-ranked token-budget selection (sampling.
+    token_budget_select): per language, keep the highest-quality
+    documents (quality = word count here; any score works) until a
+    4000-token budget is spent — the "best N tokens per language" cut
+    that ends curated-pretraining recipes. Runs TWO-PHASE: a (domain,
+    quality-bucket) token histogram picks the boundary bucket, rows
+    above it are kept map-side, and only the ~1/n_buckets boundary
+    slice pays an exact window — never a whole-domain single-task
+    sort. The oracle IS that naive whole-domain window: equality is
+    the proof the two-phase plan computes the same prefix cut."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id", "lang",
+        text.token_count(t).alias("toks"),
+        text.word_count(t).alias("q"))
+    out = sampling.token_budget_select(
+        enriched, 4000, quality_col="q", token_col="toks",
+        id_col="doc_id", domain_col="lang", n_buckets=64)
+    return out.select("doc_id", "lang",
+                      F.col("n_tokens_sel").alias("n_tokens"))
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, toks,
+         SUM(toks) OVER (
+           PARTITION BY lang
+           ORDER BY q DESC, md5('budget:' || doc_id), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT doc_id, lang, toks AS n_tokens FROM ranked WHERE cum <= 4000
+"""
+
+
+def shuffle_shards_docs(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards (sampling.
+    shuffle_shards): shard = md5 mod 8, position = md5 rank within the
+    shard. The 100 TB answer to "shuffle the corpus before training":
+    one hash shuffle + per-shard local sorts, no total-order sort, no
+    RNG (an ORDER BY rand() is both a global sort and nondeterministic
+    under task retry)."""
+    from ..functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.shuffle_shards(docs.select("doc_id"), 8,
+                                   id_col="doc_id")
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('shuffle:' || doc_id) AS h FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+def snapshot_time_travel_events(spark, sf_dir):
+    """Versioned snapshots / time travel (operators/snapshots.py —
+    manifests over immutable parquet files, the managed-ledger ledger
+    list re-expressed: ManagedLedgerImpl.java's sealed-ledger list IS
+    a manifest, reading at a position IS time travel, trimming IS
+    vacuum). Lifecycle under test: append half the events → v1 →
+    append the rest → v2 → copy-on-write rewrite_compact → v3. The
+    result reads v1 (the PAST, after two later writes and a rewrite)
+    and v3 side by side; the oracle recomputes both from the events
+    table, so the manifests provably pin the right row sets."""
+    import shutil as _sh
+
+    from ..operators import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    d = f"/tmp/ipq_snapshot_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    ev.filter(F.col("event_id") % 4 < 2).write.parquet(d)
+    v1 = snap.snapshot_topic(d)
+    ev.filter(F.col("event_id") % 4 >= 2).write.mode("append").parquet(d)
+    v2 = snap.snapshot_topic(d)
+    v3 = snap.rewrite_compact(spark, d, n_files=2)
+
+    def agg(df, label):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        ).withColumn("snapshot", F.lit(label))
+
+    return agg(snap.read_topic_asof(spark, d, v1), "v1_half") \
+        .unionByName(agg(snap.read_topic_incremental(spark, d, v1, v2),
+                         "delta_v1_v2")) \
+        .unionByName(agg(snap.read_topic_asof(spark, d, v3),
+                         "v3_compacted"))
+
+
+SNAPSHOT_TT_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MAX(event_id) AS max_event_id, 'v1_half' AS snapshot
+FROM events WHERE event_id % 4 < 2 GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MAX(event_id) AS max_event_id, 'delta_v1_v2' AS snapshot
+FROM events WHERE event_id % 4 >= 2 GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MAX(event_id) AS max_event_id, 'v3_compacted' AS snapshot
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -4661,9 +4837,11 @@ FROM cursors c LEFT JOIN agg a USING (subscription)
 #         (local-sweep-only evidence until now),
 #   15-16 the two queries ADDED this round (r5 gate discipline),
 #   17-45 the 29 queries driver-proven exactly ONCE (r3 or r4),
-#   46-50 five representative multi-round-green rows so every family
-#         keeps a fresh driver check (flagship compaction, TPC-H Q1,
-#         MinHash-LSH, as-of join, tumbling windows).
+#   46-48 the three r5-session-2 additions (mixture / token-budget /
+#         shuffle-shards — new queries always sit in the head),
+#   49-50 two representative multi-round-green rows so the flagship
+#         families keep a fresh driver check (compaction = entry(),
+#         TPC-H Q1); MinHash-LSH / as-of / tumbling rotate to the tail.
 # Everything else — driver-green in ≥2 prior rounds, unchanged — sits
 # in the tail in its previous relative order; ALL queries stay
 # verified every round by tools/oracle_check.py regardless of slot.
@@ -4734,13 +4912,19 @@ ALL_QUERIES: dict[str, Query] = {
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
-        # --- 46-50: representative multi-round-green rows ---
+        # --- 46-49: NEW mid-round (r5 session 2) — every new query
+        # must sit in the driver head (verify-skill rule) ---
+        Query("mixture_sample_docs", mixture_sample_docs,
+              MIXTURE_SAMPLE_SQL),
+        Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
+        Query("shuffle_shards_docs", shuffle_shards_docs,
+              SHUFFLE_SHARDS_SQL),
+        Query("snapshot_time_travel_events", snapshot_time_travel_events,
+              SNAPSHOT_TT_SQL),
+        # --- 50: representative multi-round-green row (flagship
+        # compaction = entry(); TPC-H Q1 rotates to the tail) ---
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
-        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
-        Query("asof_join_events", asof_join_events, ASOF_SQL),
-        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         # --- tail (51+): driver-green in ≥2 prior rounds, unchanged;
         # re-verified every round by the local oracle sweep ---
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
@@ -4809,5 +4993,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("setops_customers", setops_customers, SETOPS_SQL),
+        # rotated out of head 46-50 to make room for the r5 additions
+        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
+        Query("asof_join_events", asof_join_events, ASOF_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ]
 }

@@ -337,3 +337,75 @@ def test_digest_permutation_invariant_duplicate_sensitive(spark, rows):
     d3 = {r.t: (r.n_rows, r.checksum)
           for r in topic_digest(duped, ["t"], ["k"]).collect()}
     assert d3[rows[0][0]] != d1[rows[0][0]]
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 10 ** 6),
+                               st.sampled_from("xyz"),
+                               st.integers(1, 50),
+                               st.integers(0, 9)),
+                     min_size=2, max_size=60, unique_by=lambda r: r[0]),
+       budget=st.integers(0, 400))
+@SLOW
+def test_token_budget_prefix_and_monotone(spark, rows, budget):
+    """token_budget_select == the naive (quality DESC, md5, id) prefix
+    cut, and selections are monotone in budget (smaller budget =>
+    subset) — the property a curation pipeline relies on when it
+    re-runs with a bigger budget."""
+    import hashlib
+
+    from incubator_pulsar_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, dom=d, toks=t, q=float(q)) for i, d, t, q in rows],
+        "doc_id LONG, dom STRING, toks LONG, q DOUBLE")
+
+    def naive(b):
+        kept = {}
+        by_dom: dict[str, list] = {}
+        for i, d, t, q in rows:
+            by_dom.setdefault(d, []).append((i, t, q))
+        for d, rs in by_dom.items():
+            rs.sort(key=lambda r: (
+                -r[2], hashlib.md5(f"budget:{r[0]}".encode()).hexdigest(),
+                r[0]))
+            cum = 0
+            for i, t, _ in rs:
+                cum += t
+                if cum <= b:
+                    kept[i] = t
+        return kept
+
+    got = {r.doc_id: r.n_tokens_sel for r in sampling.token_budget_select(
+        df, budget, quality_col="q", token_col="toks", id_col="doc_id",
+        domain_col="dom", n_buckets=4).collect()}
+    assert got == naive(budget)
+    smaller = {r.doc_id for r in sampling.token_budget_select(
+        df, budget // 2, quality_col="q", token_col="toks",
+        id_col="doc_id", domain_col="dom", n_buckets=4).collect()}
+    assert smaller <= set(got)
+
+
+@given(ids=st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=50,
+                    unique=True),
+       n_shards=st.integers(1, 6))
+@SLOW
+def test_shuffle_shards_is_permutation(spark, ids, n_shards):
+    """shuffle_shards emits every row exactly once with contiguous
+    1..k positions per shard, and the assignment matches the md5
+    model — i.e. it IS a deterministic permutation."""
+    import hashlib
+
+    from incubator_pulsar_spark.functions import sampling
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids], "doc_id LONG")
+    out = sampling.shuffle_shards(df, n_shards, id_col="doc_id").collect()
+    assert sorted(r.doc_id for r in out) == sorted(ids)
+    per_shard: dict[int, list] = {}
+    for r in out:
+        h = hashlib.md5(f"shuffle:{r.doc_id}".encode()).hexdigest()
+        assert int(h[:8], 16) % n_shards == r.shard
+        per_shard.setdefault(r.shard, []).append((r.pos, h))
+    for s, ps in per_shard.items():
+        ps.sort()
+        assert [p for p, _ in ps] == list(range(1, len(ps) + 1))
+        assert [h for _, h in ps] == sorted(h for _, h in ps)

@@ -181,6 +181,105 @@ def test_delayed_delivery_stream(spark, tmp_path):
     assert released == [1, 3]  # seq 2 withheld in state
 
 
+def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
+    """The bucketed/persistent-tracker claim (MutableBucket spills the
+    delayed index to a ledger, `pulsar-broker/.../delayed/bucket/
+    MutableBucket.java`): 20k withheld rows across 500 keys ride the
+    ROCKSDB state store provider — state genuinely leaves the JVM heap
+    for local SST/snapshot files — survive a checkpoint restart, and
+    release exactly once with nothing lost or duplicated.
+
+    Design notes (semantics pinned by experiment): processing-time
+    timers re-arm from the VIRTUAL clock delta, so deliver_at sits 5-15
+    virtual seconds out = 5-15 real seconds of re-check cadence. Pass 1
+    pins the clock at t0 (timers churn, nothing ever due — the withhold
+    path is exercised repeatedly while state stays put); pass 2
+    restarts from the checkpoint with the clock 10h ahead and POLLS the
+    file-sink's committed view until every row releases — no reliance
+    on Trigger.AvailableNow termination, which never terminates while
+    keys re-arm timers (measured: unbounded timer-only batches)."""
+    import glob
+    import time
+
+    path = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    n, n_keys = 20_000, 500
+    rows = spark.range(n).select(
+        (F.col("id") % n_keys).cast("string").alias("key"),
+        F.col("id").alias("sequence"),
+        # due 5-15 VIRTUAL seconds after t0 → strictly future at pass-1
+        (F.lit(t0) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            (F.lit(5) + F.col("id") % 10).cast("double")))
+        .alias("deliver_at"))
+    rows.write.parquet(path)
+
+    ck = str(tmp_path / "c")
+    rel_dir = str(tmp_path / "rel")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+    def released():
+        if not glob.glob(f"{rel_dir}/*.parquet"):
+            return 0
+        # the file-sink metadata log filters to COMMITTED files only,
+        # so this is the exactly-once view a downstream reader gets
+        return spark.read.parquet(rel_dir).count()
+
+    try:
+        def start(now):
+            out = sdelay.delayed_delivery_stream(
+                _stream(spark, path), now_fn=lambda: now)
+            return (out.writeStream.format("parquet")
+                    .option("path", rel_dir)
+                    .option("checkpointLocation", ck)
+                    .trigger(processingTime="1 second").start())
+
+        # pass 1: clock pinned at t0 → every key withholds its 40 rows
+        # and re-arms; each micro-batch commits a RocksDB version (real
+        # spill traffic). Stop at a committed checkpoint.
+        q = start(t0)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 2:  # data batch + ≥1 timer batch
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(120)
+        assert released() == 0
+        # RocksDB actually engaged: SST/changelog/snapshot files under
+        # the checkpoint's state dir (the spill artifact itself)
+        sst = glob.glob(f"{ck}/state/**/*.zip", recursive=True) + \
+            glob.glob(f"{ck}/state/**/*.sst", recursive=True) + \
+            glob.glob(f"{ck}/state/**/*.changelog", recursive=True)
+        assert sst, "RocksDB state files not found under checkpoint"
+
+        # pass 2: restart from the checkpoint, clock far in the future.
+        # Restored timers fire (5-15s re-arm cadence), every pending
+        # row releases; poll the committed view to a deadline.
+        q2 = start(t0 + dt.timedelta(hours=10))
+        deadline = time.time() + 300
+        while time.time() < deadline and released() < n:
+            if q2.exception() is not None:  # died — say WHY, not "0 rows"
+                raise AssertionError(f"pass-2 query died: {q2.exception()}")
+            time.sleep(2)
+        q2.stop()
+        q2.awaitTermination(120)
+        got = spark.read.parquet(rel_dir)
+        assert got.count() == n
+        assert got.select("sequence").distinct().count() == n
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old)
+
+
 def test_nack_redelivery_stream(spark, tmp_path):
     """NegativeAcksTracker semantics: nacked rows come back after their
     exponential backoff, counter bumped, per-key arrival order kept;
