@@ -169,6 +169,17 @@ def mixture_sample(df: DataFrame, targets: dict[str, float], *,
     rates = mixture_rates(df, targets, domain_col=domain_col,
                           weight_col=weight_col, total=total,
                           max_epochs=max_epochs)
+    return mixture_apply(df, rates, domain_col=domain_col, id_col=id_col,
+                         salt=salt)
+
+
+def mixture_apply(df: DataFrame, rates: dict[str, float], *,
+                  domain_col: str, id_col: str,
+                  salt: str = "mix") -> DataFrame:
+    """Apply FROZEN per-domain rates (from :func:`mixture_rates` on a
+    reference corpus) — pure map-only column expressions, so this also
+    works on a STREAMING DataFrame: compute rates from yesterday's
+    corpus stats in batch, then mix the live stream with them."""
     rate = F.lit(0.0)
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(domain_col) == k, F.lit(float(v))).otherwise(rate)

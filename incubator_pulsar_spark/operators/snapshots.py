@@ -287,3 +287,29 @@ def append_and_snapshot(df: DataFrame, topic_dir: str) -> int:
     to the append)."""
     df.write.mode("append").parquet(topic_dir)
     return snapshot_topic(topic_dir)
+
+
+def snapshot_sink(topic_dir: str):
+    """Exactly-once versioned streaming sink for ``foreachBatch``:
+
+        stream.writeStream.foreachBatch(snapshot_sink(dir)).start()
+
+    Each micro-batch writes to a ``batch_id=N`` subdir with OVERWRITE
+    (a crash-replayed batch rewrites the same subdir instead of
+    appending duplicates — the same idempotence rule as the late-data
+    router), then snapshots. A replayed batch therefore converges to
+    the same bytes and the re-snapshot records an identical live set —
+    downstream ``read_topic_asof``/``read_topic_incremental`` consumers
+    never see a duplicate row. The batch_id column is not persisted;
+    the subdir name carries it.
+
+    Boundary: a snapshot taken BETWEEN a batch's first write and its
+    crash-replay references the first write's part-files, which the
+    replay's overwrite replaces — that one manifest strands (read_
+    topic_asof says so), the same posture as rewrite maintenance.
+    Converged state is exact."""
+    def write(df: DataFrame, batch_id: int) -> None:
+        (df.write.mode("overwrite")
+         .parquet(os.path.join(topic_dir, f"batch_id={batch_id}")))
+        snapshot_topic(topic_dir)
+    return write

@@ -286,3 +286,73 @@ def test_snapshot_incremental_read(spark, tmp_path):
     v3 = snap.rewrite_compact(spark, d)
     with pytest.raises(ValueError, match="rewrite"):
         snap.read_topic_incremental(spark, d, v1, v3)
+
+
+def test_snapshot_sink_streaming_exactly_once(spark, tmp_path):
+    """foreachBatch snapshot sink: per-batch versions, time travel
+    across batches, and a checkpoint-restart replay that converges
+    without duplicates (batch_id=N overwrite idempotence)."""
+    from incubator_pulsar_spark.operators import snapshots as snap
+
+    src = str(tmp_path / "src")
+    topic = str(tmp_path / "topic")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(i,) for i in range(6)], "id long") \
+        .write.parquet(src)
+
+    def run():
+        q = (spark.readStream.schema("id long").parquet(src)
+             .writeStream.foreachBatch(snap.snapshot_sink(topic))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run()
+    v_after_1 = snap.list_snapshots(topic)[-1]["version"]
+    assert snap.read_topic_asof(spark, topic).count() == 6
+    # second batch of data, resumed stream
+    spark.createDataFrame([(i,) for i in range(6, 10)], "id long") \
+        .write.mode("append").parquet(src)
+    run()
+    got = snap.read_topic_asof(spark, topic)
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+    # time travel to the first batch's snapshot still works
+    assert snap.read_topic_asof(spark, topic, v_after_1).count() == 6
+    # incremental read between the two = exactly the new rows
+    v_latest = snap.list_snapshots(topic)[-1]["version"]
+    inc = snap.read_topic_incremental(spark, topic, v_after_1, v_latest)
+    assert sorted(r.id for r in inc.collect()) == list(range(6, 10))
+    # replaying batch 0 by hand (same df, same batch_id) converges:
+    # same row multiset, no duplicates
+    snap.snapshot_sink(topic)(spark.read.parquet(src).filter("id < 6"), 0)
+    assert snap.read_topic_asof(spark, topic).count() == 10
+
+
+def test_mixture_apply_streaming(spark, tmp_path):
+    """Frozen rates from a batch corpus applied to a stream — the
+    map-only contract means the same expressions run under
+    readStream unchanged."""
+    from incubator_pulsar_spark.functions import sampling
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    batch = spark.createDataFrame(
+        [(i, "web" if i % 2 else "code") for i in range(100)],
+        "doc_id long, domain string")
+    batch.write.parquet(src)
+    rates = sampling.mixture_rates(batch, {"web": 0.5, "code": 0.5},
+                                   domain_col="domain", max_epochs=2.0)
+    stream = spark.readStream.schema("doc_id long, domain string") \
+        .parquet(src)
+    q = (sampling.mixture_apply(stream, rates, domain_col="domain",
+                                id_col="doc_id")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    want = sampling.mixture_apply(batch, rates, domain_col="domain",
+                                  id_col="doc_id").collect()
+    assert sorted((r.doc_id, r.epoch) for r in got) == \
+        sorted((r.doc_id, r.epoch) for r in want)
