@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "mixture_sample_docs",
     "token_budget_docs",
     "shuffle_shards_docs",
+    "kmeans_embeddings_clusters",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

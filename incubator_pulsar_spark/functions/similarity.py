@@ -874,3 +874,60 @@ def label_centroid_stats(
              F.round(F.sum(F.col("_c").cast("decimal(18,6)")).cast("double")
                      / F.count(F.lit(1)), 6).alias("avg_cos_to_centroid"))
     )
+
+
+def kmeans_embeddings(embeddings: DataFrame, k: int = 8, n_iter: int = 2, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Spherical k-means (Lloyd's) over an embedding corpus —
+    deterministic end to end, so a SQL oracle can replay every
+    iteration exactly:
+
+    - init: the greedy farthest-point seeds (``_seed_centroids`` —
+      the same k-means++-analogue the IVF index uses, round-9 cosines,
+      bounded 10k driver pool);
+    - assign: argmax round-9 cosine to the current centroids, ties to
+      the LOWEST cluster id (``_nearest_cell``'s array_position);
+    - update: per-dimension mean through ``decimal(27,12)`` sums
+      rounded to 6 decimals (the ``label_centroid_stats`` parity
+      trick — BLAS-vs-sequential fold noise can't leak into the next
+      iteration), empty clusters keep their previous centroid.
+
+    Scale shape per iteration: one map-side assignment (broadcast
+    centroid table, no shuffle), one partial-aggregated (cluster, dim)
+    mean — k·dim rows to the driver (bounded: clusters and dims are
+    config-sized). No per-row Python; the explode is columnar.
+    Returns (id, cluster, cosine_sim) — round-6 cosine to the FINAL
+    centroid. The reference has no clustering op (closest analogue:
+    the broker's namespace bundle split heuristics); this is
+    engine-completeness for the embedding-pipeline family, matching
+    scikit-learn's spherical-kmeans semantics under fixed iterations.
+    """
+    cents = _seed_centroids(embeddings, n_cells=k, id_col=id_col,
+                            vec_col=vec_col)
+    base = embeddings.select(F.col(id_col),
+                             as_double_array(F.col(vec_col)).alias("__v"))
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        a = (_attach_centroids(base, cents)
+             .withColumn("cluster", _nearest_cell(F.col("__v")))
+             .drop("_cents"))
+        m = (a.select("cluster", F.posexplode("__v").alias("d", "x"))
+             .groupBy("cluster", "d")
+             .agg(F.round(
+                 F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                 / F.count(F.lit(1)), 6).alias("m"))
+             .collect())
+        means: dict[int, dict[int, float]] = {}
+        for r in m:
+            means.setdefault(r["cluster"], {})[r["d"]] = r["m"]
+        cents = [
+            [means[c][d] for d in range(dim)] if c in means else cents[c]
+            for c in range(k)
+        ]
+    out = (_attach_centroids(base, cents)
+           .withColumn("cluster", _nearest_cell(F.col("__v"))))
+    final_c = F.col("_cents")[F.col("cluster")]
+    return out.select(
+        F.col(id_col), F.col("cluster"),
+        F.round(cosine(F.col("__v"), final_c), 6).alias("cosine_sim"))

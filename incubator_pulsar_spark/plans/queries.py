@@ -3201,9 +3201,67 @@ QUALIFY rank <= {k}
 """
 
 
+def kmeans_embeddings_clusters(spark, sf_dir):
+    """Spherical k-means (similarity.kmeans_embeddings): farthest-point
+    seeds, 2 Lloyd iterations, per-vector final assignment + round-6
+    cosine to its centroid. Every iteration is deterministic (round-9
+    assignment cosines, decimal-mean round-6 centroids), so the oracle
+    UNROLLS the whole algorithm — seeding chain, both assignment
+    passes, both centroid updates — into SQL CTEs and must agree on
+    every row. Scale: assignment is a broadcast map (no shuffle);
+    each update is one partial-aggregated (cluster, dim) mean, k·dim
+    rows to the driver."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_embeddings(emb, k=8, n_iter=2)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Replay similarity.kmeans_embeddings: the IVF seeding chain
+    (shared CTEs), then per iteration a decimal-mean centroid update
+    (empty cluster keeps its previous centroid via COALESCE) and a
+    round-9 argmax re-assignment."""
+    parts = _ivf_assign_parts(k)
+    cos9 = _sql_cos
+    parts.append("kc0 AS MATERIALIZED (SELECT cell, v AS cv FROM cells)")
+    prev_assign = "assigned"  # assignment under the seed centroids
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"kd{t} AS MATERIALIZED (SELECT cell, u.d, u.x "
+            f"FROM {prev_assign}, LATERAL (SELECT unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS d) u)")
+        parts.append(
+            f"km{t} AS MATERIALIZED (SELECT cell, d, "
+            "round(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) "
+            f"/ COUNT(*), 6) AS m FROM kd{t} GROUP BY cell, d)")
+        parts.append(
+            f"kn{t} AS MATERIALIZED (SELECT cell, list(m ORDER BY d) "
+            f"AS cv FROM km{t} GROUP BY cell)")
+        parts.append(
+            f"kc{t} AS MATERIALIZED (SELECT p.cell, COALESCE(n.cv, p.cv) "
+            f"AS cv FROM kc{t - 1} p LEFT JOIN kn{t} n USING (cell))")
+        if t < n_iter:
+            parts.append(
+                f"ka{t} AS (SELECT vec_id, v, cell FROM ("
+                "SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+                f"PARTITION BY e.vec_id ORDER BY {cos9('e.v', 'c.cv', 9)} "
+                "DESC, c.cell ASC) AS rn "
+                f"FROM e CROSS JOIN kc{t} c) WHERE rn = 1)")
+            prev_assign = f"ka{t}"
+    return f"""
+WITH {','.join(parts)}
+SELECT vec_id, cluster, cosine_sim FROM (
+  SELECT e.vec_id, CAST(c.cell AS INTEGER) AS cluster,
+         {cos9('e.v', 'c.cv', 6)} AS cosine_sim,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos9('e.v', 'c.cv', 9)} DESC, c.cell ASC) AS rn
+  FROM e CROSS JOIN kc{n_iter} c) WHERE rn = 1
+"""
+
+
 ANN_IVF_SQL = _ann_ivf_sql()
 SEMDEDUP_SQL = _semdedup_sql()
 KNN_GRAPH_SQL = _knn_graph_sql()
+KMEANS_SQL = _kmeans_sql()
 
 
 def _emb_neardup_blocked_sql(dim: int = 64, n_planes: int = 4,
@@ -4921,10 +4979,10 @@ ALL_QUERIES: dict[str, Query] = {
               SHUFFLE_SHARDS_SQL),
         Query("snapshot_time_travel_events", snapshot_time_travel_events,
               SNAPSHOT_TT_SQL),
-        # --- 50: representative multi-round-green row (flagship
-        # compaction = entry(); TPC-H Q1 rotates to the tail) ---
-        Query("compaction_publish_order", compaction_publish_order,
-              COMPACT_PUB_SQL),
+        # --- 50: NEW (r5 session 2); compaction_publish_order rotates
+        # to the tail (multi-green; entry() still smoke-checks it) ---
+        Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
+              KMEANS_SQL),
         # --- tail (51+): driver-green in ≥2 prior rounds, unchanged;
         # re-verified every round by the local oracle sweep ---
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
@@ -4998,5 +5056,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("asof_join_events", asof_join_events, ASOF_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("compaction_publish_order", compaction_publish_order,
+              COMPACT_PUB_SQL),
     ]
 }

@@ -356,3 +356,70 @@ def test_mixture_apply_streaming(spark, tmp_path):
                                   id_col="doc_id").collect()
     assert sorted((r.doc_id, r.epoch) for r in got) == \
         sorted((r.doc_id, r.epoch) for r in want)
+
+
+# ---------------------------------------------------------- kmeans
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Spherical k-means vs a pure-numpy Lloyd model with the same
+    snapping rules (round-9 assignment cosines, round-6 decimal-mean
+    centroids, ties to lowest cluster, empty cluster keeps centroid)."""
+    import numpy as np
+
+    from incubator_pulsar_spark.functions import similarity
+
+    rng_rows = []
+    # 3 well-separated deterministic blobs in 8-d
+    for i in range(90):
+        blob = i % 3
+        base = np.zeros(8)
+        base[blob] = 10.0
+        off = np.array([((i * 7 + d * 3) % 5) * 0.1 for d in range(8)])
+        rng_rows.append((i, (base + off).tolist()))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+
+    k, n_iter = 3, 2
+    got = {r.vec_id: (r.cluster, r.cosine_sim)
+           for r in similarity.kmeans_embeddings(
+               df, k=k, n_iter=n_iter).collect()}
+
+    # python model
+    vs = {i: np.array(v) for i, v in rng_rows}
+
+    def cos(a, b, nd):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(np.dot(a, b) / (na * nb)), nd)
+
+    # farthest-point seeding over the (full) pool, round-9
+    ids = sorted(vs)
+    unit = {i: vs[i] / (np.linalg.norm(vs[i]) or 1.0) for i in ids}
+    chosen = [ids[0]]
+    sims = {i: round(float(np.dot(unit[i], unit[chosen[0]])), 9) for i in ids}
+    for _ in range(1, k):
+        nxt = min(ids, key=lambda i: (sims[i], i))
+        chosen.append(nxt)
+        for i in ids:
+            sims[i] = max(sims[i], round(float(np.dot(unit[i], unit[nxt])), 9))
+    cents = [vs[j].copy() for j in chosen]
+
+    def assign(cents):
+        out = {}
+        for i in ids:
+            scores = [cos(vs[i], c, 9) for c in cents]
+            out[i] = int(np.argmax(scores))  # first max = lowest cluster
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        for c in range(k):
+            members = [vs[i] for i in ids if a[i] == c]
+            if members:
+                cents[c] = np.array([
+                    round(float(sum(m[d] for m in members)) / len(members), 6)
+                    for d in range(8)])
+    final = assign(cents)
+    for i in ids:
+        assert got[i][0] == final[i], i
+        assert got[i][1] == cos(vs[i], cents[final[i]], 6), i
