@@ -610,3 +610,51 @@ def chunk_documents(docs, *, chunk_words: int = 64, stride: int = 48,
                  .otherwise(F.lit(0)).cast("long").alias("n_words"),
                 F.md5("_chunk").alias("chunk_md5"))
     )
+
+
+def bm25_scores(docs, query_terms: list[str], *, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 retrieval scores for a query over the corpus — the
+    lexical-retrieval half of a RAG / data-curation stack (the
+    embedding ops are the dense half). Lucene-form idf:
+    ln((N - df + 0.5)/(df + 0.5) + 1), per-term tf saturation with k1,
+    length normalization with b against the average doc length.
+
+    Cross-engine exactness discipline (the tfidf_top_terms ln-parity
+    note): idf is snapped to 9 decimals BEFORE use (libm ln can differ
+    in the last ulp between engines), avgdl is a round-9 decimal mean,
+    and the per-doc sum runs through decimal(27,12) so addend order
+    can't move the hash. Scale: explode → term filter (query terms are
+    a tiny literal list) → one (doc, term) agg; df piggybacks as a
+    term-window count; the corpus stats broadcast as one row. Docs
+    with zero query-term hits are absent from the output (a retrieval
+    engine returns matches, not the corpus).
+    """
+    from pyspark.sql import DataFrame, Window  # local: column-only module
+
+    assert isinstance(docs, DataFrame)
+    terms = sorted({t.lower() for t in query_terms})
+    base = docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_w"))
+    base = base.withColumn("dl", F.size("_w").cast("long"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("dl").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)), 9).alias("avgdl"))
+    tokens = (base.select(F.col(id_col), F.col("dl"),
+                          F.explode("_w").alias("term"))
+              .filter(F.col("term").isin(terms)))
+    tf = tokens.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = (tf.withColumn("df", df_w)
+              .crossJoin(F.broadcast(stats)))
+    idf = F.round(F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)) + F.lit(1.0)), 9)
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    addend = (idf * tfn).cast("decimal(27,12)")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.round(F.sum(addend).cast("double"), 6).alias("score")))

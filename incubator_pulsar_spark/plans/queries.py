@@ -4829,6 +4829,55 @@ FROM s
 """
 
 
+def bm25_retrieval_docs(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (text.bm25_scores) for a 3-term
+    query over the corpus — the sparse-retrieval complement to the
+    embedding ANN family. Engine parity discipline: idf snapped to 9
+    decimals (libm ln ulp drift — the tfidf_top_terms note), round-9
+    decimal avgdl, decimal(27,12) per-doc sums; the oracle recomputes
+    every score from scratch."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, ["merge", "spark", "table"])
+
+
+BM25_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(dl AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 9) AS avgdl
+  FROM dd
+),
+tok AS (
+  SELECT doc_id, dl, u.term FROM dd, unnest(w) AS u(term)
+  WHERE u.term IN ('merge', 'spark', 'table')
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, dl, term
+),
+wdf AS (
+  SELECT doc_id, dl, term, tf,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM tf
+),
+sc AS (
+  SELECT doc_id,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+              * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              AS DECIMAL(27,12)) AS addend
+  FROM wdf CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       round(CAST(SUM(addend) AS DOUBLE), 6) AS score
+FROM sc GROUP BY doc_id
+"""
+
+
 def snapshot_time_travel_events(spark, sf_dir):
     """Versioned snapshots / time travel (operators/snapshots.py —
     manifests over immutable parquet files, the managed-ledger ledger
@@ -4969,8 +5018,12 @@ ALL_QUERIES: dict[str, Query] = {
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
-        # --- 46-49: NEW mid-round (r5 session 2) — every new query
+        # multi_topic_counts (once-proven r3, unchanged) rotates to the
+        # TAIL TOP to make room for bm25 — the one disclosed displacement
+        # this round (the batch_receive_cap precedent); its second proof
+        # moves to r6.
+        Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
+        # --- 46-50: NEW mid-round (r5 session 2) — every new query
         # must sit in the driver head (verify-skill rule) ---
         Query("mixture_sample_docs", mixture_sample_docs,
               MIXTURE_SAMPLE_SQL),
@@ -4985,6 +5038,7 @@ ALL_QUERIES: dict[str, Query] = {
               KMEANS_SQL),
         # --- tail (51+): driver-green in ≥2 prior rounds, unchanged;
         # re-verified every round by the local oracle sweep ---
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
