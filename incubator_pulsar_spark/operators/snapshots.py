@@ -39,9 +39,14 @@ Spark-first design:
 Contract: the topic is append-only between snapshots. Rewrite
 maintenance (``compact_parquet_dir`` / ``merge_into_topic`` /
 ``zorder_write``) replaces files, which strands older manifests —
-``read_topic_asof`` detects the missing files and says so. Run
-``vacuum_topic(dir, keep_last=0)`` + a fresh snapshot after a rewrite,
-exactly like ledger trimming follows compaction in the reference.
+``read_topic_asof`` detects the missing files and says so. Recovery
+after an in-place rewrite is SNAPSHOT-FIRST: take a fresh
+``snapshot_topic`` of the post-rewrite state, THEN ``vacuum_topic``
+(any ``keep_last``), exactly like ledger trimming follows — never
+precedes — sealing the compacted ledger in the reference. Vacuum
+additionally refuses to delete any file in the current on-disk live
+set (what a fresh snapshot would record), so even the wrong order
+cannot lose rows in partitions the rewrite never touched.
 """
 
 from __future__ import annotations
@@ -103,16 +108,52 @@ def _tombstones(topic_dir: str) -> set[str]:
     return dead
 
 
+def _referenced(topic_dir: str) -> set[str]:
+    """Every path any manifest on record references as live."""
+    mdir = os.path.join(topic_dir, _MANIFEST_DIR)
+    ref: set[str] = set()
+    if not os.path.isdir(mdir):
+        return ref
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                ref |= {d["path"] for d in json.load(fh)["files"]}
+    return ref
+
+
+def _live_files(topic_dir: str) -> list[dict]:
+    """The files a fresh snapshot would record: on-disk data files
+    MINUS copy-on-write tombstones MINUS orphan cow files.
+
+    Orphan cow files — ``cow*``-prefixed files referenced by NO
+    manifest — are the residue of a ``rewrite_compact`` that crashed
+    after moving part-files in but before writing its manifest. They
+    carry the same rows as the still-live originals, so counting them
+    as live would duplicate every compacted row; they are only
+    legitimized by the manifest written LAST in the rewrite protocol."""
+    dead = _tombstones(topic_dir)
+    ref = _referenced(topic_dir)
+    out = []
+    for d in _data_files(topic_dir):
+        if d["path"] in dead:
+            continue
+        base = os.path.basename(d["path"])
+        if base.startswith("cow") and d["path"] not in ref:
+            continue
+        out.append(d)
+    return out
+
+
 def snapshot_topic(topic_dir: str) -> int:
     """Record the current live file set as the next snapshot version.
 
     Live = files on disk MINUS files a copy-on-write rewrite dropped
     (those stay on disk for older snapshots but are not part of the
-    current topic). Atomic (tmp + rename); returns the new version
-    number. No data is read — cost is one directory walk regardless
-    of topic size."""
-    dead = _tombstones(topic_dir)
-    files = [d for d in _data_files(topic_dir) if d["path"] not in dead]
+    current topic) MINUS orphan cow files from a crashed rewrite (see
+    :func:`_live_files` — counting those would duplicate rows).
+    Atomic (tmp + rename); returns the new version number. No data is
+    read — cost is one directory walk regardless of topic size."""
+    files = _live_files(topic_dir)
     mdir = os.path.join(topic_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     versions = [s["version"] for s in list_snapshots(topic_dir)]
@@ -148,8 +189,30 @@ def read_topic_asof(spark: SparkSession, topic_dir: str,
             "(compact/merge/zorder) or vacuum removed them; older "
             "snapshots do not survive rewrites")
     if not paths:
-        return spark.createDataFrame([], "unused string").limit(0)
-    return spark.read.parquet(*paths)
+        # an empty snapshot still has the TOPIC's schema — derive it
+        # from the nearest non-empty snapshot (newest first) or any
+        # data file on disk, never fabricate one (a fabricated schema
+        # breaks callers selecting expected columns or unionByName-ing
+        # with real snapshots)
+        for s in reversed(snaps):
+            with open(_manifest_path(topic_dir, s["version"])) as fh:
+                cand = [os.path.join(topic_dir, d["path"])
+                        for d in json.load(fh)["files"]]
+            cand = [p for p in cand if os.path.exists(p)]
+            if cand:
+                return (spark.read.option("basePath", topic_dir)
+                        .parquet(cand[0]).limit(0))
+        disk = _data_files(topic_dir)
+        if disk:
+            return (spark.read.option("basePath", topic_dir).parquet(
+                os.path.join(topic_dir, disk[0]["path"])).limit(0))
+        raise ValueError(
+            f"snapshot v{version} is empty and no data file exists "
+            "under the topic to derive its schema from")
+    # basePath keeps hive partition-column inference alive when the
+    # read is an explicit leaf-file list (without it, part=a/ dirs in
+    # the path contribute no column and partitioned topics lose data)
+    return spark.read.option("basePath", topic_dir).parquet(*paths)
 
 
 def read_topic_incremental(spark: SparkSession, topic_dir: str,
@@ -176,7 +239,7 @@ def read_topic_incremental(spark: SparkSession, topic_dir: str,
     if missing:
         raise ValueError(f"incremental range references {len(missing)} "
                          f"missing file(s) (first: {missing[0]})")
-    return spark.read.parquet(*paths)
+    return spark.read.option("basePath", topic_dir).parquet(*paths)
 
 
 def diff_snapshots(topic_dir: str, v_old: int, v_new: int) -> dict:
@@ -193,9 +256,17 @@ def vacuum_topic(topic_dir: str, keep_last: int = 2) -> dict:
     data files only expired snapshots reference.
 
     Never touches files absent from every manifest (unsnapshotted
-    fresh appends). Returns {"expired": [versions], "deleted":
-    [paths]}. Idempotent and crash-safe: deletes are re-runnable, and
-    manifests are removed only after their files are gone."""
+    fresh appends), and never touches files in the CURRENT on-disk
+    live set (what a fresh :func:`snapshot_topic` would record) even
+    when no retained manifest references them — that situation arises
+    when an in-place rewrite (``merge_into_topic`` /
+    ``compact_parquet_dir``) replaced some partitions' files while
+    leaving untouched partitions' files live-but-referenced-only-by-
+    expired-manifests; deleting those would permanently lose every row
+    in the partitions the rewrite never touched. Returns {"expired":
+    [versions], "deleted": [paths]}. Idempotent and crash-safe:
+    deletes are re-runnable, and manifests are removed only after
+    their files are gone."""
     snaps = list_snapshots(topic_dir)
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
@@ -209,10 +280,12 @@ def vacuum_topic(topic_dir: str, keep_last: int = 2) -> dict:
     keep: set[str] = set()
     for s in retained:
         keep |= files_of(s["version"])
+    live_now = {d["path"] for d in _live_files(topic_dir)}
     drop: set[str] = set()
     for s in expired:
         drop |= files_of(s["version"])
     drop -= keep
+    drop -= live_now
     deleted = []
     for rel in sorted(drop):
         p = os.path.join(topic_dir, rel)
@@ -237,12 +310,22 @@ def rewrite_compact(spark: SparkSession, topic_dir: str,
 
     Flat (non-hive-partitioned) topic dirs only — COW rewrite of a
     partitioned topic should go leaf-by-leaf through the same call.
-    Crash-safe: new files land under a tmp dir and move in before the
-    manifest is written; a crash leaves either orphan tmp files (never
-    referenced, re-run overwrites) or moved-but-unsnapshotted files
-    (picked up as live by the next snapshot — the rewrite is a no-op
-    data-wise, duplicates are impossible because the old files are
-    only dropped from the NEW manifest, written last)."""
+    Crash-safe: new files land under a tmp dir, move in as
+    ``cow{v}-*``-prefixed files, and are legitimized ONLY by the
+    manifest written LAST. A crash before the manifest leaves orphan
+    cow files that carry the same rows as the still-live originals —
+    :func:`snapshot_topic` and :func:`vacuum_topic` ignore any
+    cow-prefixed file no manifest references, so the orphans can never
+    surface as duplicate rows; this function deletes them on the next
+    run before rewriting."""
+    # clean orphan cow files from a previously crashed rewrite — they
+    # are referenced by no manifest (the manifest write is the commit
+    # point) and would otherwise accumulate forever
+    ref = _referenced(topic_dir)
+    for d in _data_files(topic_dir):
+        base = os.path.basename(d["path"])
+        if base.startswith("cow") and d["path"] not in ref:
+            os.remove(os.path.join(topic_dir, d["path"]))
     if not list_snapshots(topic_dir):
         snapshot_topic(topic_dir)
     snaps = list_snapshots(topic_dir)
@@ -281,10 +364,15 @@ def rewrite_compact(spark: SparkSession, topic_dir: str,
 
 
 def append_and_snapshot(df: DataFrame, topic_dir: str) -> int:
-    """Append a batch and snapshot the result — one call per
-    micro-batch gives a versioned, replayable sink (use inside
-    foreachBatch; the file-sink's own exactly-once log still applies
-    to the append)."""
+    """Append a batch and snapshot the result in one call.
+
+    NOT exactly-once under crash replay: a plain ``mode("append")``
+    inside ``foreachBatch`` has no commit log, so a crash-replayed
+    micro-batch appends its rows AGAIN and the next snapshot records
+    the duplicates as live. Use this for driver-side batch loads where
+    the caller controls retries; for streaming ``foreachBatch`` use
+    :func:`snapshot_sink`, whose batch_id-subdir OVERWRITE makes
+    replays idempotent."""
     df.write.mode("append").parquet(topic_dir)
     return snapshot_topic(topic_dir)
 
@@ -297,17 +385,21 @@ def snapshot_sink(topic_dir: str):
     Each micro-batch writes to a ``batch_id=N`` subdir with OVERWRITE
     (a crash-replayed batch rewrites the same subdir instead of
     appending duplicates — the same idempotence rule as the late-data
-    router), then snapshots. A replayed batch therefore converges to
-    the same bytes and the re-snapshot records an identical live set —
-    downstream ``read_topic_asof``/``read_topic_incremental`` consumers
-    never see a duplicate row. The batch_id column is not persisted;
-    the subdir name carries it.
+    router), then snapshots. No duplicate ROWS can survive a replay;
+    downstream ``read_topic_asof`` consumers always see each batch's
+    rows exactly once. The batch_id column is not persisted; the
+    subdir name carries it.
 
-    Boundary: a snapshot taken BETWEEN a batch's first write and its
-    crash-replay references the first write's part-files, which the
-    replay's overwrite replaces — that one manifest strands (read_
-    topic_asof says so), the same posture as rewrite maintenance.
-    Converged state is exact."""
+    Replay boundary, stated exactly: Spark part-file NAMES embed a
+    per-job UUID, so a replayed batch writes the same rows under NEW
+    file names. The manifest snapshotted after the FIRST attempt
+    references the first attempt's part-files, which the replay's
+    overwrite deletes — that one manifest STRANDS (``read_topic_asof``
+    on it raises and says so, same posture as rewrite maintenance),
+    and ``read_topic_incremental`` across the replay boundary raises
+    (file identity changed) instead of returning a row-level delta.
+    The converged latest state is exact; only file-level history
+    across the crashed batch is lost."""
     def write(df: DataFrame, batch_id: int) -> None:
         (df.write.mode("overwrite")
          .parquet(os.path.join(topic_dir, f"batch_id={batch_id}")))
