@@ -931,3 +931,84 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8, n_iter: int = 2, *,
     return out.select(
         F.col(id_col), F.col("cluster"),
         F.round(cosine(F.col("__v"), final_c), 6).alias("cosine_sim"))
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = 8, *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center coreset selection + coverage report — the
+    classic 2-approximation (Gonzalez 1985) for picking k maximally
+    spread representatives of a corpus, the selection step of
+    diversity-driven data curation (pick prototypes, then sample or
+    label around them) and the seeding the IVF family already uses.
+
+    The k centers come from the deterministic farthest-point loop
+    (``_seed_centroids`` — round-9 cosines, bounded 10k driver pool);
+    every corpus vector is then assigned to its nearest center
+    (first-max ties, the ``_nearest_cell`` rule). The output is the
+    per-center COVERAGE report: how many vectors each center
+    represents and the worst (minimum, round-6) cosine among them —
+    the angular coverage radius that certifies coreset quality.
+
+    Scale: one driver-bounded seeding pass, then a map-side assignment
+    (broadcast center table, no shuffle of vectors) and one k-row
+    aggregate. Returns (center, n_covered, coverage_cos), k rows.
+    """
+    cents = _seed_centroids(embeddings, n_cells=k, id_col=id_col,
+                            vec_col=vec_col)
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("_scores", _cell_scores(F.col("vec")))
+         .drop("_cents"))
+    center = _argmax_cell(F.col("_scores"))
+    own = F.element_at(F.col("_scores"), center + 1)  # round-9 cosine
+    return (e.select(center.alias("center"), own.alias("_cos9"))
+            .groupBy("center")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_covered"),
+                 F.round(F.min("_cos9"), 6).alias("coverage_cos"))
+            .select(F.col("center").cast("int").alias("center"),
+                    "n_covered", "coverage_cos"))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             k_const: int = 60, top: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner (lexical
+    BM25 + dense ANN) in RAG / data-curation stacks. Each list
+    contributes 1/(k_const + rank) for ids it ranked; ids in only one
+    list still score (the other term is 0).
+
+    Inputs: two DataFrames carrying (id_col, rank_col); ranks are
+    1-based. Output: (id, rank_a, rank_b, rrf_score, fused_rank),
+    ordered by (score desc, id) with deterministic row_number ranks;
+    absent ranks surface as 0 (not NULL — gate outputs must be
+    hashable scalars). ``top`` truncates the fused list.
+
+    Scale: retrieval outputs are top-k sized (thousands of rows, not
+    corpus-sized), so the full-outer join is trivially small; fusion
+    adds no pass over the corpus. The score is a 2-addend double sum
+    in a fixed coalesce order — no aggregation-order nondeterminism.
+    """
+    a = ranked_a.select(F.col(id_col).alias("_id"),
+                        F.col(rank_col).cast("long").alias("_ra"))
+    b = ranked_b.select(F.col(id_col).alias("_id"),
+                        F.col(rank_col).cast("long").alias("_rb"))
+    fused = a.join(b, "_id", "full_outer")
+    score = (F.coalesce(1.0 / (F.lit(float(k_const)) + F.col("_ra")),
+                        F.lit(0.0))
+             + F.coalesce(1.0 / (F.lit(float(k_const)) + F.col("_rb")),
+                          F.lit(0.0)))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    out = (fused.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_ra"), F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce(F.col("_rb"), F.lit(0)).cast("long").alias("rank_b"),
+        F.round(score, 6).alias("rrf_score"))
+        .withColumn("fused_rank",
+                    F.row_number().over(w).cast("long")))
+    if top is not None:
+        out = out.filter(F.col("fused_rank") <= top)
+    return out

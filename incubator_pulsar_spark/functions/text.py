@@ -658,3 +658,150 @@ def bm25_scores(docs, query_terms: list[str], *, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
                  F.round(F.sum(addend).cast("double"), 6).alias("score")))
+
+
+def remove_boilerplate(docs, *, window: int = 3, min_df: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-level boilerplate removal at segment granularity — the
+    CCNet/C4 paragraph-dedup step (drop lines/paragraphs that repeat
+    across many pages: nav bars, cookie banners, footers), re-expressed
+    for Spark. Reference framing: this is a data-CURATION op with no
+    Pulsar analogue; it complements doc-level dedup (fuzzy.py) by
+    cutting WITHIN-doc repeated content.
+
+    Segments here are consecutive non-overlapping ``window``-word
+    chunks of the lowercased word stream (the test corpus has no line
+    breaks; on a real corpus, pre-split on newlines and pass each line
+    as its own doc-segment row instead). A segment is boilerplate when
+    its exact text occurs in >= ``min_df`` DISTINCT documents. Output:
+    one row per input doc — (id, clean_text, n_kept, n_removed), with
+    surviving segments rejoined in original order.
+
+    Scale: one explode + one (hash-keyed) distinct-doc count + one
+    equi-join back + one per-doc reassembly — all hash-partitioned on
+    bounded keys. The shuffle carries md5(segment) (16 bytes), never
+    segment text; the reassembly groups by doc id, so state per task is
+    one doc's segments. No Python, no windows over the whole corpus.
+    """
+    from pyspark.sql import DataFrame  # local: column-only module
+
+    assert isinstance(docs, DataFrame)
+    toks = word_tokens(F.col(text_col))
+    n_segs = F.ceil(F.size("_toks") / F.lit(float(window))).cast("int")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    # segment in one projection: sequence+slice builds the segment
+    # array, posexplode emits (pos, seg) — no self-join, no window
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"),
+                                       i * window + 1, window), " "))
+    segs = (base.filter(F.size("_toks") > 0)
+            .select(F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")))
+    segs = segs.withColumn("_h", F.md5(F.col("seg")))
+    dfc = (segs.groupBy("_h")
+           .agg(F.count_distinct(F.col(id_col)).alias("_df")))
+    # one aggregation computes kept text, kept count AND total count
+    # together (collect_list/count skip the NULLs the boilerplate rows
+    # become) — one fewer corpus agg + join than the totals-separately
+    # form, and the only scans left are the two sides of the df join
+    # plus the final doc spine
+    keep_seg = F.when(F.col("_df") < min_df,
+                      F.struct(F.col("pos"), F.col("seg")))
+    rebuilt = (segs.join(dfc, "_h")
+               .groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(F.array_sort(F.collect_list(keep_seg)),
+                                    lambda s: s["seg"]),
+                        " ").alias("clean_text"),
+                    F.count(keep_seg).cast("long").alias("n_kept"),
+                    F.count(F.lit(1)).cast("long").alias("_n_segs")))
+    out = (docs.select(id_col).join(rebuilt, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                   F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+                   (F.coalesce(F.col("_n_segs"), F.lit(0))
+                    - F.coalesce(F.col("n_kept"), F.lit(0)))
+                   .cast("long").alias("n_removed")))
+    return out
+
+
+def hashed_feature_bucket(token: Column, n_buckets: int,
+                          salt: str = "qb") -> Column:
+    """Hashing-trick feature index (Weinberger et al. 2009): md5 the
+    token, take 32 bits, mod the bucket count. Bounds the feature
+    space of any text model to ``n_buckets`` regardless of vocabulary
+    size — the reason fastText-style classifiers scale to web corpora
+    with no vocab pass and no driver-side dictionary."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), token)),
+                           1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def quality_classifier_scores(docs, *, n_buckets: int = 1024,
+                              weights: list[float] | None = None,
+                              weight_salt: str = "qw",
+                              id_col: str = "doc_id",
+                              text_col: str = "text"):
+    """Model-based quality scoring via the hashing trick — the shape of
+    a fastText / CCNet quality classifier applied at corpus scale:
+    score(doc) = mean over tokens of w[bucket(token)], a linear model
+    over hashed unigram features.
+
+    ``weights`` is the trained weight table (length ``n_buckets``),
+    shipped as ONE broadcast data column — never a literal array (the
+    measured literal-codegen trap, see functions/bloom.py). When
+    ``weights`` is None a deterministic placeholder table is derived
+    from md5: w_b = h_b/2³¹ − 1 ∈ [−1, 1), a dyadic value with full
+    32-bit precision — so tests and the oracle can replay the exact
+    pipeline without a training artifact; swapping in real trained
+    weights changes no plan shape. The dyadic form matters doubly for
+    cross-engine parity: (a) w_b·10¹² is never EXACTLY x.5 (that
+    would need h_b ≥ 2¹⁸·5¹² > 2³²), so the double→decimal(27,12)
+    cast rounds identically under Spark's HALF_UP and DuckDB's
+    HALF_EVEN; (b) the per-doc mean sum/n is a messy 12-decimal
+    rational, so it essentially never lands exactly halfway at the
+    output's 6 decimals — unlike few-decimal weights, whose clean
+    quotients DO hit exact halves (measured: 3-decimal weights gave
+    -4.047/16 = -0.2529375 and a one-ulp cross-engine flip).
+
+    Output: (id, n_tokens, quality_score round-6, keep) — keep is
+    score >= 0. The sum runs through decimal(27,12) so addend order
+    cannot move the cross-engine hash. Scale: map-only over the corpus
+    (one scan, no shuffle, no vocab state); the weight table is O(2^b)
+    bytes broadcast once.
+    """
+    import hashlib
+
+    from pyspark.sql import DataFrame  # local: column-only module
+
+    assert isinstance(docs, DataFrame)
+    if weights is None:
+        weights = [
+            int(hashlib.md5(f"{weight_salt}:{b}".encode())
+                .hexdigest()[:8], 16) / 2.0 ** 31 - 1.0
+            for b in range(n_buckets)]
+    if len(weights) != n_buckets:
+        raise ValueError(f"weights must have n_buckets={n_buckets} entries")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame([(weights,)], "_w ARRAY<DOUBLE>")
+    toks = word_tokens(F.col(text_col))
+    addend = F.transform(
+        toks,
+        lambda t: F.element_at(
+            F.col("_w"), hashed_feature_bucket(t, n_buckets) + 1)
+        .cast("decimal(27,12)"))
+    total = F.aggregate(addend, F.lit(0).cast("decimal(27,12)"),
+                        lambda acc, x: (acc + x).cast("decimal(27,12)"))
+    n_tok = F.size(toks).cast("long")
+    # divide as DOUBLE on both engines: decimal division has
+    # engine-specific result scales/rounding; double-of-exact-decimal
+    # divided by an int is bit-identical, and no double is exactly
+    # halfway at 6 decimals, so the final round agrees everywhere
+    score = F.when(n_tok > 0,
+                   F.round(total.cast("double") / n_tok, 6)
+                   ).otherwise(F.lit(0.0))
+    return (docs.crossJoin(F.broadcast(wdf))
+            .select(F.col(id_col), n_tok.alias("n_tokens"),
+                    score.alias("quality_score"))
+            .withColumn("keep", (F.col("quality_score") >= 0)
+                        .cast("boolean")))

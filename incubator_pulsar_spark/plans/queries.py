@@ -4935,23 +4935,187 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Round-6 additions: corpus curation ops (boilerplate removal, quality
+# classifier, k-center coreset, hybrid RRF retrieval)
+# --------------------------------------------------------------------------
+
+def boilerplate_removal_docs(spark, sf_dir):
+    """CCNet/C4-style boilerplate removal (text.remove_boilerplate):
+    segment each doc into non-overlapping 3-word windows, count each
+    segment's document frequency corpus-wide (md5-keyed shuffle, 16
+    bytes per segment), drop segments appearing in >= 3 distinct docs,
+    reassemble the survivors in order. Output keeps every doc with its
+    cleaned text + kept/removed counts, so the oracle checks the
+    reassembly byte-for-byte, not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.remove_boilerplate(docs, window=3, min_df=3)
+
+
+BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+  FROM w CROSS JOIN UNNEST(range(CAST(ceil(len(toks)/3.0) AS BIGINT))) AS t(i)
+  WHERE len(toks) > 0
+),
+hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hs GROUP BY h),
+kept AS (SELECT doc_id, pos, seg FROM hs JOIN dfc USING (h) WHERE df < 3),
+reb AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM hs GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(COALESCE(t.n_segs, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def quality_classifier_docs(spark, sf_dir):
+    """Hashing-trick linear quality classifier
+    (text.quality_classifier_scores): score(doc) = mean over tokens of
+    w[md5-bucket(token)], the fastText/CCNet model shape applied as a
+    map-only scan — the weight table is one broadcast data column.
+    Deterministic placeholder weights (h/2^31 - 1, full-precision
+    dyadic — clean few-decimal weights measurably hit exact-halfway
+    round-6 quotients and flip one ulp across engines) make the whole
+    pipeline SQL-replayable; `keep` is rendered as int for the hash
+    compare."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text.quality_classifier_scores(docs, n_buckets=1024)
+            .withColumn("keep", F.col("keep").cast("int")))
+
+
+QUALITY_CLASSIFIER_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, u.t FROM w, UNNEST(toks) AS u(t)),
+bkt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qb:' || t), 1, 8))::BIGINT % 1024 AS b
+  FROM tok
+),
+wt AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('qw:' || b), 1, 8))::BIGINT
+              / 2147483648.0 - 1.0 AS DECIMAL(27,12)) AS w
+  FROM bkt
+),
+agg AS (
+  SELECT doc_id, SUM(w) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+  FROM wt GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens,
+       COALESCE(round(CAST(a.tot AS DOUBLE) / a.n, 6), 0.0) AS quality_score,
+       CAST(COALESCE(round(CAST(a.tot AS DOUBLE) / a.n, 6), 0.0) >= 0.0
+            AS INTEGER) AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def kcenter_coreset_embeddings(spark, sf_dir):
+    """Greedy k-center coreset (similarity.kcenter_coreset): 8 maximally
+    spread representatives via the deterministic farthest-point loop,
+    every vector assigned to its nearest center (broadcast map-side),
+    then a per-center coverage report — count + worst round-6 cosine
+    (the angular coverage radius). The oracle reuses the ANN-IVF
+    seeding CTE chain verbatim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(emb, k=8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    parts = _ivf_assign_parts(k)
+    cos9 = _sql_cos
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(a.cell AS INTEGER) AS center,
+       CAST(COUNT(*) AS BIGINT) AS n_covered,
+       round(MIN({cos9('a.v', 'c.v', 9)}), 6) AS coverage_cos
+FROM assigned a JOIN cells c USING (cell)
+GROUP BY a.cell
+"""
+
+
+KCENTER_SQL = _kcenter_sql()
+
+
+def rrf_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval: Okapi BM25 lexical ranking (3-term query) and
+    exact dense cosine ranking (query = vec 0's embedding, doc_id =
+    vec_id) fused by reciprocal-rank fusion (similarity.rrf_fuse,
+    1/(60+rank) per list). Both input lists are top-50; fusion is a
+    full-outer join of two top-k-sized lists — no corpus pass beyond
+    the two retrievals themselves."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_scores(docs, ["merge", "spark", "table"])
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex_r = (lex.withColumn("rank", F.row_number().over(wl))
+             .filter(F.col("rank") <= 50).select("doc_id", "rank"))
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.lit(0).alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    dense = similarity.cosine_topk(emb, q, k=50)
+    dense_r = dense.select(F.col("vec_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse(lex_r, dense_r, top=50)
+
+
+RRF_SQL = f"""
+WITH lexall AS ({BM25_SQL}),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS r
+  FROM lexall QUALIFY r <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY c6 DESC, vec_id) AS BIGINT) AS r
+  FROM (SELECT e.vec_id, {_sql_cos('e.v', 'q.qv', 6)} AS c6
+        FROM e CROSS JOIN q)
+  QUALIFY r <= 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(l.r, 0) AS rank_a, COALESCE(d.r, 0) AS rank_b,
+         round(COALESCE(1.0 / (60.0 + l.r), 0.0)
+               + COALESCE(1.0 / (60.0 + d.r), 0.0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM fused QUALIFY fused_rank <= 50
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
-# FIRST 50 entries only (CORRECTNESS_r01-r04 each recorded exactly the
-# first 50 in insertion order). Round-5 rotation (the r4 verdict's top
-# action item): the head now carries, in priority order,
-#   1-14  the round-4c queries NEVER driver-proven in any round
-#         (local-sweep-only evidence until now),
-#   15-16 the two queries ADDED this round (r5 gate discipline),
-#   17-45 the 29 queries driver-proven exactly ONCE (r3 or r4),
-#   46-48 the three r5-session-2 additions (mixture / token-budget /
-#         shuffle-shards — new queries always sit in the head),
-#   49-50 two representative multi-round-green rows so the flagship
-#         families keep a fresh driver check (compaction = entry(),
-#         TPC-H Q1); MinHash-LSH / as-of / tumbling rotate to the tail.
-# Everything else — driver-green in ≥2 prior rounds, unchanged — sits
-# in the tail in its previous relative order; ALL queries stay
-# verified every round by tools/oracle_check.py regardless of slot.
+# FIRST 50 entries only (CORRECTNESS_r01-r05 each recorded exactly the
+# first 50 in insertion order). Round-6 rotation: the entire r5 head
+# went driver-green (CORRECTNESS_r05 = 50/50), so the four NEW round-6
+# queries (boilerplate removal, quality classifier, k-center coreset,
+# RRF hybrid retrieval) take head slots and four now-twice-proven,
+# unchanged rows rotate to the tail (kmv_distinct_events,
+# oov_rate_docs, gapfill_events, bigram_lm_docs). Everything else
+# keeps its r5 slot; ALL queries stay verified every round by
+# tools/oracle_check.py regardless of slot.
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4980,9 +5144,15 @@ ALL_QUERIES: dict[str, Query] = {
               QUANTILE_SKETCH_DOCS_SQL),
         Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
               DQ_UNIQUE_NULLKEYS_SQL),
-        # --- 17-45: driver-proven exactly once (r3/r4) ---
-        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
+        # --- 17-20: NEW this round (r6) — new queries sit in the head ---
+        Query("boilerplate_removal_docs", boilerplate_removal_docs,
+              BOILERPLATE_SQL),
+        Query("quality_classifier_docs", quality_classifier_docs,
+              QUALITY_CLASSIFIER_SQL),
+        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
+              KCENTER_SQL),
+        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
+        # --- 21-45: driver-proven once or twice (r3/r4/r5) ---
         Query("neardup_clusters_lsh", neardup_clusters_lsh,
               NEARDUP_CLUSTERS_LSH_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
@@ -4999,8 +5169,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("bloom_semijoin_orders", bloom_semijoin_orders, BLOOM_SEMIJOIN_SQL),
         Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
               LEVENSHTEIN_SQL),
-        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
-        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
         Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
         Query("funnel_conversion_events", funnel_conversion_events,
@@ -5105,6 +5273,12 @@ ALL_QUERIES: dict[str, Query] = {
         Query("rollup_orders", rollup_orders, ROLLUP_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("setops_customers", setops_customers, SETOPS_SQL),
+        # rotated out of the head to make room for the r6 additions
+        # (twice driver-green, unchanged)
+        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
+        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
+        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
+        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
         # rotated out of head 46-50 to make room for the r5 additions
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),

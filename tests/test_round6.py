@@ -151,3 +151,123 @@ def test_snapshot_sink_replay_strands_midpoint_manifest(spark, tmp_path):
         snap.read_topic_asof(spark, d, v_first)
     with pytest.raises(ValueError):
         snap.read_topic_incremental(spark, d, v_first, v_replay)
+
+
+# ------------------------------------------- r6 curation operators
+
+def test_remove_boilerplate_semantics(spark):
+    """Crafted corpus: a repeated 3-word 'cookie banner' appears in 3
+    docs (boilerplate, removed); unique content survives in order."""
+    from incubator_pulsar_spark.functions import text
+
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner} alpha beta gamma delta eps zeta"),
+        (2, f"unique opening words {banner} tail words here"),
+        (3, f"{banner} totally different content again here"),
+        (4, "no banner in this document at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_boilerplate(docs, window=3, min_df=3).collect()}
+    # the banner occupies segment 0 of docs 1 and 3 and segment 1 of
+    # doc 2 (segments are non-overlapping 3-word windows) -> df=3
+    assert out[1]["clean_text"] == "alpha beta gamma delta eps zeta"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "unique opening words tail words here"
+    assert out[3]["clean_text"] == "totally different content again here"
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "no banner in this document at all ok"
+
+
+def test_remove_boilerplate_empty_and_total_removal(spark):
+    from incubator_pulsar_spark.functions import text
+
+    rows = [(1, "spam spam spam"), (2, "spam spam spam"),
+            (3, "spam spam spam"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.remove_boilerplate(docs, window=3, min_df=3).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["clean_text"] == "" and out[d]["n_kept"] == 0 \
+            and out[d]["n_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 0
+    assert len(out) == 4  # every input doc present
+
+
+def test_quality_classifier_matches_python_model(spark):
+    import hashlib
+    import re
+
+    from incubator_pulsar_spark.functions import text
+
+    rows = [(i, t) for i, t in enumerate(
+        ["the quick brown fox", "lorem ipsum dolor sit amet",
+         "spark spark spark table merge", ""])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.quality_classifier_scores(docs, n_buckets=64).collect()}
+
+    def w_of(b):
+        return int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:8],
+                   16) / 2.0 ** 31 - 1.0
+
+    for doc_id, t in rows:
+        toks = re.findall(r"[a-z]+", t.lower())
+        ws = [w_of(int(hashlib.md5(f"qb:{tok}".encode())
+                       .hexdigest()[:8], 16) % 64) for tok in toks]
+        exp = round(sum(ws) / len(ws), 6) if ws else 0.0
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert abs(got[doc_id]["quality_score"] - exp) < 1e-9
+        assert got[doc_id]["keep"] == (exp >= 0)
+
+
+def test_quality_classifier_custom_weights(spark):
+    from incubator_pulsar_spark.functions import text
+
+    docs = spark.createDataFrame([(1, "good good bad")],
+                                 "doc_id long, text string")
+    # all-positive weights -> every doc keeps
+    out = text.quality_classifier_scores(
+        docs, n_buckets=4, weights=[1.0, 1.0, 1.0, 1.0]).collect()[0]
+    assert out["quality_score"] == 1.0 and out["keep"]
+    with pytest.raises(ValueError):
+        text.quality_classifier_scores(docs, n_buckets=4, weights=[1.0])
+
+
+def test_kcenter_coreset_properties(spark):
+    """k tight clusters -> k centers land one per cluster: every
+    vector's coverage cosine is high, counts sum to N."""
+    from incubator_pulsar_spark.functions import similarity
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = base[c] + 0.01 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kcenter_coreset(emb, k=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_covered"] for r in out) == 200
+    assert min(r["coverage_cos"] for r in out) > 0.99
+
+
+def test_rrf_fuse_hand_model(spark):
+    from incubator_pulsar_spark.functions import similarity
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)],
+                              "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in similarity.rrf_fuse(a, b).collect()}
+    assert abs(got[20]["rrf_score"]
+               - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    assert abs(got[10]["rrf_score"] - round(1 / 61, 6)) < 1e-12
+    assert got[40]["rank_a"] == 0 and got[40]["rank_b"] == 2
+    # fused order: 20 (both lists) first, then 10, 40, 30
+    order = sorted(got.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
