@@ -1012,3 +1012,146 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *,
     if top is not None:
         out = out.filter(F.col("fused_rank") <= top)
     return out
+
+
+# ---------------------------------------------------------------- PQ
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance via the expansion dot(a,a) − 2·dot(a,b) +
+    dot(b,b) — three sequential-fold dot products and two IEEE adds in
+    a fixed order, so DuckDB's list_dot_product replays it exactly
+    (the proven ``_sql_cos`` parity primitive; a zip-and-sum form
+    would depend on the engines agreeing on a fourth fold order)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
+                       ksub: int = 16, dim: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the ``dim`` dimensions into ``m`` contiguous subspaces and pick
+    ``ksub`` codewords per subspace by the deterministic greedy
+    farthest-point rule (maximize the minimum round-9 squared L2 to
+    the already-chosen set, ties to the lowest pool id) over a bounded
+    10k driver pool — the same RNG-free, SQL-replayable seeding
+    discipline as ``_seed_centroids``, under PQ's native L2 metric.
+
+    Returns ``m × ksub × (dim/m)`` nested lists. Training is a
+    driver-bounded metadata op regardless of corpus size."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = (
+        embeddings.select(F.col(id_col).alias("i"),
+                          as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("i").limit(10_000)
+        .collect()
+    )
+    pool = np.array([r["v"] for r in sample])
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = pool[:, s * dsub:(s + 1) * dsub]
+        # d2 via the same expansion the encoder uses (round-9 snap)
+        self_dot = np.einsum("ij,ij->i", sub, sub)
+
+        def d2_to(j):
+            return np.round(self_dot - 2.0 * (sub @ sub[j]) + self_dot[j], 9)
+
+        chosen = [0]
+        min_d2 = d2_to(0)
+        for _ in range(1, min(ksub, len(sub))):
+            nxt = int(np.argmax(min_d2))  # farthest from chosen set
+            chosen.append(nxt)
+            min_d2 = np.minimum(min_d2, d2_to(nxt))
+        books.append([sub[j].tolist() for j in chosen])
+    return books
+
+
+def _attach_pq(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as ONE broadcast data column (m × ksub × dsub doubles
+    — the literal form would re-hit the measured codegen trap)."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(books,)],
+                                "_pq ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+    return df.crossJoin(F.broadcast(bdf))
+
+
+def _pq_codes(vec: Column, m: int, dsub: int) -> Column:
+    """Per-subspace argmin-round-9-d2 codeword indexes (first-min ties
+    — the array_position rule), as an ARRAY<INT> of length m."""
+    def code_for(s: Column) -> Column:
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        d2s = F.transform(F.element_at(F.col("_pq"), s + 1),
+                          lambda cw: F.round(_d2(sub, cw), 9))
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its m PQ codeword indexes — map-only
+    (broadcast codebooks, no shuffle). dim·8 bytes/vector become
+    m·log2(ksub) bits: the compression that lets a 100 TB embedding
+    corpus's candidate scan live in memory."""
+    m = len(books)
+    dsub = len(books[0][0])
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("vec"))
+    return (_attach_pq(e, books)
+            .select("vec_id", _pq_codes(F.col("vec"), m, dsub).alias("codes")))
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
+                dim: int, m: int = 4, ksub: int = 16,
+                books: list[list[list[float]]] | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec") -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: each query computes one
+    m × ksub distance table against the codebooks; a candidate's
+    approximate distance is the sum of m table lookups addressed by
+    its codes — no candidate vector is ever touched at query time.
+
+    Scale shape: corpus encodes map-side ONCE (reusable — persist the
+    ``pq_encode`` output as the index); the query side broadcasts
+    (queries ≪ corpus, the ``cosine_topk`` contract); the scan is a
+    lookup-sum over broadcast tables, and the only shuffle is the
+    final per-query top-k window. Deterministic end to end (round-9
+    codeword argmins, round-6 ADC output, ties to the lowest id), so
+    the DuckDB oracle replays training, encoding and the ADC scan
+    exactly. Output: (query_id, vec_id, adc_d2, rank), ascending
+    distance, k rows per query."""
+    if books is None:
+        books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                                   id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    dsub = len(books[0][0])
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qv"))
+    # per-query distance table: m rows of ksub round-9 d2 entries
+    qtable = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(F.col("_pq"), s + 1),
+            lambda cw: F.round(_d2(F.slice(F.col("qv"), s * dsub + 1, dsub),
+                                   cw), 9)))
+    qt = _attach_pq(q, books).select("query_id", qtable.alias("_qt"))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_qt"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (enc.crossJoin(F.broadcast(qt))
+              .select("query_id", "vec_id",
+                      F.round(adc, 6).alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_d2", "rank"))
