@@ -952,7 +952,11 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8, *,
 
     Scale: one driver-bounded seeding pass, then a map-side assignment
     (broadcast center table, no shuffle of vectors) and one k-row
-    aggregate. Returns (center, n_covered, coverage_cos), k rows.
+    aggregate. Returns (center, n_covered, coverage_cos) — EXACTLY k
+    rows: a center that covers zero vectors (possible with duplicate
+    vectors, whose first-max tie sends both copies to the lower-indexed
+    center) surfaces as (center, 0, NULL) instead of vanishing, so
+    callers iterating k rows never miss one.
     """
     cents = _seed_centroids(embeddings, n_cells=k, id_col=id_col,
                             vec_col=vec_col)
@@ -964,12 +968,19 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8, *,
          .drop("_cents"))
     center = _argmax_cell(F.col("_scores"))
     own = F.element_at(F.col("_scores"), center + 1)  # round-9 cosine
-    return (e.select(center.alias("center"), own.alias("_cos9"))
-            .groupBy("center")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_covered"),
-                 F.round(F.min("_cos9"), 6).alias("coverage_cos"))
-            .select(F.col("center").cast("int").alias("center"),
-                    "n_covered", "coverage_cos"))
+    agg = (e.select(center.alias("center"), own.alias("_cos9"))
+           .groupBy("center")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_covered"),
+                F.round(F.min("_cos9"), 6).alias("coverage_cos")))
+    spine = (embeddings.sparkSession.range(len(cents))
+             .select(F.col("id").cast("int").alias("center")))
+    return (spine.join(agg.withColumn("center",
+                                      F.col("center").cast("int")),
+                       "center", "left")
+            .select("center",
+                    F.coalesce(F.col("n_covered"), F.lit(0))
+                    .cast("long").alias("n_covered"),
+                    "coverage_cos"))
 
 
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *,
@@ -1109,6 +1120,7 @@ def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
 def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 dim: int, m: int = 4, ksub: int = 16,
                 books: list[list[list[float]]] | None = None,
+                refine: int | None = None,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 query_vec_col: str = "query_vec") -> DataFrame:
@@ -1117,15 +1129,27 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     approximate distance is the sum of m table lookups addressed by
     its codes — no candidate vector is ever touched at query time.
 
+    ``refine=R`` adds the standard exact re-rank stage (IVFADC+R,
+    Jégou et al. 2011 §V): the ADC scan keeps a per-query shortlist of
+    R candidates, their TRUE vectors are fetched by an equi-join on id
+    and re-ranked by exact squared L2 — only R vectors per query are
+    ever touched, so at corpus scale the exact stage is O(Q·R·dim),
+    not O(N). Quantization error then only costs recall when a true
+    neighbor falls outside the ADC top-R (measured on the clustered
+    test fixture: recall@10 0.24 raw → 0.74+ at R=100). Output gains
+    an ``exact_d2`` column and ``rank`` ranks by it.
+
     Scale shape: corpus encodes map-side ONCE (reusable — persist the
     ``pq_encode`` output as the index); the query side broadcasts
     (queries ≪ corpus, the ``cosine_topk`` contract); the scan is a
-    lookup-sum over broadcast tables, and the only shuffle is the
-    final per-query top-k window. Deterministic end to end (round-9
-    codeword argmins, round-6 ADC output, ties to the lowest id), so
-    the DuckDB oracle replays training, encoding and the ADC scan
-    exactly. Output: (query_id, vec_id, adc_d2, rank), ascending
-    distance, k rows per query."""
+    lookup-sum over broadcast tables, and the only shuffles are the
+    per-query top-R/top-k windows (shortlist-sized) plus, in refine
+    mode, one id equi-join that moves R·Q candidate vectors.
+    Deterministic end to end (round-9 codeword argmins, round-6
+    outputs, ties to the lowest id), so the DuckDB oracle replays
+    training, encoding, the ADC scan and the refine stage exactly.
+    Output: (query_id, vec_id, adc_d2, rank) — plus exact_d2 before
+    rank in refine mode — ascending distance, k rows per query."""
     if books is None:
         books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
                                    id_col=id_col, vec_col=vec_col)
@@ -1151,7 +1175,25 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                       F.round(adc, 6).alias("adc_d2")))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
                                                F.col("vec_id"))
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("int"))
+    if refine is None:
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "adc_d2", "rank"))
+    if refine < k:
+        raise ValueError(f"refine={refine} must be >= k={k}")
+    shortlist = (scored.withColumn("_ar", F.row_number().over(w))
+                 .filter(F.col("_ar") <= refine)
+                 .drop("_ar"))
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double_array(F.col(vec_col)).alias("_cv"))
+    exact = (shortlist.join(vecs, "vec_id")
+             .join(F.broadcast(q), "query_id")
+             .select("query_id", "vec_id", "adc_d2",
+                     F.round(_d2(F.col("_cv"), F.col("qv")), 6)
+                     .alias("exact_d2")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("exact_d2").asc(),
+                                                F.col("vec_id"))
+    return (exact.withColumn("rank", F.row_number().over(wr).cast("int"))
             .filter(F.col("rank") <= k)
-            .select("query_id", "vec_id", "adc_d2", "rank"))
+            .select("query_id", "vec_id", "adc_d2", "exact_d2", "rank"))

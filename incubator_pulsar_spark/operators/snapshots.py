@@ -200,12 +200,18 @@ def read_topic_asof(spark: SparkSession, topic_dir: str,
                         for d in json.load(fh)["files"]]
             cand = [p for p in cand if os.path.exists(p)]
             if cand:
+                # all donor files + mergeSchema: with schema evolution
+                # across part-files, one file can miss columns others
+                # carry — the derived schema must be the union
                 return (spark.read.option("basePath", topic_dir)
-                        .parquet(cand[0]).limit(0))
+                        .option("mergeSchema", "true")
+                        .parquet(*cand).limit(0))
         disk = _data_files(topic_dir)
         if disk:
-            return (spark.read.option("basePath", topic_dir).parquet(
-                os.path.join(topic_dir, disk[0]["path"])).limit(0))
+            return (spark.read.option("basePath", topic_dir)
+                    .option("mergeSchema", "true")
+                    .parquet(*[os.path.join(topic_dir, d["path"])
+                               for d in disk]).limit(0))
         raise ValueError(
             f"snapshot v{version} is empty and no data file exists "
             "under the topic to derive its schema from")
@@ -266,11 +272,21 @@ def vacuum_topic(topic_dir: str, keep_last: int = 2) -> dict:
     in the partitions the rewrite never touched. Returns {"expired":
     [versions], "deleted": [paths]}. Idempotent and crash-safe:
     deletes are re-runnable, and manifests are removed only after
-    their files are gone."""
+    their files are gone.
+
+    The newest manifest is NEVER expired (``keep_last`` is clamped to
+    >= 1): after a completed ``rewrite_compact`` the latest manifest is
+    the ONLY thing that legitimizes the live ``cow*`` files — expiring
+    it would make :func:`snapshot_topic` classify them as orphan crash
+    residue (empty live set) and the next rewrite physically delete
+    them: total data loss. Ledger-trim in the reference has the same
+    floor — the currently-open ledger is never trimmed
+    (ManagedLedgerImpl#internalTrimLedgers skips the current ledger)."""
     snaps = list_snapshots(topic_dir)
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
-    expired = snaps[:-keep_last] if keep_last else snaps
+    keep_last = max(keep_last, 1)
+    expired = snaps[:-keep_last]
     retained = snaps[len(expired):]
 
     def files_of(v):
@@ -387,8 +403,13 @@ def snapshot_sink(topic_dir: str):
     appending duplicates — the same idempotence rule as the late-data
     router), then snapshots. No duplicate ROWS can survive a replay;
     downstream ``read_topic_asof`` consumers always see each batch's
-    rows exactly once. The batch_id column is not persisted; the
-    subdir name carries it.
+    rows exactly once. The subdir name carries the batch id, and the
+    read paths (:func:`read_topic_asof` / :func:`read_topic_incremental`)
+    surface it as an inferred hive partition column ``batch_id`` — the
+    ``basePath`` option they set makes partition-dir inference apply to
+    explicit leaf-file lists, so consumers see one extra long column
+    alongside the data columns (asserted in tests; drop it with
+    ``.drop("batch_id")`` if unwanted).
 
     Replay boundary, stated exactly: Spark part-file NAMES embed a
     per-job UUID, so a replayed batch writes the same rows under NEW

@@ -5038,13 +5038,19 @@ def kcenter_coreset_embeddings(spark, sf_dir):
 def _kcenter_sql(k: int = 8) -> str:
     parts = _ivf_assign_parts(k)
     cos9 = _sql_cos
+    # LEFT JOIN against the k-row cells spine mirrors the Spark side's
+    # exactly-k-rows contract (empty centers surface as (c, 0, NULL))
     return f"""
-WITH {','.join(parts)}
-SELECT CAST(a.cell AS INTEGER) AS center,
-       CAST(COUNT(*) AS BIGINT) AS n_covered,
-       round(MIN({cos9('a.v', 'c.v', 9)}), 6) AS coverage_cos
-FROM assigned a JOIN cells c USING (cell)
-GROUP BY a.cell
+WITH {','.join(parts)},
+cov AS (
+  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_covered,
+         round(MIN({cos9('a.v', 'c.v', 9)}), 6) AS coverage_cos
+  FROM assigned a JOIN cells c USING (cell)
+  GROUP BY a.cell
+)
+SELECT CAST(c.cell AS INTEGER) AS center,
+       COALESCE(v.n_covered, 0) AS n_covered, v.coverage_cos
+FROM cells c LEFT JOIN cov v USING (cell)
 """
 
 

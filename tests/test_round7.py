@@ -1,0 +1,215 @@
+"""Round-7: ADVICE r6 fixes + PQ family verification.
+
+1. vacuum_topic can no longer expire the NEWEST manifest: after a
+   completed rewrite_compact, that manifest is the only thing that
+   legitimizes the live cow* files — expiring it made snapshot_topic
+   classify them as orphan crash residue (empty live set) and the next
+   rewrite physically delete them (total data loss; ADVICE r6 high).
+2. read paths of batch_id-layout topics (snapshot_sink) surface
+   batch_id as an inferred hive partition column — now documented and
+   locked (ADVICE r6 medium).
+3. empty-snapshot schema derivation unions ALL donor files
+   (mergeSchema), so schema evolution across part-files can't drop
+   columns (ADVICE r6 low).
+4. kcenter_coreset always returns exactly k rows — empty centers
+   surface as (center, 0, NULL) instead of vanishing (ADVICE r6 low).
+5. PQ family (pq_train_codebooks / pq_encode / pq_adc_topk): the
+   round-6 code shipped unverified; these tests hand-model the ADC
+   lookup-sum, lock the tie rules and validation paths, and check
+   ADC recall against the exact scan (VERDICT r6 top item).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import similarity
+from incubator_pulsar_spark.operators import snapshots as snap
+
+
+# ------------------------------------------------- ADVICE r6 high #1
+
+def test_vacuum_keep_last_zero_never_loses_cow_live_set(spark, tmp_path):
+    """vacuum(keep_last=0) right after a completed rewrite_compact:
+    the newest manifest must survive (clamp), the live cow files must
+    stay legitimized, and the next snapshot + rewrite must still carry
+    every row."""
+    d = str(tmp_path / "topic")
+    spark.range(0, 30).selectExpr("id", "id * 3 AS v") \
+        .write.mode("append").parquet(d)
+    snap.snapshot_topic(d)
+    v2 = snap.rewrite_compact(spark, d, n_files=1)  # live set is cow files
+    res = snap.vacuum_topic(d, keep_last=0)
+    # v2 (the newest manifest, the cow files' only legitimizer) retained
+    assert v2 not in res["expired"]
+    assert snap.list_snapshots(d)[-1]["version"] == v2
+    # the fresh snapshot still sees all rows (not an empty live set)
+    v3 = snap.snapshot_topic(d)
+    assert snap.read_topic_asof(spark, d, v3).count() == 30
+    # and the next rewrite does not delete live data
+    v4 = snap.rewrite_compact(spark, d, n_files=1)
+    assert snap.read_topic_asof(spark, d, v4).count() == 30
+
+
+# ----------------------------------------------- ADVICE r6 medium #3
+
+def test_snapshot_sink_read_surfaces_batch_id_partition(spark, tmp_path):
+    """batch_id-subdir topics: read_topic_asof surfaces batch_id as an
+    inferred hive partition column (documented behavior), and the
+    values match the subdir names."""
+    d = str(tmp_path / "topic")
+    sink = snap.snapshot_sink(d)
+    sink(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), 0)
+    sink(spark.range(5, 8).selectExpr("id", "id * 2 AS v"), 1)
+    got = snap.read_topic_asof(spark, d)
+    assert "batch_id" in got.columns
+    per = {r["batch_id"]: r["n"] for r in
+           got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 5, 1: 3}
+
+
+# -------------------------------------------------- ADVICE r6 low #4
+
+def test_empty_snapshot_schema_unions_evolved_files(spark, tmp_path):
+    """Donor snapshot has part-files with DIFFERENT schemas (evolution):
+    the empty snapshot's derived schema must be the union, not whatever
+    one file happens to carry."""
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+    v1 = snap.snapshot_topic(d)  # empty manifest
+    spark.range(0, 3).selectExpr("id").write.mode("append").parquet(d)
+    spark.range(3, 6).selectExpr("id", "id * 2 AS extra") \
+        .write.mode("append").parquet(d)
+    snap.snapshot_topic(d)
+    empty = snap.read_topic_asof(spark, d, v1)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "extra"}
+
+
+# -------------------------------------------------- ADVICE r6 low #5
+
+def test_kcenter_coreset_always_k_rows(spark):
+    """Duplicate vectors make a center cover zero vectors (first-max
+    tie sends both copies to the lower-indexed center); the report must
+    still have exactly k rows, empty centers as (center, 0, NULL)."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),   # exact duplicates
+            (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = similarity.kcenter_coreset(emb, k=4).orderBy("center").collect()
+    assert [r["center"] for r in out] == [0, 1, 2, 3]
+    covered = {r["center"]: r["n_covered"] for r in out}
+    assert sum(covered.values()) == 4
+    empties = [r for r in out if r["n_covered"] == 0]
+    assert len(empties) == 1  # the duplicate's center covers nothing
+    assert empties[0]["coverage_cos"] is None
+
+
+# ------------------------------------------------------ PQ family
+
+@pytest.fixture(scope="module")
+def tiny_emb(spark):
+    """Two tight clusters in 4-d — PQ with m=2 sub-spaces of 2 dims."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.9, 0.1, 0.1, 0.9]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [0.1, 0.9, 0.9, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_pq_train_shape_and_determinism(tiny_emb):
+    books = similarity.pq_train_codebooks(tiny_emb, m=2, ksub=2, dim=4)
+    assert len(books) == 2                      # m sub-spaces
+    assert all(len(b) == 2 for b in books)      # ksub codewords each
+    assert all(len(cw) == 2 for b in books for cw in b)  # dim/m values
+    # deterministic: same input -> same books
+    assert books == similarity.pq_train_codebooks(tiny_emb, m=2, ksub=2, dim=4)
+    # greedy rule: first codeword is vec 0's sub-vector, second is the
+    # farthest-from-it pool sub-vector (vec 2's, squared L2 = 2.0)
+    assert books[0][0] == [1.0, 0.0]
+    assert books[0][1] == [0.0, 1.0]
+
+
+def test_pq_train_dim_not_divisible_raises(tiny_emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train_codebooks(tiny_emb, m=3, ksub=2, dim=4)
+
+
+def test_pq_encode_codewords_roundtrip(spark, tiny_emb):
+    """Encoding a vector equal to a codeword concat must return that
+    codeword's own index in every sub-space (d2 = 0 is the unique
+    minimum on this fixture)."""
+    books = similarity.pq_train_codebooks(tiny_emb, m=2, ksub=2, dim=4)
+    probe = spark.createDataFrame(
+        [(9, books[0][1] + books[1][0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = similarity.pq_encode(probe, books).collect()[0]
+    assert got["codes"] == [1, 0]
+
+
+def test_pq_encode_tie_breaks_to_lowest_index(spark):
+    """A vector exactly halfway between two codewords takes the
+    lower-indexed one (array_position-of-first-min rule)."""
+    books = [[[1.0, 0.0], [0.0, 1.0]]]
+    probe = spark.createDataFrame(
+        [(0, [0.5, 0.5])], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = similarity.pq_encode(probe, books).collect()[0]
+    assert got["codes"] == [0]
+
+
+def test_pq_adc_hand_model(spark, tiny_emb):
+    """Hand-model the ADC sum: with explicit books, the approximate
+    distance of candidate c to query q must equal the sum over
+    sub-spaces of round9-d2(q_sub, codeword[codes[c][s]]), round-6."""
+    books = [[[1.0, 0.0], [0.0, 1.0]],
+             [[0.0, 1.0], [1.0, 0.0]]]
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0])], "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    out = similarity.pq_adc_topk(tiny_emb, q, k=4, dim=4, books=books)
+    got = {r["vec_id"]: (r["adc_d2"], r["rank"]) for r in out.collect()}
+    # codes: vec0/vec1 -> [0,0]; vec2/vec3 -> [1,1]
+    # q tables: sub0 d2 to [1,0]=0.0, to [0,1]=2.0; sub1 d2 to [0,1]=0.0, to [1,0]=2.0
+    assert got[0] == (0.0, 1)
+    assert got[1] == (0.0, 2)   # same codes as vec0, tie -> id order
+    assert got[2] == (4.0, 3)
+    assert got[3] == (4.0, 4)
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """Real embeddings fixture (unit-norm, clustered): raw ADC recall
+    is honest-but-coarse (many candidates share a code, so their ADC
+    ties collapse — measured 0.24 at m=4 ksub=16 on this corpus); the
+    refine stage must recover most of the exact top-10."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    # vectors are unit-norm, so exact-cosine top-10 == exact-L2 top-10
+    exact = similarity.cosine_topk(emb, q, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    raw = similarity.pq_adc_topk(emb, q, k=10, dim=64, m=4, ksub=16)
+    a = {(r["query_id"], r["vec_id"]) for r in raw.collect()}
+    assert len(a) == len(e) == 50
+    assert len(a & e) / len(e) >= 0.2, "raw ADC recall collapsed"
+    ref = similarity.pq_adc_topk(emb, q, k=10, dim=64, m=4, ksub=16,
+                                 refine=100)
+    rows = ref.collect()
+    r = {(x["query_id"], x["vec_id"]) for x in rows}
+    recall = len(r & e) / len(e)
+    assert recall >= 0.6, f"refined recall@10 too low: {recall}"
+    # exact self-distance is 0 -> rank 1 in refine mode
+    top1 = {x["query_id"]: (x["vec_id"], x["exact_d2"])
+            for x in rows if x["rank"] == 1}
+    assert top1 == {i: (i, 0.0) for i in range(5)}
+
+
+def test_pq_refine_less_than_k_raises(spark, tiny_emb):
+    q = tiny_emb.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="refine"):
+        similarity.pq_adc_topk(tiny_emb, q, k=4, dim=4, m=2, ksub=2,
+                               refine=2)
