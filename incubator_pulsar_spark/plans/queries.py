@@ -5110,6 +5110,126 @@ FROM fused QUALIFY fused_rank <= 50
 """
 
 
+def pq_adc_topk_embeddings(spark, sf_dir):
+    """Product-quantization ANN with exact refine (similarity.
+    pq_adc_topk, Jégou et al. 2011): greedy farthest-point codebooks
+    (m=4 sub-spaces × 16 codewords over dim=64), map-side encoding,
+    per-query ADC lookup-sum scan, top-100 shortlist, then exact
+    squared-L2 re-rank to top-10. Every stage is deterministic
+    (round-9 codeword argmins, round-6 distances, ties to the lowest
+    id), so the oracle unrolls training + encoding + ADC + refine into
+    SQL CTEs and must agree on every row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.pq_adc_topk(emb, q, k=10, dim=64, m=4, ksub=16,
+                                  refine=100)
+
+
+def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
+            k: int = 10, refine: int = 100) -> str:
+    """Replay similarity.pq_train_codebooks + pq_encode + pq_adc_topk
+    (refine mode) in pure SQL.
+
+    Training unrolls the per-subspace greedy farthest-point loop the
+    same way the IVF seeding chain does (round-9 squared-L2 instead of
+    round-9 cosine: pick argmax of the min-d2-to-chosen, ties to the
+    lowest vec_id, update by least()). Encoding is the
+    first-min-codeword argmin; the ADC sum pivots the m looked-up
+    entries into s-order and adds them left-to-right — the exact IEEE
+    order of the Spark side's F.aggregate fold (0.0 + x0 is exact, so
+    x0+x1+x2+x3 is bit-identical). MATERIALIZED on every chain CTE for
+    the same fd-explosion reason as _ivf_assign_parts."""
+    dsub = dim // m
+
+    def d2(a: str, b: str, digits: int) -> str:
+        return (f"round(list_dot_product({a}, {a}) "
+                f"- 2.0 * list_dot_product({a}, {b}) "
+                f"+ list_dot_product({b}, {b}), {digits})")
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "pool AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id "
+        "LIMIT 10000)",
+    ]
+    book_arms = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"p{s} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS sv "
+            "FROM pool)")
+        parts.append(
+            f"b{s}c0 AS MATERIALIZED (SELECT sv FROM p{s} "
+            "ORDER BY vec_id LIMIT 1)")
+        parts.append(
+            f"b{s}s0 AS MATERIALIZED (SELECT p.vec_id, p.sv, "
+            f"{d2('p.sv', 'c.sv', 9)} AS m "
+            f"FROM p{s} p CROSS JOIN b{s}c0 c)")
+        for j in range(1, ksub):
+            prev = f"b{s}s{j - 1}"
+            parts.append(
+                f"b{s}c{j} AS MATERIALIZED (SELECT sv FROM {prev} "
+                "ORDER BY m DESC, vec_id ASC LIMIT 1)")
+            if j < ksub - 1:
+                parts.append(
+                    f"b{s}s{j} AS MATERIALIZED (SELECT s.vec_id, s.sv, "
+                    f"least(s.m, {d2('s.sv', 'c.sv', 9)}) AS m "
+                    f"FROM {prev} s CROSS JOIN b{s}c{j} c)")
+        book_arms.extend(
+            f"SELECT {s} AS s, {j} AS cw, sv FROM b{s}c{j}"
+            for j in range(ksub))
+    parts.append("books AS MATERIALIZED ("
+                 + " UNION ALL ".join(book_arms) + ")")
+    sub_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv "
+        "FROM e" for s in range(m))
+    parts.append(f"esubs AS MATERIALIZED ({sub_arms})")
+    parts.append(
+        "enc AS MATERIALIZED (SELECT vec_id, s, cw FROM ("
+        "SELECT es.vec_id, es.s, bk.cw, row_number() OVER ("
+        "PARTITION BY es.vec_id, es.s "
+        f"ORDER BY {d2('es.sv', 'bk.sv', 9)} ASC, bk.cw ASC) AS rn "
+        "FROM esubs es JOIN books bk USING (s)) WHERE rn = 1)")
+    parts.append(
+        "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
+        f"{d2('es.sv', 'bk.sv', 9)} AS qd "
+        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
+    parts.append(
+        "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
+        f"round({adc_sum}, 6) AS adc_d2 "
+        "FROM enc en JOIN qtab t ON en.s = t.s AND en.cw = t.cw "
+        "GROUP BY t.query_id, en.vec_id)")
+    parts.append(
+        "short AS (SELECT query_id, vec_id, adc_d2 FROM ("
+        "SELECT query_id, vec_id, adc_d2, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS ar "
+        f"FROM adcv) WHERE ar <= {refine})")
+    parts.append(
+        "qv AS (SELECT vec_id AS query_id, v AS qvec FROM e "
+        "WHERE vec_id < 5)")
+    return f"""
+WITH {','.join(parts)}
+SELECT query_id, vec_id, adc_d2, exact_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY exact_d2 ASC, vec_id ASC) AS INTEGER) AS rank
+FROM (
+  SELECT s.query_id, s.vec_id, s.adc_d2,
+         {d2('e.v', 'q.qvec', 6)} AS exact_d2
+  FROM short s
+  JOIN e ON s.vec_id = e.vec_id
+  JOIN qv q ON s.query_id = q.query_id
+)
+QUALIFY rank <= {k}
+"""
+
+
+PQ_ADC_SQL = _pq_sql()
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -5125,7 +5245,10 @@ FROM fused QUALIFY fused_rank <= 50
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- 1-14: never driver-proven (round-4c tail, rotated in) ---
+        # --- 1: NEW this round (r7) — the PQ family gate ---
+        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings,
+              PQ_ADC_SQL),
+        # --- once driver-proven (r6); second proof this round ---
         Query("range_rolling_user_value", range_rolling_user_value,
               RANGE_ROLLING_SQL),
         Query("interval_join_events", interval_join_events,
