@@ -5063,15 +5063,26 @@ def rrf_hybrid_retrieval(spark, sf_dir):
     vec_id) fused by reciprocal-rank fusion (similarity.rrf_fuse,
     1/(60+rank) per list). Both input lists are top-50; fusion is a
     full-outer join of two top-k-sized lists — no corpus pass beyond
-    the two retrievals themselves."""
+    the two retrievals themselves.
+
+    The BM25 top-50 is a DISTRIBUTED top-k (orderBy+limit →
+    TakeOrderedAndProject: per-partition heaps, driver merge) — never
+    a global rank window over every scored doc, which at 100 TB would
+    funnel the corpus-scale matching set into one task (the r6 weak
+    row). The rank window that follows runs over the 50-row result
+    only — the same boundedness contract as rrf_fuse itself; the
+    total (score desc, doc_id) tiebreak makes limit-then-rank emit
+    exactly the rows and ranks the global window would."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     lex = text.bm25_scores(docs, ["merge", "spark", "table"])
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    lex_r = (lex.withColumn("rank", F.row_number().over(wl))
-             .filter(F.col("rank") <= 50).select("doc_id", "rank"))
+    lex_r = (lex.orderBy(F.col("score").desc(), F.col("doc_id"))
+             .limit(50)
+             .withColumn("rank", F.row_number().over(wl))
+             .select("doc_id", "rank"))
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.lit(0).alias("query_id"),
                  F.col("embedding").alias("query_vec")))
