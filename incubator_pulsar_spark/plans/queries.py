@@ -5244,22 +5244,74 @@ PQ_ADC_SQL = _pq_sql()
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
-# FIRST 50 entries only (CORRECTNESS_r01-r05 each recorded exactly the
-# first 50 in insertion order). Round-6 rotation: the entire r5 head
-# went driver-green (CORRECTNESS_r05 = 50/50), so the four NEW round-6
-# queries (boilerplate removal, quality classifier, k-center coreset,
-# RRF hybrid retrieval) take head slots and four now-twice-proven,
-# unchanged rows rotate to the tail (kmv_distinct_events,
-# oov_rate_docs, gapfill_events, bigram_lm_docs). Everything else
-# keeps its r5 slot; ALL queries stay verified every round by
-# tools/oracle_check.py regardless of slot.
+# FIRST 50 entries only. Round-7 rotation policy (mechanical, derived
+# from CORRECTNESS_r01-r06): order by (driver-proof count ASC, last
+# proven round ASC) — new/unproven queries first, then the stalest
+# twice-proven rows (the r2-era TPC-H set, unproven since r2), so
+# every proof the driver spends lands on the least-recently-verified
+# row. The r4c/r5/r6 sets proven in r5/r6 rotate to the tail. New
+# round-7 queries are inserted at the head top as they land. ALL
+# queries stay verified every round by tools/oracle_check.py
+# regardless of slot.
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- 1: NEW this round (r7) — the PQ family gate ---
+        # --- head 1-50: driver gate this round ---
         Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings,
               PQ_ADC_SQL),
-        # --- once driver-proven (r6); second proof this round ---
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
+        Query("boilerplate_removal_docs", boilerplate_removal_docs,
+              BOILERPLATE_SQL),
+        Query("quality_classifier_docs", quality_classifier_docs,
+              QUALITY_CLASSIFIER_SQL),
+        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
+              KCENTER_SQL),
+        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
+        Query("persons_generator", persons_generator, PERSONS_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("running_revenue", running_revenue, RUNNING_SQL),
+        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("q8_market_share", q8_market_share, Q8_SQL),
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
+        Query("topk_orders", topk_orders, TOPK_SQL),
+        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
+        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
+        Query("setops_customers", setops_customers, SETOPS_SQL),
+        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
+        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
+        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
+        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
+        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
+        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
+        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
+        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
+        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
+        Query("pii_redaction", pii_redaction, PII_SQL),
+        Query("contamination_check", contamination_check, CONTAM_SQL),
+        Query("repetition_stats", repetition_stats, REPETITION_SQL),
+        Query("train_split_stats", train_split_stats, SPLIT_SQL),
+        # --- tail 51+: proven >=2x and recently; local sweep only ---
         Query("range_rolling_user_value", range_rolling_user_value,
               RANGE_ROLLING_SQL),
         Query("interval_join_events", interval_join_events,
@@ -5279,20 +5331,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
         Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
         Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
-        # --- 15-16: NEW this round (r5) ---
         Query("quantile_sketch_docs", quantile_sketch_docs,
               QUANTILE_SKETCH_DOCS_SQL),
         Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
               DQ_UNIQUE_NULLKEYS_SQL),
-        # --- 17-20: NEW this round (r6) — new queries sit in the head ---
-        Query("boilerplate_removal_docs", boilerplate_removal_docs,
-              BOILERPLATE_SQL),
-        Query("quality_classifier_docs", quality_classifier_docs,
-              QUALITY_CLASSIFIER_SQL),
-        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
-              KCENTER_SQL),
-        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
-        # --- 21-45: driver-proven once or twice (r3/r4/r5) ---
         Query("neardup_clusters_lsh", neardup_clusters_lsh,
               NEARDUP_CLUSTERS_LSH_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
@@ -5326,13 +5368,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
-        # multi_topic_counts (once-proven r3, unchanged) rotates to the
-        # TAIL TOP to make room for bm25 — the one disclosed displacement
-        # this round (the batch_receive_cap precedent); its second proof
-        # moves to r6.
         Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
-        # --- 46-50: NEW mid-round (r5 session 2) — every new query
-        # must sit in the driver head (verify-skill rule) ---
         Query("mixture_sample_docs", mixture_sample_docs,
               MIXTURE_SAMPLE_SQL),
         Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
@@ -5340,31 +5376,9 @@ ALL_QUERIES: dict[str, Query] = {
               SHUFFLE_SHARDS_SQL),
         Query("snapshot_time_travel_events", snapshot_time_travel_events,
               SNAPSHOT_TT_SQL),
-        # --- 50: NEW (r5 session 2); compaction_publish_order rotates
-        # to the tail (multi-green; entry() still smoke-checks it) ---
         Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
               KMEANS_SQL),
-        # --- tail (51+): driver-green in ≥2 prior rounds, unchanged;
-        # re-verified every round by the local oracle sweep ---
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
-        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
-        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
-        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
-        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
-        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
-        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
-        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
-        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
-        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
-        Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("contamination_check", contamination_check, CONTAM_SQL),
-        Query("repetition_stats", repetition_stats, REPETITION_SQL),
-        Query("train_split_stats", train_split_stats, SPLIT_SQL),
         Query("dataset_mixing", dataset_mixing, MIX_SQL),
         Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
         Query("split_leakage", split_leakage, LEAKAGE_SQL),
@@ -5377,7 +5391,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
-        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         Query("tableview_events", tableview_events, TABLEVIEW_SQL),
@@ -5388,42 +5401,13 @@ ALL_QUERIES: dict[str, Query] = {
         Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
         Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
-        Query("persons_generator", persons_generator, PERSONS_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("running_revenue", running_revenue, RUNNING_SQL),
-        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("q8_market_share", q8_market_share, Q8_SQL),
-        Query("q10_returned_items", q10_returned_items, Q10_SQL),
-        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
-        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
-        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q11_important_parts", q11_important_parts, Q11_SQL),
-        Query("topk_orders", topk_orders, TOPK_SQL),
-        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
-        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
-        Query("setops_customers", setops_customers, SETOPS_SQL),
-        # rotated out of the head to make room for the r6 additions
-        # (twice driver-green, unchanged)
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
         Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
         Query("gapfill_events", gapfill_events, GAPFILL_SQL),
         Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
-        # rotated out of head 46-50 to make room for the r5 additions
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
     ]
