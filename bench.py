@@ -116,6 +116,18 @@ BENCH_QUERIES = [
     "token_budget_docs",
     "shuffle_shards_docs",
     "kmeans_embeddings_clusters",
+    # round-5/6 additions previously missing sf0.1 timings (VERDICT r6 #3)
+    "snapshot_time_travel_events",
+    "boilerplate_removal_docs",
+    "quality_classifier_docs",
+    "kcenter_coreset_embeddings",
+    "rrf_hybrid_retrieval",
+    "bm25_retrieval_docs",
+    "quantile_sketch_docs",
+    "dq_unique_nullkeys_events",
+    # round-7: product-quantization ADC top-k, line-mode boilerplate
+    "pq_adc_topk_embeddings",
+    "boilerplate_lines_docs",
     # cluster_safe_split excluded like its CC siblings: exact-pair CC is
     # quadratic-output on this constant-collision corpus at sf0.1
 ]

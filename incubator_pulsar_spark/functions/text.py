@@ -661,7 +661,8 @@ def bm25_scores(docs, query_terms: list[str], *, id_col: str = "doc_id",
 
 
 def remove_boilerplate(docs, *, window: int = 3, min_df: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text"):
+                       id_col: str = "doc_id", text_col: str = "text",
+                       segment: str = "words"):
     """Corpus-level boilerplate removal at segment granularity — the
     CCNet/C4 paragraph-dedup step (drop lines/paragraphs that repeat
     across many pages: nav bars, cookie banners, footers), re-expressed
@@ -669,13 +670,16 @@ def remove_boilerplate(docs, *, window: int = 3, min_df: int = 3,
     Pulsar analogue; it complements doc-level dedup (fuzzy.py) by
     cutting WITHIN-doc repeated content.
 
-    Segments here are consecutive non-overlapping ``window``-word
-    chunks of the lowercased word stream (the test corpus has no line
-    breaks; on a real corpus, pre-split on newlines and pass each line
-    as its own doc-segment row instead). A segment is boilerplate when
-    its exact text occurs in >= ``min_df`` DISTINCT documents. Output:
-    one row per input doc — (id, clean_text, n_kept, n_removed), with
-    surviving segments rejoined in original order.
+    ``segment="words"`` (default): segments are consecutive
+    non-overlapping ``window``-word chunks of the lowercased word
+    stream (suits corpora without line structure, e.g. the test
+    fixtures). ``segment="lines"``: the C4/CCNet production mode —
+    each trimmed non-empty line of the raw text is one segment
+    (``window`` is ignored), and survivors are rejoined with
+    newlines. Either way a segment is boilerplate when its exact text
+    occurs in >= ``min_df`` DISTINCT documents. Output: one row per
+    input doc — (id, clean_text, n_kept, n_removed), with surviving
+    segments rejoined in original order.
 
     Scale: one explode + one (hash-keyed) distinct-doc count + one
     equi-join back + one per-doc reassembly — all hash-partitioned on
@@ -686,17 +690,32 @@ def remove_boilerplate(docs, *, window: int = 3, min_df: int = 3,
     from pyspark.sql import DataFrame  # local: column-only module
 
     assert isinstance(docs, DataFrame)
-    toks = word_tokens(F.col(text_col))
-    n_segs = F.ceil(F.size("_toks") / F.lit(float(window))).cast("int")
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
-    # segment in one projection: sequence+slice builds the segment
-    # array, posexplode emits (pos, seg) — no self-join, no window
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"),
-                                       i * window + 1, window), " "))
-    segs = (base.filter(F.size("_toks") > 0)
-            .select(F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")))
+    if segment not in ("words", "lines"):
+        raise ValueError(f"segment must be 'words' or 'lines', got {segment!r}")
+    if segment == "lines":
+        # one line = one segment: split on \r?\n, trim, drop empties —
+        # positions keep the ORIGINAL line index so reassembly order is
+        # stable even after empty lines vanish
+        line_arr = F.split(F.col(text_col), r"\r?\n")
+        segs = (docs.select(F.col(id_col),
+                            F.posexplode(line_arr).alias("pos", "seg"))
+                .withColumn("seg", F.trim(F.col("seg")))
+                .filter(F.length("seg") > 0))
+        joiner = "\n"
+    else:
+        toks = word_tokens(F.col(text_col))
+        n_segs = F.ceil(F.size("_toks") / F.lit(float(window))).cast("int")
+        base = docs.select(F.col(id_col), toks.alias("_toks"))
+        # segment in one projection: sequence+slice builds the segment
+        # array, posexplode emits (pos, seg) — no self-join, no window
+        seg_arr = F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(F.col("_toks"),
+                                           i * window + 1, window), " "))
+        segs = (base.filter(F.size("_toks") > 0)
+                .select(F.col(id_col),
+                        F.posexplode(seg_arr).alias("pos", "seg")))
+        joiner = " "
     segs = segs.withColumn("_h", F.md5(F.col("seg")))
     dfc = (segs.groupBy("_h")
            .agg(F.count_distinct(F.col(id_col)).alias("_df")))
@@ -712,7 +731,7 @@ def remove_boilerplate(docs, *, window: int = 3, min_df: int = 3,
                .agg(F.array_join(
                         F.transform(F.array_sort(F.collect_list(keep_seg)),
                                     lambda s: s["seg"]),
-                        " ").alias("clean_text"),
+                        joiner).alias("clean_text"),
                     F.count(keep_seg).cast("long").alias("n_kept"),
                     F.count(F.lit(1)).cast("long").alias("_n_segs")))
     out = (docs.select(id_col).join(rebuilt, id_col, "left")

@@ -4980,6 +4980,55 @@ LEFT JOIN reb r USING (doc_id)
 """
 
 
+def boilerplate_lines_docs(spark, sf_dir):
+    """Line-granularity boilerplate removal — the C4/CCNet production
+    mode of text.remove_boilerplate(segment="lines"): one trimmed
+    non-empty LINE is one segment, dropped when its exact text appears
+    in >= 3 distinct docs, survivors rejoined with newlines. The
+    fixture corpus has no line breaks, so the query first synthesizes a
+    deterministic line structure (newline after every non-overlapping
+    3-word chunk via one global regexp_replace — both engines scan
+    left-to-right non-overlapping, so the derived corpus is identical);
+    231 distinct segments cross the df>=3 bar at sf0.01, so the
+    removal path is exercised for real, not vacuously."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "text", F.regexp_replace("text", "([a-z]+ [a-z]+ [a-z]+) ", "$1\n"))
+    return text.remove_boilerplate(docs, min_df=3, segment="lines")
+
+
+BOILERPLATE_LINES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(
+             regexp_replace(text, '([a-z]+ [a-z]+ [a-z]+) ',
+                            '\1' || chr(10), 'g'),
+             '\r?\n') AS lines
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, i AS pos, trim(lines[i+1]) AS seg
+  FROM d CROSS JOIN UNNEST(range(len(lines))) AS t(i)
+),
+segf AS (SELECT doc_id, pos, seg FROM ln WHERE length(seg) > 0),
+hs AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM segf),
+dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hs GROUP BY h),
+kept AS (SELECT doc_id, pos, seg FROM hs JOIN dfc USING (h) WHERE df < 3),
+reb AS (
+  SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM hs GROUP BY doc_id)
+SELECT d2.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(COALESCE(t.n_segs, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d2
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def quality_classifier_docs(spark, sf_dir):
     """Hashing-trick linear quality classifier
     (text.quality_classifier_scores): score(doc) = mean over tokens of
@@ -5259,6 +5308,8 @@ ALL_QUERIES: dict[str, Query] = {
         # --- head 1-50: driver gate this round ---
         Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings,
               PQ_ADC_SQL),
+        Query("boilerplate_lines_docs", boilerplate_lines_docs,
+              BOILERPLATE_LINES_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
         Query("boilerplate_removal_docs", boilerplate_removal_docs,
               BOILERPLATE_SQL),

@@ -213,3 +213,43 @@ def test_pq_refine_less_than_k_raises(spark, tiny_emb):
     with pytest.raises(ValueError, match="refine"):
         similarity.pq_adc_topk(tiny_emb, q, k=4, dim=4, m=2, ksub=2,
                                refine=2)
+
+
+# --------------------------------------- VERDICT r6 #4: lines mode
+
+class TestBoilerplateLines:
+    def test_lines_mode_drops_repeated_lines(self, spark):
+        from incubator_pulsar_spark.functions.text import remove_boilerplate
+        banner = "subscribe to our newsletter"
+        docs = spark.createDataFrame(
+            [(i, f"{banner}\nunique body {i}\n\n  {banner}  \nfooter {i}")
+             for i in range(4)] + [(9, "only original content here")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               remove_boilerplate(docs, min_df=3, segment="lines").collect()}
+        # the banner line repeats in 4 docs (twice each, trimmed) -> dropped;
+        # empty lines are not segments; survivors keep original order
+        for i in range(4):
+            assert out[i]["clean_text"] == f"unique body {i}\nfooter {i}"
+            assert out[i]["n_kept"] == 2 and out[i]["n_removed"] == 2
+        assert out[9]["clean_text"] == "only original content here"
+        assert out[9]["n_removed"] == 0
+
+    def test_lines_mode_ignores_window_and_keeps_case(self, spark):
+        from incubator_pulsar_spark.functions.text import remove_boilerplate
+        docs = spark.createDataFrame(
+            [(1, "Mixed CASE Line\nbody one"), (2, "Mixed CASE Line\nbody two"),
+             (3, "mixed case line\nbody three")], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               remove_boilerplate(docs, min_df=2, segment="lines",
+                                  window=999).collect()}
+        # line matching is EXACT (case-sensitive, unlike words mode):
+        # doc 3's lowercase variant is not the df>=2 line
+        assert out[1]["clean_text"] == "body one"
+        assert out[3]["clean_text"] == "mixed case line\nbody three"
+
+    def test_bad_segment_mode_raises(self, spark):
+        from incubator_pulsar_spark.functions.text import remove_boilerplate
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="segment"):
+            remove_boilerplate(docs, segment="paragraphs")
