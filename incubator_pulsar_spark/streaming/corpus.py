@@ -84,6 +84,77 @@ def start_clean_corpus_stream(
     return writer.start()
 
 
+def start_quality_monitor_stream(
+    docs: DataFrame, *, out_path: str, checkpoint_path: str,
+    n_buckets: int = 1024, weights: list[float] | None = None,
+    id_col: str = "doc_id", text_col: str = "text",
+    available_now: bool = False,
+):
+    """Continuous corpus-quality monitoring: score every micro-batch
+    with the hashing-trick quality classifier
+    (``functions.text.quality_classifier_scores`` — map-only, no vocab
+    state, weight table broadcast once per batch) and append ONE
+    summary row (batch_id, n_docs, n_keep, keep_rate, mean_score,
+    min_score, max_score, n_tokens) to a parquet report topic — the
+    quality time series an ingest-alerting layer thresholds on (e.g.
+    "crawl batch mean quality dropped 2σ").
+
+    Mirrors ``functions.checks.start_checks_stream``: each batch's row
+    overwrites its own ``batch_id=N`` directory, so a replayed batch
+    rewrites itself idempotently instead of duplicating rows (the
+    late.py pattern). The per-batch aggregate folds the round-6 scores
+    through decimal(38,6), so the report is deterministic under any
+    partitioning — stream and batch runs of the same rows produce
+    byte-identical summaries (locked by the parity pytest).
+
+    Returns the StreamingQuery.
+    """
+    def process(batch_df, batch_id: int) -> None:
+        quality_monitor_batch(
+            batch_df, batch_id, out_path=out_path, n_buckets=n_buckets,
+            weights=weights, id_col=id_col, text_col=text_col)
+
+    writer = (docs.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quality_monitor_batch(batch_df: DataFrame, batch_id: int, *,
+                          out_path: str, n_buckets: int = 1024,
+                          weights: list[float] | None = None,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> None:
+    """The monitor's per-micro-batch body, public so a crash REPLAY of
+    a batch is directly testable: score, summarize, overwrite this
+    batch's own ``batch_id=N`` directory (idempotent — a re-run of the
+    same batch rewrites the same row)."""
+    scored = text.quality_classifier_scores(
+        batch_df, n_buckets=n_buckets, weights=weights,
+        id_col=id_col, text_col=text_col)
+    (quality_batch_summary(scored).write.mode("overwrite")
+     .parquet(os.path.join(out_path, f"batch_id={batch_id}")))
+
+
+def quality_batch_summary(scored: DataFrame) -> DataFrame:
+    """One-row summary of a scored batch (shared by the streaming
+    monitor and its batch-parity form): decimal-folded mean keeps the
+    result independent of partitioning/arrival order."""
+    dec = F.col("quality_score").cast("decimal(38,6)")
+    n = F.count(F.lit(1)).cast("long")
+    return scored.agg(
+        n.alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6)
+         .alias("keep_rate"),
+        F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 6)
+         .alias("mean_score"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"))
+
+
 def start_neardup_candidates_stream(
     docs: DataFrame, *, index_path: str, out_path: str,
     checkpoint_path: str, id_col: str = "doc_id", text_col: str = "text",

@@ -167,3 +167,62 @@ def test_compacted_index_still_probes_identically(spark, tmp_path, sf_dir):
             for r in spark.read.parquet(out).collect()
             if r["probe_id"] > 100000}
     assert any(i % 2 == 0 for _, i in got3)  # hits against compacted A rows
+
+
+def test_quality_monitor_stream_matches_batch_and_replays_idempotently(
+        spark, tmp_path, sf_dir):
+    """Per-micro-batch quality monitor (round 7, VERDICT r6 #8): run
+    two availableNow passes over the fixture docs; every batch_id row
+    must equal quality_batch_summary() computed in BATCH mode on that
+    batch's exact rows, and replaying a pass must rewrite (not
+    duplicate) its rows."""
+    from pyspark.sql import functions as F
+
+    from incubator_pulsar_spark.functions.text import quality_classifier_scores
+    from incubator_pulsar_spark.streaming.corpus import (
+        quality_batch_summary, start_quality_monitor_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = start_quality_monitor_stream(
+            stream, out_path=out, checkpoint_path=ckpt,
+            n_buckets=256, available_now=True)
+        q.awaitTermination(120)
+
+    a.write.mode("append").parquet(src)
+    run()
+    b.write.mode("append").parquet(src)
+    run()
+
+    report = spark.read.parquet(out)
+    rows = report.collect()
+    assert {r.batch_id for r in rows} == {0, 1}
+    assert all(r.n_docs > 0 for r in rows)
+
+    # batch parity: the union of per-batch summaries must be exactly
+    # the summaries of the two halves (order unknown -> compare as set)
+    def batch_row(side):
+        scored = quality_classifier_scores(side, n_buckets=256)
+        return quality_batch_summary(scored).collect()[0]
+
+    want = {tuple(batch_row(s)) for s in (a, b)}
+    got = {tuple(r)[:-1] for r in rows}  # drop batch_id partition col
+    assert got == want
+
+    # replay idempotency: re-execute a batch body directly with the
+    # same (rows, batch_id) — the crash-replay path. It must OVERWRITE
+    # its own batch_id dir, leaving the report at 2 rows, same values.
+    from incubator_pulsar_spark.streaming.corpus import quality_monitor_batch
+    for _ in range(2):
+        quality_monitor_batch(a, 0, out_path=out, n_buckets=256)
+    report2 = spark.read.parquet(out)
+    assert report2.count() == 2
+    assert {tuple(r)[:-1] for r in report2.collect()} == want
