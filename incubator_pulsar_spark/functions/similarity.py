@@ -974,8 +974,11 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 8, *,
                 F.round(F.min("_cos9"), 6).alias("coverage_cos")))
     spine = (embeddings.sparkSession.range(len(cents))
              .select(F.col("id").cast("int").alias("center")))
-    return (spine.join(agg.withColumn("center",
-                                      F.col("center").cast("int")),
+    # both sides of this join are <=k rows; broadcast the aggregate
+    # (the build side of a LeftOuter BHJ) so the k-row spine never
+    # plans through a SortMergeJoin (r7 verdict "What's wrong" #2)
+    return (spine.join(F.broadcast(agg.withColumn(
+                           "center", F.col("center").cast("int"))),
                        "center", "left")
             .select("center",
                     F.coalesce(F.col("n_covered"), F.lit(0))

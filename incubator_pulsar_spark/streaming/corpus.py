@@ -140,19 +140,29 @@ def quality_monitor_batch(batch_df: DataFrame, batch_id: int, *,
 def quality_batch_summary(scored: DataFrame) -> DataFrame:
     """One-row summary of a scored batch (shared by the streaming
     monitor and its batch-parity form): decimal-folded mean keeps the
-    result independent of partitioning/arrival order."""
+    result independent of partitioning/arrival order.
+
+    An EMPTY micro-batch still yields one row, with every aggregate
+    coalesced to an explicit zero instead of SQL's sum/min/max-over-
+    nothing NULLs — a downstream alerting layer thresholding
+    keep_rate or mean_score must read 0.0, never NULL (and n_docs=0
+    marks the row as vacuous for consumers that want to skip it)."""
     dec = F.col("quality_score").cast("decimal(38,6)")
     n = F.count(F.lit(1)).cast("long")
     return scored.agg(
         n.alias("n_docs"),
-        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
-        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6)
-         .alias("keep_rate"),
-        F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 6)
-         .alias("mean_score"),
-        F.min("quality_score").alias("min_score"),
-        F.max("quality_score").alias("max_score"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"))
+        F.coalesce(F.sum(F.col("keep").cast("long")).cast("long"),
+                   F.lit(0).cast("long")).alias("n_keep"),
+        F.coalesce(
+            F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6),
+            F.lit(0.0)).alias("keep_rate"),
+        F.coalesce(
+            F.round((F.sum(dec) / F.count(F.lit(1))).cast("double"), 6),
+            F.lit(0.0)).alias("mean_score"),
+        F.coalesce(F.min("quality_score"), F.lit(0.0)).alias("min_score"),
+        F.coalesce(F.max("quality_score"), F.lit(0.0)).alias("max_score"),
+        F.coalesce(F.sum("n_tokens").cast("long"),
+                   F.lit(0).cast("long")).alias("n_tokens"))
 
 
 def start_neardup_candidates_stream(

@@ -226,3 +226,21 @@ def test_quality_monitor_stream_matches_batch_and_replays_idempotently(
     report2 = spark.read.parquet(out)
     assert report2.count() == 2
     assert {tuple(r)[:-1] for r in report2.collect()} == want
+
+
+def test_quality_monitor_empty_batch_writes_zero_row_not_nulls(
+        spark, tmp_path):
+    """An EMPTY micro-batch (possible under availableNow replays or a
+    filter-everything upstream) must land a report row of explicit
+    zeros, never NULL aggregates — an alerting layer thresholding
+    keep_rate/mean_score reads 0.0 with n_docs=0, not NULL (ADVICE r7
+    #2)."""
+    from incubator_pulsar_spark.streaming.corpus import quality_monitor_batch
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    out = str(tmp_path / "out")
+    quality_monitor_batch(empty, 0, out_path=out, n_buckets=256)
+    row = spark.read.parquet(out).collect()[0]
+    assert row.n_docs == 0
+    assert (row.n_keep, row.keep_rate, row.mean_score, row.min_score,
+            row.max_score, row.n_tokens) == (0, 0.0, 0.0, 0.0, 0.0, 0)
