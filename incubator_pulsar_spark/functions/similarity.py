@@ -1156,11 +1156,28 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     if books is None:
         books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
                                    id_col=id_col, vec_col=vec_col)
-    m = len(books)
-    dsub = len(books[0][0])
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qv"))
+    vecs = None
+    if refine is not None:
+        vecs = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"))
+    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs)
+
+
+def _pq_adc_rank(enc: DataFrame, q: DataFrame,
+                 books: list[list[list[float]]], k: int, *,
+                 refine: int | None,
+                 vecs: DataFrame | None) -> DataFrame:
+    """The query-time half of ``pq_adc_topk`` — ADC lookup-sum scan
+    over an ALREADY-ENCODED corpus (``enc``: (vec_id, codes)), plus
+    the optional exact refine against ``vecs`` (vec_id, _cv). Shared
+    verbatim by the one-shot form and ``pq_search_index`` so the
+    persisted-index probe can never drift from the gated semantics."""
+    m = len(books)
+    dsub = len(books[0][0])
     # per-query distance table: m rows of ksub round-9 d2 entries
     qtable = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1185,11 +1202,12 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 .select("query_id", "vec_id", "adc_d2", "rank"))
     if refine < k:
         raise ValueError(f"refine={refine} must be >= k={k}")
+    if vecs is None:
+        raise ValueError("refine mode needs the true-vector source "
+                         "(vecs=(vec_id, _cv))")
     shortlist = (scored.withColumn("_ar", F.row_number().over(w))
                  .filter(F.col("_ar") <= refine)
                  .drop("_ar"))
-    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
-                             as_double_array(F.col(vec_col)).alias("_cv"))
     exact = (shortlist.join(vecs, "vec_id")
              .join(F.broadcast(q), "query_id")
              .select("query_id", "vec_id", "adc_d2",
@@ -1200,3 +1218,88 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     return (exact.withColumn("rank", F.row_number().over(wr).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_d2", "exact_d2", "rank"))
+
+
+def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
+                   m: int = 4, ksub: int = 16,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Persist a PQ index: the corpus's code table (vec_id, codes —
+    m small ints per vector, the m·log2(ksub)-bit compressed form) as
+    parquet, with the trained codebooks in a JSON sidecar.
+
+    This is the piece that makes ``pq_adc_topk`` a 100 TB operator
+    instead of a per-query pipeline: training and encoding run ONCE
+    (train is driver-bounded, encode is map-only), and every later
+    probe reads only the code table — dim·8 bytes/vector never move
+    again. True vectors stay in the corpus table; the refine stage
+    fetches the R·Q it needs by id equi-join at search time
+    (``pq_search_index(vectors=...)``), so the index itself stays
+    codes-only and memory-resident at any corpus size."""
+    import json as _json
+    import os as _os
+
+    books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                               id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    enc.write.mode("overwrite").parquet(path)
+    with open(_os.path.join(path, "_codebooks.json"), "w") as f:
+        _json.dump(books, f)
+    return books
+
+
+def pq_append_index(embeddings: DataFrame, path: str, *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> int:
+    """Append a NEW batch of vectors to a persisted PQ index without
+    re-encoding the corpus — the ``ivf_append_index`` analogue for the
+    compressed-code side: encoding reuses the sidecar codebooks
+    (map-only over the batch), the write appends only the new code
+    rows, and every prior file stays byte-identical. Cost is
+    O(batch), never O(corpus).
+
+    Codebooks are NOT retrained — the index keeps one consistent
+    quantizer so existing codes stay valid (the standard PQ contract;
+    re-train by rebuilding when drift warrants it). Returns the
+    number of vectors appended."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_codebooks.json")) as f:
+        books = _json.load(f)
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    n = enc.count()
+    enc.write.mode("append").parquet(path)
+    return n
+
+
+def pq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
+                    refine: int | None = None,
+                    vectors: DataFrame | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "query_vec") -> DataFrame:
+    """Probe a persisted PQ index: read the code table, run the same
+    broadcast ADC lookup-sum scan as ``pq_adc_topk`` (shared
+    ``_pq_adc_rank`` body), optionally exact-refine against
+    ``vectors`` — the corpus table holding the TRUE vectors, touched
+    only for the R·Q shortlist ids. Same deterministic output
+    contract as the one-shot form (round-6 distances, ties to the
+    lowest id), so the two are interchangeable row for row."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_codebooks.json")) as f:
+        books = _json.load(f)
+    enc = spark.read.parquet(path)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qv"))
+    vecs = None
+    if refine is not None:
+        if vectors is None:
+            raise ValueError("refine mode needs vectors= (the corpus "
+                             "table with the true vectors)")
+        vecs = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"))
+    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs)

@@ -5188,7 +5188,8 @@ def pq_adc_topk_embeddings(spark, sf_dir):
 
 
 def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
-            k: int = 10, refine: int = 100) -> str:
+            k: int = 10, refine: int = 100,
+            train_where: str | None = None) -> str:
     """Replay similarity.pq_train_codebooks + pq_encode + pq_adc_topk
     (refine mode) in pure SQL.
 
@@ -5200,7 +5201,12 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
     entries into s-order and adds them left-to-right — the exact IEEE
     order of the Spark side's F.aggregate fold (0.0 + x0 is exact, so
     x0+x1+x2+x3 is bit-identical). MATERIALIZED on every chain CTE for
-    the same fd-explosion reason as _ivf_assign_parts."""
+    the same fd-explosion reason as _ivf_assign_parts.
+
+    ``train_where`` restricts the training POOL only (the persisted-
+    index lifecycle: codebooks trained on the initial build set, later
+    appends encoded with those same books — everything downstream of
+    the pool CTE is identical by construction)."""
     dsub = dim // m
 
     def d2(a: str, b: str, digits: int) -> str:
@@ -5208,11 +5214,12 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
                 f"- 2.0 * list_dot_product({a}, {b}) "
                 f"+ list_dot_product({b}, {b}), {digits})")
 
+    pool_where = f"WHERE {train_where} " if train_where else ""
     parts = [
         "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
         "FROM embeddings)",
-        "pool AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id "
-        "LIMIT 10000)",
+        f"pool AS MATERIALIZED (SELECT vec_id, v FROM e {pool_where}"
+        "ORDER BY vec_id LIMIT 10000)",
     ]
     book_arms = []
     for s in range(m):
@@ -5290,83 +5297,75 @@ QUALIFY rank <= {k}
 PQ_ADC_SQL = _pq_sql()
 
 
+def pq_index_topk_embeddings(spark, sf_dir):
+    """Persisted PQ index lifecycle under the exact oracle (similarity.
+    pq_write_index / pq_append_index / pq_search_index — the
+    ivf_append_index analogue for the compressed-code side): BUILD the
+    index from the even-id half of the corpus (codebooks train on that
+    half's pool), APPEND the odd-id half encoded with the sidecar
+    codebooks (prior files untouched, O(batch)), then PROBE the index
+    with 5 queries, exact-refining the top-100 shortlist against the
+    corpus table's true vectors. The oracle replays the identical
+    lifecycle by restricting only the training-pool CTE — appends
+    encoded with frozen books are definitionally the same rows as
+    encoding everything with those books."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_pqindex_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                              dim=64, m=4, ksub=16)
+    similarity.pq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+                                      vectors=emb)
+
+
+PQ_INDEX_SQL = _pq_sql(train_where="vec_id % 2 = 0")
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
-# FIRST 50 entries only. Round-7 rotation policy (mechanical, derived
-# from CORRECTNESS_r01-r06): order by (driver-proof count ASC, last
-# proven round ASC) — new/unproven queries first, then the stalest
-# twice-proven rows (the r2-era TPC-H set, unproven since r2), so
-# every proof the driver spends lands on the least-recently-verified
-# row. The r4c/r5/r6 sets proven in r5/r6 rotate to the tail. New
-# round-7 queries are inserted at the head top as they land. ALL
-# queries stay verified every round by tools/oracle_check.py
-# regardless of slot.
+# FIRST 50 entries only. Rotation policy (mechanical, derived from the
+# union of CORRECTNESS_r01..r(N-1)): order by (driver-proof count ASC,
+# last-proven round ASC) — new/unproven queries first, then the
+# stalest rows — so every proof the driver spends lands on the
+# least-recently-verified query. Edited queries must sit in the head.
+# The head must hold EXACTLY 50 entries (r7 shipped 51 and silently
+# dropped one — tests/test_round8.py::test_head_marker_is_exactly_50
+# locks the invariant). ALL queries stay verified every round by
+# tools/oracle_check.py regardless of slot.
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round ---
-        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings,
-              PQ_ADC_SQL),
+        # --- head 1-50: driver gate this round (r8 rotation:
+        # new r8 gate first, then the once-proven r7 pair, then
+        # (proof count ASC, last-proven round ASC) — the stalest
+        # twice-proven r4/r5/r6 rows and the r3-era trio-proven
+        # set's stalest ten; exactly 50 entries, locked by
+        # tests/test_round8.py::test_head_marker_is_exactly_50) ---
+        Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
+              PQ_INDEX_SQL),
+        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
         Query("boilerplate_lines_docs", boilerplate_lines_docs,
               BOILERPLATE_LINES_SQL),
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
-        Query("boilerplate_removal_docs", boilerplate_removal_docs,
-              BOILERPLATE_SQL),
-        Query("quality_classifier_docs", quality_classifier_docs,
-              QUALITY_CLASSIFIER_SQL),
-        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
-              KCENTER_SQL),
-        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
-        Query("persons_generator", persons_generator, PERSONS_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("running_revenue", running_revenue, RUNNING_SQL),
-        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("q8_market_share", q8_market_share, Q8_SQL),
-        Query("q10_returned_items", q10_returned_items, Q10_SQL),
-        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
-        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
-        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q11_important_parts", q11_important_parts, Q11_SQL),
-        Query("topk_orders", topk_orders, TOPK_SQL),
-        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
-        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
-        Query("setops_customers", setops_customers, SETOPS_SQL),
-        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
-        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
-        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
-        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
-        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
-        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
-        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
-        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
-        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
-        Query("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_SQL),
-        Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("contamination_check", contamination_check, CONTAM_SQL),
-        Query("repetition_stats", repetition_stats, REPETITION_SQL),
         Query("train_split_stats", train_split_stats, SPLIT_SQL),
-        # --- tail 51+: proven >=2x and recently; local sweep only ---
+        Query("dataset_mixing", dataset_mixing, MIX_SQL),
+        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
+        Query("split_leakage", split_leakage, LEAKAGE_SQL),
+        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
+        Query("asof_join_events", asof_join_events, ASOF_SQL),
+        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
+        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
+        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
+        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
         Query("range_rolling_user_value", range_rolling_user_value,
               RANGE_ROLLING_SQL),
-        Query("interval_join_events", interval_join_events,
-              INTERVAL_JOIN_SQL),
+        Query("interval_join_events", interval_join_events, INTERVAL_JOIN_SQL),
         Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
         Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
         Query("quantile_sketch_events", quantile_sketch_events,
@@ -5386,6 +5385,47 @@ ALL_QUERIES: dict[str, Query] = {
               QUANTILE_SKETCH_DOCS_SQL),
         Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
               DQ_UNIQUE_NULLKEYS_SQL),
+        Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
+        Query("mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL),
+        Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
+        Query("shuffle_shards_docs", shuffle_shards_docs, SHUFFLE_SHARDS_SQL),
+        Query("snapshot_time_travel_events", snapshot_time_travel_events,
+              SNAPSHOT_TT_SQL),
+        Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
+              KMEANS_SQL),
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
+        Query("boilerplate_removal_docs", boilerplate_removal_docs,
+              BOILERPLATE_SQL),
+        Query("quality_classifier_docs", quality_classifier_docs,
+              QUALITY_CLASSIFIER_SQL),
+        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
+              KCENTER_SQL),
+        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
+        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
+        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
+        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
+        Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
+        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
+        Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
+        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
+        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        # --- tail 51+: proven >=2x and recently; local sweep only ---
+        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
+        Query("session_windows_users", session_windows_users, SESSION_SQL),
+        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
+        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
+        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
+        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
+        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        Query("compaction_publish_order", compaction_publish_order,
+              COMPACT_PUB_SQL),
+        Query("language_id", language_id, LANG_ID_SQL),
+        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers,
+              ANTIJOIN_SQL),
         Query("neardup_clusters_lsh", neardup_clusters_lsh,
               NEARDUP_CLUSTERS_LSH_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
@@ -5395,11 +5435,13 @@ ALL_QUERIES: dict[str, Query] = {
         Query("embedding_neardup_blocked", embedding_neardup_blocked,
               EMB_NEARDUP_BLOCKED_SQL),
         Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
-        Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
+        Query("stratified_sample_docs", stratified_sample_docs,
+              STRATIFIED_SQL),
         Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
         Query("media_features", media_features, MEDIA_FEATURES_SQL),
         Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
-        Query("bloom_semijoin_orders", bloom_semijoin_orders, BLOOM_SEMIJOIN_SQL),
+        Query("bloom_semijoin_orders", bloom_semijoin_orders,
+              BLOOM_SEMIJOIN_SQL),
         Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
               LEVENSHTEIN_SQL),
         Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
@@ -5419,47 +5461,51 @@ ALL_QUERIES: dict[str, Query] = {
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
-        Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
-        Query("mixture_sample_docs", mixture_sample_docs,
-              MIXTURE_SAMPLE_SQL),
-        Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
-        Query("shuffle_shards_docs", shuffle_shards_docs,
-              SHUFFLE_SHARDS_SQL),
-        Query("snapshot_time_travel_events", snapshot_time_travel_events,
-              SNAPSHOT_TT_SQL),
-        Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
-              KMEANS_SQL),
-        Query("language_id", language_id, LANG_ID_SQL),
-        Query("dataset_mixing", dataset_mixing, MIX_SQL),
-        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
-        Query("split_leakage", split_leakage, LEAKAGE_SQL),
-        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
-        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
-        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
-        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
-        Query("text_stats", text_stats, TEXT_STATS_SQL),
-        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
-        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
-        Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
-        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
-        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
-        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
-        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
-        Query("session_windows_users", session_windows_users, SESSION_SQL),
-        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
-        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
-        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
-        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
-        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
-        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
-        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
-        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
-        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
-        Query("asof_join_events", asof_join_events, ASOF_SQL),
-        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
-        Query("compaction_publish_order", compaction_publish_order,
-              COMPACT_PUB_SQL),
+        Query("persons_generator", persons_generator, PERSONS_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("running_revenue", running_revenue, RUNNING_SQL),
+        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("q8_market_share", q8_market_share, Q8_SQL),
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
+        Query("topk_orders", topk_orders, TOPK_SQL),
+        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
+        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
+        Query("setops_customers", setops_customers, SETOPS_SQL),
+        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
+        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
+        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
+        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
+        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
+        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
+              WINNOW_SQL),
+        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
+        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
+        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        Query("embedding_neardup_pairs", embedding_neardup_pairs,
+              EMB_NEARDUP_SQL),
+        Query("pii_redaction", pii_redaction, PII_SQL),
+        Query("contamination_check", contamination_check, CONTAM_SQL),
+        Query("repetition_stats", repetition_stats, REPETITION_SQL),
     ]
 }

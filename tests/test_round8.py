@@ -1,0 +1,143 @@
+"""Round-8: persisted PQ index lifecycle + registry-head invariant.
+
+1. pq_write_index / pq_append_index / pq_search_index (VERDICT r7
+   next-round #3): the persisted, incrementally-maintained form of the
+   PQ family — probe results must be row-identical to the one-shot
+   pq_adc_topk given the same codebooks, appends must leave prior
+   index files byte-untouched (O(batch) maintenance), and the refine
+   contract must fail loudly without a true-vector source.
+2. The registry head holds EXACTLY 50 entries (ADVICE r7 medium: r7
+   shipped 51 and train_split_stats silently missed its driver proof).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import similarity
+
+
+# ------------------------------------------- ADVICE r7 medium: head=50
+
+def test_head_marker_is_exactly_50():
+    """The driver gates the FIRST 50 registry entries; the head
+    section of ALL_QUERIES must therefore hold exactly 50 Query(...)
+    rows between its two markers, and the marker comment must never
+    drift from the dict's real insertion order."""
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "incubator_pulsar_spark/plans/queries.py")).read()
+    head_m = re.search(r"# --- head 1-50: driver gate", src)
+    tail_m = re.search(r"# --- tail 51\+:", src)
+    assert head_m and tail_m and head_m.start() < tail_m.start()
+    head_txt = src[head_m.start():tail_m.start()]
+    assert len(re.findall(r'Query\("', head_txt)) == 50
+
+    from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+    head_names = re.findall(r'Query\("([^"]+)"', head_txt)
+    assert list(ALL_QUERIES)[:50] == head_names
+
+
+# --------------------------------------- persisted PQ index lifecycle
+
+class TestPQIndex:
+    def _queries(self, emb):
+        return emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+
+    def test_search_index_matches_one_shot(self, spark, sf_dir, tmp_path):
+        """write_index + search_index == pq_adc_topk with the SAME
+        codebooks, in both raw-ADC and exact-refine modes — the shared
+        _pq_adc_rank body makes drift structurally impossible, this
+        locks the read-path (parquet round-trip of codes, JSON
+        round-trip of books)."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = self._queries(emb)
+        idx = str(tmp_path / "pq")
+        books = similarity.pq_write_index(emb, idx, dim=64, m=4, ksub=16)
+
+        got = similarity.pq_search_index(spark, idx, q, k=5)
+        want = similarity.pq_adc_topk(emb, q, k=5, dim=64, books=books)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+        got_r = similarity.pq_search_index(spark, idx, q, k=5, refine=20,
+                                           vectors=emb)
+        want_r = similarity.pq_adc_topk(emb, q, k=5, dim=64, books=books,
+                                        refine=20)
+        assert sorted(map(tuple, got_r.collect())) == \
+            sorted(map(tuple, want_r.collect()))
+
+    def test_append_is_incremental_and_consistent(self, spark, sf_dir,
+                                                  tmp_path):
+        """Appending a batch (a) encodes with the SIDECAR books, never
+        retraining, (b) leaves every prior index file byte-untouched,
+        and (c) a probe over build+append equals the one-shot scan of
+        the full corpus under those same frozen books."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        q = self._queries(emb)
+
+        idx = str(tmp_path / "pq")
+        books = similarity.pq_write_index(old, idx, dim=64, m=4, ksub=16)
+        before = {p: os.path.getmtime(p)
+                  for p in glob.glob(f"{idx}/*.parquet")}
+        n = similarity.pq_append_index(new, idx)
+        assert n == new.count()
+        after = {p: os.path.getmtime(p)
+                 for p in glob.glob(f"{idx}/*.parquet")}
+        assert all(after[p] == t for p, t in before.items())  # untouched
+        assert len(after) > len(before)                       # appended
+        # sidecar books unchanged by append
+        assert json.load(open(f"{idx}/_codebooks.json")) == books
+
+        got = sorted(map(tuple, similarity.pq_search_index(
+            spark, idx, q, k=5, refine=20, vectors=emb).collect()))
+        want = sorted(map(tuple, similarity.pq_adc_topk(
+            emb, q, k=5, dim=64, books=books, refine=20).collect()))
+        assert got == want
+
+    def test_refine_requires_vectors(self, spark, sf_dir, tmp_path):
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "pq")
+        similarity.pq_write_index(emb, idx, dim=64, m=4, ksub=16)
+        with pytest.raises(ValueError, match="vectors"):
+            similarity.pq_search_index(spark, idx, self._queries(emb),
+                                       k=5, refine=20)
+
+    def test_probe_is_codes_only_without_refine(self, spark, sf_dir,
+                                                tmp_path):
+        """The raw-ADC probe must read ONLY the code table — no scan of
+        the embeddings corpus appears in the executed plan (the whole
+        point of the compressed index: dim·8 bytes/vector never move
+        at query time)."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "pq")
+        similarity.pq_write_index(emb, idx, dim=64, m=4, ksub=16)
+        # queries as literals so the ONLY parquet in the plan is the
+        # index itself (probing from the corpus table would add its
+        # own legitimate 3-row scan and mask the assertion)
+        qrows = self._queries(emb).collect()
+        q = spark.createDataFrame(
+            [(r.query_id, list(r.query_vec)) for r in qrows],
+            "query_id LONG, query_vec ARRAY<DOUBLE>")
+        out = similarity.pq_search_index(spark, idx, q, k=5)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = re.findall(r"Scan parquet[^\n]*", plan)
+        assert scans and all("embeddings" not in s for s in scans)
