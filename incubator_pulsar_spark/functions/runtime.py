@@ -79,11 +79,76 @@ def window_function(
 
     Pair with a window-id grouping column (time bucket from
     operators/windows.py or window_id from count windows): each group IS
-    one pane, delivered to ``fn`` as a pandas DataFrame via Arrow
-    (``applyInPandas``). One shuffle on the pane key; pane contents never
-    pass through the driver.
+    one pane, delivered to ``fn`` as a pandas DataFrame via Arrow. One
+    shuffle on the pane key; pane contents never pass through the driver.
+
+    NOT ``groupBy().applyInPandas``: grouped-map ships each pane as its
+    OWN Arrow RecordBatch, and with the many-tiny-panes shape windowed
+    UDAFs actually have (hourly × key ⇒ thousands of 3-row panes) the
+    per-batch machinery dominates — measured ~3 ms/pane, 8.5 s for a
+    TRIVIAL fn over 3,385 panes at sf0.01. Instead: hash-repartition on
+    the pane key, sort within partitions, and stream ``mapInPandas``
+    with a group-boundary carry across Arrow batches — batches stay at
+    the default ~10k rows regardless of pane size (same trivial-fn run:
+    0.5 s), while ``fn`` still receives exactly one pane per call.
+    Memory bound is max(arrow batch + one pane) — the same largest-pane
+    bound grouped-map has, NOT whole-partition.
     """
-    return df.groupBy(*group_by).applyInPandas(fn, output_schema)
+    key_idx = [df.columns.index(c) for c in group_by]
+
+    def apply_partition(batches):
+        import pandas as pd
+
+        carry: pd.DataFrame | None = None
+        # buffer per-pane outputs and emit them as BIG return batches —
+        # yielding each pane's (typically 1-row) result individually
+        # would pay the same per-RecordBatch tax on the way back out
+        out_buf: list[pd.DataFrame] = []
+        out_rows = 0
+
+        def run(g: pd.DataFrame) -> None:
+            nonlocal out_rows
+            out = fn(g.reset_index(drop=True))
+            if out is not None and len(out):
+                out_buf.append(out)
+                out_rows += len(out)
+
+        def drain():
+            nonlocal out_rows
+            if out_buf:
+                merged = pd.concat(out_buf, ignore_index=True)
+                out_buf.clear()
+                out_rows = 0
+                yield merged
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            keys = pdf.iloc[:, key_idx]
+            prev = keys.shift()
+            # new-group mask; NaN==NaN must NOT split (groupBy treats
+            # nulls as one group, and sort collates them together)
+            neq = (keys.ne(prev) & ~(keys.isna() & prev.isna())).any(axis=1)
+            gid = neq.cumsum()
+            last = gid.iloc[-1]
+            # the final run may continue into the next batch — carry it
+            carry = pdf[gid == last]
+            done = pdf[gid != last]
+            if len(done):
+                for _, g in done.groupby(gid[gid != last], sort=False):
+                    run(g)
+            if out_rows >= 4096:
+                yield from drain()
+        if carry is not None and len(carry):
+            run(carry)
+        yield from drain()
+
+    return (df.repartition(*[F.col(c) for c in group_by])
+            .sortWithinPartitions(*group_by)
+            .mapInPandas(apply_partition, output_schema))
 
 
 def identity_function(df: DataFrame) -> DataFrame:

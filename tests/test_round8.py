@@ -141,3 +141,69 @@ class TestPQIndex:
         plan = out._jdf.queryExecution().executedPlan().toString()
         scans = re.findall(r"Scan parquet[^\n]*", plan)
         assert scans and all("embeddings" not in s for s in scans)
+
+
+# ------------------------- window_function mapInPandas pane machinery
+
+class TestWindowFunctionPanes:
+    """window_function was rewritten from groupBy().applyInPandas (one
+    Arrow RecordBatch PER PANE — measured ~3 ms/pane of machinery, 8.5s
+    for a trivial fn over 3,385 panes) to repartition + sort +
+    mapInPandas with a group-boundary carry. These lock the semantics
+    the rewrite must preserve."""
+
+    def _schema(self):
+        from pyspark.sql import types as T
+        return T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ])
+
+    def _fn(self):
+        import pandas as pd
+
+        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "k": [None if pd.isna(pdf["k"].iloc[0])
+                      else pdf["k"].iloc[0]],
+                "n": [len(pdf)],
+                "total": [float(pdf["v"].sum())],
+            })
+        return agg
+
+    def test_matches_grouped_map_including_null_keys(self, spark):
+        """Every pane delivered exactly once, null keys form ONE pane
+        (groupBy semantics), results identical to the grouped-map
+        reference."""
+        from incubator_pulsar_spark.functions.runtime import window_function
+
+        rows = [("a", 1.0), ("b", 2.0), (None, 3.0), ("a", 4.0),
+                (None, 5.0), ("c", 6.0), ("b", 7.0)]
+        df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+        got = sorted(map(tuple, window_function(
+            df, self._fn(), self._schema(), group_by=["k"]).collect()),
+            key=str)
+        want = sorted(map(tuple, df.groupBy("k").applyInPandas(
+            self._fn(), self._schema()).collect()), key=str)
+        assert got == want
+        assert (None, 2, 8.0) in got  # the two null-key rows, one pane
+
+    def test_pane_spanning_arrow_batches_is_one_call(self, spark):
+        """A pane larger than the Arrow batch size must still reach fn
+        as ONE DataFrame (the carry logic), never split."""
+        from incubator_pulsar_spark.functions.runtime import window_function
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            df = spark.range(100).selectExpr(
+                "CASE WHEN id < 60 THEN 'big' ELSE concat('s', id % 4) "
+                "END AS k", "CAST(id AS DOUBLE) AS v")
+            got = {r.k: (r.n, r.total) for r in window_function(
+                df, self._fn(), self._schema(), group_by=["k"]).collect()}
+            assert got["big"] == (60, float(sum(range(60))))
+            assert sum(n for n, _ in got.values()) == 100
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
