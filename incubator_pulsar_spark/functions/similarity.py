@@ -1235,14 +1235,20 @@ def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
     again. True vectors stay in the corpus table; the refine stage
     fetches the R·Q it needs by id equi-join at search time
     (``pq_search_index(vectors=...)``), so the index itself stays
-    codes-only and memory-resident at any corpus size."""
+    codes-only and memory-resident at any corpus size.
+
+    Layout: batch-maintained codes live flat under ``{path}/base``
+    (append-only, ``pq_append_index``); the continuous-ingest stream
+    owns ``{path}/stream/_batch_id=N`` directories (replay-idempotent
+    overwrites — ``streaming.ann``); codebooks in a JSON sidecar at
+    the root."""
     import json as _json
     import os as _os
 
     books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
                                id_col=id_col, vec_col=vec_col)
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
-    enc.write.mode("overwrite").parquet(path)
+    enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
     with open(_os.path.join(path, "_codebooks.json"), "w") as f:
         _json.dump(books, f)
     return books
@@ -1269,8 +1275,28 @@ def pq_append_index(embeddings: DataFrame, path: str, *,
         books = _json.load(f)
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
     n = enc.count()
-    enc.write.mode("append").parquet(path)
+    enc.write.mode("append").parquet(_os.path.join(path, "base"))
     return n
+
+
+def _pq_read_codes(spark, path: str, *,
+                   max_stream_batch: int | None = None) -> DataFrame:
+    """The full code table of a persisted PQ index: the flat
+    batch-maintained ``base`` plus, when the continuous-ingest stream
+    has appended any, the ``stream/_batch_id=N`` directories.
+    ``max_stream_batch`` (exclusive) restricts to stream batches
+    STRICTLY EARLIER — the replay-stability filter of
+    ``streaming.ann.pq_ingest_batch``."""
+    import os as _os
+
+    enc = spark.read.parquet(_os.path.join(path, "base"))
+    stream_root = _os.path.join(path, "stream")
+    if _os.path.isdir(stream_root):
+        s = spark.read.parquet(stream_root)
+        if max_stream_batch is not None:
+            s = s.filter(F.col("_batch_id") < max_stream_batch)
+        enc = enc.unionByName(s.select("vec_id", "codes"))
+    return enc
 
 
 def pq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
@@ -1291,7 +1317,7 @@ def pq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
 
     with open(_os.path.join(path, "_codebooks.json")) as f:
         books = _json.load(f)
-    enc = spark.read.parquet(path)
+    enc = _pq_read_codes(spark, path)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qv"))
     vecs = None

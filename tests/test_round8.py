@@ -92,11 +92,11 @@ class TestPQIndex:
         idx = str(tmp_path / "pq")
         books = similarity.pq_write_index(old, idx, dim=64, m=4, ksub=16)
         before = {p: os.path.getmtime(p)
-                  for p in glob.glob(f"{idx}/*.parquet")}
+                  for p in glob.glob(f"{idx}/base/*.parquet")}
         n = similarity.pq_append_index(new, idx)
         assert n == new.count()
         after = {p: os.path.getmtime(p)
-                 for p in glob.glob(f"{idx}/*.parquet")}
+                 for p in glob.glob(f"{idx}/base/*.parquet")}
         assert all(after[p] == t for p, t in before.items())  # untouched
         assert len(after) > len(before)                       # appended
         # sidecar books unchanged by append

@@ -260,12 +260,47 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
 
         # pass 2: restart from the checkpoint, clock far in the future.
         # Restored timers fire (5-15s re-arm cadence), every pending
-        # row releases; poll the committed view to a deadline.
+        # row releases. Liveness-based wait (r7 verdict #1): a fixed
+        # wall deadline conflates "slow under a loaded machine" with
+        # "stalled" — this test failed 0/20000-in-300s in a full-suite
+        # run yet passes in 32s alone. Fail only when nothing advances:
+        # batchId AND committed release count both frozen for 60 polls
+        # (~2 min of true zero progress), or batches running but zero
+        # new releases for 180 polls (~6 min — timers firing into a
+        # void IS a stall, just a slower-diagnosed one). Any release
+        # progress resets both counters, so slow timers merely take
+        # longer. Released count must also be MONOTONIC — the
+        # exactly-once committed view can only grow.
         q2 = start(t0 + dt.timedelta(hours=10))
-        deadline = time.time() + 300
-        while time.time() < deadline and released() < n:
+        hard_stall = release_stall = 0
+        last_batch, last_rel = -1, 0
+        while True:
             if q2.exception() is not None:  # died — say WHY, not "0 rows"
                 raise AssertionError(f"pass-2 query died: {q2.exception()}")
+            rel = released()
+            assert rel >= last_rel, (
+                f"committed release count went BACKWARDS: {last_rel}->{rel}")
+            if rel >= n:
+                break
+            p = q2.lastProgress
+            batch = p["batchId"] if p else -1
+            if rel > last_rel:
+                hard_stall = release_stall = 0
+            elif batch > last_batch:
+                hard_stall = 0
+                release_stall += 1
+            else:
+                hard_stall += 1
+                release_stall += 1
+            if hard_stall >= 60:
+                raise AssertionError(
+                    f"pass-2 STALLED: batchId frozen at {batch} and "
+                    f"released frozen at {rel}/{n} for ~2 min")
+            if release_stall >= 180:
+                raise AssertionError(
+                    f"pass-2 STALLED: batches advancing (batchId={batch}) "
+                    f"but released frozen at {rel}/{n} for ~6 min")
+            last_batch, last_rel = batch, rel
             time.sleep(2)
         q2.stop()
         q2.awaitTermination(120)
