@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     # (VERDICT r7 #5: every registry query benched or excluded with a
     # written reason)
     "pq_index_topk_embeddings",
+    "ivfpq_topk_embeddings",
     "multi_topic_counts",
     "ttl_recent_events",
     "retry_dlq_routing",

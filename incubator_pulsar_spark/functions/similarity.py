@@ -1167,32 +1167,38 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs)
 
 
-def _pq_adc_rank(enc: DataFrame, q: DataFrame,
-                 books: list[list[list[float]]], k: int, *,
-                 refine: int | None,
-                 vecs: DataFrame | None) -> DataFrame:
-    """The query-time half of ``pq_adc_topk`` — ADC lookup-sum scan
-    over an ALREADY-ENCODED corpus (``enc``: (vec_id, codes)), plus
-    the optional exact refine against ``vecs`` (vec_id, _cv). Shared
-    verbatim by the one-shot form and ``pq_search_index`` so the
-    persisted-index probe can never drift from the gated semantics."""
+def _pq_query_table(q: DataFrame, books: list[list[list[float]]], *,
+                    extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-query ADC distance table: m rows of ksub round-9 d2 entries
+    against the broadcast codebooks. ``extra`` carries routing columns
+    (e.g. the probed ``cell``) through alongside (query_id, _qt)."""
     m = len(books)
     dsub = len(books[0][0])
-    # per-query distance table: m rows of ksub round-9 d2 entries
     qtable = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.transform(
             F.element_at(F.col("_pq"), s + 1),
             lambda cw: F.round(_d2(F.slice(F.col("qv"), s * dsub + 1, dsub),
                                    cw), 9)))
-    qt = _attach_pq(q, books).select("query_id", qtable.alias("_qt"))
-    adc = F.aggregate(
+    return _attach_pq(q, books).select("query_id", *extra,
+                                       qtable.alias("_qt"))
+
+
+def _pq_adc_expr() -> Column:
+    """Approximate distance of one (codes, _qt) pair: sum of m table
+    lookups addressed by the codes — fixed left-to-right IEEE fold."""
+    return F.aggregate(
         F.zip_with(F.col("codes"), F.col("_qt"),
                    lambda c, row: F.element_at(row, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
-    scored = (enc.crossJoin(F.broadcast(qt))
-              .select("query_id", "vec_id",
-                      F.round(adc, 6).alias("adc_d2")))
+
+
+def _pq_rank_tail(scored: DataFrame, q: DataFrame, k: int, *,
+                  refine: int | None,
+                  vecs: DataFrame | None) -> DataFrame:
+    """Top-k / refine tail shared by every PQ probe form: per-query
+    shortlist windows over the ADC scores, optional exact re-rank
+    against the true-vector source."""
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(),
                                                F.col("vec_id"))
     if refine is None:
@@ -1218,6 +1224,22 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
     return (exact.withColumn("rank", F.row_number().over(wr).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_d2", "exact_d2", "rank"))
+
+
+def _pq_adc_rank(enc: DataFrame, q: DataFrame,
+                 books: list[list[list[float]]], k: int, *,
+                 refine: int | None,
+                 vecs: DataFrame | None) -> DataFrame:
+    """The query-time half of ``pq_adc_topk`` — ADC lookup-sum scan
+    over an ALREADY-ENCODED corpus (``enc``: (vec_id, codes)), plus
+    the optional exact refine against ``vecs`` (vec_id, _cv). Shared
+    verbatim by the one-shot form and ``pq_search_index`` so the
+    persisted-index probe can never drift from the gated semantics."""
+    qt = _pq_query_table(q, books)
+    scored = (enc.crossJoin(F.broadcast(qt))
+              .select("query_id", "vec_id",
+                      F.round(_pq_adc_expr(), 6).alias("adc_d2")))
+    return _pq_rank_tail(scored, q, k, refine=refine, vecs=vecs)
 
 
 def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
@@ -1277,6 +1299,103 @@ def pq_append_index(embeddings: DataFrame, path: str, *,
     n = enc.count()
     enc.write.mode("append").parquet(_os.path.join(path, "base"))
     return n
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame, path: str, *, dim: int,
+    m: int = 4, ksub: int = 16, n_cells: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
+    paper actually ships): coarse-quantize every vector to an IVF cell
+    AND PQ-encode it, persisting the codes parquet PARTITIONED BY
+    CELL, with the centroids + codebooks in one JSON sidecar.
+
+    This composes the two index families' scale properties: a probe
+    prunes to nprobe/n_cells of the corpus via directory-level
+    partition pruning (the ``ivf_write_index`` contract) and then
+    scans only COMPRESSED codes within the pruned cells (the
+    ``pq_write_index`` contract) — at 100 TB neither the full corpus
+    nor even full-width vectors of the probed cells are ever read.
+    Build cost: two driver-bounded trainings (centroid seeding +
+    codebooks over the same 10k pool) and ONE map-side pass assigning
+    cell + codes, then a partitioned write. Returns (centroids,
+    codebooks)."""
+    import json as _json
+    import os as _os
+
+    n_cells = _resolve_n_cells(embeddings, n_cells)
+    cents = _seed_centroids(embeddings, n_cells=n_cells,
+                            id_col=id_col, vec_col=vec_col)
+    books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                               id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
+    e = _attach_pq(e, books).select(
+        "vec_id", "cell",
+        _pq_codes(F.col("vec"), len(books), len(books[0][0]))
+        .alias("codes"))
+    e.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(path, "base"))
+    with open(_os.path.join(path, "_ivfpq.json"), "w") as f:
+        _json.dump({"centroids": cents, "books": books}, f)
+    return cents, books
+
+
+def ivfpq_search_index(
+    spark, path: str, queries: DataFrame, k: int = 10, *,
+    nprobe: int = 4, refine: int | None = None,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe an IVFADC index: pick each query's nprobe nearest cells
+    driver-side (n_cells tiny — same probe rule and tiebreak as
+    ``ivf_search_index``), read ONLY those cell partitions
+    (`cell IN (...)` prunes directories before the scan), ADC-rank the
+    codes within them (cell equi-join against the broadcast query
+    tables, never a full cross join), and optionally exact-refine the
+    per-query top-R against ``vectors``. Recall < 1 exactly when a
+    true neighbor's cell goes unprobed or the ADC top-R misses it —
+    the standard IVFADC trade, tunable by (nprobe, refine)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivfpq.json")) as f:
+        side = _json.load(f)
+    cents, books = side["centroids"], side["books"]
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("qv"))
+    qc = (_attach_centroids(q, cents)
+          .withColumn("_scores", _cell_scores(F.col("qv"))).drop("_cents"))
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    pairs = F.zip_with(qc["_scores"], idx,
+                       lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    qe = (qc.withColumn("cell",
+                        F.explode(F.transform(probes, lambda p: p["i"])))
+          .withColumn("cell", F.col("cell").cast("int")).drop("_scores"))
+
+    probe_cells = sorted(
+        {r["cell"] for r in qe.select("cell").distinct().collect()})
+    enc = (spark.read.parquet(_os.path.join(path, "base"))
+           .filter(F.col("cell").isin(probe_cells)))
+
+    qt = _pq_query_table(qe, books, extra=("cell",))
+    scored = (enc.join(F.broadcast(qt), "cell")
+              .select("query_id", "vec_id",
+                      F.round(_pq_adc_expr(), 6).alias("adc_d2")))
+    vecs = None
+    if refine is not None:
+        if vectors is None:
+            raise ValueError("refine mode needs vectors= (the corpus "
+                             "table with the true vectors)")
+        vecs = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"))
+    return _pq_rank_tail(scored, q, k, refine=refine, vecs=vecs)
 
 
 def _pq_read_codes(spark, path: str, *,

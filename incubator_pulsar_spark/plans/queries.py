@@ -5207,13 +5207,7 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
     index lifecycle: codebooks trained on the initial build set, later
     appends encoded with those same books — everything downstream of
     the pool CTE is identical by construction)."""
-    dsub = dim // m
-
-    def d2(a: str, b: str, digits: int) -> str:
-        return (f"round(list_dot_product({a}, {a}) "
-                f"- 2.0 * list_dot_product({a}, {b}) "
-                f"+ list_dot_product({b}, {b}), {digits})")
-
+    d2 = _sql_d2
     pool_where = f"WHERE {train_where} " if train_where else ""
     parts = [
         "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
@@ -5221,6 +5215,38 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
         f"pool AS MATERIALIZED (SELECT vec_id, v FROM e {pool_where}"
         "ORDER BY vec_id LIMIT 10000)",
     ]
+    parts += _pq_chain_parts(dim, m, ksub)
+    parts.append(
+        "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
+        f"{d2('es.sv', 'bk.sv', 9)} AS qd "
+        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
+    parts.append(
+        "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
+        f"round({adc_sum}, 6) AS adc_d2 "
+        "FROM enc en JOIN qtab t ON en.s = t.s AND en.cw = t.cw "
+        "GROUP BY t.query_id, en.vec_id)")
+    return _pq_sql_tail(parts, m, k, refine)
+
+
+def _sql_d2(a: str, b: str, digits: int) -> str:
+    """Squared L2 via the fixed-order expansion — the textual mirror of
+    similarity._d2 (same three folds, two IEEE adds)."""
+    return (f"round(list_dot_product({a}, {a}) "
+            f"- 2.0 * list_dot_product({a}, {b}) "
+            f"+ list_dot_product({b}, {b}), {digits})")
+
+
+def _pq_chain_parts(dim: int, m: int, ksub: int) -> list[str]:
+    """The PQ training + encoding CTE chain (greedy farthest-point
+    codebooks per subspace → ``books``, corpus subvectors → ``esubs``,
+    first-min codeword argmin → ``enc``). Assumes CTEs ``e`` (vec_id,
+    v) and ``pool`` are already defined — shared by the one-shot /
+    persisted-index PQ oracles and the IVFADC oracle."""
+    d2 = _sql_d2
+    dsub = dim // m
+    parts: list[str] = []
     book_arms = []
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
@@ -5259,17 +5285,13 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
         "PARTITION BY es.vec_id, es.s "
         f"ORDER BY {d2('es.sv', 'bk.sv', 9)} ASC, bk.cw ASC) AS rn "
         "FROM esubs es JOIN books bk USING (s)) WHERE rn = 1)")
-    parts.append(
-        "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
-        f"{d2('es.sv', 'bk.sv', 9)} AS qd "
-        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
-    adc_sum = " + ".join(
-        f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
-    parts.append(
-        "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
-        f"round({adc_sum}, 6) AS adc_d2 "
-        "FROM enc en JOIN qtab t ON en.s = t.s AND en.cw = t.cw "
-        "GROUP BY t.query_id, en.vec_id)")
+    return parts
+
+
+def _pq_sql_tail(parts: list[str], m: int, k: int, refine: int) -> str:
+    """Shortlist + exact-refine + final top-k — shared verbatim by the
+    PQ and IVFADC oracles (both rank their ``adcv`` the same way)."""
+    d2 = _sql_d2
     parts.append(
         "short AS (SELECT query_id, vec_id, adc_d2 FROM ("
         "SELECT query_id, vec_id, adc_d2, row_number() OVER ("
@@ -5327,6 +5349,78 @@ def pq_index_topk_embeddings(spark, sf_dir):
 PQ_INDEX_SQL = _pq_sql(train_where="vec_id % 2 = 0")
 
 
+def ivfpq_topk_embeddings(spark, sf_dir):
+    """IVFADC under an exact oracle (similarity.ivfpq_write_index /
+    ivfpq_search_index — Jégou et al. 2011 §IV, the composed index the
+    paper actually ships): coarse-quantize to 8 IVF cells AND
+    PQ-encode (m=4 × 16 codewords), persist codes PARTITIONED BY CELL,
+    then probe with 5 queries at nprobe=3 — directory pruning cuts the
+    scan to the probed cells, the ADC lookup-sum ranks only compressed
+    codes within them (cell equi-join, never a cross join), and the
+    top-100 shortlist exact-refines to top-10. The oracle composes the
+    proven IVF seeding chain (_ivf_assign_parts: round-9 cosine
+    farthest-point cells) with the proven PQ chain (_pq_chain_parts:
+    round-9 L2 farthest-point codebooks) and must agree on every row."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+                                         refine=100, vectors=emb)
+
+
+def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
+               m: int = 4, ksub: int = 16, k: int = 10,
+               refine: int = 100) -> str:
+    """Replay ivfpq_write_index + ivfpq_search_index in pure SQL by
+    COMPOSING the two proven chains: _ivf_assign_parts contributes the
+    coarse quantizer (cells, per-vector cell in ``assigned``),
+    _pq_chain_parts the codebooks and encoded corpus (both train on
+    the same pool CTE, exactly like the Spark side's shared 10k pool).
+    ``probes`` replicates the driver-side nprobe selection — score
+    DESC, cell DESC tiebreak, the reverse(array_sort) rule of
+    _ann_ivf_sql. The ADC aggregate joins enc → assigned (each code's
+    cell) → probes (per-QUERY cell restriction), so a candidate is
+    scored only for queries that probed its cell — exactly the Spark
+    side's cell equi-join — and the shortlist/refine tail is the PQ
+    oracle's verbatim."""
+    d2 = _sql_d2
+    cos9 = _sql_cos
+    parts = _ivf_assign_parts(n_cells)
+    parts += _pq_chain_parts(dim, m, ksub)
+    parts.append(
+        "probes AS (SELECT query_id, cell FROM ("
+        "SELECT e.vec_id AS query_id, c.cell, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell DESC) AS rn "
+        f"FROM e CROSS JOIN cells c WHERE e.vec_id < 5) "
+        f"WHERE rn <= {nprobe})")
+    parts.append(
+        "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
+        f"{d2('es.sv', 'bk.sv', 9)} AS qd "
+        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
+    parts.append(
+        "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
+        f"round({adc_sum}, 6) AS adc_d2 "
+        "FROM enc en "
+        "JOIN assigned a ON en.vec_id = a.vec_id "
+        "JOIN probes pr ON pr.cell = a.cell "
+        "JOIN qtab t ON t.query_id = pr.query_id "
+        "AND en.s = t.s AND en.cw = t.cw "
+        "GROUP BY t.query_id, en.vec_id)")
+    return _pq_sql_tail(parts, m, k, refine)
+
+
+IVFPQ_SQL = _ivfpq_sql()
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -5348,6 +5442,7 @@ ALL_QUERIES: dict[str, Query] = {
         # twice-proven r4/r5/r6 rows and the r3-era trio-proven
         # set's stalest ten; exactly 50 entries, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50) ---
+        Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
         Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
               PQ_INDEX_SQL),
         Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
@@ -5410,8 +5505,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
         Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
-        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         # --- tail 51+: proven >=2x and recently; local sweep only ---
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("session_windows_users", session_windows_users, SESSION_SQL),
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),

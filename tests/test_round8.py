@@ -143,6 +143,64 @@ class TestPQIndex:
         assert scans and all("embeddings" not in s for s in scans)
 
 
+# ------------------------------------------------------ IVFADC index
+
+class TestIVFPQ:
+    def _queries(self, emb):
+        return emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+
+    def test_full_probe_equals_flat_pq(self, spark, sf_dir, tmp_path):
+        """With nprobe = n_cells the candidate set is the whole corpus,
+        so IVFADC must reproduce the flat PQ scan row for row (the
+        codebooks are the same deterministic greedy training) — locks
+        the cell routing to 'prunes, never perturbs'."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = self._queries(emb)
+        idx = str(tmp_path / "ivfpq")
+        _, books = similarity.ivfpq_write_index(emb, idx, dim=64, m=4,
+                                                ksub=16, n_cells=4)
+        got = sorted(map(tuple, similarity.ivfpq_search_index(
+            spark, idx, q, k=5, nprobe=4, refine=20,
+            vectors=emb).collect()))
+        want = sorted(map(tuple, similarity.pq_adc_topk(
+            emb, q, k=5, dim=64, books=books, refine=20).collect()))
+        assert got == want
+
+    def test_probe_prunes_cell_partitions(self, spark, sf_dir, tmp_path):
+        """A narrow probe must read ONLY the probed cell directories —
+        PartitionFilters on the codes scan (directory pruning IS the
+        inverted-file lookup, the ivf_search_index contract)."""
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = self._queries(emb)
+        idx = str(tmp_path / "ivfpq")
+        similarity.ivfpq_write_index(emb, idx, dim=64, m=4, ksub=16,
+                                     n_cells=8)
+        out = similarity.ivfpq_search_index(spark, idx, q, k=5, nprobe=2)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf and pf.strip(" [") != "", (
+            "IVFADC probe scan did not prune cell partitions")
+
+    def test_refine_requires_vectors(self, spark, sf_dir, tmp_path):
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "ivfpq")
+        similarity.ivfpq_write_index(emb, idx, dim=64, m=4, ksub=16,
+                                     n_cells=4)
+        with pytest.raises(ValueError, match="vectors"):
+            similarity.ivfpq_search_index(spark, idx, self._queries(emb),
+                                          k=5, nprobe=2, refine=20)
+
+
 # ------------------------- window_function mapInPandas pane machinery
 
 class TestWindowFunctionPanes:

@@ -38,11 +38,14 @@ def main() -> None:
     out_path = sys.argv[1]
     dirs: list[str] = []
     skips: set[tuple[str, str]] = set()
+    only: set[str] = set()
     args = iter(sys.argv[2:])
     for a in args:
         if a == "--skip":
             label, _, qname = next(args).partition(":")
             skips.add((label, qname))
+        elif a == "--only":
+            only.add(next(args))
         else:
             dirs.append(a)
     spark = get_spark("scaling-curve")
@@ -52,6 +55,8 @@ def main() -> None:
     for d in dirs:
         label = os.path.basename(d.rstrip("/"))
         for name, q in ALL_QUERIES.items():
+            if only and name not in only:
+                continue
             if (label, name) in skips:
                 print(f"# skip {name} @ {label}: --skip", file=sys.stderr)
                 continue
