@@ -1368,6 +1368,47 @@ def ivfpq_search_index(
     cents, books = side["centroids"], side["books"]
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qv"))
+    enc = _ivfpq_read_codes(spark, path)
+    vecs = None
+    if refine is not None:
+        if vectors is None:
+            raise ValueError("refine mode needs vectors= (the corpus "
+                             "table with the true vectors)")
+        vecs = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_cv"))
+    return _ivfpq_probe(enc, q, cents, books, k, nprobe=nprobe,
+                        refine=refine, vecs=vecs)
+
+
+def _ivfpq_read_codes(spark, path: str, *,
+                      max_stream_batch: int | None = None) -> DataFrame:
+    """Full (vec_id, codes, cell) table of a persisted IVFADC index:
+    the cell-partitioned ``base`` plus, when the continuous-ingest
+    stream has appended any, ``stream/_batch_id=N/cell=C`` directories
+    (``max_stream_batch`` exclusive = the replay-stability filter)."""
+    import os as _os
+
+    enc = spark.read.parquet(_os.path.join(path, "base")) \
+        .select("vec_id", "codes", "cell")
+    stream_root = _os.path.join(path, "stream")
+    if _os.path.isdir(stream_root):
+        s = spark.read.parquet(stream_root)
+        if max_stream_batch is not None:
+            s = s.filter(F.col("_batch_id") < max_stream_batch)
+        enc = enc.unionByName(s.select("vec_id", "codes", "cell"))
+    return enc
+
+
+def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
+                 nprobe: int, refine: int | None,
+                 vecs: DataFrame | None) -> DataFrame:
+    """The probe half of ``ivfpq_search_index`` over an already-loaded
+    (vec_id, codes, cell) table — shared with the continuous-ingest
+    stream. Selects nprobe cells per query driver-side, restricts
+    ``enc`` to the probed-cell union (a partition-column IN filter when
+    ``enc`` comes straight off the index — directory pruning), then
+    ADC-ranks via the cell equi-join."""
     qc = (_attach_centroids(q, cents)
           .withColumn("_scores", _cell_scores(F.col("qv"))).drop("_cents"))
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
@@ -1380,21 +1421,12 @@ def ivfpq_search_index(
 
     probe_cells = sorted(
         {r["cell"] for r in qe.select("cell").distinct().collect()})
-    enc = (spark.read.parquet(_os.path.join(path, "base"))
-           .filter(F.col("cell").isin(probe_cells)))
+    enc = enc.filter(F.col("cell").isin(probe_cells))
 
     qt = _pq_query_table(qe, books, extra=("cell",))
     scored = (enc.join(F.broadcast(qt), "cell")
               .select("query_id", "vec_id",
                       F.round(_pq_adc_expr(), 6).alias("adc_d2")))
-    vecs = None
-    if refine is not None:
-        if vectors is None:
-            raise ValueError("refine mode needs vectors= (the corpus "
-                             "table with the true vectors)")
-        vecs = vectors.select(
-            F.col(id_col).alias("vec_id"),
-            as_double_array(F.col(vec_col)).alias("_cv"))
     return _pq_rank_tail(scored, q, k, refine=refine, vecs=vecs)
 
 

@@ -41,7 +41,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import (_pq_adc_rank, _pq_read_codes,
+from ..functions.similarity import (_attach_centroids, _attach_pq,
+                                    _ivfpq_probe, _ivfpq_read_codes,
+                                    _nearest_cell, _pq_adc_rank,
+                                    _pq_codes, _pq_read_codes,
                                     as_double_array, pq_encode)
 
 
@@ -86,6 +89,66 @@ def start_pq_ingest_stream(
         pq_ingest_batch(batch_df, batch_id, index_path=index_path,
                         out_path=out_path, k=k,
                         id_col=id_col, vec_col=vec_col)
+
+    writer = (embeddings.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
+                       index_path: str, out_path: str, k: int = 10,
+                       nprobe: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """``pq_ingest_batch`` for the cell-partitioned IVFADC index: the
+    probe additionally prunes to nprobe cells per query (the whole
+    point of the coarse quantizer under continuous ingest — each
+    batch's neighbor search reads nprobe/n_cells of the accumulated
+    codes, not all of them), and the batch's own appends land under
+    ``stream/_batch_id=N/cell=C`` so later probes keep directory-level
+    pruning over streamed rows too. Same replay discipline: probe
+    strictly-earlier state, overwrite exactly your own directories."""
+    spark = batch_df.sparkSession
+    with open(os.path.join(index_path, "_ivfpq.json")) as f:
+        side = json.load(f)
+    cents, books = side["centroids"], side["books"]
+
+    enc_prior = _ivfpq_read_codes(spark, index_path,
+                                  max_stream_batch=batch_id)
+    q = batch_df.select(F.col(id_col).alias("query_id"),
+                        as_double_array(F.col(vec_col)).alias("qv"))
+    hits = _ivfpq_probe(enc_prior, q, cents, books, k,
+                        nprobe=nprobe, refine=None, vecs=None)
+    hits.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"_batch_id={batch_id}"))
+
+    e = batch_df.select(F.col(id_col).alias("vec_id"),
+                        as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
+    own = _attach_pq(e, books).select(
+        "vec_id", "cell",
+        _pq_codes(F.col("vec"), len(books), len(books[0][0]))
+        .alias("codes"))
+    own.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_path, "stream", f"_batch_id={batch_id}"))
+
+
+def start_ivfpq_ingest_stream(
+    embeddings: DataFrame, *, index_path: str, out_path: str,
+    checkpoint_path: str, k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Continuous IVFADC ingest (``ivfpq_write_index`` must have built
+    the index — centroids AND codebooks are frozen there; stream
+    batches quantize with them, never retrain). Returns the
+    StreamingQuery."""
+    def process(batch_df, batch_id: int) -> None:
+        ivfpq_ingest_batch(batch_df, batch_id, index_path=index_path,
+                           out_path=out_path, k=k, nprobe=nprobe,
+                           id_col=id_col, vec_col=vec_col)
 
     writer = (embeddings.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_path))
