@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     # written reason)
     "pq_index_topk_embeddings",
     "ivfpq_topk_embeddings",
+    "ivfpq_residual_topk_embeddings",
     "multi_topic_counts",
     "ttl_recent_events",
     "retry_dlq_routing",

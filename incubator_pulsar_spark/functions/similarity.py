@@ -1301,9 +1301,38 @@ def pq_append_index(embeddings: DataFrame, path: str, *,
     return n
 
 
+def _residual(vec: Column) -> Column:
+    """v − centroid[cell], elementwise — requires ``_cents`` and
+    ``cell`` attached. Exact IEEE subtraction, so DuckDB's
+    list_transform(list_zip(...)) replays it bit-for-bit."""
+    return F.zip_with(vec,
+                      F.element_at(F.col("_cents"), F.col("cell") + 1),
+                      lambda a, b: a - b)
+
+
+def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Map-side IVFADC encoder: (vec_id, cell, codes) under frozen
+    centroids + codebooks — shared by the index build, the ingest
+    stream, and the tests' reference encoder."""
+    e = df.select(F.col(id_col).alias("vec_id"),
+                  as_double_array(F.col(vec_col)).alias("vec"))
+    e = (_attach_centroids(e, cents)
+         .withColumn("cell", _nearest_cell(F.col("vec"))))
+    if residual:
+        e = e.withColumn("vec", _residual(F.col("vec")))
+    e = e.drop("_cents")
+    return _attach_pq(e, books).select(
+        "vec_id", "cell",
+        _pq_codes(F.col("vec"), len(books), len(books[0][0]))
+        .alias("codes"))
+
+
 def ivfpq_write_index(
     embeddings: DataFrame, path: str, *, dim: int,
     m: int = 4, ksub: int = 16, n_cells: int | None = None,
+    residual: bool = False,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
@@ -1320,27 +1349,40 @@ def ivfpq_write_index(
     Build cost: two driver-bounded trainings (centroid seeding +
     codebooks over the same 10k pool) and ONE map-side pass assigning
     cell + codes, then a partitioned write. Returns (centroids,
-    codebooks)."""
+    codebooks).
+
+    ``residual=True`` is the paper's §IV-A form: codebooks train on
+    and codes encode v − centroid[cell] instead of v. Residuals have
+    far less energy than raw vectors (the coarse quantizer already
+    explains the cell-level structure), so the same m·log2(ksub) bits
+    quantize tighter — the standard IVFADC accuracy lever. The flag is
+    pinned in the sidecar; probes and stream appends read it there."""
     import json as _json
     import os as _os
 
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
-    books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
-                               id_col=id_col, vec_col=vec_col)
-    e = embeddings.select(F.col(id_col).alias("vec_id"),
-                          as_double_array(F.col(vec_col)).alias("vec"))
-    e = (_attach_centroids(e, cents)
-         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
-    e = _attach_pq(e, books).select(
-        "vec_id", "cell",
-        _pq_codes(F.col("vec"), len(books), len(books[0][0]))
-        .alias("codes"))
-    e.write.mode("overwrite").partitionBy("cell").parquet(
+    if residual:
+        e = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("vec"))
+        r = (_attach_centroids(e, cents)
+             .withColumn("cell", _nearest_cell(F.col("vec")))
+             .withColumn("rvec", _residual(F.col("vec")))
+             .select("vec_id", "rvec"))
+        books = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
+                                   id_col="vec_id", vec_col="rvec")
+    else:
+        books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                                   id_col=id_col, vec_col=vec_col)
+    enc = _ivfpq_encode(embeddings, cents, books, residual=residual,
+                        id_col=id_col, vec_col=vec_col)
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
         _os.path.join(path, "base"))
     with open(_os.path.join(path, "_ivfpq.json"), "w") as f:
-        _json.dump({"centroids": cents, "books": books}, f)
+        _json.dump({"centroids": cents, "books": books,
+                    "residual": residual}, f)
     return cents, books
 
 
@@ -1378,7 +1420,8 @@ def ivfpq_search_index(
             F.col(id_col).alias("vec_id"),
             as_double_array(F.col(vec_col)).alias("_cv"))
     return _ivfpq_probe(enc, q, cents, books, k, nprobe=nprobe,
-                        refine=refine, vecs=vecs)
+                        refine=refine, vecs=vecs,
+                        residual=side.get("residual", False))
 
 
 def _ivfpq_read_codes(spark, path: str, *,
@@ -1402,15 +1445,19 @@ def _ivfpq_read_codes(spark, path: str, *,
 
 def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
                  nprobe: int, refine: int | None,
-                 vecs: DataFrame | None) -> DataFrame:
+                 vecs: DataFrame | None,
+                 residual: bool = False) -> DataFrame:
     """The probe half of ``ivfpq_search_index`` over an already-loaded
     (vec_id, codes, cell) table — shared with the continuous-ingest
     stream. Selects nprobe cells per query driver-side, restricts
     ``enc`` to the probed-cell union (a partition-column IN filter when
     ``enc`` comes straight off the index — directory pruning), then
-    ADC-ranks via the cell equi-join."""
+    ADC-ranks via the cell equi-join. With ``residual`` the per-(query,
+    cell) distance table is built from q − centroid[cell] — one table
+    per probed cell, the §IV-A query-time cost — while the exact refine
+    stage still compares RAW vectors (quantization never touches it)."""
     qc = (_attach_centroids(q, cents)
-          .withColumn("_scores", _cell_scores(F.col("qv"))).drop("_cents"))
+          .withColumn("_scores", _cell_scores(F.col("qv"))))
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
     pairs = F.zip_with(qc["_scores"], idx,
                        lambda s, i: F.struct(s.alias("s"), i.alias("i")))
@@ -1418,6 +1465,9 @@ def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
     qe = (qc.withColumn("cell",
                         F.explode(F.transform(probes, lambda p: p["i"])))
           .withColumn("cell", F.col("cell").cast("int")).drop("_scores"))
+    if residual:
+        qe = qe.withColumn("qv", _residual(F.col("qv")))
+    qe = qe.drop("_cents")
 
     probe_cells = sorted(
         {r["cell"] for r in qe.select("cell").distinct().collect()})

@@ -5238,12 +5238,15 @@ def _sql_d2(a: str, b: str, digits: int) -> str:
             f"+ list_dot_product({b}, {b}), {digits})")
 
 
-def _pq_chain_parts(dim: int, m: int, ksub: int) -> list[str]:
+def _pq_chain_parts(dim: int, m: int, ksub: int, *,
+                    pool_cte: str = "pool",
+                    corpus_cte: str = "e") -> list[str]:
     """The PQ training + encoding CTE chain (greedy farthest-point
     codebooks per subspace → ``books``, corpus subvectors → ``esubs``,
-    first-min codeword argmin → ``enc``). Assumes CTEs ``e`` (vec_id,
-    v) and ``pool`` are already defined — shared by the one-shot /
-    persisted-index PQ oracles and the IVFADC oracle."""
+    first-min codeword argmin → ``enc``). Assumes CTEs ``corpus_cte``
+    (vec_id, v) and ``pool_cte`` are already defined — shared by the
+    one-shot / persisted-index PQ oracles and the IVFADC oracle (whose
+    residual mode points both at residual-space CTEs)."""
     d2 = _sql_d2
     dsub = dim // m
     parts: list[str] = []
@@ -5252,7 +5255,7 @@ def _pq_chain_parts(dim: int, m: int, ksub: int) -> list[str]:
         lo, hi = s * dsub + 1, (s + 1) * dsub
         parts.append(
             f"p{s} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS sv "
-            "FROM pool)")
+            f"FROM {pool_cte})")
         parts.append(
             f"b{s}c0 AS MATERIALIZED (SELECT sv FROM p{s} "
             "ORDER BY vec_id LIMIT 1)")
@@ -5277,7 +5280,7 @@ def _pq_chain_parts(dim: int, m: int, ksub: int) -> list[str]:
                  + " UNION ALL ".join(book_arms) + ")")
     sub_arms = " UNION ALL ".join(
         f"SELECT vec_id, {s} AS s, v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv "
-        "FROM e" for s in range(m))
+        f"FROM {corpus_cte}" for s in range(m))
     parts.append(f"esubs AS MATERIALIZED ({sub_arms})")
     parts.append(
         "enc AS MATERIALIZED (SELECT vec_id, s, cw FROM ("
@@ -5376,7 +5379,7 @@ def ivfpq_topk_embeddings(spark, sf_dir):
 
 def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
                m: int = 4, ksub: int = 16, k: int = 10,
-               refine: int = 100) -> str:
+               refine: int = 100, residual: bool = False) -> str:
     """Replay ivfpq_write_index + ivfpq_search_index in pure SQL by
     COMPOSING the two proven chains: _ivf_assign_parts contributes the
     coarse quantizer (cells, per-vector cell in ``assigned``),
@@ -5388,11 +5391,31 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
     cell) → probes (per-QUERY cell restriction), so a candidate is
     scored only for queries that probed its cell — exactly the Spark
     side's cell equi-join — and the shortlist/refine tail is the PQ
-    oracle's verbatim."""
+    oracle's verbatim.
+
+    ``residual=True`` (§IV-A): the chain's pool and corpus CTEs point
+    at RESIDUAL space (v − centroid[assigned cell], elementwise via
+    list_transform(list_zip(...)) — exact IEEE subtraction on both
+    engines), and the query distance tables are built per PROBED cell
+    from q − centroid[that cell], joined to candidates on cell. The
+    exact-refine tail still compares raw vectors."""
     d2 = _sql_d2
     cos9 = _sql_cos
+    dsub = dim // m
+    sub = "x -> x[1] - x[2]"
     parts = _ivf_assign_parts(n_cells)
-    parts += _pq_chain_parts(dim, m, ksub)
+    if residual:
+        parts.append(
+            "resid AS MATERIALIZED (SELECT a.vec_id, "
+            f"list_transform(list_zip(a.v, c.v), {sub}) AS v "
+            "FROM assigned a JOIN cells c USING (cell))")
+        parts.append(
+            "rpool AS MATERIALIZED (SELECT r.vec_id, r.v "
+            "FROM resid r JOIN pool p USING (vec_id))")
+        parts += _pq_chain_parts(dim, m, ksub, pool_cte="rpool",
+                                 corpus_cte="resid")
+    else:
+        parts += _pq_chain_parts(dim, m, ksub)
     parts.append(
         "probes AS (SELECT query_id, cell FROM ("
         "SELECT e.vec_id AS query_id, c.cell, "
@@ -5400,25 +5423,76 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
         f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell DESC) AS rn "
         f"FROM e CROSS JOIN cells c WHERE e.vec_id < 5) "
         f"WHERE rn <= {nprobe})")
-    parts.append(
-        "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
-        f"{d2('es.sv', 'bk.sv', 9)} AS qd "
-        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
     adc_sum = " + ".join(
         f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
-    parts.append(
-        "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
-        f"round({adc_sum}, 6) AS adc_d2 "
-        "FROM enc en "
-        "JOIN assigned a ON en.vec_id = a.vec_id "
-        "JOIN probes pr ON pr.cell = a.cell "
-        "JOIN qtab t ON t.query_id = pr.query_id "
-        "AND en.s = t.s AND en.cw = t.cw "
-        "GROUP BY t.query_id, en.vec_id)")
+    if residual:
+        parts.append(
+            "qres AS MATERIALIZED (SELECT pr.query_id, pr.cell, "
+            f"list_transform(list_zip(q.v, c.v), {sub}) AS v "
+            "FROM probes pr JOIN e q ON q.vec_id = pr.query_id "
+            "JOIN cells c USING (cell))")
+        qsub_arms = " UNION ALL ".join(
+            f"SELECT query_id, cell, {s} AS s, "
+            f"v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv FROM qres"
+            for s in range(m))
+        parts.append(f"qsubs AS MATERIALIZED ({qsub_arms})")
+        parts.append(
+            "qtab AS MATERIALIZED (SELECT qs.query_id, qs.cell, qs.s, "
+            f"bk.cw, {d2('qs.sv', 'bk.sv', 9)} AS qd "
+            "FROM qsubs qs JOIN books bk USING (s))")
+        parts.append(
+            "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
+            f"round({adc_sum}, 6) AS adc_d2 "
+            "FROM enc en "
+            "JOIN assigned a ON en.vec_id = a.vec_id "
+            "JOIN qtab t ON t.cell = a.cell "
+            "AND en.s = t.s AND en.cw = t.cw "
+            "GROUP BY t.query_id, en.vec_id)")
+    else:
+        parts.append(
+            "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, "
+            f"bk.cw, {d2('es.sv', 'bk.sv', 9)} AS qd "
+            "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+        parts.append(
+            "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
+            f"round({adc_sum}, 6) AS adc_d2 "
+            "FROM enc en "
+            "JOIN assigned a ON en.vec_id = a.vec_id "
+            "JOIN probes pr ON pr.cell = a.cell "
+            "JOIN qtab t ON t.query_id = pr.query_id "
+            "AND en.s = t.s AND en.cw = t.cw "
+            "GROUP BY t.query_id, en.vec_id)")
     return _pq_sql_tail(parts, m, k, refine)
 
 
 IVFPQ_SQL = _ivfpq_sql()
+
+
+def ivfpq_residual_topk_embeddings(spark, sf_dir):
+    """Residual-encoded IVFADC (ivfpq_write_index(residual=True) —
+    Jégou et al. 2011 §IV-A, the form the paper reports results with):
+    codebooks train on and codes quantize v − centroid[cell], so the
+    same 4×4-bit budget spends on the residual's (much smaller) energy;
+    query tables are built per probed cell from q − centroid[cell].
+    Everything else matches ivfpq_topk_embeddings, and the exact-refine
+    stage still reranks RAW vectors. The oracle re-points the PQ chain
+    at residual-space CTEs (elementwise list_zip subtraction — exact
+    IEEE on both engines) and must agree on every row."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivfpqr_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
+                                 residual=True)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+                                         refine=100, vectors=emb)
+
+
+IVFPQ_RESIDUAL_SQL = _ivfpq_sql(residual=True)
 
 
 # --------------------------------------------------------------------------
@@ -5442,6 +5516,8 @@ ALL_QUERIES: dict[str, Query] = {
         # twice-proven r4/r5/r6 rows and the r3-era trio-proven
         # set's stalest ten; exactly 50 entries, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50) ---
+        Query("ivfpq_residual_topk_embeddings",
+              ivfpq_residual_topk_embeddings, IVFPQ_RESIDUAL_SQL),
         Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
         Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
               PQ_INDEX_SQL),
@@ -5504,8 +5580,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
         Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
         Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
-        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         # --- tail 51+: proven >=2x and recently; local sweep only ---
+        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
         Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
         Query("session_windows_users", session_windows_users, SESSION_SQL),

@@ -41,11 +41,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import (_attach_centroids, _attach_pq,
-                                    _ivfpq_probe, _ivfpq_read_codes,
-                                    _nearest_cell, _pq_adc_rank,
-                                    _pq_codes, _pq_read_codes,
-                                    as_double_array, pq_encode)
+from ..functions.similarity import (_ivfpq_encode, _ivfpq_probe,
+                                    _ivfpq_read_codes, _pq_adc_rank,
+                                    _pq_read_codes, as_double_array,
+                                    pq_encode)
 
 
 def pq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
@@ -113,24 +112,20 @@ def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
     with open(os.path.join(index_path, "_ivfpq.json")) as f:
         side = json.load(f)
     cents, books = side["centroids"], side["books"]
+    residual = side.get("residual", False)
 
     enc_prior = _ivfpq_read_codes(spark, index_path,
                                   max_stream_batch=batch_id)
     q = batch_df.select(F.col(id_col).alias("query_id"),
                         as_double_array(F.col(vec_col)).alias("qv"))
     hits = _ivfpq_probe(enc_prior, q, cents, books, k,
-                        nprobe=nprobe, refine=None, vecs=None)
+                        nprobe=nprobe, refine=None, vecs=None,
+                        residual=residual)
     hits.write.mode("overwrite").parquet(
         os.path.join(out_path, f"_batch_id={batch_id}"))
 
-    e = batch_df.select(F.col(id_col).alias("vec_id"),
-                        as_double_array(F.col(vec_col)).alias("vec"))
-    e = (_attach_centroids(e, cents)
-         .withColumn("cell", _nearest_cell(F.col("vec"))).drop("_cents"))
-    own = _attach_pq(e, books).select(
-        "vec_id", "cell",
-        _pq_codes(F.col("vec"), len(books), len(books[0][0]))
-        .alias("codes"))
+    own = _ivfpq_encode(batch_df, cents, books, residual=residual,
+                        id_col=id_col, vec_col=vec_col)
     own.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_path, "stream", f"_batch_id={batch_id}"))
 

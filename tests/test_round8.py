@@ -200,6 +200,61 @@ class TestIVFPQ:
             similarity.ivfpq_search_index(spark, idx, self._queries(emb),
                                           k=5, nprobe=2, refine=20)
 
+    def test_residual_codes_are_pq_codes_of_explicit_residuals(
+            self, spark, sf_dir, tmp_path):
+        """residual=True must encode EXACTLY v − centroid[cell]: the
+        index's codes equal pq_encode() run on hand-computed residual
+        vectors under the same codebooks."""
+        import json
+
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "ivfpqr")
+        cents, books = similarity.ivfpq_write_index(
+            emb, idx, dim=64, m=4, ksub=16, n_cells=4, residual=True)
+        assert json.load(open(f"{idx}/_ivfpq.json"))["residual"] is True
+
+        got = {r.vec_id: list(r.codes) for r in
+               spark.read.parquet(f"{idx}/base").collect()}
+        # hand-computed residuals → plain pq_encode under same books
+        e = emb.select(
+            F.col("vec_id"),
+            similarity.as_double_array(F.col("embedding")).alias("vec"))
+        from incubator_pulsar_spark.functions.similarity import (
+            _attach_centroids, _nearest_cell, _residual)
+        r = (_attach_centroids(e, cents)
+             .withColumn("cell", _nearest_cell(F.col("vec")))
+             .withColumn("rvec", _residual(F.col("vec")))
+             .select("vec_id", "rvec"))
+        want = {r_.vec_id: list(r_.codes) for r_ in similarity.pq_encode(
+            r, books, id_col="vec_id", vec_col="rvec").collect()}
+        assert got == want
+
+    def test_residual_ingest_appends_residual_codes(self, spark, sf_dir,
+                                                    tmp_path):
+        """The ingest stream must honor the sidecar's residual flag —
+        appended codes quantize residuals, not raw vectors."""
+        from incubator_pulsar_spark.functions.similarity import \
+            _ivfpq_encode
+        from incubator_pulsar_spark.session import read_table
+        from incubator_pulsar_spark.streaming.ann import ivfpq_ingest_batch
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "ivfpqr")
+        out = str(tmp_path / "out")
+        cents, books = similarity.ivfpq_write_index(
+            base, idx, dim=64, m=4, ksub=16, n_cells=4, residual=True)
+        ivfpq_ingest_batch(batch, 0, index_path=idx, out_path=out, k=3,
+                           nprobe=2)
+        got = {(r.vec_id): (list(r.codes), r.cell) for r in
+               spark.read.parquet(f"{idx}/stream").collect()}
+        want = {(r.vec_id): (list(r.codes), r.cell) for r in _ivfpq_encode(
+            batch, cents, books, residual=True).collect()}
+        assert got == want
+
 
 # ------------------------- window_function mapInPandas pane machinery
 
