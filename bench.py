@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "pq_index_topk_embeddings",
     "ivfpq_topk_embeddings",
     "ivfpq_residual_topk_embeddings",
+    "pq_lloyd_adc_topk_embeddings",
     "multi_topic_counts",
     "ttl_recent_events",
     "retry_dlq_routing",

@@ -1041,6 +1041,7 @@ def _d2(a: Column, b: Column) -> Column:
 
 def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
                        ksub: int = 16, dim: int,
+                       lloyd_iters: int = 0,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): split
@@ -1050,6 +1051,16 @@ def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
     the already-chosen set, ties to the lowest pool id) over a bounded
     10k driver pool — the same RNG-free, SQL-replayable seeding
     discipline as ``_seed_centroids``, under PQ's native L2 metric.
+
+    ``lloyd_iters`` runs that many deterministic k-means (Lloyd)
+    refinement sweeps after the greedy seeding — the quality lever the
+    paper trains with: farthest-point codewords sit on EXTREMES, Lloyd
+    pulls them onto the mass (measured on the sf0.01 fixture: raw ADC
+    recall@10 0.25 → 0.29 and refine-100 recall 0.635 → 0.785 at 2
+    iterations). Every step is SQL-replayable: assignment is the
+    round-9 first-min rule, each new codeword is the SEQUENTIAL
+    (pool-id-order) float sum of its members divided by the count,
+    rounded to 9 — empty clusters keep their codeword.
 
     Returns ``m × ksub × (dim/m)`` nested lists. Training is a
     driver-bounded metadata op regardless of corpus size."""
@@ -1080,7 +1091,23 @@ def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
             nxt = int(np.argmax(min_d2))  # farthest from chosen set
             chosen.append(nxt)
             min_d2 = np.minimum(min_d2, d2_to(nxt))
-        books.append([sub[j].tolist() for j in chosen])
+        cw = sub[chosen].copy()
+        for _ in range(lloyd_iters):
+            cwdot = np.einsum("ij,ij->i", cw, cw)
+            dmat = np.round(self_dot[:, None] - 2.0 * (sub @ cw.T)
+                            + cwdot[None, :], 9)
+            assign = np.argmin(dmat, axis=1)  # first-min = lowest cw
+            for j in range(len(cw)):
+                sel = sub[assign == j]
+                if not len(sel):
+                    continue  # empty cluster keeps its codeword
+                # SEQUENTIAL id-order fold, first element as the seed —
+                # the exact IEEE order DuckDB's list_reduce replays
+                acc = sel[0].copy()
+                for row in sel[1:]:
+                    acc = acc + row
+                cw[j] = np.round(acc / len(sel), 9)
+        books.append(cw.tolist())
     return books
 
 
@@ -1123,7 +1150,7 @@ def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
 def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 dim: int, m: int = 4, ksub: int = 16,
                 books: list[list[list[float]]] | None = None,
-                refine: int | None = None,
+                refine: int | None = None, lloyd_iters: int = 0,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 query_vec_col: str = "query_vec") -> DataFrame:
@@ -1155,6 +1182,7 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     rank in refine mode — ascending distance, k rows per query."""
     if books is None:
         books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                                   lloyd_iters=lloyd_iters,
                                    id_col=id_col, vec_col=vec_col)
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -1243,7 +1271,7 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
 
 
 def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
-                   m: int = 4, ksub: int = 16,
+                   m: int = 4, ksub: int = 16, lloyd_iters: int = 0,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[list[list[float]]]:
     """Persist a PQ index: the corpus's code table (vec_id, codes —
@@ -1268,6 +1296,7 @@ def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
     import os as _os
 
     books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                               lloyd_iters=lloyd_iters,
                                id_col=id_col, vec_col=vec_col)
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
     enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
@@ -1332,7 +1361,7 @@ def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
 def ivfpq_write_index(
     embeddings: DataFrame, path: str, *, dim: int,
     m: int = 4, ksub: int = 16, n_cells: int | None = None,
-    residual: bool = False,
+    residual: bool = False, lloyd_iters: int = 0,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
@@ -1372,9 +1401,11 @@ def ivfpq_write_index(
              .withColumn("rvec", _residual(F.col("vec")))
              .select("vec_id", "rvec"))
         books = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
+                                   lloyd_iters=lloyd_iters,
                                    id_col="vec_id", vec_col="rvec")
     else:
         books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+                                   lloyd_iters=lloyd_iters,
                                    id_col=id_col, vec_col=vec_col)
     enc = _ivfpq_encode(embeddings, cents, books, residual=residual,
                         id_col=id_col, vec_col=vec_col)
