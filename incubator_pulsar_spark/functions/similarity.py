@@ -1384,8 +1384,18 @@ def ivfpq_write_index(
     and codes encode v − centroid[cell] instead of v. Residuals have
     far less energy than raw vectors (the coarse quantizer already
     explains the cell-level structure), so the same m·log2(ksub) bits
-    quantize tighter — the standard IVFADC accuracy lever. The flag is
-    pinned in the sidecar; probes and stream appends read it there."""
+    quantize tighter on real embedding corpora — the standard IVFADC
+    accuracy lever. The flag is pinned in the sidecar; probes and
+    stream appends read it there.
+
+    Measured caveat (honest numbers, sf0.01 fixture, nprobe=3,
+    refine=100, recall@10): raw 0.530 / residual 0.455 (greedy books),
+    raw 0.575 / residual 0.455 (lloyd_iters=2). On THIS synthetic
+    corpus within-cell residuals are near-isotropic md5 noise, so the
+    codes capture less than raw-vector cluster structure — the
+    opposite of real embedding distributions, where cell-level
+    structure dominates and residual coding is the documented win.
+    Measure on your corpus before picking the flag."""
     import json as _json
     import os as _os
 

@@ -5534,7 +5534,10 @@ def ivfpq_residual_topk_embeddings(spark, sf_dir):
     Everything else matches ivfpq_topk_embeddings, and the exact-refine
     stage still reranks RAW vectors. The oracle re-points the PQ chain
     at residual-space CTEs (elementwise list_zip subtraction — exact
-    IEEE on both engines) and must agree on every row."""
+    IEEE on both engines) and must agree on every row. (This gate
+    proves residual CORRECTNESS; on this synthetic fixture residual
+    recall measures BELOW raw — see the ivfpq_write_index docstring's
+    measured caveat — which is a corpus property, not a defect.)"""
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
