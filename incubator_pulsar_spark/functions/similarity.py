@@ -1427,6 +1427,29 @@ def ivfpq_write_index(
     return cents, books
 
 
+def ivfpq_append_index(embeddings: DataFrame, path: str, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> int:
+    """Batch maintenance for the IVFADC index — the ``ivf_append_index``
+    / ``pq_append_index`` analogue: encode the new batch with the
+    sidecar's FROZEN centroids + codebooks (honoring its residual
+    flag) and append the codes into their cell partitions. Prior files
+    stay byte-identical; cost is O(batch), never O(corpus). Returns
+    the number of vectors appended."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivfpq.json")) as f:
+        side = _json.load(f)
+    enc = _ivfpq_encode(embeddings, side["centroids"], side["books"],
+                        residual=side.get("residual", False),
+                        id_col=id_col, vec_col=vec_col)
+    n = enc.count()
+    enc.write.mode("append").partitionBy("cell").parquet(
+        _os.path.join(path, "base"))
+    return n
+
+
 def ivfpq_search_index(
     spark, path: str, queries: DataFrame, k: int = 10, *,
     nprobe: int = 4, refine: int | None = None,

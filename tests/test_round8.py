@@ -200,6 +200,50 @@ class TestIVFPQ:
             similarity.ivfpq_search_index(spark, idx, self._queries(emb),
                                           k=5, nprobe=2, refine=20)
 
+    def test_append_is_incremental_and_consistent(self, spark, sf_dir,
+                                                  tmp_path):
+        """ivfpq_append_index (the ivf/pq append analogue): prior cell
+        files byte-untouched, codes encoded with the FROZEN sidecar
+        (residual flag honored), and a probe over build+append equals
+        the reference probe of the full corpus under those frozen
+        centroids+codebooks."""
+        import glob
+        import json
+
+        from incubator_pulsar_spark.functions.similarity import (
+            _ivfpq_encode, _ivfpq_probe)
+        from incubator_pulsar_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        idx = str(tmp_path / "ivfpq")
+        cents, books = similarity.ivfpq_write_index(
+            old, idx, dim=64, m=4, ksub=16, n_cells=4, residual=True)
+        before = {p: os.path.getmtime(p)
+                  for p in glob.glob(f"{idx}/base/cell=*/*.parquet")}
+        n = similarity.ivfpq_append_index(new, idx)
+        assert n == new.count()
+        after = {p: os.path.getmtime(p)
+                 for p in glob.glob(f"{idx}/base/cell=*/*.parquet")}
+        assert all(after[p] == t for p, t in before.items())  # untouched
+        assert len(after) >= len(before)
+        side = json.load(open(f"{idx}/_ivfpq.json"))
+        assert side["books"] == books and side["residual"] is True
+
+        q = self._queries(emb)
+        got = sorted(map(tuple, similarity.ivfpq_search_index(
+            spark, idx, q, k=5, nprobe=2).collect()))
+        qv = q.selectExpr("query_id AS vec_id", "query_vec AS embedding")
+        want = sorted(map(tuple, _ivfpq_probe(
+            _ivfpq_encode(emb, cents, books, residual=True),
+            qv.select(F.col("vec_id").alias("query_id"),
+                      similarity.as_double_array(
+                          F.col("embedding")).alias("qv")),
+            cents, books, 5, nprobe=2, refine=None, vecs=None,
+            residual=True).collect()))
+        assert got == want
+
     def test_residual_codes_are_pq_codes_of_explicit_residuals(
             self, spark, sf_dir, tmp_path):
         """residual=True must encode EXACTLY v − centroid[cell]: the
