@@ -93,8 +93,51 @@ def window_function(
     0.5 s), while ``fn`` still receives exactly one pane per call.
     Memory bound is max(arrow batch + one pane) — the same largest-pane
     bound grouped-map has, NOT whole-partition.
+
+    Pane-boundary detection must be DTYPE-EXACT: pandas' shift() on an
+    int64 key upcasts to float64, where adjacent distinct keys above
+    2^53 (snowflake ids, ns-resolution buckets) compare equal and two
+    panes silently merge; and a double key's NULL and NaN both arrive
+    as NaN, though Spark's groupBy keeps them distinct groups. So each
+    key column gets a hidden JVM-side CANONICAL STRING comparison
+    column (exact decimal/`Double.toString` reprs — distinct values
+    stay distinct at any magnitude; NULL stays None, ≠ the "NaN"
+    string; ±0.0 pre-normalized to match groupBy's merge of the two
+    zeros; binary via hex, nested types via to_json). The boundary
+    mask compares ONLY those object-dtype columns — no float upcast
+    anywhere — and the hidden columns are stripped before ``fn`` sees
+    the pane. One residual caveat: a NULLABLE int key whose batch
+    contains nulls reaches pandas as float64, so the pane's VALUES
+    (not the boundaries — those use the string columns) lose exactness
+    past 2^53; boundaries stay correct.
     """
-    key_idx = [df.columns.index(c) for c in group_by]
+    from pyspark.sql import types as T
+
+    cmp_cols: list[str] = []
+    aug = df
+    for i, c in enumerate(group_by):
+        dt = df.schema[c].dataType
+        name = f"__pane_cmp_{i}"
+        col = F.col(c)
+        if isinstance(dt, T.StringType):
+            cmp_cols.append(c)        # already exact object dtype
+            continue
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # groupBy merges -0.0 with 0.0; == is false for NaN/null
+            col = F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
+            expr = col.cast("string")  # NaN -> "NaN", null -> None
+        elif isinstance(dt, T.BinaryType):
+            expr = F.hex(col)
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            expr = F.to_json(F.struct(col.alias("k")))
+        else:                          # int/decimal/bool/date/timestamp
+            expr = col.cast("string")
+        aug = aug.withColumn(name, expr)
+        cmp_cols.append(name)
+    hidden = [c for c in cmp_cols if c.startswith("__pane_cmp_")]
+    cmp_idx = [len(df.columns) + hidden.index(c)
+               if c in hidden else df.columns.index(c)
+               for c in cmp_cols]
 
     def apply_partition(batches):
         import pandas as pd
@@ -108,6 +151,8 @@ def window_function(
 
         def run(g: pd.DataFrame) -> None:
             nonlocal out_rows
+            if hidden:
+                g = g.drop(columns=hidden)
             out = fn(g.reset_index(drop=True))
             if out is not None and len(out):
                 out_buf.append(out)
@@ -127,10 +172,12 @@ def window_function(
                 carry = None
             if not len(pdf):
                 continue
-            keys = pdf.iloc[:, key_idx]
+            # object-dtype canonical strings: shift() cannot upcast, so
+            # the comparison is exact at any key magnitude; None==None
+            # must NOT split (groupBy treats nulls as one group, and
+            # sort collates them together)
+            keys = pdf.iloc[:, cmp_idx].astype(object)
             prev = keys.shift()
-            # new-group mask; NaN==NaN must NOT split (groupBy treats
-            # nulls as one group, and sort collates them together)
             neq = (keys.ne(prev) & ~(keys.isna() & prev.isna())).any(axis=1)
             gid = neq.cumsum()
             last = gid.iloc[-1]
@@ -146,7 +193,7 @@ def window_function(
             run(carry)
         yield from drain()
 
-    return (df.repartition(*[F.col(c) for c in group_by])
+    return (aug.repartition(*[F.col(c) for c in group_by])
             .sortWithinPartitions(*group_by)
             .mapInPandas(apply_partition, output_schema))
 

@@ -1242,11 +1242,24 @@ def _pq_rank_tail(scored: DataFrame, q: DataFrame, k: int, *,
     shortlist = (scored.withColumn("_ar", F.row_number().over(w))
                  .filter(F.col("_ar") <= refine)
                  .drop("_ar"))
-    exact = (shortlist.join(vecs, "vec_id")
+    # LEFT join + raise_error: the true-vector source must cover every
+    # shortlisted index id — an inner join would silently DROP stale
+    # ids (e.g. only the build-time corpus passed after appends) and
+    # renumber ranks; instead the first uncovered id fails the job
+    # loudly, executor-side, at zero extra cost (the check lives inside
+    # the exact_d2 expression, no extra action).
+    exact_val = F.when(
+        F.col("_cv").isNull(),
+        F.raise_error(F.concat(
+            F.lit("pq refine: shortlisted vec_id "),
+            F.col("vec_id").cast("string"),
+            F.lit(" missing from vectors= — the true-vector table "
+                  "must cover every id in the index"))),
+    ).otherwise(F.round(_d2(F.col("_cv"), F.col("qv")), 6))
+    exact = (shortlist.join(vecs, "vec_id", "left")
              .join(F.broadcast(q), "query_id")
              .select("query_id", "vec_id", "adc_d2",
-                     F.round(_d2(F.col("_cv"), F.col("qv")), 6)
-                     .alias("exact_d2")))
+                     exact_val.alias("exact_d2")))
     wr = Window.partitionBy("query_id").orderBy(F.col("exact_d2").asc(),
                                                 F.col("vec_id"))
     return (exact.withColumn("rank", F.row_number().over(wr).cast("int"))
@@ -1325,8 +1338,15 @@ def pq_append_index(embeddings: DataFrame, path: str, *,
     with open(_os.path.join(path, "_codebooks.json")) as f:
         books = _json.load(f)
     enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
-    n = enc.count()
-    enc.write.mode("append").parquet(_os.path.join(path, "base"))
+    # persist so the batch is encoded ONCE: count materializes the
+    # cache, the write reads it back — without this the write action
+    # re-ran the whole map-side encode (O(2·batch) per append)
+    enc.persist()
+    try:
+        n = enc.count()
+        enc.write.mode("append").parquet(_os.path.join(path, "base"))
+    finally:
+        enc.unpersist()
     return n
 
 
@@ -1361,7 +1381,7 @@ def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
 def ivfpq_write_index(
     embeddings: DataFrame, path: str, *, dim: int,
     m: int = 4, ksub: int = 16, n_cells: int | None = None,
-    residual: bool = False, lloyd_iters: int = 0,
+    residual: bool | str = False, lloyd_iters: int = 0,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
@@ -1395,14 +1415,25 @@ def ivfpq_write_index(
     codes capture less than raw-vector cluster structure — the
     opposite of real embedding distributions, where cell-level
     structure dominates and residual coding is the documented win.
-    Measure on your corpus before picking the flag."""
+
+    ``residual="auto"`` turns that footgun into a measurement: train
+    BOTH codebook sets on the same 10k pool, compare total round-9
+    quantization error (the standard PQ training objective — sum over
+    the pool of each subvector's d2 to its nearest codeword), pin the
+    winner in the sidecar (``residual`` bool + the measured errors
+    under ``residual_auto``), and build with it. Probes and stream
+    appends read the pinned flag — after the build, "auto" behaves
+    exactly like the explicit flag it resolved to. Cost: one extra
+    driver-bounded training + two pool-sized error sums."""
     import json as _json
     import os as _os
 
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
-    if residual:
+    auto_info = None
+    r = None
+    if residual:                         # True or "auto"
         e = embeddings.select(
             F.col(id_col).alias("vec_id"),
             as_double_array(F.col(vec_col)).alias("vec"))
@@ -1410,6 +1441,21 @@ def ivfpq_write_index(
              .withColumn("cell", _nearest_cell(F.col("vec")))
              .withColumn("rvec", _residual(F.col("vec")))
              .select("vec_id", "rvec"))
+    if residual == "auto":
+        books_raw = pq_train_codebooks(embeddings, m=m, ksub=ksub,
+                                       dim=dim, lloyd_iters=lloyd_iters,
+                                       id_col=id_col, vec_col=vec_col)
+        books_res = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
+                                       lloyd_iters=lloyd_iters,
+                                       id_col="vec_id", vec_col="rvec")
+        raw_err = _pool_quantization_error(
+            embeddings, books_raw, id_col=id_col, vec_col=vec_col)
+        res_err = _pool_quantization_error(
+            r, books_res, id_col="vec_id", vec_col="rvec")
+        residual = bool(res_err < raw_err)
+        books = books_res if residual else books_raw
+        auto_info = {"raw_err": raw_err, "residual_err": res_err}
+    elif residual:
         books = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
                                    lloyd_iters=lloyd_iters,
                                    id_col="vec_id", vec_col="rvec")
@@ -1421,10 +1467,44 @@ def ivfpq_write_index(
                         id_col=id_col, vec_col=vec_col)
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         _os.path.join(path, "base"))
+    side = {"centroids": cents, "books": books, "residual": residual}
+    if auto_info is not None:
+        side["residual_auto"] = auto_info
     with open(_os.path.join(path, "_ivfpq.json"), "w") as f:
-        _json.dump({"centroids": cents, "books": books,
-                    "residual": residual}, f)
+        _json.dump(side, f)
     return cents, books
+
+
+def _pool_quantization_error(embeddings: DataFrame,
+                             books: list[list[list[float]]], *,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> float:
+    """Total PQ quantization error over the deterministic 10k training
+    pool: sum over pool vectors and subspaces of the round-9 squared
+    L2 to the nearest codeword — the objective ``residual="auto"``
+    compares. Driver-bounded numpy over the same pool
+    ``pq_train_codebooks`` trains on."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    sample = (
+        embeddings.select(F.col(id_col).alias("i"),
+                          as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("i").limit(10_000)
+        .collect()
+    )
+    pool = np.array([r["v"] for r in sample])
+    total = 0.0
+    for s in range(m):
+        sub = pool[:, s * dsub:(s + 1) * dsub]
+        cw = np.array(books[s])
+        self_dot = np.einsum("ij,ij->i", sub, sub)
+        cwdot = np.einsum("ij,ij->i", cw, cw)
+        dmat = np.round(self_dot[:, None] - 2.0 * (sub @ cw.T)
+                        + cwdot[None, :], 9)
+        total += float(dmat.min(axis=1).sum())
+    return total
 
 
 def ivfpq_append_index(embeddings: DataFrame, path: str, *,
@@ -1444,9 +1524,15 @@ def ivfpq_append_index(embeddings: DataFrame, path: str, *,
     enc = _ivfpq_encode(embeddings, side["centroids"], side["books"],
                         residual=side.get("residual", False),
                         id_col=id_col, vec_col=vec_col)
-    n = enc.count()
-    enc.write.mode("append").partitionBy("cell").parquet(
-        _os.path.join(path, "base"))
+    # persist: count materializes the cache, the write reads it — the
+    # batch is encoded once, not twice (see pq_append_index)
+    enc.persist()
+    try:
+        n = enc.count()
+        enc.write.mode("append").partitionBy("cell").parquet(
+            _os.path.join(path, "base"))
+    finally:
+        enc.unpersist()
     return n
 
 

@@ -3129,13 +3129,18 @@ QUALIFY rank <= {k}
 ANN_LSH_MULTIPROBE_SQL = _ann_lsh_multiprobe_sql()
 
 
-def _ivf_assign_parts(n_cells: int) -> list[str]:
+def _ivf_assign_parts(n_cells: int,
+                      pool_where: str | None = None) -> list[str]:
     """CTE chain replaying similarity._seed_centroids + cell assignment
     (through the ``assigned`` CTE) — shared by the ANN-IVF and
     semantic-dedup oracles. The greedy farthest-point loop unrolls into
     one (argmin, update) CTE pair per centroid; round-9 snapping on
-    both engines makes every selection exactly reproducible."""
+    both engines makes every selection exactly reproducible.
+    ``pool_where`` restricts the seeding pool (the persisted-index
+    lifecycle: centroids seeded on the build half, later appends
+    assigned with those frozen centroids)."""
     cos9 = _sql_cos
+    pw = f"WHERE {pool_where} " if pool_where else ""
     # MATERIALIZED on every chain CTE: without it DuckDB inlines each
     # reference, and the c_i/s_i chain re-expands combinatorially —
     # at 16 cells the planner re-opened the parquet past the 20k fd
@@ -3143,8 +3148,8 @@ def _ivf_assign_parts(n_cells: int) -> list[str]:
     parts = [
         "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
         "FROM embeddings)",
-        "pool AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id "
-        "LIMIT 10000)",
+        f"pool AS MATERIALIZED (SELECT vec_id, v FROM e {pw}"
+        "ORDER BY vec_id LIMIT 10000)",
         "c0 AS MATERIALIZED (SELECT v FROM pool ORDER BY vec_id LIMIT 1)",
         f"s0 AS MATERIALIZED (SELECT p.vec_id, p.v, {cos9('p.v', 'c0.v', 9)} AS m "
         "FROM pool p CROSS JOIN c0)",
@@ -5190,7 +5195,9 @@ def pq_adc_topk_embeddings(spark, sf_dir):
 def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
             k: int = 10, refine: int = 100,
             train_where: str | None = None,
-            lloyd_iters: int = 0) -> str:
+            lloyd_iters: int = 0,
+            query_where: str = "vec_id < 5",
+            enc_where: str | None = None) -> str:
     """Replay similarity.pq_train_codebooks + pq_encode + pq_adc_topk
     (refine mode) in pure SQL.
 
@@ -5207,7 +5214,10 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
     ``train_where`` restricts the training POOL only (the persisted-
     index lifecycle: codebooks trained on the initial build set, later
     appends encoded with those same books — everything downstream of
-    the pool CTE is identical by construction)."""
+    the pool CTE is identical by construction). ``query_where`` picks
+    the query set (default the 5 lowest ids); ``enc_where`` restricts
+    the SCANNED corpus (the candidate-log rerank lifecycle: queries
+    probe an index that holds only the build half)."""
     d2 = _sql_d2
     pool_where = f"WHERE {train_where} " if train_where else ""
     parts = [
@@ -5220,15 +5230,17 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
     parts.append(
         "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
         f"{d2('es.sv', 'bk.sv', 9)} AS qd "
-        "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+        f"FROM esubs es JOIN books bk USING (s) WHERE es.{query_where})")
     adc_sum = " + ".join(
         f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
+    enc_filter = f"WHERE en.{enc_where} " if enc_where else ""
     parts.append(
         "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
         f"round({adc_sum}, 6) AS adc_d2 "
         "FROM enc en JOIN qtab t ON en.s = t.s AND en.cw = t.cw "
+        f"{enc_filter}"
         "GROUP BY t.query_id, en.vec_id)")
-    return _pq_sql_tail(parts, m, k, refine)
+    return _pq_sql_tail(parts, m, k, refine, query_where=query_where)
 
 
 def _sql_d2(a: str, b: str, digits: int) -> str:
@@ -5326,7 +5338,8 @@ def _pq_chain_parts(dim: int, m: int, ksub: int, *,
     return parts
 
 
-def _pq_sql_tail(parts: list[str], m: int, k: int, refine: int) -> str:
+def _pq_sql_tail(parts: list[str], m: int, k: int, refine: int, *,
+                 query_where: str = "vec_id < 5") -> str:
     """Shortlist + exact-refine + final top-k — shared verbatim by the
     PQ and IVFADC oracles (both rank their ``adcv`` the same way)."""
     d2 = _sql_d2
@@ -5337,7 +5350,7 @@ def _pq_sql_tail(parts: list[str], m: int, k: int, refine: int) -> str:
         f"FROM adcv) WHERE ar <= {refine})")
     parts.append(
         "qv AS (SELECT vec_id AS query_id, v AS qvec FROM e "
-        "WHERE vec_id < 5)")
+        f"WHERE {query_where})")
     return f"""
 WITH {','.join(parts)}
 SELECT query_id, vec_id, adc_d2, exact_d2,
@@ -5436,7 +5449,8 @@ def ivfpq_topk_embeddings(spark, sf_dir):
 
 def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
                m: int = 4, ksub: int = 16, k: int = 10,
-               refine: int = 100, residual: bool = False) -> str:
+               refine: int = 100, residual: bool = False,
+               train_where: str | None = None) -> str:
     """Replay ivfpq_write_index + ivfpq_search_index in pure SQL by
     COMPOSING the two proven chains: _ivf_assign_parts contributes the
     coarse quantizer (cells, per-vector cell in ``assigned``),
@@ -5455,12 +5469,17 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
     list_transform(list_zip(...)) — exact IEEE subtraction on both
     engines), and the query distance tables are built per PROBED cell
     from q − centroid[that cell], joined to candidates on cell. The
-    exact-refine tail still compares raw vectors."""
+    exact-refine tail still compares raw vectors.
+
+    ``train_where`` restricts the shared training pool — centroids AND
+    codebooks, exactly the pair ivfpq_write_index freezes — for the
+    build-then-ingest lifecycle; assignment/encoding/probe stay over
+    the full corpus."""
     d2 = _sql_d2
     cos9 = _sql_cos
     dsub = dim // m
     sub = "x -> x[1] - x[2]"
-    parts = _ivf_assign_parts(n_cells)
+    parts = _ivf_assign_parts(n_cells, pool_where=train_where)
     if residual:
         parts.append(
             "resid AS MATERIALIZED (SELECT a.vec_id, "
@@ -5555,6 +5574,152 @@ def ivfpq_residual_topk_embeddings(spark, sf_dir):
 IVFPQ_RESIDUAL_SQL = _ivfpq_sql(residual=True)
 
 
+def pq_fold_topk_embeddings(spark, sf_dir):
+    """PQ ingest-stream FOLD lifecycle (streaming.ann.pq_ingest_batch +
+    pq_fold_stream — VERDICT r8 #1, the last unbounded-growth surface
+    in the 100 TB ANN story): BUILD the index from the even-id half
+    (codebooks train there), INGEST the odd half as two stream batches
+    (each probing strictly-earlier state, appending its codes under
+    stream/_batch_id=N), FOLD the per-batch directories into one
+    _batch_id=-1 directory, then PROBE with 5 queries. The fold moves
+    code rows between directories without changing a single one, so
+    the oracle is the pq_index lifecycle's verbatim: train on the even
+    half, encode everything with those books, ADC + exact-refine."""
+    import shutil as _sh
+
+    from ..streaming.ann import pq_fold_stream, pq_ingest_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_pqfold_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(d + "_out", ignore_errors=True)
+    similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                              dim=64, m=4, ksub=16)
+    pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 1), 0,
+                    index_path=d, out_path=d + "_out", k=5)
+    pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
+                    index_path=d, out_path=d + "_out", k=5)
+    pq_fold_stream(spark, d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+                                      vectors=emb)
+
+
+PQ_FOLD_SQL = _pq_sql(train_where="vec_id % 2 = 0")
+
+
+def ivfpq_fold_topk_embeddings(spark, sf_dir):
+    """IVFADC ingest-stream FOLD lifecycle: like pq_fold_topk but the
+    folded rows must KEEP their cell partitioning (_batch_id=-1/cell=C)
+    so directory-level nprobe pruning — the whole point of the coarse
+    quantizer — survives the fold (plan-locked in
+    tests/test_round9.py). Build on the even half freezes centroids
+    AND codebooks; two odd-half ingest batches land under
+    stream/_batch_id=N/cell=C; ivfpq_fold_stream consolidates; the
+    probe prunes to 3 of 8 cells and exact-refines. Oracle: the proven
+    composed IVF+PQ chain with the training POOL restricted to the
+    build half."""
+    import shutil as _sh
+
+    from ..streaming.ann import ivfpq_fold_stream, ivfpq_ingest_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivffold_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(d + "_out", ignore_errors=True)
+    similarity.ivfpq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                                 dim=64, m=4, ksub=16, n_cells=8)
+    ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 1), 0,
+                       index_path=d, out_path=d + "_out", k=5, nprobe=3)
+    ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
+                       index_path=d, out_path=d + "_out", k=5, nprobe=3)
+    ivfpq_fold_stream(spark, d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+                                         refine=100, vectors=emb)
+
+
+IVFPQ_FOLD_SQL = _ivfpq_sql(train_where="vec_id % 2 = 0")
+
+
+def ann_rerank_report(spark, sf_dir):
+    """Periodic EXACT re-rank over the ingest stream's accumulated
+    candidate log (streaming.ann.rerank_candidate_log — VERDICT r8 #5,
+    the batch half of the continuous/periodic split the module header
+    promises): build the index on the even half, ingest the odd half
+    as one stream batch whose probe logs a 100-candidate raw-ADC
+    shortlist per query, then run the periodic job — fetch TRUE
+    vectors for exactly the logged pairs by id equi-join and re-rank
+    each query's shortlist by exact squared L2 to top-10. Report
+    filtered to the 5 lowest odd query ids for the gate. Oracle: the
+    PQ chain with the pool AND the scanned corpus restricted to the
+    even half, queries the odd ids < 10 — the rerank of a query's
+    logged top-100 is definitionally the refine stage over the same
+    shortlist."""
+    import shutil as _sh
+
+    from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_rerank_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(d + "_out", ignore_errors=True)
+    similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                              dim=64, m=4, ksub=16)
+    pq_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), 0,
+                    index_path=d, out_path=d + "_out", k=100)
+    rep = rerank_candidate_log(spark, d + "_out", emb, k=10)
+    return rep.filter(F.col("query_id") < 10)
+
+
+RERANK_SQL = _pq_sql(train_where="vec_id % 2 = 0",
+                     enc_where="vec_id % 2 = 0",
+                     query_where="vec_id % 2 = 1 AND vec_id < 10")
+
+
+def window_udaf_bigkey(spark, sf_dir):
+    """WindowFunction UDAF pane-boundary exactness past 2^53 (ADVICE
+    r8 medium): the pane key is 2^53 + user_id, so ADJACENT DISTINCT
+    keys are indistinguishable in float64 — the dtype pandas' shift()
+    silently upcast int64 keys to, merging every pane into one. The
+    fixed boundary detector compares JVM-side canonical strings
+    (functions/runtime.py), so each user keeps its own pane; the
+    oracle is a plain GROUP BY at the same magnitude."""
+    import pandas as pd
+
+    from ..functions.runtime import window_function
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "big_key", F.lit(9007199254740992) + F.col("user_id"))
+    schema = T.StructType([
+        T.StructField("big_key", T.LongType()),
+        T.StructField("median_value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def pane_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "big_key": [int(pdf["big_key"].iloc[0])],
+            "median_value": [round(float(pdf["value"].median()), 6)],
+            "n": [len(pdf)],
+        })
+
+    return window_function(ev, pane_median, schema, group_by=["big_key"])
+
+
+WINDOW_UDAF_BIGKEY_SQL = """
+SELECT 9007199254740992 + user_id AS big_key,
+       round(median(value), 6) AS median_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -5570,175 +5735,177 @@ IVFPQ_RESIDUAL_SQL = _ivfpq_sql(residual=True)
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r8 rotation:
-        # new r8 gate first, then the once-proven r7 pair, then
-        # (proof count ASC, last-proven round ASC) — the stalest
-        # twice-proven r4/r5/r6 rows and the r3-era trio-proven
-        # set's stalest ten; exactly 50 entries, locked by
+        # --- head 1-50: driver gate this round (r9 rotation:
+        # the 4 new r9 gates, the 4 once-proven r8 ANN lifecycle
+        # rows, the 2 twice-proven rows, then (proof count ASC,
+        # last-proven round ASC) — window_udaf_median (engine
+        # rewritten r8 + boundary fix r9) and the r3/r4-stale set,
+        # the 24 r6-stale rows, one r7 row; exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50) ---
-        Query("pq_lloyd_adc_topk_embeddings",
-              pq_lloyd_adc_topk_embeddings, PQ_LLOYD_SQL),
-        Query("ivfpq_residual_topk_embeddings",
-              ivfpq_residual_topk_embeddings, IVFPQ_RESIDUAL_SQL),
+        Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
+        Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
+              IVFPQ_FOLD_SQL),
+        Query("ann_rerank_report", ann_rerank_report, RERANK_SQL),
+        Query("window_udaf_bigkey", window_udaf_bigkey, WINDOW_UDAF_BIGKEY_SQL),
+        Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
+              PQ_LLOYD_SQL),
+        Query("ivfpq_residual_topk_embeddings", ivfpq_residual_topk_embeddings,
+              IVFPQ_RESIDUAL_SQL),
         Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
         Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
               PQ_INDEX_SQL),
-        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
         Query("boilerplate_lines_docs", boilerplate_lines_docs,
               BOILERPLATE_LINES_SQL),
-        Query("train_split_stats", train_split_stats, SPLIT_SQL),
-        Query("dataset_mixing", dataset_mixing, MIX_SQL),
-        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
-        Query("split_leakage", split_leakage, LEAKAGE_SQL),
-        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
-        Query("asof_join_events", asof_join_events, ASOF_SQL),
-        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
-        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
-        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
-        Query("range_rolling_user_value", range_rolling_user_value,
-              RANGE_ROLLING_SQL),
-        Query("interval_join_events", interval_join_events, INTERVAL_JOIN_SQL),
-        Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
-        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
-        Query("quantile_sketch_events", quantile_sketch_events,
-              QUANTILE_SKETCH_SQL),
-        Query("zorder_block_stats_events", zorder_block_stats_events,
-              ZORDER_SQL),
-        Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
-        Query("cms_counts_events", cms_counts_events, CMS_SQL),
-        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
-        Query("analytic_functions_orders", analytic_functions_orders,
-              ANALYTIC_FUNCS_SQL),
-        Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
-        Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
-        Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
-        Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
-        Query("quantile_sketch_docs", quantile_sketch_docs,
-              QUANTILE_SKETCH_DOCS_SQL),
-        Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
-              DQ_UNIQUE_NULLKEYS_SQL),
-        Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
-        Query("mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL),
-        Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
-        Query("shuffle_shards_docs", shuffle_shards_docs, SHUFFLE_SHARDS_SQL),
-        Query("snapshot_time_travel_events", snapshot_time_travel_events,
-              SNAPSHOT_TT_SQL),
-        Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
-              KMEANS_SQL),
-        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
-        Query("boilerplate_removal_docs", boilerplate_removal_docs,
-              BOILERPLATE_SQL),
-        Query("quality_classifier_docs", quality_classifier_docs,
-              QUALITY_CLASSIFIER_SQL),
-        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
-              KCENTER_SQL),
-        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
-        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
-        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
-        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
-        Query("text_stats", text_stats, TEXT_STATS_SQL),
-        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
-        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
-        Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
-        # --- tail 51+: proven >=2x and recently; local sweep only ---
-        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
-        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
-        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
         Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
-        Query("session_windows_users", session_windows_users, SESSION_SQL),
-        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
-        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
         Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
-        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
-        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("compaction_publish_order", compaction_publish_order,
               COMPACT_PUB_SQL),
+        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
+        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
+        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
+        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+        Query("session_windows_users", session_windows_users, SESSION_SQL),
+        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers,
-              ANTIJOIN_SQL),
-        Query("neardup_clusters_lsh", neardup_clusters_lsh,
-              NEARDUP_CLUSTERS_LSH_SQL),
+        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
+        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
+        Query("bloom_semijoin_orders", bloom_semijoin_orders,
+              BLOOM_SEMIJOIN_SQL),
+        Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
+        Query("cluster_safe_split", cluster_safe_split, CLUSTER_SAFE_SPLIT_SQL),
         Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
         Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
         Query("embedding_ann_lsh_multiprobe", embedding_ann_lsh_multiprobe,
               ANN_LSH_MULTIPROBE_SQL),
         Query("embedding_neardup_blocked", embedding_neardup_blocked,
               EMB_NEARDUP_BLOCKED_SQL),
-        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
-        Query("stratified_sample_docs", stratified_sample_docs,
-              STRATIFIED_SQL),
-        Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
-        Query("media_features", media_features, MEDIA_FEATURES_SQL),
-        Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
-        Query("bloom_semijoin_orders", bloom_semijoin_orders,
-              BLOOM_SEMIJOIN_SQL),
-        Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
-              LEVENSHTEIN_SQL),
-        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
-        Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
         Query("funnel_conversion_events", funnel_conversion_events,
               FUNNEL_CONV_SQL),
+        Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
         Query("html_strip_docs", html_strip_docs, HTML_STRIP_SQL),
-        Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
         Query("label_centroid_stats", label_centroid_stats_emb,
               LABEL_CENTROID_SQL),
-        Query("weighted_sample_docs", weighted_sample_docs,
-              WEIGHTED_SAMPLE_SQL),
-        Query("cluster_safe_split", cluster_safe_split,
-              CLUSTER_SAFE_SPLIT_SQL),
+        Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
+              LEVENSHTEIN_SQL),
+        Query("media_features", media_features, MEDIA_FEATURES_SQL),
+        Query("neardup_clusters_lsh", neardup_clusters_lsh,
+              NEARDUP_CLUSTERS_LSH_SQL),
+        Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
+        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
+        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
+        Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
         Query("subscription_backlog_events", subscription_backlog_events,
               SUBSCRIPTION_BACKLOG_SQL),
-        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
-        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
-        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
-        Query("persons_generator", persons_generator, PERSONS_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("running_revenue", running_revenue, RUNNING_SQL),
-        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("q8_market_share", q8_market_share, Q8_SQL),
-        Query("q10_returned_items", q10_returned_items, Q10_SQL),
-        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
-        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
-              Q17_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
-        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q11_important_parts", q11_important_parts, Q11_SQL),
-        Query("topk_orders", topk_orders, TOPK_SQL),
-        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
-        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
-        Query("setops_customers", setops_customers, SETOPS_SQL),
-        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        Query("weighted_sample_docs", weighted_sample_docs,
+              WEIGHTED_SAMPLE_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
-        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
-        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
-        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
-              WINNOW_SQL),
-        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
-        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
-        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
-        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("contamination_check", contamination_check, CONTAM_SQL),
+        Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("embedding_neardup_pairs", embedding_neardup_pairs,
               EMB_NEARDUP_SQL),
+        Query("embedding_topk", embedding_topk, EMB_TOPK_SQL),
+        Query("exact_dedup", exact_dedup, EXACT_DEDUP_SQL),
+        Query("grouping_sets_lineitem", grouping_sets_lineitem, CUBE_SQL),
+        Query("media_ppm_decode", media_ppm_decode, MEDIA_PPM_SQL),
+        Query("media_wav_decode", media_wav_decode, MEDIA_WAV_SQL),
+        Query("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_SQL),
+        Query("ngram_jaccard_pairs", ngram_jaccard_pairs, JACCARD_SQL),
+        Query("pane_deltas_user", pane_deltas_user, PANE_DELTAS_SQL),
+        Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
+        Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("contamination_check", contamination_check, CONTAM_SQL),
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("q8_market_share", q8_market_share, Q8_SQL),
+        Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         Query("repetition_stats", repetition_stats, REPETITION_SQL),
+        Query("rollup_orders", rollup_orders, ROLLUP_SQL),
+        Query("running_revenue", running_revenue, RUNNING_SQL),
+        Query("setops_customers", setops_customers, SETOPS_SQL),
+        Query("simhash_docs", simhash_docs, SIMHASH_SQL),
+        Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("topk_orders", topk_orders, TOPK_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
+        Query("analytic_functions_orders", analytic_functions_orders,
+              ANALYTIC_FUNCS_SQL),
+        Query("asof_join_events", asof_join_events, ASOF_SQL),
+        Query("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_SQL),
+        Query("bm25_retrieval_docs", bm25_retrieval_docs, BM25_SQL),
+        Query("boilerplate_removal_docs", boilerplate_removal_docs,
+              BOILERPLATE_SQL),
+        Query("chunk_docs", chunk_docs, CHUNK_DOCS_SQL),
+        Query("cms_counts_events", cms_counts_events, CMS_SQL),
+        Query("corpus_filter_funnel", corpus_filter_funnel, FUNNEL_SQL),
+        Query("dataset_mixing", dataset_mixing, MIX_SQL),
+        Query("dq_checks_orders", dq_checks_orders, DQ_CHECKS_SQL),
+        Query("dq_unique_nullkeys_events", dq_unique_nullkeys_events,
+              DQ_UNIQUE_NULLKEYS_SQL),
+        Query("dup_span_docs", dup_span_docs, DUP_SPAN_SQL),
+        Query("gapfill_events", gapfill_events, GAPFILL_SQL),
+        Query("interval_join_events", interval_join_events, INTERVAL_JOIN_SQL),
+        Query("kcenter_coreset_embeddings", kcenter_coreset_embeddings,
+              KCENTER_SQL),
+        Query("key_skew_stats_events", key_skew_stats_events, KEY_SKEW_SQL),
+        Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
+              KMEANS_SQL),
+        Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
+        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
+        Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
+        Query("mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL),
+        Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
+        Query("oov_rate_docs", oov_rate_docs, OOV_SQL),
+        Query("pivot_event_matrix", pivot_event_matrix, PIVOT_SQL),
+        Query("profile_lineitem", profile_lineitem, PROFILE_SQL),
+        Query("quality_classifier_docs", quality_classifier_docs,
+              QUALITY_CLASSIFIER_SQL),
+        Query("quantile_sketch_docs", quantile_sketch_docs,
+              QUANTILE_SKETCH_DOCS_SQL),
+        Query("quantile_sketch_events", quantile_sketch_events,
+              QUANTILE_SKETCH_SQL),
+        Query("range_rolling_user_value", range_rolling_user_value,
+              RANGE_ROLLING_SQL),
+        Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
+        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
+        Query("shuffle_shards_docs", shuffle_shards_docs, SHUFFLE_SHARDS_SQL),
+        Query("snapshot_time_travel_events", snapshot_time_travel_events,
+              SNAPSHOT_TT_SQL),
+        Query("split_leakage", split_leakage, LEAKAGE_SQL),
+        Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
+        Query("train_split_stats", train_split_stats, SPLIT_SQL),
+        Query("zorder_block_stats_events", zorder_block_stats_events,
+              ZORDER_SQL),
+        Query("compacted_read_path", compacted_read_path, COMPACTED_READ_SQL),
+        Query("count_windows_user", count_windows_user, COUNT_WINDOW_SQL),
+        Query("dedup_sequence_ids", dedup_sequence_ids, DEDUP_SEQ_SQL),
+        Query("media_frame_schedule", media_frame_schedule, MEDIA_FRAMES_SQL),
+        Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
+        Query("text_stats", text_stats, TEXT_STATS_SQL),
+        Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
     ]
 }

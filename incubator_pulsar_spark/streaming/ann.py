@@ -21,16 +21,22 @@ the same replay discipline:
 
 The streaming probe is the raw ADC scan (codes only — dim·8
 bytes/vector never move). EXACT re-ranking of the accumulated
-candidate log is a periodic batch job (``pq_search_index`` with
-``refine=`` against the corpus table) — the same continuous/periodic
-split the neardup stream makes between candidate generation and
-exact verification, and the reference makes between its data plane
-and compaction.
+candidate log is a periodic batch job (``rerank_candidate_log``) —
+the same continuous/periodic split the neardup stream makes between
+candidate generation and exact verification, and the reference makes
+between its data plane and compaction. A second periodic job,
+``pq_fold_stream`` / ``ivfpq_fold_stream``, compacts the accumulated
+``stream/_batch_id=N`` directories so probe-side file counts stay
+flat on a long-lived ingest (the ``compact_minhash_index``
+discipline).
 
 Per-batch cost is O(batch · index-codes): the scan reads only the
-compressed code table (m bytes/vector at ksub=256), the codebooks
-broadcast once, and the only shuffle is the per-query top-k window.
-The corpus's raw vectors are never rescanned.
+code table — stored as a parquet ARRAY<INT> of m small codeword
+indexes per vector, so the on-disk size is encoding-dependent while
+m·log2(ksub) bits is the information content it carries; either way
+it is a small constant independent of dim — the codebooks broadcast
+once, and the only shuffle is the per-query top-k window. The
+corpus's raw vectors are never rescanned.
 """
 
 from __future__ import annotations
@@ -94,6 +100,147 @@ def start_pq_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _fold_stream_dirs(spark, stream_root: str, *,
+                      partition_cols: tuple[str, ...],
+                      committed_through: int | None = None) -> int:
+    """Consolidate a STOPPED ingest stream's per-batch directories
+    (``_batch_id=N``) into one ``_batch_id=-1`` directory — the
+    index-maintenance pass that keeps probe-side file/directory counts
+    flat as micro-batches accumulate. Same correctness argument as
+    ``functions.fuzzy.compact_minhash_index``: −1 is strictly smaller
+    than every real batch id, so the "probe strictly-earlier batches"
+    replay filter always sees folded rows, and the next batch id (from
+    the checkpoint) is larger than anything folded. Run only while the
+    stream is stopped after a CLEAN termination (availableNow drain or
+    query.stop() after the last commit); ``committed_through`` bounds
+    the fold to batch ids ≤ it when the caller wants to protect a
+    possibly-uncommitted tail. The whole-directory two-rename swap
+    recovers from a crash on the next call. Returns the number of
+    batch directories folded (0 = no-op)."""
+    import shutil as _shutil
+
+    old = stream_root + ".pre-fold"
+    if os.path.exists(old):             # crashed mid-swap last time
+        if os.path.exists(stream_root):
+            _shutil.rmtree(old)
+        else:
+            os.rename(old, stream_root)
+    if not os.path.isdir(stream_root):
+        return 0
+    ids = sorted(int(d.split("=", 1)[1])
+                 for d in os.listdir(stream_root)
+                 if d.startswith("_batch_id="))
+    fold = [i for i in ids
+            if committed_through is None or i <= committed_through]
+    if len(fold) <= 1:
+        return 0
+    keep = [i for i in ids if i not in fold]
+    tmp = stream_root + ".fold-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.option("basePath", stream_root).parquet(
+        *[os.path.join(stream_root, f"_batch_id={i}") for i in fold])
+    df = df.withColumn("_batch_id", F.lit(-1))
+    if partition_cols:
+        # one task per partition value -> one folded file per cell,
+        # instead of (tasks x cells) small files
+        df = df.repartition(*[F.col(c) for c in partition_cols])
+    (df.write.mode("overwrite")
+       .partitionBy("_batch_id", *partition_cols).parquet(tmp))
+    os.rename(stream_root, old)
+    os.rename(tmp, stream_root)
+    for i in keep:                      # uncommitted tail, if excluded
+        os.rename(os.path.join(old, f"_batch_id={i}"),
+                  os.path.join(stream_root, f"_batch_id={i}"))
+    _shutil.rmtree(old)
+    return len(fold)
+
+
+def pq_fold_stream(spark, index_path: str, *,
+                   committed_through: int | None = None) -> int:
+    """Fold the flat PQ ingest stream's ``stream/_batch_id=N``
+    directories into ``stream/_batch_id=-1`` (``_fold_stream_dirs``) —
+    without this, a long-lived 100 TB ingest accumulates one directory
+    per micro-batch forever and every probe lists and unions all of
+    them (the classic small-file blow-up the LSH near-dup stream's
+    ``compact_minhash_index`` already solves). Probe results are
+    byte-identical before/after: the fold moves rows between
+    directories, never changes them."""
+    return _fold_stream_dirs(spark, os.path.join(index_path, "stream"),
+                             partition_cols=(),
+                             committed_through=committed_through)
+
+
+def ivfpq_fold_stream(spark, index_path: str, *,
+                      committed_through: int | None = None) -> int:
+    """``pq_fold_stream`` for the IVFADC ingest stream: folded rows
+    keep their CELL partitioning (``_batch_id=-1/cell=C``), so
+    directory-level cell pruning — the whole point of the coarse
+    quantizer — survives the fold."""
+    return _fold_stream_dirs(spark, os.path.join(index_path, "stream"),
+                             partition_cols=("cell",),
+                             committed_through=committed_through)
+
+
+def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
+                         k: int = 10, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         report_path: str | None = None) -> DataFrame:
+    """Periodic EXACT re-rank over the ingest stream's accumulated
+    candidate log — the batch half of the continuous/periodic split
+    this module's header promises: the stream emits raw-ADC top-k per
+    batch (approximate, codes-only); this job reads every
+    ``out/_batch_id=N`` directory, fetches TRUE vectors for exactly
+    the logged (query, candidate) pairs by id equi-join, and re-ranks
+    each query's accumulated shortlist by exact squared L2 — the
+    ``refine=`` stage of ``pq_search_index``, applied to the log
+    instead of a fresh scan.
+
+    Scale shape: both the candidate side and the query side join
+    ``vectors`` by id EQUI-JOIN (no broadcast of the corpus — a
+    long-lived log's query count is unbounded), so the job moves
+    O(|log|) rows plus one per-query rank window; the corpus is never
+    scanned beyond the ids the log names. ``vectors`` must cover every
+    id in the log (queries and candidates) — an uncovered id fails the
+    job loudly rather than silently renumbering ranks, the
+    ``_pq_rank_tail`` refine contract. Output (query_id, vec_id,
+    adc_d2, exact_d2, rank), rank ≤ k by (exact_d2 asc, vec_id) —
+    row-identical to a refined probe over the same shortlist.
+    ``report_path`` additionally persists the report as parquet."""
+    from ..functions.similarity import _d2
+
+    log = spark.read.parquet(out_path) \
+        .select("query_id", "vec_id", "adc_d2")
+    vecs = vectors.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("_cv"))
+    qv = vectors.select(F.col(id_col).alias("query_id"),
+                        as_double_array(F.col(vec_col)).alias("qv"))
+
+    def covered(col: str, val):
+        return F.when(val.isNull(), F.raise_error(F.concat(
+            F.lit(f"rerank: logged {col} "),
+            F.col(col).cast("string"),
+            F.lit(" missing from vectors= — the true-vector table "
+                  "must cover every id in the candidate log")),
+        )).otherwise(val)
+
+    exact = (log.join(vecs, "vec_id", "left")
+             .join(qv, "query_id", "left")
+             .select("query_id", "vec_id", "adc_d2",
+                     F.round(_d2(covered("vec_id", F.col("_cv")),
+                                 covered("query_id", F.col("qv"))), 6)
+                     .alias("exact_d2")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("exact_d2").asc(),
+                                               F.col("vec_id"))
+    report = (exact.withColumn("rank",
+                               F.row_number().over(w).cast("int"))
+              .filter(F.col("rank") <= k))
+    if report_path is not None:
+        report.write.mode("overwrite").parquet(report_path)
+        return spark.read.parquet(report_path)
+    return report
 
 
 def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
