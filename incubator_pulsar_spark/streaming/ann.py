@@ -102,6 +102,63 @@ def start_pq_ingest_stream(
     return writer.start()
 
 
+def _checkpoint_committed_through(checkpoint_path: str) -> int:
+    """Highest batch id the ingest stream has COMMITTED, read from the
+    checkpoint's ``commits/`` directory — Spark writes ``commits/N``
+    only after batch N's foreachBatch completed, so this listing is
+    the authoritative record of what will NOT replay. Returns -1 when
+    nothing is committed yet (the fold then protects every batch)."""
+    commits = os.path.join(checkpoint_path, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids) if ids else -1
+
+
+_FOLD_MANIFEST = "_fold_manifest.json"
+
+
+def _recover_fold(stream_root: str, old: str) -> None:
+    """Recover from a crash anywhere inside ``_fold_stream_dirs``'s
+    swap. Two windows: (a) between the two renames — ``old`` is the
+    complete pre-fold snapshot and ``stream_root`` is absent, so the
+    snapshot restores wholesale; (b) after the second rename but
+    before the protected-tail restore finished — BOTH exist, and
+    ``old`` may still hold ``_batch_id`` directories excluded from the
+    fold. The fold manifest (written into the folded directory BEFORE
+    the swap) records which batch ids are already inside
+    ``_batch_id=-1``; every other batch directory in ``old`` moves
+    back before ``old`` is deleted — deleting first lost the
+    protected tail permanently (ADVICE r9 medium)."""
+    import shutil as _shutil
+
+    if not os.path.exists(old):
+        return
+    if not os.path.exists(stream_root):        # window (a)
+        os.rename(old, stream_root)
+        return
+    man = os.path.join(stream_root, _FOLD_MANIFEST)   # window (b)
+    if not os.path.exists(man):
+        # structurally unreachable (the manifest lands inside the
+        # folded dir before the swap); refuse to guess which batches
+        # are folded rather than silently duplicate or drop rows
+        raise RuntimeError(
+            f"fold recovery: {old} and {stream_root} both exist but "
+            f"{man} is missing — reconcile the directories manually")
+    with open(man) as f:
+        folded = set(json.load(f)["folded"])
+    for d in os.listdir(old):
+        if not d.startswith("_batch_id="):
+            continue
+        i = int(d.split("=", 1)[1])
+        dst = os.path.join(stream_root, d)
+        if i in folded or os.path.exists(dst):
+            continue
+        os.rename(os.path.join(old, d), dst)   # protected tail
+    _shutil.rmtree(old)
+    os.remove(man)
+
+
 def _fold_stream_dirs(spark, stream_root: str, *,
                       partition_cols: tuple[str, ...],
                       committed_through: int | None = None) -> int:
@@ -112,21 +169,29 @@ def _fold_stream_dirs(spark, stream_root: str, *,
     ``functions.fuzzy.compact_minhash_index``: −1 is strictly smaller
     than every real batch id, so the "probe strictly-earlier batches"
     replay filter always sees folded rows, and the next batch id (from
-    the checkpoint) is larger than anything folded. Run only while the
-    stream is stopped after a CLEAN termination (availableNow drain or
-    query.stop() after the last commit); ``committed_through`` bounds
-    the fold to batch ids ≤ it when the caller wants to protect a
-    possibly-uncommitted tail. The whole-directory two-rename swap
-    recovers from a crash on the next call. Returns the number of
-    batch directories folded (0 = no-op)."""
+    the checkpoint) is larger than anything folded.
+
+    ``committed_through`` bounds the fold to batch ids ≤ it, protecting
+    a possibly-uncommitted tail that a crash-restart would REPLAY —
+    replaying a batch whose codes were folded into ``_batch_id=-1``
+    would re-append them (duplicate index rows) and let its probe see
+    its own codes (self-match at distance 0). The public fold
+    functions derive it from the stream checkpoint's ``commits/``
+    listing; ``None`` folds everything and is safe only after a CLEAN
+    termination (availableNow drain or query.stop() after the last
+    commit).
+
+    Crash safety: the folded layout is written to a tmp directory with
+    a manifest of the folded ids, swapped in with two whole-directory
+    renames, and only then is the pre-fold snapshot deleted —
+    ``_recover_fold`` finishes an interrupted swap on the next call,
+    including restoring a protected tail the crash stranded in the
+    snapshot. Returns the number of batch directories folded (0 =
+    no-op)."""
     import shutil as _shutil
 
     old = stream_root + ".pre-fold"
-    if os.path.exists(old):             # crashed mid-swap last time
-        if os.path.exists(stream_root):
-            _shutil.rmtree(old)
-        else:
-            os.rename(old, stream_root)
+    _recover_fold(stream_root, old)
     if not os.path.isdir(stream_root):
         return 0
     ids = sorted(int(d.split("=", 1)[1])
@@ -148,16 +213,32 @@ def _fold_stream_dirs(spark, stream_root: str, *,
         df = df.repartition(*[F.col(c) for c in partition_cols])
     (df.write.mode("overwrite")
        .partitionBy("_batch_id", *partition_cols).parquet(tmp))
+    # manifest BEFORE the swap: recovery must be able to tell folded
+    # batch dirs (already inside _batch_id=-1) from the protected tail
+    # it has to move back (underscore-prefixed -> invisible to reads)
+    with open(os.path.join(tmp, _FOLD_MANIFEST), "w") as f:
+        json.dump({"folded": fold}, f)
     os.rename(stream_root, old)
     os.rename(tmp, stream_root)
-    for i in keep:                      # uncommitted tail, if excluded
+    for i in keep:                      # protected tail, if excluded
         os.rename(os.path.join(old, f"_batch_id={i}"),
                   os.path.join(stream_root, f"_batch_id={i}"))
     _shutil.rmtree(old)
+    os.remove(os.path.join(stream_root, _FOLD_MANIFEST))
     return len(fold)
 
 
+def _resolve_committed(checkpoint_path: str | None,
+                       committed_through: int | None) -> int | None:
+    if committed_through is not None:
+        return committed_through
+    if checkpoint_path is not None:
+        return _checkpoint_committed_through(checkpoint_path)
+    return None
+
+
 def pq_fold_stream(spark, index_path: str, *,
+                   checkpoint_path: str | None = None,
                    committed_through: int | None = None) -> int:
     """Fold the flat PQ ingest stream's ``stream/_batch_id=N``
     directories into ``stream/_batch_id=-1`` (``_fold_stream_dirs``) —
@@ -166,52 +247,95 @@ def pq_fold_stream(spark, index_path: str, *,
     them (the classic small-file blow-up the LSH near-dup stream's
     ``compact_minhash_index`` already solves). Probe results are
     byte-identical before/after: the fold moves rows between
-    directories, never changes them."""
-    return _fold_stream_dirs(spark, os.path.join(index_path, "stream"),
-                             partition_cols=(),
-                             committed_through=committed_through)
+    directories, never changes them.
+
+    Pass ``checkpoint_path`` (the ingest stream's checkpoint) to fold
+    ONLY batches the stream has committed — the safe default for a
+    stream that may restart: an uncommitted batch will REPLAY, and a
+    replay over its own folded codes duplicates them. An explicit
+    ``committed_through`` overrides; both ``None`` folds everything
+    and is safe only after a clean termination."""
+    return _fold_stream_dirs(
+        spark, os.path.join(index_path, "stream"), partition_cols=(),
+        committed_through=_resolve_committed(checkpoint_path,
+                                             committed_through))
 
 
 def ivfpq_fold_stream(spark, index_path: str, *,
+                      checkpoint_path: str | None = None,
                       committed_through: int | None = None) -> int:
     """``pq_fold_stream`` for the IVFADC ingest stream: folded rows
     keep their CELL partitioning (``_batch_id=-1/cell=C``), so
     directory-level cell pruning — the whole point of the coarse
-    quantizer — survives the fold."""
-    return _fold_stream_dirs(spark, os.path.join(index_path, "stream"),
-                             partition_cols=("cell",),
-                             committed_through=committed_through)
+    quantizer — survives the fold (consolidation, byte-identical
+    probes, and the post-fold PartitionFilters plan are all locked in
+    ``tests/test_round9.py``). Same ``checkpoint_path`` /
+    ``committed_through`` replay guard as ``pq_fold_stream``."""
+    return _fold_stream_dirs(
+        spark, os.path.join(index_path, "stream"),
+        partition_cols=("cell",),
+        committed_through=_resolve_committed(checkpoint_path,
+                                             committed_through))
 
 
 def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
                          k: int = 10, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         report_path: str | None = None) -> DataFrame:
-    """Periodic EXACT re-rank over the ingest stream's accumulated
-    candidate log — the batch half of the continuous/periodic split
-    this module's header promises: the stream emits raw-ADC top-k per
-    batch (approximate, codes-only); this job reads every
-    ``out/_batch_id=N`` directory, fetches TRUE vectors for exactly
-    the logged (query, candidate) pairs by id equi-join, and re-ranks
-    each query's accumulated shortlist by exact squared L2 — the
-    ``refine=`` stage of ``pq_search_index``, applied to the log
-    instead of a fresh scan.
+                         report_path: str | None = None,
+                         batch_ids: list[int] | None = None,
+                         retire: bool = False) -> DataFrame:
+    """Periodic EXACT re-rank over the ingest stream's candidate log —
+    the batch half of the continuous/periodic split this module's
+    header promises: the stream emits raw-ADC top-k per batch
+    (approximate, codes-only); this job reads the ``out/_batch_id=N``
+    directories, fetches TRUE vectors for exactly the logged (query,
+    candidate) pairs by id equi-join, and re-ranks each query's
+    accumulated shortlist by exact squared L2 — the ``refine=`` stage
+    of ``pq_search_index``, applied to the log instead of a fresh
+    scan. The log deduplicates on (query_id, vec_id) first: a query
+    probed in more than one ingest batch logs the same candidate once
+    per batch, and ranking the raw pairs would let duplicates crowd
+    real neighbors out of the top-k.
 
-    Scale shape: both the candidate side and the query side join
-    ``vectors`` by id EQUI-JOIN (no broadcast of the corpus — a
-    long-lived log's query count is unbounded), so the job moves
-    O(|log|) rows plus one per-query rank window; the corpus is never
-    scanned beyond the ids the log names. ``vectors`` must cover every
-    id in the log (queries and candidates) — an uncovered id fails the
-    job loudly rather than silently renumbering ranks, the
-    ``_pq_rank_tail`` refine contract. Output (query_id, vec_id,
-    adc_d2, exact_d2, rank), rank ≤ k by (exact_d2 asc, vec_id) —
-    row-identical to a refined probe over the same shortlist.
+    Scale shape: the job moves O(|log|) candidate rows plus one
+    per-query rank window. The id joins against ``vectors`` are plain
+    equi-joins — at gate scale AQE broadcasts the (small) log side and
+    the corpus is read once with no shuffle; with an UNBOUNDED
+    accumulated log the joins degrade to sort-merge and the corpus
+    itself shuffles, so the per-run input must be BOUNDED by the
+    caller: pass ``batch_ids`` to rerank a window of batches, and
+    ``retire=True`` (requires ``report_path``) to move the processed
+    ``_batch_id=N`` directories under ``out/.reranked/`` after the
+    report is written — the next default run then reads only
+    unprocessed batches, the same keep-the-listing-flat discipline as
+    the index fold. ``vectors`` must cover every id in the log
+    (queries and candidates) — an uncovered id fails the job loudly
+    rather than silently renumbering ranks, the ``_pq_rank_tail``
+    refine contract. Output (query_id, vec_id, adc_d2, exact_d2,
+    rank), rank ≤ k by (exact_d2 asc, vec_id) — row-identical to a
+    refined probe over the same deduplicated shortlist.
     ``report_path`` additionally persists the report as parquet."""
     from ..functions.similarity import _d2
 
-    log = spark.read.parquet(out_path) \
-        .select("query_id", "vec_id", "adc_d2")
+    present = sorted(int(d.split("=", 1)[1])
+                     for d in os.listdir(out_path)
+                     if d.startswith("_batch_id="))
+    todo = present if batch_ids is None else sorted(batch_ids)
+    missing = set(todo) - set(present)
+    if missing:
+        raise ValueError(f"rerank: batch_ids {sorted(missing)} not "
+                         f"present under {out_path} (have {present})")
+    if retire and report_path is None:
+        raise ValueError("retire=True requires report_path= — retiring "
+                         "log directories behind a lazy DataFrame would "
+                         "drop the rows before they are read")
+    if not todo:
+        raise ValueError(f"rerank: no unprocessed _batch_id=N "
+                         f"directories under {out_path}")
+    log = (spark.read.option("basePath", out_path).parquet(
+               *[os.path.join(out_path, f"_batch_id={i}") for i in todo])
+           .groupBy("query_id", "vec_id")
+           .agg(F.min("adc_d2").alias("adc_d2")))
     vecs = vectors.select(F.col(id_col).alias("vec_id"),
                           as_double_array(F.col(vec_col)).alias("_cv"))
     qv = vectors.select(F.col(id_col).alias("query_id"),
@@ -239,6 +363,12 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
               .filter(F.col("rank") <= k))
     if report_path is not None:
         report.write.mode("overwrite").parquet(report_path)
+        if retire:
+            retired = os.path.join(out_path, ".reranked")
+            os.makedirs(retired, exist_ok=True)
+            for i in todo:
+                os.rename(os.path.join(out_path, f"_batch_id={i}"),
+                          os.path.join(retired, f"_batch_id={i}"))
         return spark.read.parquet(report_path)
     return report
 
