@@ -98,48 +98,81 @@ def window_function(
     int64 key upcasts to float64, where adjacent distinct keys above
     2^53 (snowflake ids, ns-resolution buckets) compare equal and two
     panes silently merge; and a double key's NULL and NaN both arrive
-    as NaN, though Spark's groupBy keeps them distinct groups. So each
-    key column gets a hidden JVM-side CANONICAL STRING comparison
-    column (exact decimal/`Double.toString` reprs — distinct values
-    stay distinct at any magnitude; NULL stays None, ≠ the "NaN"
-    string; ±0.0 pre-normalized to match groupBy's merge of the two
-    zeros; binary via hex, nested types via to_json). The boundary
-    mask compares ONLY those object-dtype columns — no float upcast
-    anywhere — and the hidden columns are stripped before ``fn`` sees
-    the pane. One residual caveat: a NULLABLE int key whose batch
-    contains nulls reaches pandas as float64, so the pane's VALUES
-    (not the boundaries — those use the string columns) lose exactness
-    past 2^53; boundaries stay correct.
+    as NaN, though Spark's groupBy keeps them distinct groups. Each
+    key type therefore compares through a representation that stays
+    exact at any magnitude, with NO float upcast in the comparison:
+
+    - string / binary / decimal / date / bool keys arrive as exact
+      Python objects; timestamps as datetime64[ns] (NaT is a
+      sentinel, not a rounding) — compared directly, no extra column;
+    - byte/short/int keys compare directly too: a null-bearing batch
+      upcasts them to float64, but every 32-bit integer is exactly
+      representable there;
+    - LONG keys get two hidden JVM-side columns (key >> 32 and
+      key & 0xFFFFFFFF) — each half is < 2^32, so adjacent distinct
+      keys stay distinct even through the float64 null-upcast (the
+      prior canonical-string column cost ~50% on the sf0.1 median
+      bench row; two small ints compare as vectorized numpy);
+    - float/double keys keep the hidden CANONICAL STRING column
+      (NULL stays None ≠ the "NaN" string; ±0.0 pre-normalized to
+      match groupBy's merge of the two zeros);
+    - nested (array/map/struct) keys compare via to_json with every
+      nested float field pre-normalized (-0.0 → 0.0, recursively) so
+      JSON text equality matches groupBy's nested-key equality; all
+      NaNs serialize as the one "NaN" token, matching groupBy's
+      NaN-merge.
+
+    The boundary mask ORs per-key-column adjacent-inequality (with
+    null==null never splitting — groupBy's one-null-group rule), and
+    hidden columns are stripped before ``fn`` sees the pane. The
+    halves also REPAIR the pane's values: when a null-bearing batch
+    upcasts a long key column to float64 (losing exactness past 2^53),
+    each non-null pane's key column is rebuilt as exact int64 from its
+    halves before ``fn`` sees it — same dtype grouped-map hands a
+    non-null group, at any key magnitude.
     """
     from pyspark.sql import types as T
 
-    cmp_cols: list[str] = []
+    cmp_cols: list[str] = []          # names whose positions we compare
+    hidden: list[str] = []
+    long_halves: list[tuple[str, str, str]] = []  # (key, hi, lo)
     aug = df
-    for i, c in enumerate(group_by):
+
+    def add_hidden(expr) -> str:
+        name = f"__pane_cmp_{len(hidden)}"
+        hidden.append(name)
+        cmp_cols.append(name)
+        nonlocal aug
+        aug = aug.withColumn(name, expr)
+        return name
+
+    for c in group_by:
         dt = df.schema[c].dataType
-        name = f"__pane_cmp_{i}"
         col = F.col(c)
-        if isinstance(dt, T.StringType):
-            cmp_cols.append(c)        # already exact object dtype
-            continue
         if isinstance(dt, (T.FloatType, T.DoubleType)):
             # groupBy merges -0.0 with 0.0; == is false for NaN/null
-            col = F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
-            expr = col.cast("string")  # NaN -> "NaN", null -> None
-        elif isinstance(dt, T.BinaryType):
-            expr = F.hex(col)
+            norm = F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
+            add_hidden(norm.cast("string"))  # NaN -> "NaN", null -> None
+        elif isinstance(dt, T.LongType):
+            hi = add_hidden(F.shiftright(col, 32))
+            lo = add_hidden(col.bitwiseAND(F.lit(0xFFFFFFFF)))
+            long_halves.append((c, hi, lo))
         elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-            expr = F.to_json(F.struct(col.alias("k")))
-        else:                          # int/decimal/bool/date/timestamp
-            expr = col.cast("string")
-        aug = aug.withColumn(name, expr)
-        cmp_cols.append(name)
-    hidden = [c for c in cmp_cols if c.startswith("__pane_cmp_")]
+            add_hidden(F.to_json(F.struct(
+                _normalize_key_floats(col, dt).alias("k"))))
+        elif isinstance(dt, (T.StringType, T.BinaryType, T.BooleanType,
+                             T.ByteType, T.ShortType, T.IntegerType,
+                             T.DecimalType, T.DateType, T.TimestampType,
+                             T.TimestampNTZType)):
+            cmp_cols.append(c)        # exact in pandas as-is
+        else:                         # intervals/exotics: exact string
+            add_hidden(col.cast("string"))
     cmp_idx = [len(df.columns) + hidden.index(c)
                if c in hidden else df.columns.index(c)
                for c in cmp_cols]
 
     def apply_partition(batches):
+        import numpy as np
         import pandas as pd
 
         carry: pd.DataFrame | None = None
@@ -152,7 +185,15 @@ def window_function(
         def run(g: pd.DataFrame) -> None:
             nonlocal out_rows
             if hidden:
+                fixups = [(c, g[hi].to_numpy(), g[lo].to_numpy())
+                          for c, hi, lo in long_halves
+                          if g[c].dtype.kind == "f"]   # null-upcast batch
                 g = g.drop(columns=hidden)
+                for c, h, lo_vals in fixups:
+                    if not len(h) or pd.isna(h[0]):
+                        continue       # the null-key pane stays null
+                    g[c] = (h.astype("int64") << 32) + \
+                        lo_vals.astype("int64")
             out = fn(g.reset_index(drop=True))
             if out is not None and len(out):
                 out_buf.append(out)
@@ -166,27 +207,38 @@ def window_function(
                 out_rows = 0
                 yield merged
 
+        def boundaries(pdf: pd.DataFrame) -> np.ndarray:
+            """Adjacent-row inequality OR-ed across the key columns on
+            their NATIVE dtypes (no shift(), no astype(object) frame):
+            numpy slice comparison is exact for every representation
+            chosen above, and null==null never splits (groupBy's
+            one-null-group rule; sort collates nulls together)."""
+            neq = np.zeros(len(pdf) - 1, dtype=bool)
+            for i in cmp_idx:
+                a = pdf.iloc[:, i].to_numpy()
+                ne = a[1:] != a[:-1]       # NaN/NaT/None-vs-value: True
+                if ne.dtype != bool:
+                    ne = ne.astype(bool)
+                na = pd.isna(a)
+                if na.any():
+                    ne &= ~(na[1:] & na[:-1])
+                neq |= ne
+            return neq
+
         for pdf in batches:
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if not len(pdf):
                 continue
-            # object-dtype canonical strings: shift() cannot upcast, so
-            # the comparison is exact at any key magnitude; None==None
-            # must NOT split (groupBy treats nulls as one group, and
-            # sort collates them together)
-            keys = pdf.iloc[:, cmp_idx].astype(object)
-            prev = keys.shift()
-            neq = (keys.ne(prev) & ~(keys.isna() & prev.isna())).any(axis=1)
-            gid = neq.cumsum()
-            last = gid.iloc[-1]
+            # pane start offsets -> contiguous iloc slices (panes are
+            # sorted-adjacent, so slicing beats a pandas groupby)
+            cuts = np.flatnonzero(boundaries(pdf)) + 1
+            starts = np.concatenate(([0], cuts))
             # the final run may continue into the next batch — carry it
-            carry = pdf[gid == last]
-            done = pdf[gid != last]
-            if len(done):
-                for _, g in done.groupby(gid[gid != last], sort=False):
-                    run(g)
+            carry = pdf.iloc[starts[-1]:]
+            for j in range(len(starts) - 1):
+                run(pdf.iloc[starts[j]:starts[j + 1]])
             if out_rows >= 4096:
                 yield from drain()
         if carry is not None and len(carry):
@@ -196,6 +248,57 @@ def window_function(
     return (aug.repartition(*[F.col(c) for c in group_by])
             .sortWithinPartitions(*group_by)
             .mapInPandas(apply_partition, output_schema))
+
+
+def _key_has_float(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _key_has_float(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _key_has_float(dt.keyType) or _key_has_float(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_key_has_float(f.dataType) for f in dt.fields)
+    return False
+
+
+def _normalize_key_floats(col: Column, dt):
+    """Rewrite every float/double inside a (possibly nested) group-key
+    value with -0.0 normalized to 0.0, so the to_json comparison text
+    matches Spark groupBy's float normalization for nested keys — a
+    struct key containing -0.0 must land in the same pane as its +0.0
+    twin (they are one group), though they serialize differently.
+    NaN needs no rewrite: every NaN prints as the one "NaN" token."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
+    if isinstance(dt, T.ArrayType):
+        if not _key_has_float(dt.elementType):
+            return col
+        return F.transform(
+            col, lambda x: _normalize_key_floats(x, dt.elementType))
+    if isinstance(dt, T.MapType):
+        out = col
+        if _key_has_float(dt.keyType):
+            out = F.transform_keys(
+                out, lambda k, v: _normalize_key_floats(k, dt.keyType))
+        if _key_has_float(dt.valueType):
+            out = F.transform_values(
+                out, lambda k, v: _normalize_key_floats(v, dt.valueType))
+        return out
+    if isinstance(dt, T.StructType):
+        if not any(_key_has_float(f.dataType) for f in dt.fields):
+            return col
+        rebuilt = F.struct(*[
+            _normalize_key_floats(col[f.name], f.dataType).alias(f.name)
+            for f in dt.fields])
+        # struct() of extracted fields turns a NULL struct into a
+        # struct of nulls — a DIFFERENT group; keep NULL null
+        return F.when(col.isNull(), col).otherwise(rebuilt)
+    return col
 
 
 def identity_function(df: DataFrame) -> DataFrame:
