@@ -157,6 +157,16 @@ BENCH_QUERIES = [
     "distinct_customers",
     "setops_customers",
     "pane_deltas_user",
+    # round-9/10: ingest-fold lifecycles + rerank are index-lifecycle
+    # rows like pq_index_topk (build + ingest + fold/rerank + probe in
+    # one honest row — only the probe/periodic job recurs at production
+    # scale); window_udaf_bigkey and the auto build are normal rows
+    "pq_fold_topk_embeddings",
+    "ivfpq_fold_topk_embeddings",
+    "ann_rerank_report",
+    "ann_rerank_bounded",
+    "ivfpq_auto_topk_embeddings",
+    "window_udaf_bigkey",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

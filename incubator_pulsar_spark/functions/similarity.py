@@ -1111,6 +1111,59 @@ def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
     return books
 
 
+def pq_rotation(dim: int) -> tuple[list[int], list[int]]:
+    """Deterministic signed-permutation isometry for PQ pre-rotation —
+    the 'RR' (random rotation) baseline of OPQ (Ge et al., CVPR 2013
+    §4; also Jégou et al. 2011 §V-A's random-rotation variant): PQ's
+    subspace split is sensitive to how variance and correlation land
+    across the m contiguous slices, and a cheap isometry applied before
+    the split decorrelates blocky layouts (e.g. concatenated feature
+    groups) without changing any true distance. A full OPQ rotation
+    trains R by alternating SVD sweeps — not replayable under this
+    repo's exact-oracle discipline — while a signed permutation is an
+    exact isometry on both engines: R(v)[j] = signs[j] · v[perm[j]],
+    ‖R(a) − R(b)‖² = ‖a − b‖² bit-for-bit term-set-identical (the
+    refine stage keeps RAW-order arithmetic, so final exact distances
+    are byte-identical to the unrotated pipeline's).
+
+    perm is the md5-sort of the dimension indexes and signs one md5
+    bit each — RNG-free, reproducible everywhere from ``dim`` alone."""
+    import hashlib
+
+    perm = sorted(range(dim),
+                  key=lambda j: hashlib.md5(f"pqrot{j}".encode())
+                  .hexdigest())
+    signs = [1 if hashlib.md5(f"pqsign{j}".encode()).digest()[0] % 2 == 0
+             else -1 for j in range(dim)]
+    return perm, signs
+
+
+def _rotate_vec(vec: Column,
+                rotation: tuple[list[int], list[int]]) -> Column:
+    """Apply the signed permutation: output j = ±vec[perm[j]].
+    Negation (not multiply) so the flip is the exact IEEE sign-bit
+    toggle the oracle's ``-v[i]`` performs."""
+    perm, signs = rotation
+    return F.array(*[
+        -F.element_at(vec, p + 1) if s < 0 else F.element_at(vec, p + 1)
+        for p, s in zip(perm, signs)])
+
+
+def _pq_load_rotation(path: str) -> tuple[list[int], list[int]] | None:
+    """The optional ``_rotation.json`` sidecar of a rotated PQ index
+    (absent on unrotated indexes — the pre-r10 layout reads
+    unchanged)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, "_rotation.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        r = _json.load(f)
+    return r["perm"], r["signs"]
+
+
 def _attach_pq(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     """Codebooks as ONE broadcast data column (m × ksub × dsub doubles
     — the literal form would re-hit the measured codegen trap)."""
@@ -1133,16 +1186,21 @@ def _pq_codes(vec: Column, m: int, dsub: int) -> Column:
 
 
 def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              rotation: tuple[list[int], list[int]] | None = None
+              ) -> DataFrame:
     """Encode every vector as its m PQ codeword indexes — map-only
     (broadcast codebooks, no shuffle). dim·8 bytes/vector become
     m·log2(ksub) bits: the compression that lets a 100 TB embedding
-    corpus's candidate scan live in memory."""
+    corpus's candidate scan live in memory. ``rotation`` applies the
+    ``pq_rotation`` signed permutation before the subspace split (the
+    books must then have been trained in rotated space)."""
     m = len(books)
     dsub = len(books[0][0])
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           as_double_array(F.col(vec_col)).alias("vec"))
+    if rotation is not None:
+        e = e.withColumn("vec", _rotate_vec(F.col("vec"), rotation))
     return (_attach_pq(e, books)
             .select("vec_id", _pq_codes(F.col("vec"), m, dsub).alias("codes")))
 
@@ -1151,6 +1209,7 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 dim: int, m: int = 4, ksub: int = 16,
                 books: list[list[list[float]]] | None = None,
                 refine: int | None = None, lloyd_iters: int = 0,
+                rotate: bool = False,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 query_vec_col: str = "query_vec") -> DataFrame:
@@ -1178,13 +1237,24 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     Deterministic end to end (round-9 codeword argmins, round-6
     outputs, ties to the lowest id), so the DuckDB oracle replays
     training, encoding, the ADC scan and the refine stage exactly.
+    ``rotate=True`` trains and encodes in ``pq_rotation`` space (the
+    OPQ 'RR' baseline — balances subspace variance on blocky inputs);
+    the refine stage and output distances stay raw-exact (isometry).
     Output: (query_id, vec_id, adc_d2, rank) — plus exact_d2 before
     rank in refine mode — ascending distance, k rows per query."""
+    rotation = pq_rotation(dim) if rotate else None
+    train_src = embeddings
+    if rotation is not None and books is None:
+        train_src = embeddings.select(
+            F.col(id_col).alias(id_col),
+            _rotate_vec(as_double_array(F.col(vec_col)), rotation)
+            .alias(vec_col))
     if books is None:
-        books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+        books = pq_train_codebooks(train_src, m=m, ksub=ksub, dim=dim,
                                    lloyd_iters=lloyd_iters,
                                    id_col=id_col, vec_col=vec_col)
-    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col,
+                    rotation=rotation)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("qv"))
     vecs = None
@@ -1192,7 +1262,8 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
         vecs = embeddings.select(
             F.col(id_col).alias("vec_id"),
             as_double_array(F.col(vec_col)).alias("_cv"))
-    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs)
+    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs,
+                        rotation=rotation)
 
 
 def _pq_query_table(q: DataFrame, books: list[list[list[float]]], *,
@@ -1269,14 +1340,22 @@ def _pq_rank_tail(scored: DataFrame, q: DataFrame, k: int, *,
 
 def _pq_adc_rank(enc: DataFrame, q: DataFrame,
                  books: list[list[list[float]]], k: int, *,
-                 refine: int | None,
-                 vecs: DataFrame | None) -> DataFrame:
+                 refine: int | None, vecs: DataFrame | None,
+                 rotation: tuple[list[int], list[int]] | None = None
+                 ) -> DataFrame:
     """The query-time half of ``pq_adc_topk`` — ADC lookup-sum scan
     over an ALREADY-ENCODED corpus (``enc``: (vec_id, codes)), plus
     the optional exact refine against ``vecs`` (vec_id, _cv). Shared
     verbatim by the one-shot form and ``pq_search_index`` so the
-    persisted-index probe can never drift from the gated semantics."""
-    qt = _pq_query_table(q, books)
+    persisted-index probe can never drift from the gated semantics.
+    ``rotation`` rotates the QUERY TABLE into the codes' space; the
+    refine stage stays in raw space (isometry — same exact
+    distances, same raw-order arithmetic as the unrotated path)."""
+    qq = q
+    if rotation is not None:
+        qq = q.select("query_id",
+                      _rotate_vec(F.col("qv"), rotation).alias("qv"))
+    qt = _pq_query_table(qq, books)
     scored = (enc.crossJoin(F.broadcast(qt))
               .select("query_id", "vec_id",
                       F.round(_pq_adc_expr(), 6).alias("adc_d2")))
@@ -1285,6 +1364,7 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
 
 def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
                    m: int = 4, ksub: int = 16, lloyd_iters: int = 0,
+                   rotate: bool = False,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[list[list[float]]]:
     """Persist a PQ index: the corpus's code table (vec_id, codes —
@@ -1304,17 +1384,30 @@ def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
     (append-only, ``pq_append_index``); the continuous-ingest stream
     owns ``{path}/stream/_batch_id=N`` directories (replay-idempotent
     overwrites — ``streaming.ann``); codebooks in a JSON sidecar at
-    the root."""
+    the root, plus ``_rotation.json`` when ``rotate=True`` (the
+    ``pq_rotation`` signed permutation, pinned so appends, ingest
+    batches and probes all encode/query in the same space)."""
     import json as _json
     import os as _os
 
-    books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+    rotation = pq_rotation(dim) if rotate else None
+    train_src = embeddings
+    if rotation is not None:
+        train_src = embeddings.select(
+            F.col(id_col).alias(id_col),
+            _rotate_vec(as_double_array(F.col(vec_col)), rotation)
+            .alias(vec_col))
+    books = pq_train_codebooks(train_src, m=m, ksub=ksub, dim=dim,
                                lloyd_iters=lloyd_iters,
                                id_col=id_col, vec_col=vec_col)
-    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col,
+                    rotation=rotation)
     enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
     with open(_os.path.join(path, "_codebooks.json"), "w") as f:
         _json.dump(books, f)
+    if rotation is not None:
+        with open(_os.path.join(path, "_rotation.json"), "w") as f:
+            _json.dump({"perm": rotation[0], "signs": rotation[1]}, f)
     return books
 
 
@@ -1337,7 +1430,8 @@ def pq_append_index(embeddings: DataFrame, path: str, *,
 
     with open(_os.path.join(path, "_codebooks.json")) as f:
         books = _json.load(f)
-    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col,
+                    rotation=_pq_load_rotation(path))
     # persist so the batch is encoded ONCE: count materializes the
     # cache, the write reads it back — without this the write action
     # re-ran the whole map-side encode (O(2·batch) per append)
@@ -1679,4 +1773,5 @@ def pq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
         vecs = vectors.select(
             F.col(id_col).alias("vec_id"),
             as_double_array(F.col(vec_col)).alias("_cv"))
-    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs)
+    return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs,
+                        rotation=_pq_load_rotation(path))

@@ -5197,7 +5197,8 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
             train_where: str | None = None,
             lloyd_iters: int = 0,
             query_where: str = "vec_id < 5",
-            enc_where: str | None = None) -> str:
+            enc_where: str | None = None,
+            rotation: tuple[list[int], list[int]] | None = None) -> str:
     """Replay similarity.pq_train_codebooks + pq_encode + pq_adc_topk
     (refine mode) in pure SQL.
 
@@ -5217,16 +5218,31 @@ def _pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
     the pool CTE is identical by construction). ``query_where`` picks
     the query set (default the 5 lowest ids); ``enc_where`` restricts
     the SCANNED corpus (the candidate-log rerank lifecycle: queries
-    probe an index that holds only the build half)."""
+    probe an index that holds only the build half). ``rotation``
+    replays the pq_rotation signed permutation: training, encoding and
+    the query tables all read a ROTATED corpus CTE (output j =
+    ±v[perm[j]+1], exact negation on both engines), while the refine
+    tail keeps RAW vectors in raw element order — the isometry
+    argument of similarity.pq_rotation."""
     d2 = _sql_d2
     pool_where = f"WHERE {train_where} " if train_where else ""
     parts = [
         "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
         "FROM embeddings)",
-        f"pool AS MATERIALIZED (SELECT vec_id, v FROM e {pool_where}"
-        "ORDER BY vec_id LIMIT 10000)",
     ]
-    parts += _pq_chain_parts(dim, m, ksub, lloyd_iters=lloyd_iters)
+    corpus = "e"
+    if rotation is not None:
+        perm, signs = rotation
+        rot = ", ".join(f"{'-' if s < 0 else ''}v[{p + 1}]"
+                        for p, s in zip(perm, signs))
+        parts.append(
+            f"er AS MATERIALIZED (SELECT vec_id, [{rot}] AS v FROM e)")
+        corpus = "er"
+    parts.append(
+        f"pool AS MATERIALIZED (SELECT vec_id, v FROM {corpus} "
+        f"{pool_where}ORDER BY vec_id LIMIT 10000)")
+    parts += _pq_chain_parts(dim, m, ksub, corpus_cte=corpus,
+                             lloyd_iters=lloyd_iters)
     parts.append(
         "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, bk.cw, "
         f"{d2('es.sv', 'bk.sv', 9)} AS qd "
@@ -5720,6 +5736,109 @@ FROM events GROUP BY user_id
 """
 
 
+def ivfpq_auto_topk_embeddings(spark, sf_dir):
+    """IVFADC with ``residual="auto"`` (VERDICT r9 #4 — the one r9
+    feature that shipped without a gate): the build trains BOTH
+    codebook sets on the same 10k pool, compares total round-9
+    quantization error, and pins the measured winner in the sidecar.
+    On this md5-noise corpus within-cell residuals carry MORE
+    quantization error than raw vectors (measured sf0.01:
+    raw 650.7 vs residual 695.8), so auto must resolve to raw — the
+    probe is then definitionally row-identical to the explicit
+    raw-chain oracle, which is exactly what this gate checks: a wrong
+    auto resolution (or a probe that ignored the pinned flag) produces
+    residual-space ADC distances and hash-mismatches on every row.
+    The residual-wins regime is pytest-gated on a cell-structured
+    fixture (tests/test_round9.py::TestResidualAuto)."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivfauto_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
+                                 residual="auto")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+                                         refine=100, vectors=emb)
+
+
+IVFPQ_AUTO_SQL = _ivfpq_sql()
+
+
+def ann_rerank_bounded(spark, sf_dir):
+    """Bounded candidate-log rerank (VERDICT r9 #5): a long-lived
+    ingest accumulates out/_batch_id=N directories without bound, so
+    the periodic exact re-rank must process a WINDOW and retire it —
+    batch_ids= bounds this run to batch 0 and retire=True moves the
+    processed directory under out/.reranked/ after the report lands
+    (per-run input stays O(window), never O(lifetime)). Two batches
+    are ingested so an unbounded implementation would leak batch 1's
+    queries into the report; batch 0 probed the build-half index only,
+    so the oracle is the PQ chain with pool AND scanned corpus
+    restricted to the even half and queries = batch 0's lowest ids —
+    the rerank of a logged top-100 shortlist is definitionally the
+    refine stage over that shortlist."""
+    import shutil as _sh
+
+    from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_rerankb_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(d + "_out", ignore_errors=True)
+    _sh.rmtree(d + "_rep", ignore_errors=True)
+    similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                              dim=64, m=4, ksub=16)
+    pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 1), 0,
+                    index_path=d, out_path=d + "_out", k=100)
+    pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
+                    index_path=d, out_path=d + "_out", k=100)
+    rep = rerank_candidate_log(spark, d + "_out", emb, k=10,
+                               batch_ids=[0], report_path=d + "_rep",
+                               retire=True)
+    return rep.filter(F.col("query_id") < 20)
+
+
+RERANK_BOUNDED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
+                             enc_where="vec_id % 2 = 0",
+                             query_where="vec_id % 4 = 1 AND vec_id < 20")
+
+
+def pq_rotated_topk_embeddings(spark, sf_dir):
+    """PQ with the deterministic pre-rotation (similarity.pq_rotation —
+    OPQ's 'RR' random-rotation baseline, Ge et al. CVPR 2013 §4, as a
+    signed permutation so the isometry is EXACT on both engines): the
+    full persisted-index lifecycle — build the index on the even half
+    with rotate=True (codebooks train in rotated space, the rotation
+    pins in the _rotation.json sidecar), append the odd half (encoded
+    rotated via the sidecar), probe with 5 queries whose ADC tables
+    are built in rotated space while the exact-refine stage compares
+    RAW vectors in raw element order. The oracle replays the identical
+    chain over a rotated corpus CTE (output j = ±v[perm[j]+1]) and
+    must agree on every row — a probe or append that forgot the
+    rotation encodes different codes and hash-mismatches
+    immediately."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_pqrot_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                              dim=64, m=4, ksub=16, rotate=True)
+    similarity.pq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+                                      vectors=emb)
+
+
+PQ_ROTATED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
+                         rotation=similarity.pq_rotation(64))
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -5735,13 +5854,22 @@ FROM events GROUP BY user_id
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r9 rotation:
-        # the 4 new r9 gates, the 4 once-proven r8 ANN lifecycle
-        # rows, the 2 twice-proven rows, then (proof count ASC,
-        # last-proven round ASC) — window_udaf_median (engine
-        # rewritten r8 + boundary fix r9) and the r3/r4-stale set,
-        # the 24 r6-stale rows, one r7 row; exactly 50, locked by
-        # tests/test_round8.py::test_head_marker_is_exactly_50) ---
+        # --- head 1-50: driver gate this round (r10 rotation: the 3
+        # new r10 gates (residual-auto, bounded rerank, rotated PQ),
+        # then every query whose code path CHANGED this round — the
+        # fold pair (_fold_stream_dirs manifest recovery),
+        # ann_rerank_report (dedupe), window_udaf_median/bigkey (pane
+        # engine rework), the PQ index rows (rotation param threaded) —
+        # then (proof count ASC, last-proven round ASC) as before.
+        # Demoted to tail: q12_shipmode_priority (5 proofs),
+        # antijoin_idle_customers + asof_join_events_salted (4 proofs
+        # each) — the head's most-proven never-edited rows. Exactly 50,
+        # locked by tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
+              IVFPQ_AUTO_SQL),
+        Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
+        Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
+              PQ_ROTATED_SQL),
         Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
         Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
               IVFPQ_FOLD_SQL),
@@ -5770,10 +5898,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
         Query("tableview_events", tableview_events, TABLEVIEW_SQL),
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("bloom_semijoin_orders", bloom_semijoin_orders,
               BLOOM_SEMIJOIN_SQL),
@@ -5797,7 +5923,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("neardup_clusters_lsh", neardup_clusters_lsh,
               NEARDUP_CLUSTERS_LSH_SQL),
         Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
-        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
         Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
         Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
         Query("subscription_backlog_events", subscription_backlog_events,
@@ -5808,6 +5933,9 @@ ALL_QUERIES: dict[str, Query] = {
               WEIGHTED_SAMPLE_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
+        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
+        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
         Query("contamination_check", contamination_check, CONTAM_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("embedding_neardup_pairs", embedding_neardup_pairs,

@@ -49,8 +49,8 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import (_ivfpq_encode, _ivfpq_probe,
                                     _ivfpq_read_codes, _pq_adc_rank,
-                                    _pq_read_codes, as_double_array,
-                                    pq_encode)
+                                    _pq_load_rotation, _pq_read_codes,
+                                    as_double_array, pq_encode)
 
 
 def pq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
@@ -66,16 +66,19 @@ def pq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
     spark = batch_df.sparkSession
     with open(os.path.join(index_path, "_codebooks.json")) as f:
         books = json.load(f)
+    rotation = _pq_load_rotation(index_path)
 
     enc_prior = _pq_read_codes(spark, index_path,
                                max_stream_batch=batch_id)
     q = batch_df.select(F.col(id_col).alias("query_id"),
                         as_double_array(F.col(vec_col)).alias("qv"))
-    hits = _pq_adc_rank(enc_prior, q, books, k, refine=None, vecs=None)
+    hits = _pq_adc_rank(enc_prior, q, books, k, refine=None, vecs=None,
+                        rotation=rotation)
     hits.write.mode("overwrite").parquet(
         os.path.join(out_path, f"_batch_id={batch_id}"))
 
-    enc_own = pq_encode(batch_df, books, id_col=id_col, vec_col=vec_col)
+    enc_own = pq_encode(batch_df, books, id_col=id_col, vec_col=vec_col,
+                        rotation=rotation)
     enc_own.write.mode("overwrite").parquet(
         os.path.join(index_path, "stream", f"_batch_id={batch_id}"))
 

@@ -1,5 +1,6 @@
 """Round-10: pane-boundary engine on native dtypes (VERDICT r9 #8 +
-ADVICE r9 low on nested-float keys).
+ADVICE r9 low on nested-float keys) + PQ pre-rotation (the OPQ 'RR'
+signed-permutation baseline).
 
 The window_function boundary detector was reworked from one hidden
 canonical-string column per key (object-dtype comparison — measured
@@ -185,3 +186,101 @@ class TestPaneBoundaryDtypes:
         finally:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# --------------------------------- PQ pre-rotation (OPQ 'RR' baseline)
+
+class TestPQRotation:
+    def test_rotation_is_deterministic_isometry(self):
+        from incubator_pulsar_spark.functions.similarity import pq_rotation
+
+        perm, signs = pq_rotation(64)
+        assert (perm, signs) == pq_rotation(64)       # RNG-free
+        assert sorted(perm) == list(range(64))        # a permutation
+        assert set(signs) <= {-1, 1} and -1 in signs and 1 in signs
+
+    def test_rotated_index_lifecycle_matches_one_shot(self, spark,
+                                                      sf_dir, tmp_path):
+        """write(rotate=True) + append + search == the one-shot
+        pq_adc_topk(rotate=True) over the full corpus — append and
+        probe both honor the pinned _rotation.json sidecar."""
+        from incubator_pulsar_spark.functions import similarity
+        import json as _json
+        import os as _os
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        idx = str(tmp_path / "pqrot")
+        books = similarity.pq_write_index(
+            emb.filter(F.col("vec_id") % 5 != 0), idx,
+            dim=64, m=4, ksub=16, rotate=True)
+        assert _os.path.exists(f"{idx}/_rotation.json")
+        similarity.pq_append_index(
+            emb.filter(F.col("vec_id") % 5 == 0), idx)
+
+        got = sorted(map(tuple, similarity.pq_search_index(
+            spark, idx, q, k=5, refine=20, vectors=emb).collect()))
+        # one-shot reference under the SAME (build-half) books: encode
+        # everything rotated, rank, refine raw
+        rot = similarity.pq_rotation(64)
+        enc = similarity.pq_encode(emb, books, rotation=rot)
+        qq = q.select("query_id", similarity.as_double_array(
+            F.col("query_vec")).alias("qv"))
+        vecs = emb.select("vec_id", similarity.as_double_array(
+            F.col("embedding")).alias("_cv"))
+        want = sorted(map(tuple, similarity._pq_adc_rank(
+            enc, qq, books, 5, refine=20, vecs=vecs,
+            rotation=rot).collect()))
+        assert got == want
+        # sidecar round-trips the exact rotation
+        side = _json.load(open(f"{idx}/_rotation.json"))
+        assert (side["perm"], side["signs"]) == rot
+
+    def test_rotation_changes_codes_not_exact_distances(self, spark,
+                                                        sf_dir):
+        """The isometry contract: rotated and unrotated pipelines
+        disagree on CODES (different subspace content) but produce
+        IDENTICAL exact_d2 for any (query, candidate) pair that
+        appears in both refine outputs — raw-space arithmetic is
+        untouched by the rotation."""
+        from incubator_pulsar_spark.functions import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        raw = similarity.pq_adc_topk(emb, q, k=10, dim=64, refine=100)
+        rot = similarity.pq_adc_topk(emb, q, k=10, dim=64, refine=100,
+                                     rotate=True)
+        d_raw = {(r.query_id, r.vec_id): r.exact_d2 for r in raw.collect()}
+        d_rot = {(r.query_id, r.vec_id): r.exact_d2 for r in rot.collect()}
+        common = set(d_raw) & set(d_rot)
+        assert common                                  # overlap exists
+        assert all(d_raw[p] == d_rot[p] for p in common)
+
+    def test_ingest_stream_honors_rotation_sidecar(self, spark, sf_dir,
+                                                   tmp_path):
+        """A stream batch appended to a ROTATED index must encode in
+        rotated space (codes equal pq_encode with the sidecar
+        rotation), or later probes would mix spaces silently."""
+        from incubator_pulsar_spark.functions import similarity
+        from incubator_pulsar_spark.streaming.ann import pq_ingest_batch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        books = similarity.pq_write_index(base, idx, dim=64, m=4,
+                                          ksub=16, rotate=True)
+        pq_ingest_batch(batch, 0, index_path=idx, out_path=out, k=3)
+        got = {r.vec_id: list(r.codes) for r in
+               spark.read.parquet(f"{idx}/stream").collect()}
+        want = {r.vec_id: list(r.codes) for r in similarity.pq_encode(
+            batch, books,
+            rotation=similarity.pq_rotation(64)).collect()}
+        assert got == want
