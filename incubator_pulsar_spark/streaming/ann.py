@@ -367,11 +367,18 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
     if report_path is not None:
         report.write.mode("overwrite").parquet(report_path)
         if retire:
+            import shutil as _shutil
+
             retired = os.path.join(out_path, ".reranked")
             os.makedirs(retired, exist_ok=True)
             for i in todo:
-                os.rename(os.path.join(out_path, f"_batch_id={i}"),
-                          os.path.join(retired, f"_batch_id={i}"))
+                dst = os.path.join(retired, f"_batch_id={i}")
+                if os.path.exists(dst):
+                    # a batch REPLAYED after its first retire rewrote
+                    # its live dir; the new rewrite supersedes the
+                    # stale retired copy
+                    _shutil.rmtree(dst)
+                os.rename(os.path.join(out_path, f"_batch_id={i}"), dst)
         return spark.read.parquet(report_path)
     return report
 

@@ -382,6 +382,16 @@ class TestRerank:
         with pytest.raises(ValueError, match="no unprocessed"):
             rerank_candidate_log(spark, out, emb, k=2)
 
+        # a batch REPLAYED after its retire rewrites its live dir; a
+        # second retire supersedes the stale retired copy, no collision
+        self._write_log(spark, out, 0, [(1, 0, 0.5)])
+        rep2 = rerank_candidate_log(
+            spark, out, emb, k=2,
+            report_path=str(tmp_path / "rep2"), retire=True)
+        assert {r.query_id for r in rep2.collect()} == {1}
+        assert _batch_dirs(out) == []
+        assert os.path.isdir(f"{out}/.reranked/_batch_id=0")
+
     def test_retire_requires_report_path(self, spark, sf_dir, tmp_path):
         emb = _emb(spark, sf_dir)
         out = str(tmp_path / "out")
