@@ -11,6 +11,23 @@ invocation — new data OR timer — releases everything due, keeps the
 rest, and re-arms the timeout for the earliest pending deliver_at. The
 state store is the "bucket" (RocksDB-backed spill for free).
 
+REPLAY DETERMINISM (the r10 full-suite run caught this live): "now"
+must be the BATCH PROCESSING TIMESTAMP
+(``GroupState.getCurrentProcessingTimeMs()``), never a per-invocation
+wall clock. The batch timestamp is persisted in the offset log, so a
+crash-REPLAYED batch re-evaluates with the ORIGINAL timestamp and
+re-emits byte-identical output — an exactly-once sink that already
+committed that batch skips it harmlessly. With a wall clock, the
+replay runs later, rows that were "pending" in the original execution
+come due inside the replayed batch, the sink DROPS the re-emitted
+batch as already committed, and those releases are lost permanently
+(observed: file sink committed batch N, checkpoint commit for N
+missing after stop(), restart replayed N with an advanced clock →
+20k rows released into a skipped batch, stream idle forever at 0
+releases). The same discipline the reference's dispatcher gets from
+re-reading the ledger — and that the tws variant already had via
+``timerValues.getCurrentProcessingTimeInMs()``.
+
 Release granularity is the micro-batch trigger interval, not
 milliseconds — documented semantics difference (SURVEY §7 watch list).
 """
@@ -39,8 +56,13 @@ def delayed_delivery_stream(
     """Emit rows once ``deliver_at`` ≤ processing time; buffer the rest.
 
     Output: (key, sequence, deliver_at, released_at). ``now_fn`` is
-    injectable for deterministic tests (defaults to wall clock).
-    """
+    injectable for deterministic tests; by default "now" is the BATCH
+    processing timestamp (replay-stable — see module header). A
+    one-argument ``now_fn(batch_ts_ms)`` is the replay-safe injectable
+    form: as long as it is a pure function of the batch timestamp, a
+    replayed batch computes the same virtual time. A zero-argument
+    ``now_fn()`` is accepted for convenience but makes REPLAYED output
+    depend on when the replay runs — test-only."""
     out_schema = T.StructType([
         T.StructField("key", T.StringType()),
         T.StructField("sequence", T.LongType()),
@@ -51,7 +73,10 @@ def delayed_delivery_stream(
         T.StructField("pending_seq", T.ArrayType(T.LongType())),
         T.StructField("pending_at", T.ArrayType(T.TimestampType())),
     ])
-    clock = now_fn or (lambda: _dt.datetime.now(_dt.timezone.utc))
+    import inspect as _inspect
+
+    clock_takes_ts = (now_fn is not None and
+                      len(_inspect.signature(now_fn).parameters) >= 1)
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         pend_seq, pend_at = ([], [])
@@ -70,8 +95,19 @@ def delayed_delivery_stream(
             pairs = sorted(zip(pend_seq, pend_at), key=lambda p: (p[1], p[0]))
             pend_seq, pend_at = [list(t) for t in zip(*pairs)]
 
-        now = pd.Timestamp(clock()).tz_localize(None) if pd.Timestamp(clock()).tzinfo \
-            else pd.Timestamp(clock())
+        # "now" = batch processing timestamp (replay-stable; module
+        # header) unless a test injects its own mapping
+        batch_ts_ms = state.getCurrentProcessingTimeMs()
+        if now_fn is None:
+            raw_now = _dt.datetime.fromtimestamp(batch_ts_ms / 1000.0,
+                                                 _dt.timezone.utc)
+        elif clock_takes_ts:
+            raw_now = now_fn(batch_ts_ms)
+        else:
+            raw_now = now_fn()
+        now = pd.Timestamp(raw_now)
+        if now.tzinfo:
+            now = now.tz_localize(None)
         due, keep_seq, keep_at = [], [], []
         for seq, at in zip(pend_seq, pend_at):
             at_naive = at.tz_localize(None) if at.tzinfo else at

@@ -197,7 +197,21 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
     restarts from the checkpoint with the clock 10h ahead and POLLS the
     file-sink's committed view until every row releases — no reliance
     on Trigger.AvailableNow termination, which never terminates while
-    keys re-arm timers (measured: unbounded timer-only batches)."""
+    keys re-arm timers (measured: unbounded timer-only batches).
+
+    REPLAY PURITY (r10, after a live full-suite failure): the virtual
+    clock is a pure function of the BATCH TIMESTAMP, switching to
+    t0+10h only for batch timestamps newer than pass 1's real end time.
+    pass 1's stop() can land between the file sink's commit of its
+    last batch and the checkpoint's commit record — pass 2 then
+    REPLAYS that batch, and Spark re-runs it with the ORIGINAL batch
+    timestamp from the offset log. Under the old zero-arg clock the
+    replayed batch evaluated with the pass-2 clock, released all 20k
+    rows inside a batch the sink had already committed (and therefore
+    SKIPPED), removed the state, and the stream idled at 0/20000
+    forever. With the ts-pure clock the replayed batch re-emits its
+    original (empty) output and the releases land in genuinely new
+    batches — the delay.py module-header discipline."""
     import glob
     import time
 
@@ -230,9 +244,9 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
         return spark.read.parquet(rel_dir).count()
 
     try:
-        def start(now):
+        def start(now_fn):
             out = sdelay.delayed_delivery_stream(
-                _stream(spark, path), now_fn=lambda: now)
+                _stream(spark, path), now_fn=now_fn)
             return (out.writeStream.format("parquet")
                     .option("path", rel_dir)
                     .option("checkpointLocation", ck)
@@ -241,7 +255,7 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
         # pass 1: clock pinned at t0 → every key withholds its 40 rows
         # and re-arms; each micro-batch commits a RocksDB version (real
         # spill traffic). Stop at a committed checkpoint.
-        q = start(t0)
+        q = start(lambda ts: t0)
         deadline = time.time() + 60
         while time.time() < deadline:
             p = q.lastProgress
@@ -274,7 +288,13 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
         # releases ~15 min → stall (timers firing into a void). Any
         # release progress resets both. Released count must also be
         # MONOTONIC — the exactly-once committed view can only grow.
-        q2 = start(t0 + dt.timedelta(hours=10))
+        # ts-pure virtual clock: a batch REPLAYED from pass 1 keeps its
+        # original (pre-cut) timestamp and re-evaluates at t0 — same
+        # empty output the sink already committed; only genuinely new
+        # batches see the advanced clock (docstring: REPLAY PURITY)
+        cut_ms = int(time.time() * 1000)
+        far = t0 + dt.timedelta(hours=10)
+        q2 = start(lambda ts: t0 if ts <= cut_ms else far)
         hard_stall = release_stall = 0
         last_batch, last_rel = -1, 0
         while True:
