@@ -1111,6 +1111,64 @@ def pq_train_codebooks(embeddings: DataFrame, *, m: int = 4,
     return books
 
 
+def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
+                k: int = 10, *, n_query_tokens: int,
+                doc_id_col: str = "doc_id",
+                query_id_col: str = "query_id",
+                pos_col: str = "token_pos",
+                vec_col: str = "vec") -> DataFrame:
+    """Late-interaction (MaxSim) retrieval — ColBERT's scoring rule
+    (Khattab & Zaharia, SIGIR 2020 §3.3): documents and queries are
+    BAGS of token vectors; score(q, d) = Σ over q's tokens of the MAX
+    dot product against any of d's tokens. Captures term-level
+    matching that single-vector retrieval averages away — the standard
+    reranker/retriever for token-level embedding models in
+    training-data pipelines.
+
+    Scale shape: the query token set broadcasts (queries ≪ corpus, the
+    ``cosine_topk`` contract) and the doc-token scan is one map-side
+    pass; the per-(query, doc, query-token) MAX and the per-(query,
+    doc) score both partial-aggregate map-side, so the only shuffle
+    carries (query, doc) aggregate rows — never token vectors — plus
+    the per-query top-k window. At 100 TB the cost is one scan of the
+    doc-token table × |broadcast query tokens| multiply-adds, the same
+    envelope as ``cosine_topk`` with a token-count factor.
+
+    Determinism: per-pair sims round-9 (the ``dot`` sequential fold);
+    the per-query-token maxima are summed in FIXED token-position
+    order via ``n_query_tokens`` pivot arms (the ADC lookup-sum
+    pattern) so the IEEE order is replayable; final score round-6,
+    ties to the lowest doc_id. Every query must present token
+    positions 0..n_query_tokens-1 — a missing position yields a NULL
+    score rather than a silently renumbered rank.
+
+    Plan: the per-token MAX and the token pivot fuse into ONE
+    (query, doc) aggregation — max(when(q_pos==i, sim)) over the pair
+    IS that token's max — so the whole operator is one shuffle on
+    (query, doc) plus the per-query top-k window."""
+    d = doc_tokens.select(F.col(doc_id_col).alias("doc_id"),
+                          as_double_array(F.col(vec_col)).alias("dv"))
+    q = query_tokens.select(F.col(query_id_col).alias("query_id"),
+                            F.col(pos_col).cast("int").alias("q_pos"),
+                            as_double_array(F.col(vec_col)).alias("qv"))
+    sims = (d.crossJoin(F.broadcast(q))
+            .select("query_id", "doc_id", "q_pos",
+                    F.round(dot(F.col("dv"), F.col("qv")), 9)
+                    .alias("sim")))
+    arms = [F.max(F.when(F.col("q_pos") == i, F.col("sim")))
+            .alias(f"_m{i}") for i in range(n_query_tokens)]
+    scored = sims.groupBy("query_id", "doc_id").agg(*arms)
+    score = F.col("_m0")
+    for i in range(1, n_query_tokens):
+        score = score + F.col(f"_m{i}")
+    scored = scored.select("query_id", "doc_id",
+                           F.round(score, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
+
+
 def pq_rotation(dim: int) -> tuple[list[int], list[int]]:
     """Deterministic signed-permutation isometry for PQ pre-rotation —
     the 'RR' (random rotation) baseline of OPQ (Ge et al., CVPR 2013

@@ -5806,6 +5806,64 @@ RERANK_BOUNDED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
                              query_where="vec_id % 4 = 1 AND vec_id < 20")
 
 
+def maxsim_topk_embeddings(spark, sf_dir):
+    """Late-interaction (MaxSim) retrieval over token-vector bags
+    (similarity.maxsim_topk — ColBERT's scoring rule, Khattab &
+    Zaharia SIGIR 2020 §3.3): each 64-dim embedding is treated as a
+    bag of 4 16-dim token vectors (contiguous slices — a deterministic
+    derivation of multi-vector docs from the fixture table), queries
+    are the 3 lowest ids' token bags, and score(q, d) sums over q's
+    tokens the MAX dot product against d's tokens. The oracle replays
+    tokenization (array slices), the round-9 dot products, the
+    per-(q,d,token) MAX, the fixed-order pivot sum, and the round-6
+    top-10 — every row must agree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = emb.select("vec_id",
+                     similarity.as_double_array(F.col("embedding"))
+                     .alias("v"))
+    tok = arr.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(s).alias("token_pos"),
+                 F.slice(F.col("v"), s * 16 + 1, 16).alias("vec"))
+        for s in range(4)])).alias("t")) \
+        .select("vec_id", F.col("t.token_pos").alias("token_pos"),
+                F.col("t.vec").alias("vec"))
+    docs = tok.select(F.col("vec_id").alias("doc_id"), "token_pos", "vec")
+    qs = (tok.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "token_pos", "vec"))
+    return similarity.maxsim_topk(docs, qs, k=10, n_query_tokens=4)
+
+
+def _maxsim_sql(n_tok: int = 4, dsub: int = 16, k: int = 10,
+                query_where: str = "vec_id < 3") -> str:
+    tok_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS token_pos, "
+        f"v[{s * dsub + 1}:{(s + 1) * dsub}] AS tv FROM e"
+        for s in range(n_tok))
+    score_sum = " + ".join(
+        f"MAX(CASE WHEN q_pos = {i} THEN m END)" for i in range(n_tok))
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+tok AS MATERIALIZED ({tok_arms}),
+q AS MATERIALIZED (SELECT vec_id AS query_id, token_pos AS q_pos, tv
+                   FROM tok WHERE {query_where}),
+sims AS MATERIALIZED (SELECT q.query_id, d.vec_id AS doc_id, q.q_pos,
+                      round(list_dot_product(d.tv, q.tv), 9) AS sim
+                      FROM tok d CROSS JOIN q),
+pertok AS MATERIALIZED (SELECT query_id, doc_id, q_pos, MAX(sim) AS m
+                        FROM sims GROUP BY query_id, doc_id, q_pos),
+scored AS (SELECT query_id, doc_id, round({score_sum}, 6) AS score
+           FROM pertok GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+MAXSIM_SQL = _maxsim_sql()
+
+
 def pq_rotated_topk_embeddings(spark, sf_dir):
     """PQ with the deterministic pre-rotation (similarity.pq_rotation —
     OPQ's 'RR' random-rotation baseline, Ge et al. CVPR 2013 §4, as a
@@ -5854,22 +5912,24 @@ PQ_ROTATED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r10 rotation: the 3
-        # new r10 gates (residual-auto, bounded rerank, rotated PQ),
-        # then every query whose code path CHANGED this round — the
-        # fold pair (_fold_stream_dirs manifest recovery),
+        # --- head 1-50: driver gate this round (r10 rotation: the 4
+        # new r10 gates (residual-auto, bounded rerank, rotated PQ,
+        # MaxSim), then every query whose code path CHANGED this
+        # round — the fold pair (_fold_stream_dirs manifest recovery),
         # ann_rerank_report (dedupe), window_udaf_median/bigkey (pane
         # engine rework), the PQ index rows (rotation param threaded) —
         # then (proof count ASC, last-proven round ASC) as before.
-        # Demoted to tail: q12_shipmode_priority (5 proofs),
-        # antijoin_idle_customers + asof_join_events_salted (4 proofs
-        # each) — the head's most-proven never-edited rows. Exactly 50,
-        # locked by tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        # Demoted to tail: q12_shipmode_priority (5 proofs);
+        # antijoin_idle_customers, asof_join_events_salted,
+        # auto_consume_events (4 proofs each) — the head's most-proven
+        # never-edited rows. Exactly 50, locked by
+        # tests/test_round8.py::test_head_marker_is_exactly_50 ---
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
         Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
         Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
               PQ_ROTATED_SQL),
+        Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
         Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
         Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
               IVFPQ_FOLD_SQL),
@@ -5931,8 +5991,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         Query("weighted_sample_docs", weighted_sample_docs,
               WEIGHTED_SAMPLE_SQL),
-        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
