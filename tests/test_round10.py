@@ -383,3 +383,17 @@ class TestMaxSim:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_missing_query_token_position_yields_null_score(self, spark):
+        """The documented contract: a query lacking token position i
+        scores NULL (visible), never a silently renumbered rank."""
+        from incubator_pulsar_spark.functions.similarity import maxsim_topk
+
+        ddf = spark.createDataFrame(
+            [(0, 0, [1.0, 0.0]), (1, 0, [0.0, 1.0])],
+            "doc_id LONG, token_pos INT, vec ARRAY<DOUBLE>")
+        qdf = spark.createDataFrame(
+            [(7, 0, [1.0, 1.0])],       # declared 2 tokens, has only pos 0
+            "query_id LONG, token_pos INT, vec ARRAY<DOUBLE>")
+        rows = maxsim_topk(ddf, qdf, k=5, n_query_tokens=2).collect()
+        assert rows and all(r.score is None for r in rows)

@@ -565,3 +565,36 @@ class TestSingleEncodeAppend:
         n = similarity.ivfpq_append_index(counted, idx)
         assert n == new.count()
         assert acc.value == n
+
+
+class TestFoldGuardEdges:
+    def test_explicit_committed_through_overrides_checkpoint(
+            self, spark, sf_dir, tmp_path):
+        """Precedence contract: an explicit committed_through wins over
+        a checkpoint-derived value."""
+        emb = _emb(spark, sf_dir)
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        _pq_lifecycle(spark, emb, idx, out, n_batches=3)
+        ckpt = tmp_path / "ckpt" / "commits"
+        ckpt.mkdir(parents=True)
+        for n in ("0", "1", "2"):
+            (ckpt / n).write_text("{}")
+        # checkpoint says 2 committed, but the caller protects batch 2
+        assert pq_fold_stream(spark, idx,
+                              checkpoint_path=str(tmp_path / "ckpt"),
+                              committed_through=1) == 2
+        assert _batch_dirs(f"{idx}/stream") == ["_batch_id=-1",
+                                                "_batch_id=2"]
+
+    def test_recovery_refuses_without_manifest(self, spark, sf_dir,
+                                               tmp_path):
+        """Both directories present but no manifest is structurally
+        unreachable — recovery must refuse loudly rather than guess
+        which batches are folded (guessing either duplicates rows or
+        repeats the ADVICE r9 data loss)."""
+        emb = _emb(spark, sf_dir)
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        _pq_lifecycle(spark, emb, idx, out)
+        os.makedirs(f"{idx}/stream.pre-fold/_batch_id=9")
+        with pytest.raises(RuntimeError, match="reconcile"):
+            pq_fold_stream(spark, idx)
