@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ivfpq_auto_topk_embeddings",
     "pq_rotated_topk_embeddings",
     "maxsim_topk_embeddings",
+    "ivfpq_rotated_topk_embeddings",
     "window_udaf_bigkey",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles

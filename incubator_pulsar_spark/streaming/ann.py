@@ -50,7 +50,8 @@ from pyspark.sql import functions as F
 from ..functions.similarity import (_ivfpq_encode, _ivfpq_probe,
                                     _ivfpq_read_codes, _pq_adc_rank,
                                     _pq_load_rotation, _pq_read_codes,
-                                    as_double_array, pq_encode)
+                                    _side_rotation, as_double_array,
+                                    pq_encode)
 
 
 def pq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
@@ -400,6 +401,7 @@ def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
         side = json.load(f)
     cents, books = side["centroids"], side["books"]
     residual = side.get("residual", False)
+    rotation = _side_rotation(side)
 
     enc_prior = _ivfpq_read_codes(spark, index_path,
                                   max_stream_batch=batch_id)
@@ -407,11 +409,12 @@ def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,
                         as_double_array(F.col(vec_col)).alias("qv"))
     hits = _ivfpq_probe(enc_prior, q, cents, books, k,
                         nprobe=nprobe, refine=None, vecs=None,
-                        residual=residual)
+                        residual=residual, rotation=rotation)
     hits.write.mode("overwrite").parquet(
         os.path.join(out_path, f"_batch_id={batch_id}"))
 
     own = _ivfpq_encode(batch_df, cents, books, residual=residual,
+                        rotation=rotation,
                         id_col=id_col, vec_col=vec_col)
     own.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_path, "stream", f"_batch_id={batch_id}"))
