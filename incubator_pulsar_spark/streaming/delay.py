@@ -20,13 +20,37 @@ re-emits byte-identical output — an exactly-once sink that already
 committed that batch skips it harmlessly. With a wall clock, the
 replay runs later, rows that were "pending" in the original execution
 come due inside the replayed batch, the sink DROPS the re-emitted
-batch as already committed, and those releases are lost permanently
-(observed: file sink committed batch N, checkpoint commit for N
-missing after stop(), restart replayed N with an advanced clock →
-20k rows released into a skipped batch, stream idle forever at 0
-releases). The same discipline the reference's dispatcher gets from
-re-reading the ledger — and that the tws variant already had via
-``timerValues.getCurrentProcessingTimeInMs()``.
+batch as already committed, and those releases are lost permanently.
+
+RESTART LIVENESS (root-caused r11; this was the residual 2-of-6 stall
+the r10 clock fix did NOT close): Spark only processes expired
+processing-time timers inside a MICRO-BATCH, and after a restart from
+a checkpoint whose last planned batch was cleanly COMMITTED
+(``offsets/`` == ``commits/``), ``MicroBatchExecution`` has
+``lastExecution == null`` — so ``lastExecutionRequiresAnotherBatch``
+is false and, with no new source data, NO batch is ever constructed.
+``FlatMapGroupsWithStateExecBase.shouldRunAnotherBatch`` returns true
+unconditionally for ProcessingTimeTimeout (verified against the Spark
+4.1.2 bytecode), but it is only consulted on the PREVIOUS execution —
+which a fresh restart doesn't have. Expired timers then sit in the
+state store forever: batchId frozen, status "Waiting for next
+trigger", releases 0 (deterministic repro:
+``tools/delay_stall_probe.py clean``). When the shutdown instead
+landed mid-batch, the restart REPLAYS the uncommitted batch, that
+replay populates ``lastExecution``, and no-data batches resume — which
+is why the stall was intermittent (stop-timing luck), ~1-in-3.
+
+Fix (structural, not a budget tune): a 1-row/sec ``rate``-source
+keepalive is unioned into the keyed stream (``keepalive=True``,
+default). Every trigger then has new data, so a batch is ALWAYS
+constructed and any expired timer fires within one trigger of a
+restart — the Spark analogue of the reference dispatcher's dedicated
+timer thread. Tick rows carry a NULL sequence and are dropped inside
+the state function before they touch state or output, so they are
+replay-inert (a replayed batch re-drops them identically) and collide
+with no user key's semantics. Restarting a checkpoint written BEFORE
+this change needs ``keepalive=False`` (the source count is part of the
+checkpoint contract).
 
 Release granularity is the micro-batch trigger interval, not
 milliseconds — documented semantics difference (SURVEY §7 watch list).
@@ -35,6 +59,7 @@ milliseconds — documented semantics difference (SURVEY §7 watch list).
 from __future__ import annotations
 
 import datetime as _dt
+import warnings
 from collections.abc import Iterator
 from typing import Any
 
@@ -52,6 +77,7 @@ def delayed_delivery_stream(
     sequence_col: str = "sequence",
     deliver_at_col: str = "deliver_at",
     now_fn=None,
+    keepalive: bool = True,
 ) -> DataFrame:
     """Emit rows once ``deliver_at`` ≤ processing time; buffer the rest.
 
@@ -62,7 +88,14 @@ def delayed_delivery_stream(
     form: as long as it is a pure function of the batch timestamp, a
     replayed batch computes the same virtual time. A zero-argument
     ``now_fn()`` is accepted for convenience but makes REPLAYED output
-    depend on when the replay runs — test-only."""
+    depend on when the replay runs — test-only, and warned about.
+
+    ``keepalive=True`` unions a 1-row/sec rate ticker into the stream
+    so pending releases survive an idle-source restart (module header:
+    RESTART LIVENESS). Rows with a NULL ``sequence`` are treated as
+    ticks and dropped; rows with a real sequence but NULL
+    ``deliver_at`` are released immediately (a message without a
+    deliver-at is not delayed — MessageImpl.getDeliverAtTime() == 0)."""
     out_schema = T.StructType([
         T.StructField("key", T.StringType()),
         T.StructField("sequence", T.LongType()),
@@ -75,8 +108,22 @@ def delayed_delivery_stream(
     ])
     import inspect as _inspect
 
-    clock_takes_ts = (now_fn is not None and
-                      len(_inspect.signature(now_fn).parameters) >= 1)
+    if now_fn is None:
+        clock_takes_ts = False
+    else:
+        try:
+            clock_takes_ts = len(_inspect.signature(now_fn).parameters) >= 1
+        except (TypeError, ValueError):
+            # C callables (time.time) expose no signature metadata —
+            # treat as the zero-arg form rather than failing stream
+            # construction (ADVICE r10)
+            clock_takes_ts = False
+        if not clock_takes_ts:
+            warnings.warn(
+                "zero-arg now_fn: replayed batches will evaluate with "
+                "whatever the clock returns AT REPLAY TIME, breaking "
+                "exactly-once release on crash recovery; prefer the "
+                "replay-safe now_fn(batch_ts_ms) form", stacklevel=2)
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         pend_seq, pend_at = ([], [])
@@ -86,13 +133,19 @@ def delayed_delivery_stream(
             pend_at = [pd.Timestamp(t) for t in (s[1] or [])]
         for pdf in pdfs:
             for seq, at in zip(pdf[sequence_col], pdf[deliver_at_col]):
+                if pd.isna(seq):
+                    continue  # keepalive tick: never buffered, never emitted
                 pend_seq.append(int(seq))
                 pend_at.append(pd.Timestamp(at))
         # priority-queue order, like the reference tracker: earliest
         # deliver_at first, sequence as the deterministic tiebreak
-        # (InMemoryDelayedDeliveryTracker's queue is keyed on deliverAt)
+        # (InMemoryDelayedDeliveryTracker's queue is keyed on deliverAt);
+        # NULL deliver_at = "not delayed" sorts first
         if pend_seq:
-            pairs = sorted(zip(pend_seq, pend_at), key=lambda p: (p[1], p[0]))
+            pairs = sorted(
+                zip(pend_seq, pend_at),
+                key=lambda p: (pd.Timestamp.min if pd.isna(p[1]) else p[1],
+                               p[0]))
             pend_seq, pend_at = [list(t) for t in zip(*pairs)]
 
         # "now" = batch processing timestamp (replay-stable; module
@@ -110,6 +163,9 @@ def delayed_delivery_stream(
             now = now.tz_localize(None)
         due, keep_seq, keep_at = [], [], []
         for seq, at in zip(pend_seq, pend_at):
+            if pd.isna(at):
+                due.append((key[0], seq, None, now))
+                continue
             at_naive = at.tz_localize(None) if at.tzinfo else at
             if at_naive <= now:
                 due.append((key[0], seq, at_naive, now))
@@ -134,6 +190,20 @@ def delayed_delivery_stream(
         F.col(sequence_col).cast("long").alias(sequence_col),
         F.col(deliver_at_col).cast("timestamp").alias(deliver_at_col),
     )
+    if keepalive:
+        # liveness ticker (module header: RESTART LIVENESS) — guarantees
+        # batch construction after restart so expired timers fire; rows
+        # are dropped in fn via the NULL-sequence rule
+        ticks = (
+            stream.sparkSession.readStream.format("rate")
+            .option("rowsPerSecond", "1").load()
+            .select(
+                F.lit("\x00__keepalive__").alias("key"),
+                F.lit(None).cast("long").alias(sequence_col),
+                F.lit(None).cast("timestamp").alias(deliver_at_col),
+            )
+        )
+        keyed = keyed.unionByName(ticks)
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
     )

@@ -211,7 +211,20 @@ def test_delayed_delivery_large_withheld_volume_rocksdb(spark, tmp_path):
     SKIPPED), removed the state, and the stream idled at 0/20000
     forever. With the ts-pure clock the replayed batch re-emits its
     original (empty) output and the releases land in genuinely new
-    batches — the delay.py module-header discipline."""
+    batches — the delay.py module-header discipline.
+
+    RESTART LIVENESS (r11, the residual 2-of-6 stall the clock fix did
+    NOT close): when pass 1's stop() instead landed CLEANLY (offsets/
+    == commits/), the restarted query had lastExecution == null and no
+    new source data, so MicroBatchExecution NEVER CONSTRUCTED another
+    batch — expired timers sat in the state store with nothing to fire
+    them (batchId frozen, 'Waiting for next trigger', 0/20000 forever;
+    deterministic repro for both shutdown shapes:
+    tools/delay_stall_probe.py). Structural fix in delay.py: a
+    1-row/sec rate-source keepalive unioned into the keyed stream
+    (dropped inside the state fn via the NULL-sequence rule) —
+    every trigger has data, so a batch is always constructed and the
+    stall is impossible regardless of where the stop landed."""
     import glob
     import time
 
