@@ -1140,7 +1140,11 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
     pattern) so the IEEE order is replayable; final score round-6,
     ties to the lowest doc_id. Every query must present token
     positions 0..n_query_tokens-1 — a missing position yields a NULL
-    score rather than a silently renumbered rank.
+    score rather than a silently renumbered rank, and a position
+    OUTSIDE that range fails the job loudly (ADVICE r10: an
+    undercounted ``n_query_tokens`` would otherwise silently drop
+    real token contributions — the asymmetric quiet twin of the NULL
+    contract).
 
     Plan: the per-token MAX and the token pivot fuse into ONE
     (query, doc) aggregation — max(when(q_pos==i, sim)) over the pair
@@ -1148,8 +1152,17 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
     (query, doc) plus the per-query top-k window."""
     d = doc_tokens.select(F.col(doc_id_col).alias("doc_id"),
                           as_double_array(F.col(vec_col)).alias("dv"))
+    pos = F.col(pos_col).cast("int")
+    checked_pos = F.when(
+        (pos < 0) | (pos >= n_query_tokens),
+        F.raise_error(F.concat(
+            F.lit("maxsim: query token_pos "), pos.cast("string"),
+            F.lit(f" outside [0, {n_query_tokens}) — n_query_tokens "
+                  "undercounted; its sims would match no pivot arm "
+                  "and silently vanish from the score")))
+    ).otherwise(pos)
     q = query_tokens.select(F.col(query_id_col).alias("query_id"),
-                            F.col(pos_col).cast("int").alias("q_pos"),
+                            checked_pos.alias("q_pos"),
                             as_double_array(F.col(vec_col)).alias("qv"))
     sims = (d.crossJoin(F.broadcast(q))
             .select("query_id", "doc_id", "q_pos",

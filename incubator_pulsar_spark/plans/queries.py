@@ -5467,6 +5467,8 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
                m: int = 4, ksub: int = 16, k: int = 10,
                refine: int = 100, residual: bool = False,
                train_where: str | None = None,
+               enc_where: str | None = None,
+               query_where: str = "vec_id < 5",
                rotation: tuple[list[int], list[int]] | None = None) -> str:
     """Replay ivfpq_write_index + ivfpq_search_index in pure SQL by
     COMPOSING the two proven chains: _ivf_assign_parts contributes the
@@ -5491,7 +5493,11 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
     ``train_where`` restricts the shared training pool — centroids AND
     codebooks, exactly the pair ivfpq_write_index freezes — for the
     build-then-ingest lifecycle; assignment/encoding/probe stay over
-    the full corpus.
+    the full corpus. ``enc_where`` additionally restricts the SCANNED
+    code table (the _pq_sql pattern) — the ingest-rerank lifecycle,
+    where a stream batch probes only the codes that existed before it.
+    ``query_where`` picks the query vectors (default the 5 lowest
+    ids).
 
     ``rotation`` replays ivfpq_write_index(rotate=True): the PQ chain's
     pool and corpus CTEs (and, in residual mode, the per-probed-cell
@@ -5542,10 +5548,11 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
         "SELECT e.vec_id AS query_id, c.cell, "
         "row_number() OVER (PARTITION BY e.vec_id "
         f"ORDER BY {cos9('e.v', 'c.v', 9)} DESC, c.cell DESC) AS rn "
-        f"FROM e CROSS JOIN cells c WHERE e.vec_id < 5) "
+        f"FROM e CROSS JOIN cells c WHERE e.{query_where}) "
         f"WHERE rn <= {nprobe})")
     adc_sum = " + ".join(
         f"MAX(CASE WHEN t.s = {s} THEN qd END)" for s in range(m))
+    enc_filter = f"WHERE en.{enc_where} " if enc_where else ""
     if residual:
         parts.append(
             "qres AS MATERIALIZED (SELECT pr.query_id, pr.cell, "
@@ -5574,12 +5581,13 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
             "JOIN assigned a ON en.vec_id = a.vec_id "
             "JOIN qtab t ON t.cell = a.cell "
             "AND en.s = t.s AND en.cw = t.cw "
+            f"{enc_filter}"
             "GROUP BY t.query_id, en.vec_id)")
     else:
         parts.append(
             "qtab AS MATERIALIZED (SELECT es.vec_id AS query_id, es.s, "
             f"bk.cw, {d2('es.sv', 'bk.sv', 9)} AS qd "
-            "FROM esubs es JOIN books bk USING (s) WHERE es.vec_id < 5)")
+            f"FROM esubs es JOIN books bk USING (s) WHERE es.{query_where})")
         parts.append(
             "adcv AS MATERIALIZED (SELECT t.query_id, en.vec_id, "
             f"round({adc_sum}, 6) AS adc_d2 "
@@ -5588,8 +5596,9 @@ def _ivfpq_sql(n_cells: int = 8, nprobe: int = 3, dim: int = 64,
             "JOIN probes pr ON pr.cell = a.cell "
             "JOIN qtab t ON t.query_id = pr.query_id "
             "AND en.s = t.s AND en.cw = t.cw "
+            f"{enc_filter}"
             "GROUP BY t.query_id, en.vec_id)")
-    return _pq_sql_tail(parts, m, k, refine)
+    return _pq_sql_tail(parts, m, k, refine, query_where=query_where)
 
 
 IVFPQ_SQL = _ivfpq_sql()
@@ -5841,6 +5850,48 @@ RERANK_BOUNDED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
                              query_where="vec_id % 4 = 1 AND vec_id < 20")
 
 
+def ivfpq_rerank_bounded(spark, sf_dir):
+    """Bounded rerank over the IVFADC ingest stream's candidate log
+    (VERDICT r10 missing #5 — the composition the flat-PQ rerank gates
+    left unexercised: ivfpq_ingest_batch writes the same log schema,
+    but its shortlist is CELL-PRUNED, so a rerank bug that only bites
+    the nprobe-restricted candidate set would pass the flat gates):
+    build the cell-partitioned index on the even half (centroids AND
+    codebooks freeze there), ingest the odd half as two stream batches
+    logging k=100 raw-ADC shortlists per query at nprobe=3, then run
+    the bounded periodic job — batch_ids=[0] windows the run to batch
+    0 and retire=True moves the processed directory under
+    out/.reranked/. Batch 0 probed the build-half index only, so the
+    oracle is the composed IVF+PQ chain with pool AND scanned codes
+    restricted to the even half, queries = batch 0's lowest ids — the
+    exact rerank of a query's logged nprobe-pruned top-100 is
+    definitionally the refine stage over that same shortlist."""
+    import shutil as _sh
+
+    from ..streaming.ann import ivfpq_ingest_batch, rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_ivfrerankb_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(d + "_out", ignore_errors=True)
+    _sh.rmtree(d + "_rep", ignore_errors=True)
+    similarity.ivfpq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                                 dim=64, m=4, ksub=16, n_cells=8)
+    ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 1), 0,
+                       index_path=d, out_path=d + "_out", k=100, nprobe=3)
+    ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
+                       index_path=d, out_path=d + "_out", k=100, nprobe=3)
+    rep = rerank_candidate_log(spark, d + "_out", emb, k=10,
+                               batch_ids=[0], report_path=d + "_rep",
+                               retire=True)
+    return rep.filter(F.col("query_id") < 20)
+
+
+IVFPQ_RERANK_BOUNDED_SQL = _ivfpq_sql(
+    train_where="vec_id % 2 = 0", enc_where="vec_id % 2 = 0",
+    query_where="vec_id % 4 = 1 AND vec_id < 20")
+
+
 def maxsim_topk_embeddings(spark, sf_dir):
     """Late-interaction (MaxSim) retrieval over token-vector bags
     (similarity.maxsim_topk — ColBERT's scoring rule, Khattab &
@@ -5991,6 +6042,8 @@ ALL_QUERIES: dict[str, Query] = {
         # auto_consume_events, batch_receive_cap (4 proofs each) —
         # the head's most-proven never-edited rows. Exactly 50, locked
         # by tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
+              IVFPQ_RERANK_BOUNDED_SQL),
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
         Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
@@ -6057,9 +6110,9 @@ ALL_QUERIES: dict[str, Query] = {
               SUBSCRIPTION_BACKLOG_SQL),
         Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
         Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("weighted_sample_docs", weighted_sample_docs,
               WEIGHTED_SAMPLE_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
         Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
         Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),

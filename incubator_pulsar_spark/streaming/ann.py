@@ -107,16 +107,31 @@ def start_pq_ingest_stream(
 
 
 def _checkpoint_committed_through(checkpoint_path: str) -> int:
-    """Highest batch id the ingest stream has COMMITTED, read from the
+    """Highest batch id of the CONTIGUOUS committed prefix in the
     checkpoint's ``commits/`` directory — Spark writes ``commits/N``
     only after batch N's foreachBatch completed, so this listing is
-    the authoritative record of what will NOT replay. Returns -1 when
-    nothing is committed yet (the fold then protects every batch)."""
+    the authoritative record of what will NOT replay. The contiguous
+    prefix (not the bare max) guards a manually-pruned or corrupted
+    commit log: a gap means Spark could replay from the gap, so
+    batches above it must stay fold-protected (ADVICE r10). Spark's
+    own retention keeps a contiguous recent window, so on a healthy
+    checkpoint prefix == max. Returns -1 when nothing is committed
+    yet (the fold then protects every batch)."""
     commits = os.path.join(checkpoint_path, "commits")
     if not os.path.isdir(commits):
         return -1
-    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
-    return max(ids) if ids else -1
+    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    if not ids:
+        return -1
+    # Spark deletes OLD commit files per its retention policy, so the
+    # prefix starts at the lowest RETAINED id, and ids below it are
+    # committed by definition (retention only trims the committed past)
+    through = ids[0]
+    for i in ids[1:]:
+        if i != through + 1:
+            break
+        through = i
+    return through
 
 
 _FOLD_MANIFEST = "_fold_manifest.json"
@@ -312,7 +327,12 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
     ``_batch_id=N`` directories under ``out/.reranked/`` after the
     report is written — the next default run then reads only
     unprocessed batches, the same keep-the-listing-flat discipline as
-    the index fold. ``vectors`` must cover every id in the log
+    the index fold. Retirement is retry-idempotent: the report lands
+    before any rename, and a crash mid-retire leaves a half-retired
+    window that the SAME ``batch_ids`` retry reads seamlessly (live
+    dirs preferred, already-retired dirs accepted as done), regenerates
+    the identical report, and finishes retiring — it never raises on
+    an already-retired id and never double-counts one (ADVICE r10). ``vectors`` must cover every id in the log
     (queries and candidates) — an uncovered id fails the job loudly
     rather than silently renumbering ranks, the ``_pq_rank_tail``
     refine contract. Output (query_id, vec_id, adc_d2, exact_d2,
@@ -321,14 +341,26 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
     ``report_path`` additionally persists the report as parquet."""
     from ..functions.similarity import _d2
 
-    present = sorted(int(d.split("=", 1)[1])
-                     for d in os.listdir(out_path)
-                     if d.startswith("_batch_id="))
-    todo = present if batch_ids is None else sorted(batch_ids)
-    missing = set(todo) - set(present)
+    def _ids(root):
+        if not os.path.isdir(root):
+            return set()
+        return {int(d.split("=", 1)[1]) for d in os.listdir(root)
+                if d.startswith("_batch_id=")}
+
+    retired_root = os.path.join(out_path, ".reranked")
+    present, retired = _ids(out_path), _ids(retired_root)
+    todo = sorted(present) if batch_ids is None else sorted(batch_ids)
+    # an explicitly-requested batch may already sit under .reranked/ —
+    # a retire interrupted between renames leaves the window half
+    # retired, and the RETRY with the same batch_ids must regenerate
+    # the identical report and finish the retirement, not raise
+    # (ADVICE r10). A batch present in BOTH places was replayed after
+    # its first retire — the live rewrite supersedes the stale copy.
+    missing = set(todo) - present - retired
     if missing:
         raise ValueError(f"rerank: batch_ids {sorted(missing)} not "
-                         f"present under {out_path} (have {present})")
+                         f"present under {out_path} (live "
+                         f"{sorted(present)}, retired {sorted(retired)})")
     if retire and report_path is None:
         raise ValueError("retire=True requires report_path= — retiring "
                          "log directories behind a lazy DataFrame would "
@@ -336,9 +368,26 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
     if not todo:
         raise ValueError(f"rerank: no unprocessed _batch_id=N "
                          f"directories under {out_path}")
-    log = (spark.read.option("basePath", out_path).parquet(
-               *[os.path.join(out_path, f"_batch_id={i}") for i in todo])
-           .groupBy("query_id", "vec_id")
+
+    # two reads (live vs retired roots) — `.reranked` is deliberately
+    # hidden from a basePath=out_path scan, so a retired batch must be
+    # read under its own base; only the data columns survive the union
+    live_ids = [i for i in todo if i in present]
+    retired_ids = [i for i in todo if i not in present]
+    cols = ["query_id", "vec_id", "adc_d2"]
+    sides = []
+    if live_ids:
+        sides.append(spark.read.option("basePath", out_path).parquet(
+            *[os.path.join(out_path, f"_batch_id={i}")
+              for i in live_ids]).select(*cols))
+    if retired_ids:
+        sides.append(spark.read.option("basePath", retired_root).parquet(
+            *[os.path.join(retired_root, f"_batch_id={i}")
+              for i in retired_ids]).select(*cols))
+    raw = sides[0]
+    for s in sides[1:]:
+        raw = raw.unionByName(s)
+    log = (raw.groupBy("query_id", "vec_id")
            .agg(F.min("adc_d2").alias("adc_d2")))
     vecs = vectors.select(F.col(id_col).alias("vec_id"),
                           as_double_array(F.col(vec_col)).alias("_cv"))
@@ -370,10 +419,9 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
         if retire:
             import shutil as _shutil
 
-            retired = os.path.join(out_path, ".reranked")
-            os.makedirs(retired, exist_ok=True)
-            for i in todo:
-                dst = os.path.join(retired, f"_batch_id={i}")
+            os.makedirs(retired_root, exist_ok=True)
+            for i in live_ids:    # retired_ids are already done
+                dst = os.path.join(retired_root, f"_batch_id={i}")
                 if os.path.exists(dst):
                     # a batch REPLAYED after its first retire rewrote
                     # its live dir; the new rewrite supersedes the

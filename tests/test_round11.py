@@ -1,0 +1,184 @@
+"""Round-11 contract locks: the ADVICE r10 findings plus the new
+IVFADC-log rerank composition.
+
+1. ``rerank_candidate_log`` retire is retry-idempotent: a crash between
+   the report write and the per-batch renames leaves a half-retired
+   window; the SAME ``batch_ids`` retry must read live + retired dirs
+   seamlessly, regenerate the identical report, and finish retiring —
+   never raise on an already-retired id, never double-count one.
+2. ``maxsim_topk`` fails LOUDLY when a query token position falls
+   outside [0, n_query_tokens): those sims match no pivot arm, so the
+   old behavior silently dropped real token contributions.
+3. The IVFADC ingest's candidate log replays through the same bounded
+   rerank lifecycle as the flat-PQ log (gate: ivfpq_rerank_bounded).
+
+(The ``_checkpoint_committed_through`` contiguous-prefix fix is locked
+where the original contract lived, ``tests/test_round9.py::
+TestFoldReplayGuard::test_committed_through_derived_from_checkpoint``.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import similarity
+from incubator_pulsar_spark.streaming.ann import (ivfpq_ingest_batch,
+                                                  rerank_candidate_log)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+
+def _batch_dirs(root):
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if d.startswith("_batch_id="))
+
+
+def _write_log(spark, out, batch_id, rows):
+    spark.createDataFrame(
+        rows, "query_id LONG, vec_id LONG, adc_d2 DOUBLE") \
+        .write.mode("overwrite").parquet(f"{out}/_batch_id={batch_id}")
+
+
+class TestRetireRetryIdempotence:
+    def test_interrupted_retire_resumes_with_same_window(
+            self, spark, sf_dir, tmp_path):
+        """Crash window: report written, batch 0 renamed, crash before
+        batch 1's rename. The retry with the same batch_ids must see
+        batch 0 as present-and-done under .reranked/, read batch 1
+        live, produce the identical report, and finish the retire."""
+        emb = _emb(spark, sf_dir)
+        out = str(tmp_path / "out")
+        _write_log(spark, out, 0, [(1, 0, 0.5), (1, 2, 0.7)])
+        _write_log(spark, out, 1, [(3, 4, 0.1)])
+
+        # the uninterrupted run's report, for comparison
+        ref = sorted(map(tuple, rerank_candidate_log(
+            spark, out, emb, k=2, batch_ids=[0, 1]).collect()))
+
+        # simulate the crash: retire batch 0 by hand (report "landed",
+        # rename loop died before batch 1)
+        os.makedirs(f"{out}/.reranked", exist_ok=True)
+        os.rename(f"{out}/_batch_id=0", f"{out}/.reranked/_batch_id=0")
+
+        rep = rerank_candidate_log(
+            spark, out, emb, k=2, batch_ids=[0, 1],
+            report_path=str(tmp_path / "rep"), retire=True)
+        assert sorted(map(tuple, rep.collect())) == ref
+        assert _batch_dirs(out) == []
+        assert _batch_dirs(f"{out}/.reranked") == ["_batch_id=0",
+                                                   "_batch_id=1"]
+
+    def test_fully_retired_window_regenerates_identical_report(
+            self, spark, sf_dir, tmp_path):
+        """Crash AFTER all renames but before the caller consumed the
+        report: the full retry reads everything from .reranked/ and
+        still produces the identical rows — no raise, no empty run."""
+        emb = _emb(spark, sf_dir)
+        out = str(tmp_path / "out")
+        _write_log(spark, out, 0, [(1, 0, 0.5), (1, 2, 0.7)])
+        ref = sorted(map(tuple, rerank_candidate_log(
+            spark, out, emb, k=2, batch_ids=[0]).collect()))
+        os.makedirs(f"{out}/.reranked", exist_ok=True)
+        os.rename(f"{out}/_batch_id=0", f"{out}/.reranked/_batch_id=0")
+
+        rep = rerank_candidate_log(
+            spark, out, emb, k=2, batch_ids=[0],
+            report_path=str(tmp_path / "rep"), retire=True)
+        assert sorted(map(tuple, rep.collect())) == ref
+        assert _batch_dirs(f"{out}/.reranked") == ["_batch_id=0"]
+
+    def test_live_rewrite_supersedes_retired_copy_in_explicit_window(
+            self, spark, sf_dir, tmp_path):
+        """A batch present BOTH live and retired (replayed after its
+        first retire) reads from the LIVE dir — the replay's rewrite is
+        authoritative — and the retire replaces the stale copy."""
+        emb = _emb(spark, sf_dir)
+        out = str(tmp_path / "out")
+        _write_log(spark, out, 0, [(1, 0, 0.5)])
+        os.makedirs(f"{out}/.reranked", exist_ok=True)
+        shutil.copytree(f"{out}/_batch_id=0",
+                        f"{out}/.reranked/_batch_id=0")
+        # the live rewrite: a different candidate set
+        _write_log(spark, out, 0, [(3, 4, 0.1)])
+
+        rep = rerank_candidate_log(
+            spark, out, emb, k=2, batch_ids=[0],
+            report_path=str(tmp_path / "rep"), retire=True)
+        assert {r.query_id for r in rep.collect()} == {3}
+        assert _batch_dirs(out) == []
+        retired = spark.read.parquet(f"{out}/.reranked/_batch_id=0")
+        assert {r.query_id for r in retired.collect()} == {3}
+
+    def test_truly_missing_id_still_fails_loudly(self, spark, sf_dir,
+                                                 tmp_path):
+        emb = _emb(spark, sf_dir)
+        out = str(tmp_path / "out")
+        _write_log(spark, out, 0, [(1, 0, 0.5)])
+        with pytest.raises(ValueError, match=r"\[7\] not present"):
+            rerank_candidate_log(spark, out, emb, k=2, batch_ids=[0, 7])
+
+
+class TestMaxsimTokenPosContract:
+    def _tok(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id LONG, token_pos INT, vec ARRAY<DOUBLE>")
+
+    def test_out_of_range_query_pos_fails_loudly(self, spark):
+        docs = self._tok(spark, [(0, 0, [1.0, 0.0])]) \
+            .withColumnRenamed("vec_id", "doc_id")
+        qs = self._tok(spark, [(1, 0, [1.0, 0.0]), (1, 2, [0.0, 1.0])]) \
+            .withColumnRenamed("vec_id", "query_id")
+        out = similarity.maxsim_topk(docs, qs, k=5, n_query_tokens=2)
+        with pytest.raises(Exception, match="n_query_tokens"):
+            out.collect()
+
+    def test_in_range_positions_still_score(self, spark):
+        docs = self._tok(spark, [(0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0])]) \
+            .withColumnRenamed("vec_id", "doc_id")
+        qs = self._tok(spark, [(1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])]) \
+            .withColumnRenamed("vec_id", "query_id")
+        got = similarity.maxsim_topk(docs, qs, k=5, n_query_tokens=2) \
+            .collect()
+        assert len(got) == 1 and got[0].score == 2.0
+
+
+class TestIvfpqRerankComposition:
+    def test_ivfpq_log_reranks_to_refined_probe(self, spark, sf_dir,
+                                                tmp_path):
+        """The gate's semantics in-engine: reranking the IVFADC
+        ingest's logged nprobe-pruned top-R shortlist is row-identical
+        to the refine stage of ivfpq_search_index over the build-half
+        index for the same queries — the cell-pruned twin of
+        test_round9's flat-PQ lock."""
+        emb = _emb(spark, sf_dir)
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        similarity.ivfpq_write_index(even, idx,
+                                     dim=64, m=4, ksub=16, n_cells=8)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        ivfpq_ingest_batch(batch, 0, index_path=idx, out_path=out,
+                           k=50, nprobe=3)
+        got = sorted(map(tuple, rerank_candidate_log(
+            spark, out, emb, k=10).collect()))
+
+        # the batch probed the index as it stood BEFORE its own append;
+        # a twin index built from the same half (deterministic training
+        # -> identical centroids/books/codes) and never ingested into
+        # is that exact state
+        idx2 = str(tmp_path / "idx2")
+        similarity.ivfpq_write_index(even, idx2,
+                                     dim=64, m=4, ksub=16, n_cells=8)
+        q = batch.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("query_vec"))
+        want = sorted(map(tuple, similarity.ivfpq_search_index(
+            spark, idx2, q, k=10, nprobe=3, refine=50,
+            vectors=emb).collect()))
+        assert got == want

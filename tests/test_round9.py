@@ -249,6 +249,17 @@ class TestFoldReplayGuard:
         for n in ("0", "1", "4"):
             (ckpt / "commits" / n).write_text("{}")
         (ckpt / "commits" / ".tmp").write_text("")   # ignored
+        # ADVICE r10: a GAP in the commit log (manual pruning,
+        # corruption) means Spark could replay from the gap — only the
+        # contiguous prefix is safely foldable, never the bare max
+        assert _checkpoint_committed_through(str(ckpt)) == 1
+        (ckpt / "commits" / "2").write_text("{}")
+        (ckpt / "commits" / "3").write_text("{}")
+        assert _checkpoint_committed_through(str(ckpt)) == 4
+        # Spark's own retention trims OLD commits — a window starting
+        # above 0 is still a healthy contiguous prefix
+        for n in ("0", "1"):
+            (ckpt / "commits" / n).unlink()
         assert _checkpoint_committed_through(str(ckpt)) == 4
 
     def test_real_stream_checkpoint_drives_the_guard(self, spark, sf_dir,
