@@ -1220,6 +1220,138 @@ def _rotate_vec(vec: Column,
         for p, s in zip(perm, signs)])
 
 
+def opq_train_rotation(embeddings: DataFrame, *, dim: int, m: int = 4,
+                       ksub: int = 16, iters: int = 8,
+                       lloyd_iters: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"
+                       ) -> tuple[list[list[float]], list[float]]:
+    """Full OPQ: TRAIN the pre-rotation instead of fixing a signed
+    permutation (Ge et al., CVPR 2013, Alg. 1 — the non-parametric
+    form; ``pq_rotation`` is its 'RR' baseline). Alternating
+    minimization of ‖XR − X̂‖² over the deterministic 10k driver pool:
+
+      1. rotate the pool by the current R, train PQ codebooks on it
+         (the same greedy farthest-point + Lloyd rule as
+         ``pq_train_codebooks``, vectorized numpy);
+      2. reconstruct each rotated vector from its nearest codewords
+         and solve the orthogonal Procrustes problem
+         min_R ‖XRᵀ… − X̂‖ via one SVD of Xᵀ X̂ — the closed-form
+         rotation update.
+
+    Initialization is the ``pq_rotation`` signed permutation, so
+    iteration 0 IS the RR configuration and the returned best-seen
+    rotation can never be worse than RR on the training objective
+    (the codebook step is a deterministic heuristic, not an exact
+    minimizer, so the loop tracks the best iterate rather than
+    assuming monotonicity). Everything is driver-bounded (10k × dim
+    numpy) and RNG-free — deterministic for a given corpus.
+
+    Returns ``(R, errors)``: R as ``dim × dim`` nested lists (rotated
+    vector j = Σ_i R[j][i]·v[i] — apply distributed with
+    ``rotate_embeddings``), and the per-iteration pool quantization
+    errors (errors[0] = the RR baseline). OPQ-trained rotations are
+    a pytest-gated quality lever, NOT threaded through the
+    exact-oracle index gates: a trained dense R is not replayable as
+    DuckDB CTEs the way the signed permutation is (PARITY r11), but
+    the composition ``rotate_embeddings → pq_* (books trained in
+    rotated space) → raw-vector refine`` is fully supported."""
+    import numpy as np
+
+    sample = (
+        embeddings.select(F.col(id_col).alias("i"),
+                          as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("i").limit(10_000)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample])
+    dsub = dim // m
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+
+    def train_books(P):
+        books = []
+        for s in range(m):
+            sub = P[:, s * dsub:(s + 1) * dsub]
+            self_dot = np.einsum("ij,ij->i", sub, sub)
+
+            def d2_to(j):
+                return np.round(self_dot - 2.0 * (sub @ sub[j])
+                                + self_dot[j], 9)
+
+            chosen = [0]
+            min_d2 = d2_to(0)
+            for _ in range(1, min(ksub, len(sub))):
+                nxt = int(np.argmax(min_d2))
+                chosen.append(nxt)
+                min_d2 = np.minimum(min_d2, d2_to(nxt))
+            cw = sub[chosen].copy()
+            for _ in range(lloyd_iters):
+                cwdot = np.einsum("ij,ij->i", cw, cw)
+                dmat = (self_dot[:, None] - 2.0 * (sub @ cw.T)
+                        + cwdot[None, :])
+                assign = np.argmin(dmat, axis=1)
+                for j in range(len(cw)):
+                    sel = sub[assign == j]
+                    if len(sel):
+                        cw[j] = sel.mean(axis=0)
+            books.append(cw)
+        return books
+
+    def reconstruct(P, books):
+        Xhat = np.empty_like(P)
+        for s in range(m):
+            sub = P[:, s * dsub:(s + 1) * dsub]
+            cw = books[s]
+            d = (np.einsum("ij,ij->i", sub, sub)[:, None]
+                 - 2.0 * (sub @ cw.T)
+                 + np.einsum("ij,ij->i", cw, cw)[None, :])
+            Xhat[:, s * dsub:(s + 1) * dsub] = cw[np.argmin(d, axis=1)]
+        return Xhat
+
+    perm, signs = pq_rotation(dim)
+    R = np.zeros((dim, dim))
+    for j, (p, sg) in enumerate(zip(perm, signs)):
+        R[j, p] = float(sg)
+
+    errors: list[float] = []
+    best_R, best_err = R, None
+    for _ in range(iters + 1):
+        Xr = X @ R.T
+        books = train_books(Xr)
+        Xhat = reconstruct(Xr, books)
+        err = float(((Xr - Xhat) ** 2).sum())
+        errors.append(err)
+        if best_err is None or err < best_err:
+            best_R, best_err = R, err
+        # Procrustes update: min over orthogonal W of ||X W - Xhat||,
+        # W = R^T -> W = U V^T from SVD(X^T Xhat), R = W^T
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = (U @ Vt).T
+    return best_R.tolist(), errors
+
+
+def rotate_embeddings(df: DataFrame, R: list[list[float]], *,
+                      vec_col: str = "embedding",
+                      out_col: str | None = None) -> DataFrame:
+    """Apply a DENSE rotation distributed, JVM-side: output j =
+    Σ_i R[j][i]·v[i] as an exact sequential fold per output dim. The
+    matrix ships as ONE broadcast data column — dim² literal
+    expressions would re-hit the measured whole-stage-codegen trap
+    (``_attach_centroids``) at 4096 literals for dim=64. Map-only:
+    zero shuffles, zero Python. Pairs with ``opq_train_rotation``;
+    the signed-permutation fast path stays ``_rotate_vec``."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(R,)], "_rotm ARRAY<ARRAY<DOUBLE>>")
+    v = as_double_array(F.col(vec_col))
+    rotated = F.transform(F.col("_rotm"), lambda row: F.aggregate(
+        F.zip_with(row, v, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x))
+    out = out_col or vec_col
+    return (df.crossJoin(F.broadcast(bdf))
+            .withColumn(out, rotated).drop("_rotm"))
+
+
 def _side_rotation(side: dict) -> tuple[list[int], list[int]] | None:
     """The pinned rotation of an IVFADC sidecar, if any."""
     r = side.get("rotation")
