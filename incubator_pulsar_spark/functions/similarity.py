@@ -1150,6 +1150,23 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
     (query, doc) aggregation — max(when(q_pos==i, sim)) over the pair
     IS that token's max — so the whole operator is one shuffle on
     (query, doc) plus the per-query top-k window."""
+    scored = _maxsim_scores(doc_tokens, query_tokens,
+                            n_query_tokens=n_query_tokens,
+                            doc_id_col=doc_id_col,
+                            query_id_col=query_id_col,
+                            pos_col=pos_col, vec_col=vec_col)
+    return _maxsim_rank(scored, k)
+
+
+def _maxsim_scores(doc_tokens: DataFrame, query_tokens: DataFrame, *,
+                   n_query_tokens: int, doc_id_col: str = "doc_id",
+                   query_id_col: str = "query_id",
+                   pos_col: str = "token_pos",
+                   vec_col: str = "vec") -> DataFrame:
+    """The fused MaxSim scoring stage of ``maxsim_topk`` without the
+    final top-k window — (query_id, doc_id, score) for every pair.
+    Shared by the batch operator and the streaming ingest (which ranks
+    per micro-batch and defers the global top-k to the finalizer)."""
     d = doc_tokens.select(F.col(doc_id_col).alias("doc_id"),
                           as_double_array(F.col(vec_col)).alias("dv"))
     pos = F.col(pos_col).cast("int")
@@ -1174,8 +1191,13 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
     score = F.col("_m0")
     for i in range(1, n_query_tokens):
         score = score + F.col(f"_m{i}")
-    scored = scored.select("query_id", "doc_id",
-                           F.round(score, 6).alias("score"))
+    return scored.select("query_id", "doc_id",
+                         F.round(score, 6).alias("score"))
+
+
+def _maxsim_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (query_id, doc_id, score) — score desc,
+    ties to the lowest doc_id (the maxsim_topk output contract)."""
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -5950,6 +5950,50 @@ FROM scored QUALIFY rank <= {k}
 MAXSIM_SQL = _maxsim_sql()
 
 
+def maxsim_stream_topk_embeddings(spark, sf_dir):
+    """Streaming MaxSim (streaming.ann.maxsim_ingest_batch +
+    maxsim_topk_from_log — the late-interaction family's streaming
+    twin, VERDICT r10 next-round #7): documents arrive as WHOLE
+    multi-vector rows (one doc = its token-bag array, so per-query
+    maxima never straddle a batch boundary), each micro-batch scores
+    against the broadcast query token set and logs its per-query
+    top-k under out/_batch_id=N, and the finalizer takes one window
+    over the logged rows — exact for the global top-k because batches
+    hold disjoint docs. Here the fixture corpus ingests as two
+    batches (even/odd ids); the oracle is the BATCH MaxSim oracle
+    verbatim, which is the whole point: stream-then-finalize must be
+    row-identical to one-shot scoring."""
+    import shutil as _sh
+
+    from ..streaming.ann import maxsim_ingest_batch, maxsim_topk_from_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = emb.select("vec_id",
+                     similarity.as_double_array(F.col("embedding"))
+                     .alias("v"))
+    bags = arr.select(
+        F.col("vec_id").alias("doc_id"),
+        F.array(*[F.slice(F.col("v"), s * 16 + 1, 16)
+                  for s in range(4)]).alias("tokens"))
+    qs = (arr.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.posexplode(F.array(*[
+                      F.slice(F.col("v"), s * 16 + 1, 16)
+                      for s in range(4)])).alias("token_pos", "vec")))
+    out = f"/tmp/ipq_maxsimstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(out, ignore_errors=True)
+    maxsim_ingest_batch(bags.filter(F.col("doc_id") % 2 == 0), 0,
+                        query_tokens=qs, out_path=out,
+                        n_query_tokens=4, k=10)
+    maxsim_ingest_batch(bags.filter(F.col("doc_id") % 2 == 1), 1,
+                        query_tokens=qs, out_path=out,
+                        n_query_tokens=4, k=10)
+    return maxsim_topk_from_log(spark, out, k=10)
+
+
+MAXSIM_STREAM_SQL = _maxsim_sql()
+
+
 def ivfpq_rotated_topk_embeddings(spark, sf_dir):
     """IVFADC with rotated RESIDUAL coding
     (ivfpq_write_index(residual=True, rotate=True) — Jégou §IV-A
@@ -6044,6 +6088,8 @@ ALL_QUERIES: dict[str, Query] = {
         # by tests/test_round8.py::test_head_marker_is_exactly_50 ---
         Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
               IVFPQ_RERANK_BOUNDED_SQL),
+        Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
+              MAXSIM_STREAM_SQL),
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
         Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
@@ -6109,8 +6155,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("subscription_backlog_events", subscription_backlog_events,
               SUBSCRIPTION_BACKLOG_SQL),
         Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
-        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         Query("weighted_sample_docs", weighted_sample_docs,
               WEIGHTED_SAMPLE_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),

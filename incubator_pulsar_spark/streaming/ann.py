@@ -48,7 +48,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import (_ivfpq_encode, _ivfpq_probe,
-                                    _ivfpq_read_codes, _pq_adc_rank,
+                                    _ivfpq_read_codes, _maxsim_rank,
+                                    _maxsim_scores, _pq_adc_rank,
                                     _pq_load_rotation, _pq_read_codes,
                                     _side_rotation, as_double_array,
                                     pq_encode)
@@ -430,6 +431,85 @@ def rerank_candidate_log(spark, out_path: str, vectors: DataFrame, *,
                 os.rename(os.path.join(out_path, f"_batch_id={i}"), dst)
         return spark.read.parquet(report_path)
     return report
+
+
+def maxsim_ingest_batch(batch_df: DataFrame, batch_id: int, *,
+                        query_tokens: DataFrame, out_path: str,
+                        n_query_tokens: int, k: int = 10,
+                        doc_id_col: str = "doc_id",
+                        tokens_col: str = "tokens") -> None:
+    """One micro-batch of the streaming MaxSim retriever — the
+    late-interaction twin of ``pq_ingest_batch``, public so a crash
+    REPLAY is directly testable. Incoming rows carry a WHOLE document
+    token bag each (``tokens`` = array of token vectors) — the natural
+    multi-vector document row, and the atomicity that makes per-batch
+    scoring exact: a doc's per-query-token maxima never straddle a
+    batch boundary. The batch's bags explode map-side, score against
+    the broadcast query token set (``_maxsim_scores`` — the fused
+    one-aggregation plan of the batch operator), and the batch's
+    per-query TOP-K lands under ``out/_batch_id=N`` with
+    mode("overwrite") — a replayed batch rewrites its own directory
+    idempotently (the module-header replay discipline).
+
+    Per-batch top-k is lossless for the GLOBAL top-k because batches
+    hold disjoint docs: top-k(∪ batches) = top-k(∪ per-batch top-ks) —
+    so the accumulated log stays O(batches · queries · k) regardless
+    of corpus size, and ``maxsim_topk_from_log`` finalizes in one
+    window over it. Unlike the ANN ingest there is no index state to
+    probe: MaxSim scoring is embarrassingly incremental, which is why
+    this stream needs no strictly-earlier filter."""
+    dt = (batch_df.select(F.col(doc_id_col).alias("doc_id"),
+                          F.posexplode(F.col(tokens_col))
+                          .alias("token_pos", "vec")))
+    scored = _maxsim_scores(dt, query_tokens,
+                            n_query_tokens=n_query_tokens)
+    _maxsim_rank(scored, k).drop("rank").write.mode("overwrite").parquet(
+        os.path.join(out_path, f"_batch_id={batch_id}"))
+
+
+def start_maxsim_stream(
+    docs: DataFrame, *, query_tokens: DataFrame, out_path: str,
+    checkpoint_path: str, n_query_tokens: int, k: int = 10,
+    doc_id_col: str = "doc_id", tokens_col: str = "tokens",
+    available_now: bool = False,
+):
+    """Continuous late-interaction retrieval: each arriving micro-batch
+    of multi-vector documents is MaxSim-scored against a FIXED
+    broadcast query token set and its per-query top-k appended to the
+    candidate log — the standing-query shape (new corpus vs known
+    queries) of a training-data dedup/retrieval pipeline. Returns the
+    StreamingQuery; finalize with ``maxsim_topk_from_log``."""
+    def process(batch_df, batch_id: int) -> None:
+        maxsim_ingest_batch(batch_df, batch_id,
+                            query_tokens=query_tokens,
+                            out_path=out_path,
+                            n_query_tokens=n_query_tokens, k=k,
+                            doc_id_col=doc_id_col,
+                            tokens_col=tokens_col)
+
+    writer = (docs.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maxsim_topk_from_log(spark, out_path: str, k: int = 10) -> DataFrame:
+    """Global per-query top-k over the streaming MaxSim candidate log —
+    one window over O(batches · queries · k) logged rows (never the
+    corpus), exact because per-batch top-k loses nothing across
+    disjoint batches. Output (query_id, doc_id, score, rank) — the
+    ``maxsim_topk`` contract, so stream-then-finalize is row-identical
+    to the batch operator over the union of the ingested batches."""
+    present = sorted(int(d.split("=", 1)[1])
+                     for d in os.listdir(out_path)
+                     if d.startswith("_batch_id="))
+    if not present:
+        raise ValueError(f"maxsim log: no _batch_id=N directories "
+                         f"under {out_path}")
+    log = spark.read.option("basePath", out_path).parquet(
+        *[os.path.join(out_path, f"_batch_id={i}") for i in present])
+    return _maxsim_rank(log.select("query_id", "doc_id", "score"), k)
 
 
 def ivfpq_ingest_batch(batch_df: DataFrame, batch_id: int, *,

@@ -262,3 +262,102 @@ class TestOpqTrainedRotation:
             ._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning" not in plan
         assert "Python" not in plan  # no UDF stage — pure column exprs
+
+
+class TestStreamingMaxsim:
+    """The late-interaction family's streaming twin (VERDICT r10 #7):
+    stream/batch parity, replay idempotence, and the e2e availableNow
+    checkpoint drive."""
+
+    def _fixture(self, spark, n_docs=40, n_tok=3, dim=8, n_q=2):
+        import hashlib
+
+        def vec(seed):
+            h = hashlib.md5(seed.encode()).digest()
+            return [float(h[j]) / 255.0 for j in range(dim)]
+
+        bags = [(d, [vec(f"d{d}p{p}") for p in range(n_tok)])
+                for d in range(n_docs)]
+        qtok = [(q, p, vec(f"q{q}p{p}"))
+                for q in range(n_q) for p in range(n_tok)]
+        bdf = spark.createDataFrame(
+            bags, "doc_id LONG, tokens ARRAY<ARRAY<DOUBLE>>")
+        qdf = spark.createDataFrame(
+            qtok, "query_id LONG, token_pos INT, vec ARRAY<DOUBLE>")
+        return bdf, qdf
+
+    def _batch_ref(self, bdf, qdf, k, n_tok=3):
+        dt = bdf.select("doc_id", F.posexplode("tokens")
+                        .alias("token_pos", "vec"))
+        return sorted(map(tuple, similarity.maxsim_topk(
+            dt, qdf, k=k, n_query_tokens=n_tok).collect()))
+
+    def test_stream_batch_parity_and_replay(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming.ann import (
+            maxsim_ingest_batch, maxsim_topk_from_log)
+
+        bdf, qdf = self._fixture(spark)
+        out = str(tmp_path / "out")
+        ref = self._batch_ref(bdf, qdf, k=5)
+
+        maxsim_ingest_batch(bdf.filter(F.col("doc_id") % 2 == 0), 0,
+                            query_tokens=qdf, out_path=out,
+                            n_query_tokens=3, k=5)
+        maxsim_ingest_batch(bdf.filter(F.col("doc_id") % 2 == 1), 1,
+                            query_tokens=qdf, out_path=out,
+                            n_query_tokens=3, k=5)
+        got = sorted(map(tuple, maxsim_topk_from_log(
+            spark, out, k=5).collect()))
+        assert got == ref
+
+        # replay: re-running batch 0 overwrites its own directory with
+        # identical rows — the finalized answer does not move
+        before = sorted(map(tuple, spark.read.parquet(
+            f"{out}/_batch_id=0").collect()))
+        maxsim_ingest_batch(bdf.filter(F.col("doc_id") % 2 == 0), 0,
+                            query_tokens=qdf, out_path=out,
+                            n_query_tokens=3, k=5)
+        after = sorted(map(tuple, spark.read.parquet(
+            f"{out}/_batch_id=0").collect()))
+        assert after == before
+        assert sorted(map(tuple, maxsim_topk_from_log(
+            spark, out, k=5).collect())) == ref
+
+    def test_per_batch_topk_is_lossless_globally(self, spark, tmp_path):
+        """k logged per batch, k asked globally: because batches hold
+        disjoint docs, nothing a batch ranked below its own top-k can
+        enter the global top-k — finalize equals the batch operator
+        even when one batch dominates the other."""
+        from incubator_pulsar_spark.streaming.ann import (
+            maxsim_ingest_batch, maxsim_topk_from_log)
+
+        bdf, qdf = self._fixture(spark, n_docs=30)
+        out = str(tmp_path / "out")
+        # skewed split: 25 docs vs 5 docs
+        maxsim_ingest_batch(bdf.filter(F.col("doc_id") < 25), 0,
+                            query_tokens=qdf, out_path=out,
+                            n_query_tokens=3, k=4)
+        maxsim_ingest_batch(bdf.filter(F.col("doc_id") >= 25), 1,
+                            query_tokens=qdf, out_path=out,
+                            n_query_tokens=3, k=4)
+        got = sorted(map(tuple, maxsim_topk_from_log(
+            spark, out, k=4).collect()))
+        assert got == self._batch_ref(bdf, qdf, k=4)
+
+    def test_e2e_available_now_checkpoint(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming.ann import (
+            maxsim_topk_from_log, start_maxsim_stream)
+
+        bdf, qdf = self._fixture(spark)
+        src = str(tmp_path / "src")
+        bdf.write.parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        q = start_maxsim_stream(
+            stream, query_tokens=qdf, out_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ck"),
+            n_query_tokens=3, k=5, available_now=True)
+        q.awaitTermination(120)
+        got = sorted(map(tuple, maxsim_topk_from_log(
+            spark, str(tmp_path / "out"), k=5).collect()))
+        assert got == self._batch_ref(bdf, qdf, k=5)
