@@ -170,6 +170,11 @@ BENCH_QUERIES = [
     "maxsim_topk_embeddings",
     "ivfpq_rotated_topk_embeddings",
     "window_udaf_bigkey",
+    # round-11: the IVFADC-log bounded rerank (index-lifecycle row:
+    # build + 2 ingest batches + windowed rerank) and the streaming
+    # MaxSim lifecycle (2 scored batches + log finalize)
+    "ivfpq_rerank_bounded",
+    "maxsim_stream_topk_embeddings",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -6073,97 +6073,39 @@ PQ_ROTATED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r10 rotation: the 5
-        # new r10 gates (residual-auto, bounded rerank, rotated PQ,
-        # MaxSim, rotated-residual IVFADC), then every query whose
-        # code path CHANGED this round — the fold pair
-        # (_fold_stream_dirs manifest recovery), ann_rerank_report
-        # (dedupe), window_udaf_median/bigkey (pane engine rework),
-        # the PQ/IVFADC index rows (rotation param threaded) — then
-        # (proof count ASC, last-proven round ASC) as before.
-        # Demoted to tail: q12_shipmode_priority (5 proofs);
-        # antijoin_idle_customers, asof_join_events_salted,
-        # auto_consume_events, batch_receive_cap (4 proofs each) —
-        # the head's most-proven never-edited rows. Exactly 50, locked
-        # by tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        # --- head 1-50: driver gate this round (r11 rotation, VERDICT
+        # r10 #2: the 2 NEW r11 gates (ivfpq_rerank_bounded — the
+        # cell-pruned candidate-log rerank; maxsim_stream — the
+        # late-interaction streaming twin), then the once-proven r10
+        # quintet, the twice-proven r9/r10 quartet, then the STALEST
+        # rows by (proof count ASC, last-proven round ASC): the 39
+        # 3x-proven rows last driver-proven in r7 — the TPC-H core and
+        # the r2-r4 operator families — which had aged in the tail
+        # while the head accumulated 5x-proven rows. Every query whose
+        # code path changed this round is inside (rerank read path:
+        # ann_rerank_report/bounded + ivfpq_rerank_bounded; maxsim
+        # token-pos check: both maxsim gates; fold guard:
+        # pq/ivfpq_fold). Demoted: all 39 former head rows at >=3
+        # proofs, most recently proven r10. Exactly 50, locked by
+        # tests/test_round8.py::test_head_marker_is_exactly_50 ---
         Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
               IVFPQ_RERANK_BOUNDED_SQL),
         Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
               MAXSIM_STREAM_SQL),
+        Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
-        Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
-        Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
-              PQ_ROTATED_SQL),
-        Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
         Query("ivfpq_rotated_topk_embeddings", ivfpq_rotated_topk_embeddings,
               IVFPQ_ROTATED_SQL),
-        Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
+        Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
+        Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
+              PQ_ROTATED_SQL),
+        Query("ann_rerank_report", ann_rerank_report, RERANK_SQL),
         Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
               IVFPQ_FOLD_SQL),
-        Query("ann_rerank_report", ann_rerank_report, RERANK_SQL),
-        Query("window_udaf_bigkey", window_udaf_bigkey, WINDOW_UDAF_BIGKEY_SQL),
-        Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
-              PQ_LLOYD_SQL),
-        Query("ivfpq_residual_topk_embeddings", ivfpq_residual_topk_embeddings,
-              IVFPQ_RESIDUAL_SQL),
-        Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
-        Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
-              PQ_INDEX_SQL),
-        Query("boilerplate_lines_docs", boilerplate_lines_docs,
-              BOILERPLATE_LINES_SQL),
-        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
-        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
-        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
-        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
-        Query("compaction_publish_order", compaction_publish_order,
-              COMPACT_PUB_SQL),
-        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
-        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
-        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
-        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
-        Query("session_windows_users", session_windows_users, SESSION_SQL),
-        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
-        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
-        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
-        Query("language_id", language_id, LANG_ID_SQL),
-        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
-        Query("bloom_semijoin_orders", bloom_semijoin_orders,
-              BLOOM_SEMIJOIN_SQL),
-        Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
-        Query("cluster_safe_split", cluster_safe_split, CLUSTER_SAFE_SPLIT_SQL),
-        Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
-        Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
-        Query("embedding_ann_lsh_multiprobe", embedding_ann_lsh_multiprobe,
-              ANN_LSH_MULTIPROBE_SQL),
-        Query("embedding_neardup_blocked", embedding_neardup_blocked,
-              EMB_NEARDUP_BLOCKED_SQL),
-        Query("funnel_conversion_events", funnel_conversion_events,
-              FUNNEL_CONV_SQL),
-        Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
-        Query("html_strip_docs", html_strip_docs, HTML_STRIP_SQL),
-        Query("label_centroid_stats", label_centroid_stats_emb,
-              LABEL_CENTROID_SQL),
-        Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
-              LEVENSHTEIN_SQL),
-        Query("media_features", media_features, MEDIA_FEATURES_SQL),
-        Query("neardup_clusters_lsh", neardup_clusters_lsh,
-              NEARDUP_CLUSTERS_LSH_SQL),
-        Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
-        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
-        Query("stratified_sample_docs", stratified_sample_docs, STRATIFIED_SQL),
-        Query("subscription_backlog_events", subscription_backlog_events,
-              SUBSCRIPTION_BACKLOG_SQL),
-        Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
-        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
-        Query("weighted_sample_docs", weighted_sample_docs,
-              WEIGHTED_SAMPLE_SQL),
-        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
-        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
-        Query("antijoin_idle_customers", antijoin_idle_customers, ANTIJOIN_SQL),
-        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
-        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
+        Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
+        Query("window_udaf_bigkey", window_udaf_bigkey,
+              WINDOW_UDAF_BIGKEY_SQL),
         Query("contamination_check", contamination_check, CONTAM_SQL),
         Query("distinct_customers", distinct_customers, DISTINCT_SQL),
         Query("embedding_neardup_pairs", embedding_neardup_pairs,
@@ -6205,9 +6147,74 @@ ALL_QUERIES: dict[str, Query] = {
         Query("setops_customers", setops_customers, SETOPS_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
+              PQ_LLOYD_SQL),
+        Query("ivfpq_residual_topk_embeddings",
+              ivfpq_residual_topk_embeddings, IVFPQ_RESIDUAL_SQL),
+        Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
+        Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
+              PQ_INDEX_SQL),
+        Query("boilerplate_lines_docs", boilerplate_lines_docs,
+              BOILERPLATE_LINES_SQL),
+        Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
+        Query("window_udaf_median", window_udaf_median, WINDOW_UDAF_SQL),
+        Query("chunk_reassembly", chunk_reassembly, CHUNK_SQL),
+        Query("compaction_event_time", compaction_event_time, COMPACT_ET_SQL),
+        Query("compaction_publish_order", compaction_publish_order,
+              COMPACT_PUB_SQL),
+        Query("delayed_withheld", delayed_withheld, DELAYED_SQL),
+        Query("entry_filter_routing", entry_filter_routing, ENTRY_FILTER_SQL),
+        Query("key_shared_summary", key_shared_summary, KEY_SHARED_SQL),
+        Query("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+        Query("session_windows_users", session_windows_users, SESSION_SQL),
+        Query("sliding_window_hourly", sliding_window_hourly, SLIDING_SQL),
+        Query("tableview_events", tableview_events, TABLEVIEW_SQL),
+        Query("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_SQL),
+        Query("language_id", language_id, LANG_ID_SQL),
+        Query("q20_excess_suppliers", q20_excess_suppliers, Q20_SQL),
+        Query("bloom_semijoin_orders", bloom_semijoin_orders,
+              BLOOM_SEMIJOIN_SQL),
+        Query("bpe_pair_counts_docs", bpe_pair_counts_docs, BPE_PAIRS_SQL),
+        Query("cluster_safe_split", cluster_safe_split,
+              CLUSTER_SAFE_SPLIT_SQL),
+        Query("embedding_ann_ivf", embedding_ann_ivf, ANN_IVF_SQL),
+        Query("embedding_ann_lsh", embedding_ann_lsh, ANN_LSH_SQL),
+        Query("embedding_ann_lsh_multiprobe", embedding_ann_lsh_multiprobe,
+              ANN_LSH_MULTIPROBE_SQL),
+        Query("embedding_neardup_blocked", embedding_neardup_blocked,
+              EMB_NEARDUP_BLOCKED_SQL),
+        Query("funnel_conversion_events", funnel_conversion_events,
+              FUNNEL_CONV_SQL),
+        Query("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTERS_SQL),
+        Query("html_strip_docs", html_strip_docs, HTML_STRIP_SQL),
+        Query("label_centroid_stats", label_centroid_stats_emb,
+              LABEL_CENTROID_SQL),
+        Query("levenshtein_neardup_docs", levenshtein_neardup_docs,
+              LEVENSHTEIN_SQL),
+        Query("media_features", media_features, MEDIA_FEATURES_SQL),
+        Query("neardup_clusters_lsh", neardup_clusters_lsh,
+              NEARDUP_CLUSTERS_LSH_SQL),
+        Query("pack_sequences_docs", pack_sequences_docs, PACK_SQL),
+        Query("salted_hot_key_agg", salted_hot_key_agg, SALTED_SQL),
+        Query("stratified_sample_docs", stratified_sample_docs,
+              STRATIFIED_SQL),
+        Query("subscription_backlog_events", subscription_backlog_events,
+              SUBSCRIPTION_BACKLOG_SQL),
+        Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        Query("weighted_sample_docs", weighted_sample_docs,
+              WEIGHTED_SAMPLE_SQL),
+        Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
+        Query("batch_receive_cap", batch_receive_cap, BATCH_RECEIVE_SQL),
+        Query("antijoin_idle_customers", antijoin_idle_customers,
+              ANTIJOIN_SQL),
+        Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
+        Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs, WINNOW_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
+              WINNOW_SQL),
         Query("analytic_functions_orders", analytic_functions_orders,
               ANALYTIC_FUNCS_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
@@ -6263,5 +6270,5 @@ ALL_QUERIES: dict[str, Query] = {
         Query("retry_dlq_routing", retry_dlq_routing, RETRY_SQL),
         Query("text_stats", text_stats, TEXT_STATS_SQL),
         Query("ttl_recent_events", ttl_recent_events, TTL_SQL),
-    ]
+        ]
 }
