@@ -1374,16 +1374,66 @@ def rotate_embeddings(df: DataFrame, R: list[list[float]], *,
             .withColumn(out, rotated).drop("_rotm"))
 
 
-def _side_rotation(side: dict) -> tuple[list[int], list[int]] | None:
-    """The pinned rotation of an IVFADC sidecar, if any."""
+def _apply_rotation(df: DataFrame, col: str, rotation) -> DataFrame:
+    """Rotate an ARRAY<DOUBLE> column in place, dispatching on the
+    rotation's form: a (perm, signs) tuple applies the exact
+    signed-permutation column expression (``_rotate_vec`` — the
+    oracle-replayable RR form); a dense matrix (list of rows, e.g.
+    from ``opq_train_rotation``) applies the broadcast data-column
+    projection (``rotate_embeddings``). ``None`` is a no-op. Every
+    PQ/IVFADC rotation site routes through here so a pinned OPQ
+    matrix flows through the whole index lifecycle."""
+    if rotation is None:
+        return df
+    if isinstance(rotation, tuple):
+        return df.withColumn(col, _rotate_vec(F.col(col), rotation))
+    return rotate_embeddings(df, rotation, vec_col=col)
+
+
+def _rotation_to_json(rotation) -> dict:
+    if isinstance(rotation, tuple):
+        return {"perm": rotation[0], "signs": rotation[1]}
+    return {"matrix": rotation}
+
+
+def _rotation_from_json(r: dict):
+    if "matrix" in r:
+        return r["matrix"]
+    return r["perm"], r["signs"]
+
+
+def _resolve_rotate(rotate, embeddings: DataFrame, *, dim: int, m: int,
+                    ksub: int, id_col: str, vec_col: str):
+    """The ``rotate=`` argument of the index builders: ``False`` → no
+    rotation; ``True`` → the deterministic RR signed permutation
+    (oracle-replayable); ``"opq"`` → train the full OPQ rotation on
+    the 10k pool (``opq_train_rotation`` — pytest-gated quality
+    lever); an explicit (perm, signs) tuple or dense matrix passes
+    through (pin a rotation trained elsewhere)."""
+    if rotate is False or rotate is None:
+        return None
+    if rotate is True:
+        return pq_rotation(dim)
+    if rotate == "opq":
+        R, _errs = opq_train_rotation(embeddings, dim=dim, m=m,
+                                      ksub=ksub, id_col=id_col,
+                                      vec_col=vec_col)
+        return R
+    return rotate
+
+
+def _side_rotation(side: dict):
+    """The pinned rotation of an IVFADC sidecar, if any — (perm,
+    signs) tuple or dense matrix."""
     r = side.get("rotation")
-    return (r["perm"], r["signs"]) if r else None
+    return _rotation_from_json(r) if r else None
 
 
-def _pq_load_rotation(path: str) -> tuple[list[int], list[int]] | None:
+def _pq_load_rotation(path: str):
     """The optional ``_rotation.json`` sidecar of a rotated PQ index
     (absent on unrotated indexes — the pre-r10 layout reads
-    unchanged)."""
+    unchanged). Returns the (perm, signs) tuple or a dense OPQ
+    matrix."""
     import json as _json
     import os as _os
 
@@ -1392,7 +1442,7 @@ def _pq_load_rotation(path: str) -> tuple[list[int], list[int]] | None:
         return None
     with open(p) as f:
         r = _json.load(f)
-    return r["perm"], r["signs"]
+    return _rotation_from_json(r)
 
 
 def _attach_pq(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
@@ -1430,8 +1480,7 @@ def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
     dsub = len(books[0][0])
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           as_double_array(F.col(vec_col)).alias("vec"))
-    if rotation is not None:
-        e = e.withColumn("vec", _rotate_vec(F.col("vec"), rotation))
+    e = _apply_rotation(e, "vec", rotation)
     return (_attach_pq(e, books)
             .select("vec_id", _pq_codes(F.col("vec"), m, dsub).alias("codes")))
 
@@ -1440,7 +1489,7 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 dim: int, m: int = 4, ksub: int = 16,
                 books: list[list[list[float]]] | None = None,
                 refine: int | None = None, lloyd_iters: int = 0,
-                rotate: bool = False,
+                rotate: bool | str | tuple | list = False,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 query_vec_col: str = "query_vec") -> DataFrame:
@@ -1473,13 +1522,15 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     the refine stage and output distances stay raw-exact (isometry).
     Output: (query_id, vec_id, adc_d2, rank) — plus exact_d2 before
     rank in refine mode — ascending distance, k rows per query."""
-    rotation = pq_rotation(dim) if rotate else None
+    rotation = _resolve_rotate(rotate, embeddings, dim=dim, m=m,
+                               ksub=ksub, id_col=id_col, vec_col=vec_col)
     train_src = embeddings
     if rotation is not None and books is None:
-        train_src = embeddings.select(
-            F.col(id_col).alias(id_col),
-            _rotate_vec(as_double_array(F.col(vec_col)), rotation)
-            .alias(vec_col))
+        train_src = _apply_rotation(
+            embeddings.select(
+                F.col(id_col).alias(id_col),
+                as_double_array(F.col(vec_col)).alias(vec_col)),
+            vec_col, rotation)
     if books is None:
         books = pq_train_codebooks(train_src, m=m, ksub=ksub, dim=dim,
                                    lloyd_iters=lloyd_iters,
@@ -1582,10 +1633,7 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
     ``rotation`` rotates the QUERY TABLE into the codes' space; the
     refine stage stays in raw space (isometry — same exact
     distances, same raw-order arithmetic as the unrotated path)."""
-    qq = q
-    if rotation is not None:
-        qq = q.select("query_id",
-                      _rotate_vec(F.col("qv"), rotation).alias("qv"))
+    qq = _apply_rotation(q, "qv", rotation)
     qt = _pq_query_table(qq, books)
     scored = (enc.crossJoin(F.broadcast(qt))
               .select("query_id", "vec_id",
@@ -1595,7 +1643,7 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
 
 def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
                    m: int = 4, ksub: int = 16, lloyd_iters: int = 0,
-                   rotate: bool = False,
+                   rotate: bool | str | tuple | list = False,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[list[list[float]]]:
     """Persist a PQ index: the corpus's code table (vec_id, codes —
@@ -1615,19 +1663,24 @@ def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
     (append-only, ``pq_append_index``); the continuous-ingest stream
     owns ``{path}/stream/_batch_id=N`` directories (replay-idempotent
     overwrites — ``streaming.ann``); codebooks in a JSON sidecar at
-    the root, plus ``_rotation.json`` when ``rotate=True`` (the
-    ``pq_rotation`` signed permutation, pinned so appends, ingest
-    batches and probes all encode/query in the same space)."""
+    the root, plus ``_rotation.json`` when ``rotate`` is set — ``True``
+    pins the ``pq_rotation`` signed permutation (oracle-replayable),
+    ``"opq"`` trains and pins the full OPQ dense matrix
+    (``opq_train_rotation`` — pytest-gated quality lever), and an
+    explicit tuple/matrix pins a rotation trained elsewhere; appends,
+    ingest batches and probes all encode/query in the pinned space."""
     import json as _json
     import os as _os
 
-    rotation = pq_rotation(dim) if rotate else None
+    rotation = _resolve_rotate(rotate, embeddings, dim=dim, m=m,
+                               ksub=ksub, id_col=id_col, vec_col=vec_col)
     train_src = embeddings
     if rotation is not None:
-        train_src = embeddings.select(
-            F.col(id_col).alias(id_col),
-            _rotate_vec(as_double_array(F.col(vec_col)), rotation)
-            .alias(vec_col))
+        train_src = _apply_rotation(
+            embeddings.select(
+                F.col(id_col).alias(id_col),
+                as_double_array(F.col(vec_col)).alias(vec_col)),
+            vec_col, rotation)
     books = pq_train_codebooks(train_src, m=m, ksub=ksub, dim=dim,
                                lloyd_iters=lloyd_iters,
                                id_col=id_col, vec_col=vec_col)
@@ -1638,7 +1691,7 @@ def pq_write_index(embeddings: DataFrame, path: str, *, dim: int,
         _json.dump(books, f)
     if rotation is not None:
         with open(_os.path.join(path, "_rotation.json"), "w") as f:
-            _json.dump({"perm": rotation[0], "signs": rotation[1]}, f)
+            _json.dump(_rotation_to_json(rotation), f)
     return books
 
 
@@ -1703,8 +1756,7 @@ def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
     if residual:
         e = e.withColumn("vec", _residual(F.col("vec")))
     e = e.drop("_cents")
-    if rotation is not None:
-        e = e.withColumn("vec", _rotate_vec(F.col("vec"), rotation))
+    e = _apply_rotation(e, "vec", rotation)
     return _attach_pq(e, books).select(
         "vec_id", "cell",
         _pq_codes(F.col("vec"), len(books), len(books[0][0]))
@@ -1778,8 +1830,9 @@ def ivfpq_write_index(
     def rotated(df, vc):
         if rotation is None:
             return df
-        return df.select("vec_id", _rotate_vec(
-            as_double_array(F.col(vc)), rotation).alias(vc))
+        return _apply_rotation(
+            df.select("vec_id", as_double_array(F.col(vc)).alias(vc)),
+            vc, rotation)
 
     auto_info = None
     r = None
@@ -1823,7 +1876,7 @@ def ivfpq_write_index(
         _os.path.join(path, "base"))
     side = {"centroids": cents, "books": books, "residual": residual}
     if rotation is not None:
-        side["rotation"] = {"perm": rotation[0], "signs": rotation[1]}
+        side["rotation"] = _rotation_to_json(rotation)
     if auto_info is not None:
         side["residual_auto"] = auto_info
     with open(_os.path.join(path, "_ivfpq.json"), "w") as f:
@@ -1980,8 +2033,7 @@ def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
           .withColumn("cell", F.col("cell").cast("int")).drop("_scores"))
     if residual:
         qe = qe.withColumn("qv", _residual(F.col("qv")))
-    if rotation is not None:
-        qe = qe.withColumn("qv", _rotate_vec(F.col("qv"), rotation))
+    qe = _apply_rotation(qe, "qv", rotation)
     qe = qe.drop("_cents")
 
     probe_cells = sorted(

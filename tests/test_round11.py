@@ -361,3 +361,108 @@ class TestStreamingMaxsim:
         got = sorted(map(tuple, maxsim_topk_from_log(
             spark, str(tmp_path / "out"), k=5).collect()))
         assert got == self._batch_ref(bdf, qdf, k=5)
+
+
+class TestOpqIndexLifecycle:
+    """pq_write_index(rotate="opq"): the TRAINED dense rotation pinned
+    through the persisted-index lifecycle — build, append, stream
+    ingest, probe. Measured on the correlated mixture fixture:
+    raw-ADC recall@10 = 0.530 OPQ vs 0.390 RR vs 0.400 unrotated —
+    the user-visible win the training-objective gate above implies."""
+
+    def _emb(self, spark, n=600):
+        import hashlib
+
+        import numpy as np
+
+        def md5f(s, k):
+            out, i = [], 0
+            while len(out) < k:
+                h = hashlib.md5(f"{s}:{i}".encode()).digest()
+                out.extend(b / 255.0 - 0.5 for b in h)
+                i += 1
+            return out[:k]
+
+        A = np.array(md5f("mix", 8 * 64)).reshape(8, 64) * 4.0
+        rows = [(i, (np.array(md5f(f"z{i}", 8)) @ A).tolist())
+                for i in range(n)]
+        return (spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"),
+            __import__("numpy").array([r[1] for r in rows]), md5f, A)
+
+    def _recall(self, X, res, n_q=10, k=10):
+        import numpy as np
+
+        got = {}
+        for r in res:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = 0
+        for qi in range(n_q):
+            d = ((X - X[qi]) ** 2).sum(axis=1)
+            truth = set(np.argsort(d, kind="stable")[:k].tolist())
+            hits += len(truth & got[qi])
+        return hits / (n_q * k)
+
+    def test_opq_index_recall_beats_rr_and_raw(self, spark, tmp_path):
+        emb, X, _, _ = self._emb(spark)
+        q = (emb.filter(F.col("vec_id") < 10)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+        rec = {}
+        for mode, tag in [("opq", "opq"), (True, "rr"), (False, "raw")]:
+            d = str(tmp_path / tag)
+            similarity.pq_write_index(emb, d, dim=64, m=4, ksub=16,
+                                      rotate=mode)
+            rec[tag] = self._recall(
+                X, similarity.pq_search_index(spark, d, q, k=10).collect())
+        # deterministic fixture — measured 0.530 / 0.390 / 0.400
+        assert rec["opq"] > rec["rr"]
+        assert rec["opq"] > rec["raw"]
+        assert rec["opq"] >= 0.5
+
+    def test_pinned_matrix_flows_through_append_and_ingest(
+            self, spark, tmp_path):
+        """Appends AND stream ingest batches must encode with the
+        sidecar's dense matrix — codes equal to the reference encoder
+        under the loaded rotation, and the ingest probe must read the
+        rotated query table (no raise, k rows per query)."""
+        import json
+
+        from incubator_pulsar_spark.streaming.ann import pq_ingest_batch
+
+        emb, _, md5f, A = self._emb(spark)
+        import numpy as np
+
+        d = str(tmp_path / "idx")
+        similarity.pq_write_index(emb, d, dim=64, m=4, ksub=16,
+                                  rotate="opq")
+        R = similarity._pq_load_rotation(d)
+        assert not isinstance(R, tuple)      # dense matrix pinned
+        books = json.load(open(f"{d}/_codebooks.json"))
+
+        batch = spark.createDataFrame(
+            [(1000 + i, (np.array(md5f(f"zz{i}", 8)) @ A).tolist())
+             for i in range(20)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>")
+        assert similarity.pq_append_index(batch, d) == 20
+        want = {r.vec_id: list(r.codes) for r in similarity.pq_encode(
+            batch, books, rotation=R).collect()}
+        got = {r.vec_id: list(r.codes)
+               for r in spark.read.parquet(f"{d}/base").collect()
+               if r.vec_id >= 1000}
+        assert got == want
+
+        batch2 = spark.createDataFrame(
+            [(2000 + i, (np.array(md5f(f"zs{i}", 8)) @ A).tolist())
+             for i in range(10)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>")
+        pq_ingest_batch(batch2, 0, index_path=d,
+                        out_path=str(tmp_path / "out"), k=5)
+        hits = spark.read.parquet(str(tmp_path / "out/_batch_id=0"))
+        assert hits.groupBy("query_id").count().filter(
+            F.col("count") != 5).count() == 0
+        stream_codes = {r.vec_id: list(r.codes) for r in
+                        spark.read.parquet(f"{d}/stream").collect()}
+        want2 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(
+            batch2, books, rotation=R).collect()}
+        assert stream_codes == want2
