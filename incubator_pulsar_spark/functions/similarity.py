@@ -1767,7 +1767,7 @@ def ivfpq_write_index(
     embeddings: DataFrame, path: str, *, dim: int,
     m: int = 4, ksub: int = 16, n_cells: int | None = None,
     residual: bool | str = False, lloyd_iters: int = 0,
-    rotate: bool = False,
+    rotate: bool | str | tuple | list = False,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """IVFADC (Jégou et al. 2011 §IV — the non-exhaustive form the
@@ -1825,7 +1825,15 @@ def ivfpq_write_index(
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
-    rotation = pq_rotation(dim) if rotate else None
+    if rotate == "opq" and residual:
+        raise ValueError(
+            "ivfpq_write_index(rotate='opq', residual=...): the OPQ "
+            "objective must be trained in the space the codes quantize "
+            "— residuals — but auto-training here would use raw "
+            "vectors. Train it explicitly (opq_train_rotation over "
+            "v - centroid[cell]) and pass the matrix as rotate=")
+    rotation = _resolve_rotate(rotate, embeddings, dim=dim, m=m,
+                               ksub=ksub, id_col=id_col, vec_col=vec_col)
 
     def rotated(df, vc):
         if rotation is None:

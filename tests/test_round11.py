@@ -466,3 +466,48 @@ class TestOpqIndexLifecycle:
         want2 = {r.vec_id: list(r.codes) for r in similarity.pq_encode(
             batch2, books, rotation=R).collect()}
         assert stream_codes == want2
+
+
+class TestOpqIvfadc:
+    """rotate="opq" on the cell-partitioned index: the trained matrix
+    pins in the _ivfpq.json sidecar and ingest/probes honor it; the
+    residual composition refuses auto-training (wrong objective
+    space) rather than silently training on raw vectors."""
+
+    def test_opq_ivfpq_lifecycle_parity(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+
+        emb, X, md5f, A = TestOpqIndexLifecycle()._emb(spark)
+        d = str(tmp_path / "idx")
+        similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16,
+                                     n_cells=8, rotate="opq")
+        side = json.load(open(f"{d}/_ivfpq.json"))
+        R = similarity._side_rotation(side)
+        assert not isinstance(R, tuple) and len(R) == 64
+        q = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+        got = similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=8,
+                                            refine=600, vectors=emb) \
+            .collect()
+        # nprobe = n_cells AND refine = corpus: the raw-vector refine
+        # re-ranks EVERY candidate, so the top-10 must be the exact
+        # brute-force answer regardless of rotation (the end-to-end
+        # isometry contract; refine<corpus would only bound it by ADC
+        # shortlist recall)
+        for qi in range(5):
+            dist = ((X - X[qi]) ** 2).sum(axis=1)
+            truth = list(np.argsort(dist, kind="stable")[:10])
+            mine = [r.vec_id for r in sorted(
+                (r for r in got if r.query_id == qi),
+                key=lambda r: r.rank)]
+            assert mine == truth
+
+    def test_residual_opq_refuses_auto_training(self, spark, tmp_path):
+        emb, _, _, _ = TestOpqIndexLifecycle()._emb(spark, n=100)
+        with pytest.raises(ValueError, match="residual"):
+            similarity.ivfpq_write_index(emb, str(tmp_path / "i"),
+                                         dim=64, m=4, ksub=16, n_cells=8,
+                                         residual=True, rotate="opq")
