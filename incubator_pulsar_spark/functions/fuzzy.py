@@ -655,3 +655,57 @@ def compact_minhash_index(spark, index_path: str) -> int:
     os.rename(tmp, root)
     _shutil.rmtree(old)
     return len(dirs)
+
+
+def containment_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      threshold: float = 0.8, min_shingles: int = 1,
+                      candidates: DataFrame | None = None,
+                      max_df: float | None = None) -> DataFrame:
+    """Directed shingle CONTAINMENT: C(a ⊆ b) = |S_a ∩ S_b| / |S_a|.
+
+    The subset-duplicate detector Jaccard structurally misses: a short
+    document fully quoted inside a long one has near-zero Jaccard
+    (union is large) but containment 1.0 — the shape of
+    quote-extraction dupes, boilerplate-wrapped reposts and
+    train-on-test contamination-by-inclusion. Same inverted-index join
+    discipline as ``jaccard_pairs`` (pairs sharing ≥1 shingle only,
+    never all-pairs; ``candidates=``/``max_df=`` bound hot-shingle
+    corpora the same way), with a directed output: (doc_id,
+    container_id) rows where doc_id's shingle set sits inside
+    container_id's at ≥ ``threshold``. ``min_shingles`` drops trivially
+    containable tiny docs. Every reported value is exact (full shingle
+    sets), rounded to 6 places for cross-engine comparability.
+    """
+    if max_df is not None:
+        if candidates is not None:
+            raise ValueError("pass either candidates or max_df, not both")
+        candidates = df_cut_candidates(docs, id_col=id_col, text_col=text_col,
+                                       k=k, max_df=max_df)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_j = sh
+    if candidates is not None:
+        cand_docs = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+        sh_j = sh.join(cand_docs, on="doc_id")
+    a = sh_j.alias("a")
+    b = sh_j.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("container_id"))
+        .groupBy("doc_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.round(F.col("n_common") / F.col("n_shingles"), 6)
+    return (
+        inter.join(sizes, on="doc_id")
+        .filter(F.col("n_shingles") >= min_shingles)
+        .select("doc_id", "container_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_common").cast("long").alias("n_common"),
+                cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

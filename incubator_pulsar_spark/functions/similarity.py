@@ -2106,3 +2106,211 @@ def pq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
             as_double_array(F.col(vec_col)).alias("_cv"))
     return _pq_adc_rank(enc, q, books, k, refine=refine, vecs=vecs,
                         rotation=_pq_load_rotation(path))
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (sign-bit codes + Hamming shortlist)
+#
+# The 1-bit analogue of the PQ family: each dimension contributes one
+# sign bit, packed 64 bits to a long, so a d-dim vector compresses to
+# d/64 longs (64 floats -> 1 long, a 256x cut vs float32 x4). Hamming
+# distance over the packed words (bit_count of XOR) is a monotone proxy
+# for angular distance on zero-centered embeddings; an exact-cosine
+# refine over the Hamming shortlist restores exact ranking. This is the
+# memory-bandwidth-optimal scan shape at 100 TB: the shortlist pass
+# reads ONLY the packed signature column (columnar pruning leaves the
+# float vectors untouched), and the refine pass joins back just the
+# R x Q shortlisted true vectors.
+
+def binarize_embeddings(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int,
+                        threshold: float = 0.0,
+                        out_col: str = "sig") -> DataFrame:
+    """(id, sig: array<long>) — bit j of word w set iff
+    vec[w*64 + j] > threshold. Map-only JVM column expressions
+    (transform-with-index + shiftleft + bitwise OR fold); no Python."""
+    n_words = (dim + 63) // 64
+    v = as_double_array(F.col(vec_col))
+    words = []
+    for w in range(n_words):
+        bits = F.slice(v, w * 64 + 1, min(64, dim - w * 64))
+        packed = F.aggregate(
+            F.transform(
+                bits,
+                lambda x, i: F.when(
+                    x > F.lit(float(threshold)),
+                    # F.shiftleft only takes a literal bit count; the SQL
+                    # function accepts a column second arg
+                    F.call_function("shiftleft", F.lit(1).cast("long"), i))
+                .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(b))
+        words.append(packed)
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.array(*words).alias(out_col))
+
+
+def hamming(sig_a: Column, sig_b: Column) -> Column:
+    """Popcount of XOR across packed words — exact integer arithmetic."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+
+def hamming_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
+                 dim: int, threshold: float = 0.0, refine: int | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k by Hamming distance over sign-bit signatures; with
+    ``refine=R`` the R-deep Hamming shortlist is exact-cosine re-ranked
+    (true vectors joined back for shortlist ids only) and the final
+    top-k ordering is (cosine DESC, vec_id) — the ``pq_adc_topk``
+    refine contract. Deterministic throughout: Hamming ties break on
+    vec_id.
+
+    Plan shape: corpus binarizes map-side, query signatures broadcast,
+    one top-k window per query — the ``cosine_topk`` envelope with the
+    per-pair work cut from d multiplies to d/64 XOR+popcounts."""
+    e = binarize_embeddings(ensure_parallelism(embeddings), id_col=id_col,
+                            vec_col=vec_col, dim=dim, threshold=threshold)
+    q = binarize_embeddings(queries, id_col=query_id_col,
+                            vec_col=query_vec_col, dim=dim,
+                            threshold=threshold, out_col="qsig") \
+        .withColumnRenamed("vec_id", "query_id")
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        hamming(F.col("sig"), F.col("qsig")).alias("hamming_dist"))
+    w = Window.partitionBy("query_id").orderBy("hamming_dist", "vec_id")
+    if refine is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "hamming_dist", "rank"))
+    short = (scored.withColumn("_hr", F.row_number().over(w))
+             .filter(F.col("_hr") <= refine)
+             .drop("_hr"))
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double_array(F.col(vec_col)).alias("_cv"))
+    qv = queries.select(F.col(query_id_col).alias("query_id"),
+                        as_double_array(F.col(query_vec_col)).alias("_qv"))
+    ref = (short.join(vecs, on="vec_id").join(F.broadcast(qv), on="query_id")
+           .select("query_id", "vec_id", "hamming_dist",
+                   F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
+                   .alias("cosine_sim")))
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                                F.col("vec_id"))
+    return (ref.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "hamming_dist", "cosine_sim",
+                    "rank"))
+
+
+# --------------------------------------------------------------------------
+# SQ8 symmetric scalar quantization
+#
+# Per-dimension affine quantization to uint8 (the faiss
+# ScalarQuantizer QT_8bit shape): code = floor((x - min_d) * 255 /
+# (max_d - min_d) + 0.5), clamped to [0, 255]. SYMMETRIC distance
+# (query quantized with the same grid) keeps the whole scan in exact
+# integer arithmetic — sum of squared code deltas — so the ranking is
+# bit-reproducible on any engine (the asymmetric float form trades
+# that for slightly better recall; here exactness wins because the
+# oracle gate demands it and the refine pass restores true ranking
+# anyway). Train stats are per-dim MIN/MAX — exact, order-independent
+# aggregates (never mean/std, which are float-fold order-dependent).
+
+def sq8_train(embeddings: DataFrame, *, dim: int,
+              vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dim (min, max) over the corpus — one aggregate scan, 2*dim
+    doubles to the driver (bounded metadata, like the PQ 10k pool)."""
+    v = as_double_array(F.col(vec_col))
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(v[d]).alias(f"mn{d}"))
+        aggs.append(F.max(v[d]).alias(f"mx{d}"))
+    row = embeddings.agg(*aggs).collect()[0]
+    mins = [float(row[f"mn{d}"]) for d in range(dim)]
+    maxs = [float(row[f"mx{d}"]) for d in range(dim)]
+    return mins, maxs
+
+
+def _sq8_attach_grid(df: DataFrame, mins: list[float],
+                     maxs: list[float]) -> DataFrame:
+    """Grid as ONE broadcast data column (literal-array codegen is
+    ~30ms/KB per query — see the centroid lesson, r4b)."""
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(list(map(float, mins)), list(map(float, maxs)))],
+        "_sq_mins array<double>, _sq_maxs array<double>")
+    return df.crossJoin(F.broadcast(grid))
+
+
+def sq8_encode_col(vec: Column, mins: Column, maxs: Column) -> Column:
+    """codes: array<int> — floor((x-mn)*255/(mx-mn)+0.5) clamped;
+    degenerate dims (mx == mn) encode 0. The +0.5-floor idiom is used
+    instead of round() because floor is HALF-mode-free and identical
+    across engines (Spark rounds HALF_UP, DuckDB HALF_EVEN)."""
+    return F.zip_with(
+        vec, F.zip_with(mins, maxs, lambda a, b: F.struct(a.alias("mn"),
+                                                          b.alias("mx"))),
+        lambda x, g: F.when(
+            g["mx"] > g["mn"],
+            F.greatest(F.lit(0).cast("int"), F.least(
+                F.lit(255).cast("int"),
+                F.floor((x - g["mn"]) * F.lit(255.0) / (g["mx"] - g["mn"])
+                        + F.lit(0.5)).cast("int")))
+        ).otherwise(F.lit(0).cast("int")))
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
+             dim: int, train: tuple[list[float], list[float]] | None = None,
+             refine: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k by symmetric SQ8 squared distance (integer-exact), ties to
+    the lowest vec_id; ``refine=R`` re-ranks the R-deep shortlist by
+    exact cosine. Corpus encodes map-side under the broadcast grid;
+    only (query, vec, dist) rows shuffle."""
+    if train is None:
+        train = sq8_train(embeddings, dim=dim, vec_col=vec_col)
+    mins, maxs = train
+    e = _sq8_attach_grid(
+        ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_v")), mins, maxs
+    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
+                                      F.col("_sq_maxs")).alias("codes"))
+    q = _sq8_attach_grid(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double_array(F.col(query_vec_col)).alias("_qv")),
+        mins, maxs
+    ).select("query_id", sq8_encode_col(F.col("_qv"), F.col("_sq_mins"),
+                                        F.col("_sq_maxs")).alias("qcodes"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("qcodes"),
+                       lambda a, b: ((a - b) * (a - b)).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("sq8_dist"))
+    w = Window.partitionBy("query_id").orderBy("sq8_dist", "vec_id")
+    if refine is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "sq8_dist", "rank"))
+    short = (scored.withColumn("_sr", F.row_number().over(w))
+             .filter(F.col("_sr") <= refine).drop("_sr"))
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double_array(F.col(vec_col)).alias("_cv"))
+    qv = queries.select(F.col(query_id_col).alias("query_id"),
+                        as_double_array(F.col(query_vec_col)).alias("_qv"))
+    ref = (short.join(vecs, on="vec_id").join(F.broadcast(qv), on="query_id")
+           .select("query_id", "vec_id", "sq8_dist",
+                   F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
+                   .alias("cosine_sim")))
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                                F.col("vec_id"))
+    return (ref.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "sq8_dist", "cosine_sim", "rank"))

@@ -302,3 +302,106 @@ def cms_estimate(probes: DataFrame, counters: DataFrame, key_col: str, *,
              .alias("cms_estimate"))
         .select(F.col("_k").alias(key_col), "cms_estimate")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): the industry-standard mergeable
+# distinct sketch — fixed 2^p registers per group regardless of
+# cardinality (vs KMV's k hashes). Register update is a map-side
+# combinable MAX, so the shuffle carries ≤ partitions · 2^p rows per
+# group and merging sketches IS the same MAX — the property that makes
+# it work across 1000 executors and across micro-batches.
+#
+# Determinism discipline (the oracle gate runs this bit-for-bit in
+# DuckDB): the hash is md5 (64 bits used), rho comes from the binary
+# STRING length of the 56-bit suffix (both engines' bin() render
+# minimal binary — no float log2), and the harmonic sum is kept as an
+# exact integer, scaled by 2^57 into DECIMAL(38,0):
+#   Z_scaled = Σ_buckets 2^(57 − M_b)   (M_b = 0 for an empty bucket)
+# The raw estimate α·m²/Z = HLL_EST_CONST / Z_scaled needs exactly one
+# float division, identical IEEE on both engines. The small-range
+# (linear-counting) correction needs ln(), which is NOT bit-portable
+# across libm implementations — it lives behind ``corrected=True`` and
+# is accuracy-tested in pytest instead of the exact oracle.
+
+_HLL_P = 8          # 256 registers; bucket = low 2 hex chars (nibble-aligned)
+_HLL_M = 1 << _HLL_P
+# α_m · m² · 2^57 for m=256, precomputed so both engines inline the SAME
+# double literal: 0.7213/(1+1.079/256) · 65536 · 2^57
+HLL_EST_CONST = 6.783892839851034e+21
+
+
+def hll_bucket_rho(col, salt: str = "hll") -> tuple[Column, Column]:
+    """(bucket, rho) for one value: bucket = low 8 bits of the 64-bit
+    md5 prefix, rho = 1 + leading zeros of the remaining 56 bits
+    (all-zero suffix → 57). Pure column exprs."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), col))
+    bucket = F.conv(F.substring(h, 15, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    rho = (F.when(w == 0, F.lit(57))
+           .otherwise(F.lit(57) - F.length(F.bin(w)))).cast("int")
+    return bucket, rho
+
+
+def hll_register_table(df: DataFrame, value_col: str, *,
+                       group_cols: list[str] | None = None,
+                       salt: str = "hll") -> DataFrame:
+    """Dense register table: (group_cols..., bucket, rho) with ALL 2^p
+    buckets present per group (empty buckets at rho=0 — the estimator
+    needs them in the harmonic sum). One map-side-combinable MAX agg;
+    the zero-fill joins a 256-row range per group."""
+    group_cols = group_cols or []
+    bucket, rho = hll_bucket_rho(F.col(value_col), salt)
+    regs = (df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho")))
+    buckets = df.sparkSession.range(_HLL_M).select(
+        F.col("id").cast("int").alias("bucket"))
+    if group_cols:
+        full = df.select(*group_cols).distinct().crossJoin(F.broadcast(buckets))
+    else:
+        full = buckets
+    return (full.join(regs, on=[*group_cols, "bucket"], how="left")
+            .select(*group_cols, "bucket",
+                    F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, *,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Raw HLL estimate from a dense register table. Output:
+    group_cols + (n_zero, z_scaled DOUBLE, est_micro BIGINT) where
+    est_micro = floor(raw_estimate · 1e6) — integer-rendered so the
+    value hash is portable (floor, never round: HALF modes differ
+    across engines)."""
+    group_cols = group_cols or []
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"),
+        F.lit(57) - F.col("rho")).cast("decimal(38,0)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero"),
+        F.sum(term).alias("_z"))
+    return agg.select(
+        *group_cols, "n_zero",
+        F.col("_z").cast("double").alias("z_scaled"),
+        F.floor(F.lit(HLL_EST_CONST) / F.col("_z").cast("double")
+                * F.lit(1000000.0)).cast("long").alias("est_micro"))
+
+
+def hll_distinct(df: DataFrame, value_col: str, *,
+                 group_cols: list[str] | None = None, salt: str = "hll",
+                 corrected: bool = False) -> DataFrame:
+    """Distinct-count estimate: register table → raw estimate. With
+    ``corrected=True`` the standard small-range fix applies (linear
+    counting m·ln(m/V) when est ≤ 2.5m and empty buckets exist) —
+    ln() is libm-specific, so this form is pytest-accuracy-gated,
+    not oracle-gated."""
+    regs = hll_register_table(df, value_col, group_cols=group_cols, salt=salt)
+    est = hll_estimate(regs, group_cols=group_cols)
+    if not corrected:
+        return est
+    raw = F.col("est_micro") / F.lit(1000000.0)
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero"))
+    return est.withColumn(
+        "estimate",
+        F.when((raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0), lc)
+        .otherwise(raw))

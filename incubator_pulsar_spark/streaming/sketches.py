@@ -241,3 +241,67 @@ def cms_stream(stream: DataFrame, key_col: str, *, d: int = 4,
         .groupBy("row_i", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+HLL_STATE_SCHEMA = T.StructType([
+    T.StructField("regs", T.ArrayType(T.IntegerType())),
+])
+
+
+def hll_distinct_stream(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    salt: str = "hll",
+) -> DataFrame:
+    """Streaming HyperLogLog: per-group running distinct estimate.
+
+    The (bucket, rho) derivation runs as JVM column exprs BEFORE the
+    stateful op (functions/sketches.hll_bucket_rho — same hash as the
+    batch sketch, bit-for-bit); state = the dense 256-int register
+    array per group; each micro-batch folds a numpy groupby-max into
+    it. Register merge is MAX — idempotent and commutative — so after
+    ANY batch sequence (including crash replays) the streaming
+    registers equal the batch sketch of the union; the pytest parity
+    gate asserts exactly that, plus est_micro equality against
+    ``hll_estimate``.
+
+    Output per group per batch: group_cols + (n_zero, est_micro).
+    """
+    from ..functions.sketches import HLL_EST_CONST, _HLL_M, hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(stream[value_col], salt)
+    pre = stream.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
+    out_schema = T.StructType(
+        [f for f in pre.schema.fields if f.name not in ("_b", "_r")]
+        + [T.StructField("n_zero", T.LongType()),
+           T.StructField("est_micro", T.LongType())])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (regs,) = state.get if state.exists else ([0] * _HLL_M,)
+        regs = np.asarray(regs, dtype="int64")
+        for pdf in pdfs:
+            mx = pdf.groupby("_b")["_r"].max()
+            idx = mx.index.to_numpy(dtype="int64")
+            regs[idx] = np.maximum(regs[idx], mx.to_numpy(dtype="int64"))
+        state.update((regs.astype("int32").tolist(),))
+        n_zero = int((regs == 0).sum())
+        # exact-integer harmonic sum, scaled by 2^57 (python ints are
+        # arbitrary-precision — same value the batch DECIMAL(38,0) holds)
+        z_scaled = sum(1 << (57 - int(r)) for r in regs)
+        import math
+
+        est_micro = math.floor(HLL_EST_CONST / float(z_scaled) * 1000000.0)
+        row = {c: [v] for c, v in zip(group_cols, key)}
+        row["n_zero"] = [n_zero]
+        row["est_micro"] = [est_micro]
+        yield pd.DataFrame(row)
+
+    return (
+        pre.groupBy(*group_cols)
+        .applyInPandasWithState(fn, out_schema, HLL_STATE_SCHEMA, "update",
+                                "NoTimeout")
+    )
