@@ -6058,6 +6058,250 @@ PQ_ROTATED_SQL = _pq_sql(train_where="vec_id % 2 = 0",
                          rotation=similarity.pq_rotation(64))
 
 
+def bq_topk_embeddings(spark, sf_dir):
+    """Binary-quantization ANN: sign-bit signatures (64 dims → ONE
+    packed long), Hamming shortlist of 50 via bit_count(xor), exact
+    cosine re-rank to top-10. The 1-bit compression point of the
+    quantization family (`similarity.binarize_embeddings:2124` — 256×
+    smaller than float32); the shortlist scan reads only the packed
+    signature column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return similarity.hamming_topk(emb, q, k=10, dim=64, refine=50)
+
+
+BQ_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+ham AS (
+  SELECT query_id, vec_id, v, qv,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN (v[i] > 0.0) <> (qv[i] > 0.0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming_dist
+  FROM e CROSS JOIN q),
+short AS (
+  SELECT * FROM ham
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming_dist, vec_id) <= 50),
+ref AS (
+  SELECT query_id, vec_id, hamming_dist,
+         round(CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                     AND sqrt(list_dot_product(qv, qv)) > 0
+                    THEN list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv)))
+                    ELSE 0.0 END, 6) AS cosine_sim
+  FROM short)
+SELECT query_id, vec_id, hamming_dist, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM ref QUALIFY rank <= 10
+"""
+
+
+def sq8_topk_embeddings(spark, sf_dir):
+    """Symmetric SQ8 scalar quantization: per-dim min/max grid trained
+    on the corpus, uint8 codes, integer-exact squared-distance
+    shortlist of 50, exact cosine re-rank to top-10
+    (`similarity.sq8_topk:2260`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return similarity.sq8_topk(emb, q, k=10, dim=64, refine=50)
+
+
+SQ8_TOPK_SQL = """
+WITH raw AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+dims AS MATERIALIZED (
+  SELECT d, min(e) AS mn, max(e) AS mx FROM raw GROUP BY d),
+enc AS MATERIALIZED (
+  SELECT vec_id, raw.d,
+         CASE WHEN mx > mn
+              THEN greatest(0, least(255,
+                   CAST(floor((e - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)))
+              ELSE 0 END AS c
+  FROM raw JOIN dims ON raw.d = dims.d),
+qenc AS (SELECT vec_id AS query_id, d, c FROM enc WHERE vec_id < 5),
+dist AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(SUM((q.c - e.c) * (q.c - e.c)) AS BIGINT) AS sq8_dist
+  FROM enc e JOIN qenc q ON e.d = q.d GROUP BY 1, 2),
+short AS (
+  SELECT * FROM dist
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sq8_dist, vec_id) <= 50),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id < 5),
+ref AS (
+  SELECT s.query_id, s.vec_id, s.sq8_dist,
+         round(CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                     AND sqrt(list_dot_product(qvec, qvec)) > 0
+                    THEN list_dot_product(v, qvec)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qvec, qvec)))
+                    ELSE 0.0 END, 6) AS cosine_sim
+  FROM short s JOIN vecs ON s.vec_id = vecs.vec_id
+               JOIN qv ON s.query_id = qv.query_id)
+SELECT query_id, vec_id, sq8_dist, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id)
+            AS INTEGER) AS rank
+FROM ref QUALIFY rank <= 10
+"""
+
+
+def hll_distinct_events(spark, sf_dir):
+    """HyperLogLog distinct-user sketch over events: the full dense
+    256-register table (so the gate proves every register byte, not
+    just the scalar), plus the exact-integer harmonic sum, the raw
+    estimate in floor-micro-units, and the true distinct count for
+    error visibility (`functions/sketches.hll_register_table`).
+    The ln()-based small-range correction is pytest-gated
+    (libm-specific), not oracle-gated."""
+    from ..functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    regs = sketches.hll_register_table(ev, "user_id")
+    est = sketches.hll_estimate(regs)
+    ex = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return regs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(ex))
+
+
+HLL_SQL = """
+WITH vals AS (SELECT DISTINCT user_id FROM events),
+hr AS (
+  SELECT CAST(('0x' || substr(md5('hll:' || user_id), 15, 2))::BIGINT
+              AS INTEGER) AS bucket,
+         ('0x' || substr(md5('hll:' || user_id), 1, 14))::BIGINT AS w
+  FROM vals),
+regs AS (
+  SELECT bucket,
+         CAST(MAX(CASE WHEN w = 0 THEN 57
+                       ELSE 57 - length(bin(w)) END) AS INTEGER) AS rho
+  FROM hr GROUP BY bucket),
+full_regs AS MATERIALIZED (
+  SELECT CAST(b.range AS INTEGER) AS bucket,
+         CAST(COALESCE(r.rho, 0) AS INTEGER) AS rho
+  FROM range(256) b LEFT JOIN regs r ON r.bucket = b.range),
+summ AS (
+  SELECT CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(SUM(((1::BIGINT) << (57 - rho))::DECIMAL(38,0)) AS DOUBLE)
+           AS z_scaled,
+         CAST(floor(6.783892839851034e+21
+                    / CAST(SUM(((1::BIGINT) << (57 - rho))::DECIMAL(38,0))
+                           AS DOUBLE) * 1000000.0) AS BIGINT) AS est_micro
+  FROM full_regs),
+ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT bucket, rho, n_zero, z_scaled, est_micro, n_exact
+FROM full_regs CROSS JOIN summ CROSS JOIN ex
+"""
+
+
+def pagerank_nations(spark, sf_dir):
+    """Fixed-iteration integer-unit PageRank over the nation trade
+    graph (supplier nation → customer nation edges from lineitem
+    lineage): the random-walk importance ranking
+    (`functions/graph.pagerank`). Integer micro-unit arithmetic makes
+    every iteration bit-portable; the oracle unrolls all 5 iterations
+    as CTEs."""
+    from ..functions import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("_ck"),
+                  F.col("n_name").alias("dst"))
+    ns = n.select(F.col("n_nationkey").alias("_sk"),
+                  F.col("n_name").alias("src"))
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("_ck"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("_sk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst"))
+    return graph.pagerank(edges, iters=5)
+
+
+def _pagerank_sql(iters: int = 5, micro: int = 1_000_000,
+                  d_num: int = 85, d_den: int = 100) -> str:
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outd AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, {micro} // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT nd.node,
+         (({micro} // (SELECT n FROM nn)) * {d_den - d_num}) // {d_den}
+         + COALESCE(c.s, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((p.r * {d_num}) // ({d_den} * o.od)) AS BIGINT) AS s
+    FROM edges e JOIN r{t - 1} p ON p.node = e.src
+                 JOIN outd o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = nd.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{iters}""")
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+def containment_docs(spark, sf_dir):
+    """Directed shingle containment ≥ 0.6 (subset-duplicate detection:
+    a doc mostly quoted inside another — near-zero Jaccard, high
+    containment). Same inverted-index join bound as the Jaccard gate
+    (`fuzzy.containment_pairs`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.containment_pairs(docs, k=_SHINGLE_K, threshold=0.6,
+                                   min_shingles=10)
+
+
+CONTAINMENT_SQL = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS container_id, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_id, i.container_id,
+       CAST(s.n AS BIGINT) AS n_shingles,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       round(CAST(i.n_common AS DOUBLE) / s.n, 6) AS containment
+FROM inter i JOIN sizes s ON i.doc_id = s.doc_id
+WHERE s.n >= 10 AND round(CAST(i.n_common AS DOUBLE) / s.n, 6) >= 0.6
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6087,7 +6331,17 @@ ALL_QUERIES: dict[str, Query] = {
         # token-pos check: both maxsim gates; fold guard:
         # pq/ivfpq_fold). Demoted: all 39 former head rows at >=3
         # proofs, most recently proven r10. Exactly 50, locked by
-        # tests/test_round8.py::test_head_marker_is_exactly_50 ---
+        # tests/test_round8.py::test_head_marker_is_exactly_50.
+        # Session 2 additions: 5 brand-new gates (bq/sq8/hll/pagerank/
+        # containment) enter at the top; 5 of the r7-stale TPC-H rows
+        # (q10/q11/q13/q16/q17 — equal proof count and staleness to
+        # their demoted peers, tie-break by name) move to the tail and
+        # rotate back next round ---
+        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
+        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
+        Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
+        Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
+        Query("containment_docs", containment_docs, CONTAINMENT_SQL),
         Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
               IVFPQ_RERANK_BOUNDED_SQL),
         Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
@@ -6121,14 +6375,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q10_returned_items", q10_returned_items, Q10_SQL),
-        Query("q11_important_parts", q11_important_parts, Q11_SQL),
-        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
         Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
-              Q17_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
@@ -6148,6 +6396,12 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL),
         Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
               PQ_LLOYD_SQL),
         Query("ivfpq_residual_topk_embeddings",

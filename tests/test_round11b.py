@@ -1,0 +1,414 @@
+"""Round-11 session-2 operator locks: binary quantization, symmetric
+SQ8, HyperLogLog (batch + streaming), integer-unit PageRank, shingle
+containment.
+
+Each family gets (a) a reference-model parity check (numpy / pure
+python — the same discipline as the PQ and MG tests), (b) its
+distribution-shape contracts (packing widths, merge algebra, filter
+semantics), and (c) where the operator trades exactness for scale, a
+measured accuracy bound on a deterministic fixture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import fuzzy, graph, sketches, similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+
+def _emb_np(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.array([r.embedding for r in rows], dtype="float64")
+
+
+class TestBinaryQuant:
+    def test_signatures_match_numpy_sign_bits(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        X = _emb_np(spark, sf_dir)
+        got = {r.vec_id: r.sig for r in
+               similarity.binarize_embeddings(emb, dim=64).collect()}
+        for vid, x in enumerate(X):
+            want = 0
+            for i, v in enumerate(x):
+                if v > 0.0:
+                    want |= 1 << i
+            # interpret as signed 64-bit (Spark long)
+            if want >= 1 << 63:
+                want -= 1 << 64
+            assert got[vid] == [want], vid
+
+    def test_multiword_packing_dim_not_multiple_of_64(self, spark):
+        # dim=70 -> 2 words; second word holds bits 64..69 only
+        vec = [1.0 if i % 3 == 0 else -1.0 for i in range(70)]
+        df = spark.createDataFrame([(0, vec)],
+                                   "vec_id long, embedding array<double>")
+        sig = similarity.binarize_embeddings(df, dim=70).collect()[0].sig
+        assert len(sig) == 2
+        w0 = sum(1 << i for i in range(64) if i % 3 == 0)
+        if w0 >= 1 << 63:
+            w0 -= 1 << 64
+        w1 = sum(1 << (i - 64) for i in range(64, 70) if i % 3 == 0)
+        assert sig == [w0, w1]
+
+    def test_hamming_topk_matches_reference(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        X = _emb_np(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        got = similarity.hamming_topk(emb, q, k=5, dim=64).collect()
+        bits = X > 0.0
+        for qi in range(3):
+            ham = (bits ^ bits[qi]).sum(axis=1)
+            order = sorted(range(len(X)), key=lambda i: (ham[i], i))[:5]
+            mine = [(r.vec_id, r.hamming_dist) for r in
+                    sorted((r for r in got if r.query_id == qi),
+                           key=lambda r: r.rank)]
+            assert mine == [(i, int(ham[i])) for i in order]
+
+    def test_full_refine_recovers_exact_cosine_topk(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        got = similarity.hamming_topk(emb, q, k=10, dim=64, refine=n)
+        want = similarity.cosine_topk(emb, q, k=10)
+        g = [(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+             for r in got.collect()]
+        w = [(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+             for r in want.collect()]
+        assert sorted(g) == sorted(w)
+
+    def test_shortlist_recall_beats_random(self, spark, sf_dir):
+        """Hamming-50 shortlist must capture most of the true cosine
+        top-10 (measured 1.00 on this corpus; random-50 would be ~0.1).
+        Locks that the sign bits actually carry angular signal."""
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        short = similarity.hamming_topk(emb, q, k=50, dim=64)
+        truth = similarity.cosine_topk(emb, q, k=10)
+        s = {(r.query_id, r.vec_id) for r in short.collect()}
+        t = [(r.query_id, r.vec_id) for r in truth.collect()]
+        recall = sum(1 for p in t if p in s) / len(t)
+        assert recall >= 0.5, recall
+
+
+class TestSQ8:
+    def test_codes_hit_grid_endpoints(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 5.0]), (1, [10.0, 5.0]), (2, [5.0, 5.0])],
+            "vec_id long, embedding array<double>")
+        mins, maxs = similarity.sq8_train(df, dim=2)
+        assert mins == [0.0, 5.0] and maxs == [10.0, 5.0]
+        enc = similarity._sq8_attach_grid(
+            df.select("vec_id",
+                      similarity.as_double_array(F.col("embedding"))
+                      .alias("_v")), mins, maxs) \
+            .select("vec_id",
+                    similarity.sq8_encode_col(
+                        F.col("_v"), F.col("_sq_mins"),
+                        F.col("_sq_maxs")).alias("c")).collect()
+        got = {r.vec_id: r.c for r in enc}
+        assert got[0][0] == 0 and got[1][0] == 255 and got[2][0] == 128
+        # degenerate dim (max == min) encodes 0 everywhere
+        assert {got[i][1] for i in range(3)} == {0}
+
+    def test_codes_match_numpy_reference(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        X = _emb_np(spark, sf_dir)
+        mins, maxs = similarity.sq8_train(emb, dim=64)
+        assert mins == [float(m) for m in X.min(axis=0)]
+        assert maxs == [float(m) for m in X.max(axis=0)]
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        got = similarity.sq8_topk(emb, q, k=5, dim=64).collect()
+        mn, mx = np.array(mins), np.array(maxs)
+        span = np.where(mx > mn, mx - mn, 1.0)
+        C = np.clip(np.floor((X - mn) * 255.0 / span + 0.5), 0, 255)
+        C = np.where(mx > mn, C, 0.0).astype("int64")
+        for qi in range(3):
+            d = ((C - C[qi]) ** 2).sum(axis=1)
+            order = sorted(range(len(X)), key=lambda i: (d[i], i))[:5]
+            mine = [(r.vec_id, r.sq8_dist) for r in
+                    sorted((r for r in got if r.query_id == qi),
+                           key=lambda r: r.rank)]
+            assert mine == [(i, int(d[i])) for i in order]
+
+    def test_full_refine_recovers_exact_cosine_topk(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        got = similarity.sq8_topk(emb, q, k=10, dim=64, refine=n)
+        want = similarity.cosine_topk(emb, q, k=10)
+        g = [(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+             for r in got.collect()]
+        w = [(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+             for r in want.collect()]
+        assert sorted(g) == sorted(w)
+
+    def test_explicit_train_equals_default(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        train = similarity.sq8_train(emb, dim=64)
+        a = similarity.sq8_topk(emb, q, k=5, dim=64).collect()
+        b = similarity.sq8_topk(emb, q, k=5, dim=64, train=train).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _hll_py_registers(values, salt="hll"):
+    regs = [0] * 256
+    for v in set(values):
+        h = hashlib.md5(f"{salt}:{v}".encode()).hexdigest()
+        bucket = int(h[14:16], 16)
+        w = int(h[0:14], 16)
+        rho = 57 if w == 0 else 57 - (len(bin(w)) - 2)
+        regs[bucket] = max(regs[bucket], rho)
+    return regs
+
+
+class TestHLL:
+    def test_registers_match_python_reference(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        want = _hll_py_registers(
+            r.user_id for r in ev.select("user_id").collect())
+        got = {r.bucket: r.rho for r in
+               sketches.hll_register_table(ev, "user_id").collect()}
+        assert [got[b] for b in range(256)] == want
+
+    def test_estimate_micro_matches_python(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        regs = _hll_py_registers(
+            r.user_id for r in ev.select("user_id").collect())
+        z = sum(1 << (57 - r) for r in regs)
+        want = math.floor(sketches.HLL_EST_CONST / float(z) * 1e6)
+        row = sketches.hll_distinct(ev, "user_id").collect()[0]
+        assert row.est_micro == want
+        assert row.n_zero == sum(1 for r in regs if r == 0)
+
+    def test_merge_is_register_max(self, spark, sf_dir):
+        """Sketch of the union == element-wise MAX of the halves'
+        sketches — the mergeability property that makes HLL work
+        map-side and across micro-batches."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = ev.filter(F.col("user_id") % 2 == 0)
+        b = ev.filter(F.col("user_id") % 2 == 1)
+        ra = {r.bucket: r.rho for r in
+              sketches.hll_register_table(a, "user_id").collect()}
+        rb = {r.bucket: r.rho for r in
+              sketches.hll_register_table(b, "user_id").collect()}
+        ru = {r.bucket: r.rho for r in
+              sketches.hll_register_table(ev, "user_id").collect()}
+        for bkt in range(256):
+            assert ru[bkt] == max(ra[bkt], rb[bkt])
+
+    def test_grouped_registers(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        regs = sketches.hll_register_table(ev, "user_id",
+                                           group_cols=["event_type"])
+        n_types = ev.select("event_type").distinct().count()
+        assert regs.count() == 256 * n_types
+        est = sketches.hll_estimate(regs, group_cols=["event_type"])
+        assert est.count() == n_types
+
+    def test_corrected_estimate_accuracy(self, spark):
+        """5000 distinct values: raw estimate must land within the
+        ~3σ HLL error band (1.04/√256 ≈ 6.5% per σ). Deterministic
+        fixture (md5 hashing), so this is a fixed measurement, not a
+        flaky statistical test."""
+        df = spark.range(5000).select(F.col("id").alias("v"))
+        row = sketches.hll_distinct(df, "v", corrected=True).collect()[0]
+        assert abs(row.estimate - 5000) / 5000 < 0.20, row.estimate
+
+    def test_corrected_small_range_uses_linear_counting(self, spark):
+        """15 distinct values: raw HLL wildly overestimates below
+        ~m/4; the corrected form must fall back to linear counting and
+        land within ±2 of the truth."""
+        df = spark.range(15).select(F.col("id").alias("v"))
+        row = sketches.hll_distinct(df, "v", corrected=True).collect()[0]
+        assert abs(row.estimate - 15) <= 2, row.estimate
+
+    def test_stream_matches_batch_across_passes(self, spark, tmp_path,
+                                                sf_dir):
+        """Two availableNow passes over a growing topic: the final
+        streaming (n_zero, est_micro) per group equals the batch
+        sketch of the union — register MAX merging across batches."""
+        from incubator_pulsar_spark.streaming.sketches import (
+            hll_distinct_stream)
+
+        src = str(tmp_path / "ev_topic")
+        sink = str(tmp_path / "hll_out")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_type", "user_id")
+        first = ev.filter(F.col("user_id") % 2 == 0)
+        second = ev.filter(F.col("user_id") % 2 == 1)
+        first.write.parquet(src)
+
+        def run(tag):
+            stream = spark.readStream.schema(first.schema).parquet(src)
+            out = hll_distinct_stream(stream, ["event_type"], "user_id")
+
+            def write(df, batch_id):
+                df.withColumn("pass_tag", F.lit(tag)) \
+                    .write.mode("append").parquet(sink)
+
+            (out.writeStream.foreachBatch(write).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start().awaitTermination(120))
+
+        run(0)
+        second.write.mode("append").parquet(src)
+        run(1)
+
+        got = {}
+        for r in spark.read.parquet(sink).orderBy("pass_tag").collect():
+            got[r.event_type] = (r.n_zero, r.est_micro)
+        regs = sketches.hll_register_table(ev, "user_id",
+                                           group_cols=["event_type"])
+        want = {r.event_type: (r.n_zero, r.est_micro)
+                for r in sketches.hll_estimate(
+                    regs, group_cols=["event_type"]).collect()}
+        assert got == want
+
+
+def _pr_reference(E, iters=5, micro=10**6):
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    out = {}
+    for s, d in set(E):
+        out.setdefault(s, set()).add(d)
+    r = {v: micro // n for v in nodes}
+    base = ((micro // n) * 15) // 100
+    for _ in range(iters):
+        nr = {v: base for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                nr[d] += (r[s] * 85) // (100 * len(ds))
+        r = nr
+    return r
+
+
+class TestPageRank:
+    EDGES = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(60)] + \
+            [("n0", "n5"), ("n5", "n0"), ("hub", "n0"),
+             ("n1", "hub"), ("n2", "hub"), ("n3", "hub")]
+
+    def _df(self, spark, edges):
+        return spark.createDataFrame(
+            [(s, d) for s, d in edges if s != d], "src string, dst string")
+
+    def test_matches_integer_reference(self, spark):
+        edges = [(s, d) for s, d in self.EDGES if s != d]
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank(self._df(spark, edges),
+                                       iters=5).collect()}
+        assert got == _pr_reference(edges)
+
+    def test_duplicate_edges_collapse(self, spark):
+        edges = [("a", "b"), ("b", "a")]
+        once = graph.pagerank(self._df(spark, edges), iters=3).collect()
+        thrice = graph.pagerank(self._df(spark, edges * 3),
+                                iters=3).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
+
+    def test_mass_conservation_bound(self, spark):
+        """Total rank never exceeds the initial mass (floor bias and
+        dangling decay only LOSE micro-units, never mint them)."""
+        edges = [(s, d) for s, d in self.EDGES if s != d]
+        rows = graph.pagerank(self._df(spark, edges), iters=5).collect()
+        assert sum(r.rank_micro for r in rows) <= 10**6
+
+    def test_dangling_node_decays_to_base(self, spark):
+        # 'sink' has no out-edges; after enough iterations its rank is
+        # base + its single incoming contribution
+        edges = [("a", "sink"), ("b", "a"), ("a", "b")]
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank(self._df(spark, edges),
+                                       iters=5).collect()}
+        assert got == _pr_reference(edges)
+        # hub 'a' (in-edges from b) outranks the pure sink
+        assert got["a"] > got["sink"] or got["sink"] < 10**6 // 3
+
+    def test_hub_outranks_periphery(self, spark):
+        # star graph: everything points at 'hub'
+        edges = [(f"s{i}", "hub") for i in range(8)] + [("hub", "s0")]
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank(self._df(spark, edges),
+                                       iters=5).collect()}
+        assert got["hub"] == max(got.values())
+        assert got["s0"] > got["s1"]  # s0 receives hub's mass
+
+
+class TestContainment:
+    def test_subset_dup_found_where_jaccard_misses(self, spark):
+        short = "alpha beta gamma delta epsilon zeta"
+        long_doc = ("prefix padding words here and more filler " * 5
+                    + short + " suffix trailer closing words " * 5)
+        docs = spark.createDataFrame(
+            [(1, short), (2, long_doc), (3, "unrelated content entirely")],
+            "doc_id long, text string")
+        got = fuzzy.containment_pairs(docs, k=5, threshold=0.9).collect()
+        pairs = {(r.doc_id, r.container_id): r.containment for r in got}
+        assert pairs.get((1, 2)) == 1.0
+        # the reverse direction is NOT a containment (long ⊄ short)
+        assert (2, 1) not in pairs
+        # Jaccard misses it at any usable threshold (union dominated
+        # by the long doc)
+        jac = fuzzy.jaccard_pairs(docs, k=5, threshold=0.3).collect()
+        assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+    def test_exact_against_python_sets(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .limit(60).cache()
+        rows = docs.collect()
+
+        def shingles(t):
+            norm = " ".join(t.lower().split())
+            # mirror char_shingles: k=5 char grams, whole text if short
+            k = 5
+            if len(norm) <= k:
+                return {norm}
+            return {norm[i:i + k] for i in range(len(norm) - k + 1)}
+
+        want = {}
+        ss = {r.doc_id: shingles(r.text) for r in rows}
+        for a, sa in ss.items():
+            for b, sb in ss.items():
+                if a == b or len(sa) < 10:
+                    continue
+                c = round(len(sa & sb) / len(sa), 6)
+                if c >= 0.4:
+                    want[(a, b)] = (len(sa), len(sa & sb), c)
+        got = {(r.doc_id, r.container_id):
+               (r.n_shingles, r.n_common, r.containment)
+               for r in fuzzy.containment_pairs(
+                   docs, k=5, threshold=0.4, min_shingles=10).collect()}
+        docs.unpersist()
+        assert got == want
+
+    def test_min_shingles_filter(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abcde"), (2, "abcde fghij klmno pqrst uvwxy")],
+            "doc_id long, text string")
+        # doc 1 has ONE shingle (whole text) -> filtered at min 2
+        got = fuzzy.containment_pairs(docs, k=5, threshold=0.5,
+                                      min_shingles=2).collect()
+        assert not any(r.doc_id == 1 for r in got)
