@@ -175,6 +175,12 @@ BENCH_QUERIES = [
     # MaxSim lifecycle (2 scored batches + log finalize)
     "ivfpq_rerank_bounded",
     "maxsim_stream_topk_embeddings",
+    # round-11 session 2: the 1-bit and 8-bit quantization scan shapes,
+    # the HLL register build, and the 5-iteration PageRank
+    "bq_topk_embeddings",
+    "sq8_topk_embeddings",
+    "hll_distinct_events",
+    "pagerank_nations",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
@@ -189,6 +195,12 @@ BENCH_QUERIES = [
     #   docs into every band bucket (92s of candidate explosion); on
     #   any realistic-diversity corpus band groups are tiny — measured
     #   and documented rather than benched
+    # - containment_docs: same hot-shingle pair explosion as
+    #   ngram_jaccard_pairs (it shares the inverted-index join), made
+    #   worse by the corpus being containment-dense by construction:
+    #   786 rows at sf0.01 -> 94,014 rows at sf0.1 (output-bound
+    #   superlinear, 116s); oracle-gated exact at all three SFs,
+    #   SCALING.md carries the curve
 ]
 
 

@@ -6232,7 +6232,7 @@ def pagerank_nations(spark, sf_dir):
         .join(F.broadcast(ns), s["s_nationkey"] == F.col("_sk"))
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst"))
-    return graph.pagerank(edges, iters=5)
+    return graph.pagerank(edges, iters=5, broadcast_ranks=True)
 
 
 def _pagerank_sql(iters: int = 5, micro: int = 1_000_000,
