@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "sq8_topk_embeddings",
     "hll_distinct_events",
     "pagerank_nations",
+    "bq_index_topk_embeddings",
+    "mad_outliers_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
@@ -195,6 +197,11 @@ BENCH_QUERIES = [
     #   docs into every band bucket (92s of candidate explosion); on
     #   any realistic-diversity corpus band groups are tiny — measured
     #   and documented rather than benched
+    # - minhash_estimate_docs: the LSH candidate set on this corpus is
+    #   the same collision-dense stream (60,701 pairs at sf0.1, 109s —
+    #   mostly the with_exact verification join over them); the
+    #   estimate itself is 16 string compares per pair. Oracle-gated
+    #   exact at all three SFs
     # - containment_docs: same hot-shingle pair explosion as
     #   ngram_jaccard_pairs (it shares the inverted-index join), made
     #   worse by the corpus being containment-dense by construction:

@@ -709,3 +709,53 @@ def containment_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_jaccard_estimate(docs: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 5,
+                             num_hashes: int = 16, bands: int = 4,
+                             candidates: DataFrame | None = None,
+                             with_exact: bool = True) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    agreeing signature components — the number production dedup
+    actually thresholds on (the exact shingle-set join is the
+    verification path, not the scale path: signatures are
+    num_hashes·4 bytes per doc vs the full shingle set).
+
+    Candidates default to the LSH band pairs (so the whole chain is
+    signature-driven end to end). ``with_exact=True`` joins the exact
+    Jaccard alongside for estimator-quality visibility (costs the
+    shingle join over candidate docs only — drop it at scale).
+    Output: (doc_a, doc_b, n_agree, est_jaccard [, jaccard]).
+
+    E[est] = J and the estimate is a deterministic function of the
+    md5 family — same run, any engine, any partitioning.
+    """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(docs, id_col=id_col,
+                                         text_col=text_col, k=k,
+                                         num_hashes=num_hashes, bands=bands)
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col,
+                              k=k, num_hashes=num_hashes)
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"),
+                        *[F.col(f"sig_{i}").alias(f"_a{i}")
+                          for i in range(num_hashes)])
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"),
+                        *[F.col(f"sig_{i}").alias(f"_b{i}")
+                          for i in range(num_hashes)])
+    agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                for i in range(num_hashes))
+    est = (candidates.join(sig_a, on="doc_a").join(sig_b, on="doc_b")
+           .select("doc_a", "doc_b",
+                   agree.cast("long").alias("n_agree"))
+           .withColumn("est_jaccard",
+                       F.round(F.col("n_agree") / F.lit(float(num_hashes)),
+                               6)))
+    if not with_exact:
+        return est
+    exact = jaccard_pairs(docs, id_col=id_col, text_col=text_col, k=k,
+                          threshold=0.0, candidates=candidates)
+    return (est.join(exact, on=["doc_a", "doc_b"], how="left")
+            .select("doc_a", "doc_b", "n_agree", "est_jaccard",
+                    F.coalesce(F.col("jaccard"), F.lit(0.0))
+                    .alias("jaccard")))

@@ -136,3 +136,38 @@ def exact_quantiles_bucketed(
                   + ["n long"]))
     return out.join(F.broadcast(n_df), group_cols) \
         .select(*group_cols, "n", *[a for _, _, a in qs])
+
+
+def mad_outliers(df: DataFrame, group_cols: list[str], value_col: str, *,
+                 k_num: int = 3, k_den: int = 1) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation.
+
+    Outlier ⇔ |x − median| · k_den > MAD · k_num (the robust z-score
+    test with the default k = 3; the rational k and the
+    multiply-instead-of-divide form keep the comparison exact —
+    MAD = 0 groups flag every off-median value, the standard MAD
+    degeneracy, rather than dividing by zero).
+
+    Both medians are TYPE-1 discrete quantiles (``exact_quantiles``
+    rank math — position ⌈n/2⌉ of the sorted multiset), so every
+    intermediate is an untouched data value or an exact IEEE
+    difference: the whole test is value-hash portable, unlike
+    mean/σ z-scores (float-fold order). Two window passes + one
+    aggregate; the deviations never leave the executors.
+
+    Output: group_cols + (n, median_value, mad, n_outliers).
+    """
+    med = exact_quantiles(df, group_cols, value_col,
+                          [(1, 2, "median_value")])
+    dev = (df.join(med.select(*group_cols, "median_value"), on=group_cols)
+           .withColumn("_dev", F.abs(F.col(value_col)
+                                     - F.col("median_value"))))
+    mad = exact_quantiles(dev, group_cols, "_dev", [(1, 2, "mad")]) \
+        .select(*group_cols, "mad")
+    flagged = dev.join(mad, on=group_cols)
+    return (flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("median_value").alias("median_value"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(F.col("_dev") * k_den > F.col("mad") * k_num, 1)
+              .otherwise(0)).cast("long").alias("n_outliers")))

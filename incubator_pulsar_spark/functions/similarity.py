@@ -2174,11 +2174,29 @@ def hamming_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     per-pair work cut from d multiplies to d/64 XOR+popcounts."""
     e = binarize_embeddings(ensure_parallelism(embeddings), id_col=id_col,
                             vec_col=vec_col, dim=dim, threshold=threshold)
+    vecs = None
+    if refine is not None:
+        vecs = embeddings.select(F.col(id_col).alias("vec_id"),
+                                 as_double_array(F.col(vec_col)).alias("_cv"))
+    return _hamming_rank(e, queries, k, dim=dim, threshold=threshold,
+                         refine=refine, vecs=vecs,
+                         query_id_col=query_id_col,
+                         query_vec_col=query_vec_col)
+
+
+def _hamming_rank(sig_table: DataFrame, queries: DataFrame, k: int, *,
+                  dim: int, threshold: float, refine: int | None,
+                  vecs: DataFrame | None,
+                  query_id_col: str = "query_id",
+                  query_vec_col: str = "query_vec") -> DataFrame:
+    """Shared rank body for the one-shot and persisted-index forms:
+    (sig_table: vec_id, sig) × broadcast query signatures → Hamming
+    window, optional exact-cosine refine over the shortlist."""
     q = binarize_embeddings(queries, id_col=query_id_col,
                             vec_col=query_vec_col, dim=dim,
                             threshold=threshold, out_col="qsig") \
         .withColumnRenamed("vec_id", "query_id")
-    scored = e.crossJoin(F.broadcast(q)).select(
+    scored = sig_table.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id",
         hamming(F.col("sig"), F.col("qsig")).alias("hamming_dist"))
     w = Window.partitionBy("query_id").orderBy("hamming_dist", "vec_id")
@@ -2186,11 +2204,12 @@ def hamming_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "vec_id", "hamming_dist", "rank"))
+    if vecs is None:
+        raise ValueError("refine mode needs vectors= (the corpus table "
+                         "with the true vectors)")
     short = (scored.withColumn("_hr", F.row_number().over(w))
              .filter(F.col("_hr") <= refine)
              .drop("_hr"))
-    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
-                             as_double_array(F.col(vec_col)).alias("_cv"))
     qv = queries.select(F.col(query_id_col).alias("query_id"),
                         as_double_array(F.col(query_vec_col)).alias("_qv"))
     ref = (short.join(vecs, on="vec_id").join(F.broadcast(qv), on="query_id")
@@ -2203,6 +2222,86 @@ def hamming_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "hamming_dist", "cosine_sim",
                     "rank"))
+
+
+def bq_write_index(embeddings: DataFrame, path: str, *, dim: int,
+                   threshold: float = 0.0, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> int:
+    """Persist a binary-quantization index: the packed sign-bit
+    signature table (vec_id, sig: d/64 longs — 256× smaller than
+    float32×4) under ``{path}/base`` with a ``_bq_meta.json`` sidecar
+    (dim, threshold). Unlike PQ there is NO training state — the
+    signature of a vector is a pure function of (vector, threshold) —
+    so appends need no frozen-codebook discipline and the index can
+    never drift from its quantizer. Returns the row count written."""
+    import json as _json
+    import os as _os
+
+    enc = binarize_embeddings(ensure_parallelism(embeddings),
+                              id_col=id_col, vec_col=vec_col, dim=dim,
+                              threshold=threshold)
+    enc.persist()
+    try:
+        n = enc.count()
+        enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
+    finally:
+        enc.unpersist()
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_bq_meta.json"), "w") as f:
+        _json.dump({"dim": dim, "threshold": threshold}, f)
+    return n
+
+
+def bq_append_index(embeddings: DataFrame, path: str, *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> int:
+    """Append new vectors' signatures — O(batch) map-only encode under
+    the sidecar's pinned (dim, threshold); prior files byte-untouched
+    (the ``pq_append_index`` contract)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_bq_meta.json")) as f:
+        meta = _json.load(f)
+    enc = binarize_embeddings(embeddings, id_col=id_col, vec_col=vec_col,
+                              dim=meta["dim"], threshold=meta["threshold"])
+    enc.persist()
+    try:
+        n = enc.count()
+        enc.write.mode("append").parquet(_os.path.join(path, "base"))
+    finally:
+        enc.unpersist()
+    return n
+
+
+def bq_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
+                    refine: int | None = None,
+                    vectors: DataFrame | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "query_vec") -> DataFrame:
+    """Probe a persisted BQ index: the Hamming scan reads ONLY the
+    packed signature column (the float vectors never move);
+    ``refine=R`` joins back just the R·Q shortlisted true vectors from
+    ``vectors``. Same deterministic output contract as
+    ``hamming_topk`` — the two are interchangeable row for row."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_bq_meta.json")) as f:
+        meta = _json.load(f)
+    sigs = spark.read.parquet(_os.path.join(path, "base"))
+    vecs = None
+    if refine is not None:
+        if vectors is None:
+            raise ValueError("refine mode needs vectors= (the corpus "
+                             "table with the true vectors)")
+        vecs = vectors.select(F.col(id_col).alias("vec_id"),
+                              as_double_array(F.col(vec_col)).alias("_cv"))
+    return _hamming_rank(sigs, queries, k, dim=meta["dim"],
+                         threshold=meta["threshold"], refine=refine,
+                         vecs=vecs, query_id_col=query_id_col,
+                         query_vec_col=query_vec_col)
 
 
 # --------------------------------------------------------------------------

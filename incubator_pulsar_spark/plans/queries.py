@@ -6302,6 +6302,120 @@ WHERE s.n >= 10 AND round(CAST(i.n_common AS DOUBLE) / s.n, 6) >= 0.6
 """
 
 
+def bq_index_topk_embeddings(spark, sf_dir):
+    """Persisted binary-quantization index lifecycle: build on the even
+    half, append the odd half, probe with refine. Signatures are a
+    PURE FUNCTION of (vector, threshold) — no training state — so the
+    oracle is the one-shot BQ chain verbatim: lifecycle == one-shot is
+    exactly the property the gate proves
+    (`similarity.bq_write_index/bq_append_index/bq_search_index`)."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_bqidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.bq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d, dim=64)
+    similarity.bq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.bq_search_index(spark, d, q, k=10, refine=50,
+                                      vectors=emb)
+
+
+BQ_INDEX_SQL = BQ_TOPK_SQL  # training-free: lifecycle == one-shot
+
+
+def minhash_estimate_docs(spark, sf_dir):
+    """MinHash Jaccard estimation over the LSH candidate pairs — the
+    signature-agreement fraction production dedup thresholds on, with
+    the exact Jaccard alongside for estimator-quality visibility
+    (`fuzzy.minhash_jaccard_estimate`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.minhash_jaccard_estimate(docs, k=_SHINGLE_K)
+
+
+def _minhash_estimate_sql() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(16))
+    return f"""
+WITH {_shingles_cte()},
+{_minhash_ctes()},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT doc_a, doc_b, CAST({agree} AS BIGINT) AS n_agree
+  FROM cand JOIN sigs sa ON doc_a = sa.doc_id
+            JOIN sigs sb ON doc_b = sb.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT g.doc_a, g.doc_b, g.n_agree,
+       round(g.n_agree / 16.0, 6) AS est_jaccard,
+       COALESCE(round(CAST(i.n_common AS DOUBLE)
+                      / (sa.n + sb.n - i.n_common), 6), 0.0) AS jaccard
+FROM agree g
+LEFT JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+JOIN sizes sa ON g.doc_a = sa.doc_id
+JOIN sizes sb ON g.doc_b = sb.doc_id
+"""
+
+
+MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
+
+
+def mad_outliers_events(spark, sf_dir):
+    """Robust per-type outlier counts on event values: median absolute
+    deviation with k = 3 (`functions/quantiles.mad_outliers`) — both
+    medians are type-1 rank-math quantiles, so the whole test is
+    value-hash portable (mean/σ z-scores are float-fold-order-
+    dependent and could never gate)."""
+    from ..functions.quantiles import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, ["event_type"], "value")
+
+
+MAD_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
+                  THEN value END) AS median_value
+  FROM (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+  GROUP BY event_type),
+d AS (
+  SELECT e.event_type, abs(e.value - m.median_value) AS dev,
+         m.median_value
+  FROM events e JOIN m USING (event_type)),
+md AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
+                  THEN dev END) AS mad
+  FROM (SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM d)
+  GROUP BY event_type)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       max(d.median_value) AS median_value, max(md.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev * 1 > md.mad * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type) GROUP BY d.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6337,6 +6451,11 @@ ALL_QUERIES: dict[str, Query] = {
         # (q10/q11/q13/q16/q17 — equal proof count and staleness to
         # their demoted peers, tie-break by name) move to the tail and
         # rotate back next round ---
+        Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
+              BQ_INDEX_SQL),
+        Query("minhash_estimate_docs", minhash_estimate_docs,
+              MINHASH_ESTIMATE_SQL),
+        Query("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL),
         Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
         Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
@@ -6375,9 +6494,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
-        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
@@ -6396,6 +6512,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q10_returned_items", q10_returned_items, Q10_SQL),
         Query("q11_important_parts", q11_important_parts, Q11_SQL),
         Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),

@@ -421,3 +421,177 @@ class TestContainment:
         b = graph.pagerank(self._df(spark, edges), iters=5,
                            broadcast_ranks=True).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestBQIndex:
+    def test_lifecycle_equals_one_shot(self, spark, tmp_path, sf_dir):
+        """build-half + append-half probe == one-shot hamming_topk —
+        the training-free contract (signatures are pure functions of
+        the vectors, so the split cannot matter)."""
+        emb = _emb(spark, sf_dir)
+        d = str(tmp_path / "bq")
+        n0 = similarity.bq_write_index(
+            emb.filter(F.col("vec_id") % 2 == 0), d, dim=64)
+        n1 = similarity.bq_append_index(
+            emb.filter(F.col("vec_id") % 2 == 1), d)
+        assert n0 + n1 == emb.count()
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        a = similarity.bq_search_index(spark, d, q, k=5, refine=20,
+                                       vectors=emb).collect()
+        b = similarity.hamming_topk(emb, q, k=5, dim=64,
+                                    refine=20).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_append_leaves_prior_files_untouched(self, spark, tmp_path,
+                                                 sf_dir):
+        import os
+
+        emb = _emb(spark, sf_dir)
+        d = str(tmp_path / "bq")
+        similarity.bq_write_index(emb.filter(F.col("vec_id") % 2 == 0),
+                                  d, dim=64)
+        base = os.path.join(d, "base")
+        before = {f: os.path.getmtime(os.path.join(base, f))
+                  for f in os.listdir(base) if f.endswith(".parquet")}
+        similarity.bq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+        after = {f: os.path.getmtime(os.path.join(base, f))
+                 for f in os.listdir(base) if f.endswith(".parquet")}
+        for f, t in before.items():
+            assert after[f] == t, f
+        assert len(after) > len(before)
+
+    def test_meta_threshold_pinned(self, spark, tmp_path):
+        """Appends encode under the SIDECAR's threshold, not a caller
+        default — a nonzero build threshold must flip the bits of an
+        appended vector sitting between 0 and the threshold."""
+        df0 = spark.createDataFrame([(0, [1.0, -1.0])],
+                                    "vec_id long, embedding array<double>")
+        df1 = spark.createDataFrame([(1, [0.25, -1.0])],
+                                    "vec_id long, embedding array<double>")
+        d = str(tmp_path / "bq")
+        similarity.bq_write_index(df0, d, dim=2, threshold=0.5)
+        similarity.bq_append_index(df1, d)
+        sigs = {r.vec_id: r.sig
+                for r in spark.read.parquet(f"{d}/base").collect()}
+        assert sigs[1] == [0]  # 0.25 < 0.5 threshold -> bit clear
+
+
+class TestMinhashEstimate:
+    def test_matches_python_minhash(self, spark):
+        """Signature agreement fraction replayed in pure python over
+        the same md5 family (4 digests × 4 disjoint 8-hex slices)."""
+        import hashlib
+
+        texts = {1: "the quick brown fox jumps over the lazy dog",
+                 2: "the quick brown fox jumps over the lazy cat",
+                 3: "the quick brown fox leaps over the lazy dog"}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        cand = spark.createDataFrame([(1, 2), (1, 3), (2, 3)],
+                                     "doc_a long, doc_b long")
+        got = {(r.doc_a, r.doc_b): (r.n_agree, r.est_jaccard, r.jaccard)
+               for r in fuzzy.minhash_jaccard_estimate(
+                   docs, k=5, candidates=cand).collect()}
+
+        def sig(t):
+            norm = " ".join(t.lower().split())
+            sh = {norm[i:i + 5] for i in range(max(len(norm) - 4, 1))}
+            out = []
+            for i in range(16):
+                digest = lambda s: hashlib.md5(
+                    (s + "#" * (i // 4)).encode()).hexdigest()
+                out.append(min(digest(s)[(i % 4) * 8:(i % 4) * 8 + 8]
+                               for s in sh))
+            return out, sh
+
+        for a, b in [(1, 2), (1, 3), (2, 3)]:
+            sa, sha = sig(texts[a])
+            sb, shb = sig(texts[b])
+            n_agree = sum(1 for x, y in zip(sa, sb) if x == y)
+            jac = round(len(sha & shb) / len(sha | shb), 6)
+            assert got[(a, b)] == (n_agree, round(n_agree / 16.0, 6), jac)
+
+    def test_identical_docs_estimate_one(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "exactly the same text body here"),
+             (2, "exactly the same text body here")],
+            "doc_id long, text string")
+        rows = fuzzy.minhash_jaccard_estimate(docs, k=5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_agree, r.est_jaccard, r.jaccard) == (16, 1.0, 1.0)
+
+    def test_without_exact_skips_shingle_join(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aaaa bbbb cccc dddd"), (2, "aaaa bbbb cccc eeee")],
+            "doc_id long, text string")
+        cols = fuzzy.minhash_jaccard_estimate(
+            docs, k=5, with_exact=False).columns
+        assert cols == ["doc_a", "doc_b", "n_agree", "est_jaccard"]
+
+
+class TestMadOutliers:
+    def _ref(self, rows, k=3):
+        import statistics
+
+        def med_type1(xs):
+            xs = sorted(xs)
+            return xs[(len(xs) * 1 + 1) // 2 - 1] if (len(xs) + 1) % 2 or True \
+                else None
+
+        # type-1 median: element at ceil(n/2) (1-based)
+        def t1(xs):
+            xs = sorted(xs)
+            import math
+            return xs[math.ceil(len(xs) / 2) - 1]
+
+        out = {}
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for g, v in rows:
+            groups[g].append(v)
+        for g, vs in groups.items():
+            m = t1(vs)
+            devs = [abs(v - m) for v in vs]
+            mad = t1(devs)
+            out[g] = (len(vs), m, mad,
+                      sum(1 for d in devs if d * 1 > mad * k))
+        return out
+
+    def test_matches_python_reference(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions.quantiles import mad_outliers
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rows = [(r.event_type, r.value)
+                for r in ev.select("event_type", "value").collect()]
+        want = self._ref(rows)
+        got = {r.event_type: (r.n, r.median_value, r.mad, r.n_outliers)
+               for r in mad_outliers(ev, ["event_type"],
+                                     "value").collect()}
+        assert got == want
+
+    def test_mad_zero_degeneracy(self, spark):
+        """Constant-majority group: MAD = 0, every off-median value
+        flags (the documented degeneracy — never a divide-by-zero)."""
+        from incubator_pulsar_spark.functions.quantiles import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", 5.0)] * 7 + [("g", 9.0), ("g", 1.0)],
+            "grp string, v double")
+        r = mad_outliers(df, ["grp"], "v").collect()[0]
+        assert (r.median_value, r.mad, r.n_outliers) == (5.0, 0.0, 2)
+
+    def test_k_parameter(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]],
+            "grp string, v double")
+        loose = mad_outliers(df, ["grp"], "v", k_num=10,
+                             k_den=1).collect()[0]
+        tight = mad_outliers(df, ["grp"], "v", k_num=1,
+                             k_den=1).collect()[0]
+        assert loose.n_outliers < tight.n_outliers
+        assert loose.n_outliers >= 1  # 100 is always an outlier
