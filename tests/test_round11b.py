@@ -595,3 +595,50 @@ class TestMadOutliers:
                              k_den=1).collect()[0]
         assert loose.n_outliers < tight.n_outliers
         assert loose.n_outliers >= 1  # 100 is always an outlier
+
+
+class TestCosineGemm:
+    def test_parity_with_fold_form(self, spark, sf_dir):
+        """GEMM twin == oracle-exact fold form, row for row, on the
+        fixture corpus (round-6 sims, (cosine DESC, vec_id) ties)."""
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        a = sorted(map(tuple,
+                       similarity.cosine_topk(emb, q, k=10).collect()))
+        b = sorted(map(tuple,
+                       similarity.cosine_topk_gemm(emb, q, k=10).collect()))
+        assert a == b
+
+    def test_boundary_ties_break_by_id(self, spark):
+        """Constructed tie AT the per-partition top-k boundary: three
+        identical vectors competing for the last two slots must keep
+        the two smallest ids (the argpartition widen-then-lexsort
+        path)."""
+        v = [1.0, 0.0]
+        rows = [(i, v) for i in range(5)] + [(9, [0.0, 1.0])]
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        q = spark.createDataFrame([(0, v)],
+                                  "query_id long, query_vec array<double>")
+        got = [(r.vec_id, r.rank) for r in
+               similarity.cosine_topk_gemm(emb, q, k=3).orderBy("rank")
+               .collect()]
+        assert got == [(0, 1), (1, 2), (2, 3)]
+
+    def test_k_larger_than_corpus(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        q = spark.createDataFrame([(7, [1.0, 1.0])],
+                                  "query_id long, query_vec array<double>")
+        got = similarity.cosine_topk_gemm(emb, q, k=10).collect()
+        assert len(got) == 2
+
+    def test_empty_queries(self, spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        assert similarity.cosine_topk_gemm(emb, q, k=5).count() == 0
