@@ -347,6 +347,15 @@ class TestPageRank:
         # hub 'a' (in-edges from b) outranks the pure sink
         assert got["a"] > got["sink"] or got["sink"] < 10**6 // 3
 
+    def test_broadcast_ranks_identical_output(self, spark):
+        """broadcast_ranks=True is a pure plan change: bit-identical
+        ranks to the default shuffle-join form."""
+        edges = [(s, d) for s, d in self.EDGES if s != d]
+        a = graph.pagerank(self._df(spark, edges), iters=5).collect()
+        b = graph.pagerank(self._df(spark, edges), iters=5,
+                           broadcast_ranks=True).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_hub_outranks_periphery(self, spark):
         # star graph: everything points at 'hub'
         edges = [(f"s{i}", "hub") for i in range(8)] + [("hub", "s0")]
@@ -412,15 +421,6 @@ class TestContainment:
         got = fuzzy.containment_pairs(docs, k=5, threshold=0.5,
                                       min_shingles=2).collect()
         assert not any(r.doc_id == 1 for r in got)
-
-    def test_broadcast_ranks_identical_output(self, spark):
-        """broadcast_ranks=True is a pure plan change: bit-identical
-        ranks to the default shuffle-join form."""
-        edges = [(s, d) for s, d in self.EDGES if s != d]
-        a = graph.pagerank(self._df(spark, edges), iters=5).collect()
-        b = graph.pagerank(self._df(spark, edges), iters=5,
-                           broadcast_ranks=True).collect()
-        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 class TestBQIndex:
