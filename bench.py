@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "pagerank_nations",
     "bq_index_topk_embeddings",
     "mad_outliers_events",
+    "pagerank_weighted_nations",
+    "pagerank_personalized_nations",
+    "triangle_count_nations",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
@@ -202,6 +205,10 @@ BENCH_QUERIES = [
     #   mostly the with_exact verification join over them); the
     #   estimate itself is 16 string compares per pair. Oracle-gated
     #   exact at all three SFs
+    # - neardup_keep_best_docs: CC + keep-best window over the SAME
+    #   exact-Jaccard 0.4 pair graph as neardup_clusters (excluded
+    #   below) — 173s at sf0.1, all of it the constant-collision pair
+    #   graph; oracle-gated exact at all three SFs (6.1s at sf0.01)
     # - containment_docs: same hot-shingle pair explosion as
     #   ngram_jaccard_pairs (it shares the inverted-index join), made
     #   worse by the corpus being containment-dense by construction:

@@ -759,3 +759,35 @@ def minhash_jaccard_estimate(docs: DataFrame, *, id_col: str = "doc_id",
             .select("doc_a", "doc_b", "n_agree", "est_jaccard",
                     F.coalesce(F.col("jaccard"), F.lit(0.0))
                     .alias("jaccard")))
+
+
+def neardup_keep_best(docs: DataFrame, pairs: DataFrame,
+                      score_col: str, *, id_col: str = "doc_id",
+                      src_col: str = "doc_a", dst_col: str = "doc_b",
+                      higher_is_better: bool = True) -> DataFrame:
+    """Quality-aware dedup cluster resolution: label every document
+    with its near-dup cluster and keep the HIGHEST-SCORING member —
+    the step real pipelines ship instead of keep-lowest-id (when a
+    page is crawled five times, you keep the cleanest capture, not the
+    smallest doc_id).
+
+    ``pairs`` is any verified pair table (exact Jaccard, LSH-verified,
+    containment); clusters come from ``connected_components``;
+    selection is a deterministic window: (score DESC|ASC, doc_id) —
+    score ties fall back to the lowest id, so the output is stable
+    under any partitioning. Output: (doc_id, cluster_id, score, keep);
+    singletons keep themselves.
+    """
+    cc = connected_components(pairs, src_col=src_col, dst_col=dst_col,
+                              all_ids=docs, id_col=id_col)
+    scored = cc.join(
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(score_col).alias("_score")), on="id")
+    order = (F.col("_score").desc() if higher_is_better
+             else F.col("_score").asc())
+    w = Window.partitionBy("cluster").orderBy(order, F.col("id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("cluster").alias("cluster_id"),
+                    F.col("_score").alias("score"),
+                    (F.col("_rn") == 1).alias("keep")))

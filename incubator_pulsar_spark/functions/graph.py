@@ -102,3 +102,149 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
                          (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
                          .cast("long").alias("rank_micro")))
     return ranks
+
+
+def pagerank_weighted(edges: DataFrame, *, src_col: str = "src",
+                      dst_col: str = "dst", weight_col: str = "weight",
+                      iters: int = 5, damping_num: int = 85,
+                      damping_den: int = 100, micro: int = 1_000_000,
+                      broadcast_ranks: bool = False) -> DataFrame:
+    """Edge-weighted PageRank: a node's mass splits across successors
+    proportionally to INTEGER edge weights —
+
+        contrib(u→v) = (r(u) · d_num · w_uv) DIV (d_den · W_u)
+
+    with W_u = Σ out-weights. Same integer micro-unit discipline as
+    ``pagerank`` (bit-portable, oracle-unrollable); duplicate (src,
+    dst) edges are collapsed by SUMMING their weights. Weights must be
+    positive integers (the exactness contract — scale fractional
+    weights up before calling; zero/negative rows are rejected)."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if e.filter(F.col("w") <= 0).limit(1).count() > 0:
+        raise ValueError("pagerank_weighted needs positive integer "
+                         "weights (scale fractional weights up)")
+    e = (e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_micro"))
+    r0 = micro // n
+    base = (r0 * (damping_den - damping_num)) // damping_den
+    outw = e.groupBy("src").agg(F.sum("w").alias("_ow"))
+    ed = e.join(outw, on="src").localCheckpoint(eager=True)
+    _maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            ed.join(_maybe_b(ranks), ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST((rank_micro * {int(damping_num)} * w) DIV "
+                       f"({int(damping_den)} * _ow) AS LONG)").alias("_c"))
+            .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (nodes.join(_maybe_b(contribs), on="node", how="left")
+                 .select("node",
+                         (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
+                         .cast("long").alias("rank_micro")))
+    return ranks
+
+
+def pagerank_personalized(edges: DataFrame, seeds: DataFrame, *,
+                          src_col: str = "src", dst_col: str = "dst",
+                          seed_col: str = "node", iters: int = 5,
+                          damping_num: int = 85, damping_den: int = 100,
+                          micro: int = 1_000_000,
+                          broadcast_ranks: bool = False) -> DataFrame:
+    """Personalized PageRank: teleport mass returns ONLY to the seed
+    set — the graph-proximity score to a set of trusted nodes (the
+    data-selection use: rank crawl domains / documents by random-walk
+    closeness to a curated seed list; TrustRank is exactly this).
+
+        r_0(v)   = micro DIV |S|        if v ∈ S else 0
+        base(v)  = ((micro DIV |S|) · (d_den − d_num)) DIV d_den
+                                        if v ∈ S else 0
+
+    Iteration arithmetic is the shared integer contract. Seeds not in
+    the graph still teleport (rank base); nodes unreachable from S
+    stay at 0 — both are the standard PPR semantics."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .union(sd.select("node"))
+             .distinct().localCheckpoint(eager=True))
+    ns = sd.count()
+    if ns == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    r0 = micro // ns
+    base = (r0 * (damping_den - damping_num)) // damping_den
+    seeded = nodes.join(sd.select("node", F.lit(True).alias("_isseed")),
+                        on="node", how="left") \
+        .select("node", F.coalesce(F.col("_isseed"), F.lit(False))
+                .alias("_isseed")).localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    ed = e.join(outdeg, on="src").localCheckpoint(eager=True)
+    _maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
+    ranks = seeded.select(
+        "node",
+        F.when(F.col("_isseed"), F.lit(r0)).otherwise(F.lit(0))
+        .cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            ed.join(_maybe_b(ranks), ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST((rank_micro * {int(damping_num)}) DIV "
+                       f"({int(damping_den)} * _od) AS LONG)").alias("_c"))
+            .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (seeded.join(_maybe_b(contribs), on="node", how="left")
+                 .select("node",
+                         (F.when(F.col("_isseed"), F.lit(base))
+                          .otherwise(F.lit(0))
+                          + F.coalesce(F.col("_s"), F.lit(0)))
+                         .cast("long").alias("rank_micro")))
+    return ranks
+
+
+def triangle_count(edges: DataFrame, *, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED collapse of the
+    edge list — the local clustering signal (spam-farm detection,
+    community density).
+
+    Edge-iterator algorithm on canonicalized edges (u < v, distinct):
+    wedges (u<v<w) from e(u,v)⋈e(v,w), closed by probing e(u,w) —
+    every triangle found exactly once, then credited to all three
+    corners. Two equi-joins + one aggregation; the u<v<w ordering is
+    what keeps the wedge stream from tripling. Output: (node,
+    n_triangles) for every node in the graph (zeros included)."""
+    raw = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .filter(F.col("a") != F.col("b")))
+    und = (raw.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+           .distinct().localCheckpoint(eager=True))
+    nodes = (und.select(F.col("u").alias("node"))
+             .union(und.select(F.col("v").alias("node")))
+             .distinct())
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, on="y").select("x", "y", "z")
+    closer = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tris = wedges.join(closer, on=["x", "z"])  # x < y < z, all edges present
+    per_node = (tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (nodes.join(per_node, on="node", how="left")
+            .select("node",
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles")))

@@ -642,3 +642,160 @@ class TestCosineGemm:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"))
         assert similarity.cosine_topk_gemm(emb, q, k=5).count() == 0
+
+
+def _pr_weighted_ref(E, iters=5, micro=10**6):
+    """E = {(s, d): w}"""
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    W = {}
+    for (s, d), w in E.items():
+        W[s] = W.get(s, 0) + w
+    r = {v: micro // n for v in nodes}
+    base = ((micro // n) * 15) // 100
+    for _ in range(iters):
+        nr = {v: base for v in nodes}
+        for (s, d), w in E.items():
+            nr[d] += (r[s] * 85 * w) // (100 * W[s])
+        r = nr
+    return r
+
+
+class TestGraphFamily:
+    def test_weighted_matches_reference(self, spark):
+        E = {("a", "b"): 3, ("a", "c"): 1, ("b", "a"): 2, ("c", "a"): 5,
+             ("c", "b"): 1, ("d", "a"): 7}
+        df = spark.createDataFrame([(s, d, w) for (s, d), w in E.items()],
+                                   "src string, dst string, weight long")
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank_weighted(df, iters=5).collect()}
+        assert got == _pr_weighted_ref(E)
+
+    def test_weighted_duplicate_edges_sum(self, spark):
+        df1 = spark.createDataFrame([("a", "b", 2), ("a", "b", 3),
+                                     ("b", "a", 1)],
+                                    "src string, dst string, weight long")
+        df2 = spark.createDataFrame([("a", "b", 5), ("b", "a", 1)],
+                                    "src string, dst string, weight long")
+        a = graph.pagerank_weighted(df1, iters=3).collect()
+        b = graph.pagerank_weighted(df2, iters=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_weighted_rejects_nonpositive(self, spark):
+        df = spark.createDataFrame([("a", "b", 0)],
+                                   "src string, dst string, weight long")
+        with pytest.raises(ValueError, match="positive"):
+            graph.pagerank_weighted(df, iters=1)
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        dfu = spark.createDataFrame(edges, "src string, dst string")
+        dfw = spark.createDataFrame([(s, d, 7) for s, d in edges],
+                                    "src string, dst string, weight long")
+        a = graph.pagerank(dfu, iters=4).collect()
+        b = graph.pagerank_weighted(dfw, iters=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_personalized_matches_reference(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "a"), ("e", "a")]
+        seeds = ["a", "e"]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank_personalized(df, sdf,
+                                                    iters=5).collect()}
+        # python reference
+        nodes = sorted({x for e in edges for x in e})
+        out = {}
+        for s, d in set(edges):
+            out.setdefault(s, set()).add(d)
+        micro = 10**6
+        ns = len(seeds)
+        r = {v: (micro // ns if v in seeds else 0) for v in nodes}
+        base = ((micro // ns) * 15) // 100
+        for _ in range(5):
+            nr = {v: (base if v in seeds else 0) for v in nodes}
+            for s, ds in out.items():
+                for d in ds:
+                    nr[d] += (r[s] * 85) // (100 * len(ds))
+            r = nr
+        assert got == r
+
+    def test_personalized_unreachable_stays_zero(self, spark):
+        # z is disconnected from the seed's forward reachability
+        df = spark.createDataFrame([("a", "b"), ("z", "a")],
+                                   "src string, dst string")
+        sdf = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.rank_micro
+               for r in graph.pagerank_personalized(df, sdf,
+                                                    iters=4).collect()}
+        assert got["z"] == 0 and got["a"] > 0 and got["b"] > 0
+
+    def test_personalized_empty_seeds_raises(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        sdf = spark.createDataFrame([], "node string")
+        with pytest.raises(ValueError, match="seed"):
+            graph.pagerank_personalized(df, sdf)
+
+    def test_triangles_match_brute_force(self, spark):
+        import itertools
+
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 9}") for i in range(18)] + \
+                [("n0", "n4"), ("n4", "n8"), ("n8", "n0")]
+        edges = [(a, b) for a, b in edges if a != b]
+        und = {frozenset(e) for e in edges}
+        nodes = sorted({x for e in und for x in e})
+        want = {v: 0 for v in nodes}
+        for tri in itertools.combinations(nodes, 3):
+            a, b, c = tri
+            if ({frozenset((a, b)), frozenset((b, c)),
+                 frozenset((a, c))} <= und):
+                for v in tri:
+                    want[v] += 1
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.n_triangles
+               for r in graph.triangle_count(df).collect()}
+        assert got == want
+
+    def test_triangles_direction_and_dupes_ignored(self, spark):
+        # both directions + duplicates of the same undirected triangle
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")],
+            "src string, dst string")
+        got = {r.node: r.n_triangles
+               for r in graph.triangle_count(df).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+
+class TestKeepBest:
+    def test_highest_score_kept_per_cluster(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+            "doc_id long, quality long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 1)],
+                                      "doc_a long, doc_b long")
+        got = {r.doc_id: (r.cluster_id, r.keep)
+               for r in fuzzy.neardup_keep_best(docs, pairs,
+                                                "quality").collect()}
+        # cluster {1,2,3,4}: 2 and 3 tie at 30 -> lower id 2 kept
+        assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                       4: (1, False), 9: (9, True)}
+
+    def test_lower_is_better_mode(self, spark):
+        docs = spark.createDataFrame([(1, 10), (2, 3)],
+                                     "doc_id long, err long")
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        got = {r.doc_id: r.keep
+               for r in fuzzy.neardup_keep_best(
+                   docs, pairs, "err", higher_is_better=False).collect()}
+        assert got == {1: False, 2: True}
+
+    def test_exactly_one_keeper_per_cluster(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = fuzzy.jaccard_pairs(docs, k=5, threshold=0.4)
+        res = fuzzy.neardup_keep_best(docs, pairs, "n_chars")
+        agg = res.groupBy("cluster_id").agg(
+            F.sum(F.col("keep").cast("int")).alias("nk")).collect()
+        assert all(r.nk == 1 for r in agg)
+        assert res.count() == docs.count()
