@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "pagerank_weighted_nations",
     "pagerank_personalized_nations",
     "triangle_count_nations",
+    "minhash_estimate_docs",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
@@ -200,21 +201,16 @@ BENCH_QUERIES = [
     #   docs into every band bucket (92s of candidate explosion); on
     #   any realistic-diversity corpus band groups are tiny — measured
     #   and documented rather than benched
-    # - minhash_estimate_docs: the LSH candidate set on this corpus is
-    #   the same collision-dense stream (60,701 pairs at sf0.1, 109s —
-    #   mostly the with_exact verification join over them); the
-    #   estimate itself is 16 string compares per pair. Oracle-gated
-    #   exact at all three SFs
     # - neardup_keep_best_docs: CC + keep-best window over the SAME
     #   exact-Jaccard 0.4 pair graph as neardup_clusters (excluded
-    #   below) — 173s at sf0.1, all of it the constant-collision pair
-    #   graph; oracle-gated exact at all three SFs (6.1s at sf0.01)
+    #   below) — 13.6s Spark-side at sf0.1, all of it the constant-
+    #   collision pair graph; oracle-gated exact at all three SFs
     # - containment_docs: same hot-shingle pair explosion as
     #   ngram_jaccard_pairs (it shares the inverted-index join), made
     #   worse by the corpus being containment-dense by construction:
     #   786 rows at sf0.01 -> 94,014 rows at sf0.1 (output-bound
-    #   superlinear, 116s); oracle-gated exact at all three SFs,
-    #   SCALING.md carries the curve
+    #   superlinear, 16.7s Spark-side steady); oracle-gated exact at
+    #   all three SFs, SCALING.md carries the curve
 ]
 
 
