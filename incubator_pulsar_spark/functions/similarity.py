@@ -2380,13 +2380,34 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
             as_double_array(F.col(vec_col)).alias("_v")), mins, maxs
     ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
                                       F.col("_sq_maxs")).alias("codes"))
+    vecs = None
+    if refine is not None:
+        vecs = embeddings.select(F.col(id_col).alias("vec_id"),
+                                 as_double_array(F.col(vec_col)).alias("_cv"))
+    return _sq8_rank(e, queries, k, train=train, refine=refine, vecs=vecs,
+                     query_id_col=query_id_col,
+                     query_vec_col=query_vec_col, queries_raw=queries)
+
+
+def _sq8_rank(codes_table: DataFrame, queries: DataFrame, k: int, *,
+              train: tuple[list[float], list[float]],
+              refine: int | None, vecs: DataFrame | None,
+              query_id_col: str = "query_id",
+              query_vec_col: str = "query_vec",
+              queries_raw: DataFrame | None = None) -> DataFrame:
+    """Shared rank body for the one-shot and persisted-index SQ8 forms:
+    (codes_table: vec_id, codes) × broadcast query codes → integer
+    distance window, optional exact-cosine refine."""
+    mins, maxs = train
+    if queries_raw is None:
+        queries_raw = queries
     q = _sq8_attach_grid(
         queries.select(F.col(query_id_col).alias("query_id"),
                        as_double_array(F.col(query_vec_col)).alias("_qv")),
         mins, maxs
     ).select("query_id", sq8_encode_col(F.col("_qv"), F.col("_sq_mins"),
                                         F.col("_sq_maxs")).alias("qcodes"))
-    scored = e.crossJoin(F.broadcast(q)).select(
+    scored = codes_table.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id",
         F.aggregate(
             F.zip_with(F.col("codes"), F.col("qcodes"),
@@ -2400,10 +2421,12 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
                 .select("query_id", "vec_id", "sq8_dist", "rank"))
     short = (scored.withColumn("_sr", F.row_number().over(w))
              .filter(F.col("_sr") <= refine).drop("_sr"))
-    vecs = embeddings.select(F.col(id_col).alias("vec_id"),
-                             as_double_array(F.col(vec_col)).alias("_cv"))
-    qv = queries.select(F.col(query_id_col).alias("query_id"),
-                        as_double_array(F.col(query_vec_col)).alias("_qv"))
+    if vecs is None:
+        raise ValueError("refine mode needs vectors= (the corpus table "
+                         "with the true vectors)")
+    qv = queries_raw.select(F.col(query_id_col).alias("query_id"),
+                            as_double_array(F.col(query_vec_col))
+                            .alias("_qv"))
     ref = (short.join(vecs, on="vec_id").join(F.broadcast(qv), on="query_id")
            .select("query_id", "vec_id", "sq8_dist",
                    F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
@@ -2508,3 +2531,86 @@ def cosine_topk_gemm(embeddings: DataFrame, queries: DataFrame,
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+def sq8_write_index(embeddings: DataFrame, path: str, *, dim: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple[list[float],
+                                                         list[float]]:
+    """Persist an SQ8 index: uint8 code table under ``{path}/base``
+    with the trained per-dim (min, max) grid in a ``_sq8_meta.json``
+    sidecar — the 4×-compression rung of the persisted ladder (float
+    IVF / PQ / BQ / SQ8 all share the build→append→probe contract).
+    The grid trains on THIS corpus (exact min/max aggregates) and is
+    frozen: appends encode under it so existing codes stay valid
+    (out-of-range values clamp to the edge cells — the standard SQ
+    drift behavior; rebuild when drift warrants)."""
+    import json as _json
+    import os as _os
+
+    mins, maxs = sq8_train(embeddings, dim=dim, vec_col=vec_col)
+    enc = _sq8_attach_grid(
+        ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(F.col(vec_col)).alias("_v")), mins, maxs
+    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
+                                      F.col("_sq_maxs")).alias("codes"))
+    enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
+    with open(_os.path.join(path, "_sq8_meta.json"), "w") as f:
+        _json.dump({"dim": dim, "mins": mins, "maxs": maxs}, f)
+    return mins, maxs
+
+
+def sq8_append_index(embeddings: DataFrame, path: str, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Append new vectors under the FROZEN sidecar grid — O(batch)
+    map-only encode, prior files byte-untouched (the
+    ``pq_append_index`` contract)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_sq8_meta.json")) as f:
+        meta = _json.load(f)
+    enc = _sq8_attach_grid(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double_array(F.col(vec_col)).alias("_v")),
+        meta["mins"], meta["maxs"]
+    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
+                                      F.col("_sq_maxs")).alias("codes"))
+    enc.persist()
+    try:
+        n = enc.count()
+        enc.write.mode("append").parquet(_os.path.join(path, "base"))
+    finally:
+        enc.unpersist()
+    return n
+
+
+def sq8_search_index(spark, path: str, queries: DataFrame, k: int = 10, *,
+                     refine: int | None = None,
+                     vectors: DataFrame | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """Probe a persisted SQ8 index: integer-distance scan over the
+    uint8 code table only (queries encode under the sidecar grid);
+    ``refine=R`` joins back the R·Q shortlisted true vectors. Output
+    contract identical to ``sq8_topk``."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_sq8_meta.json")) as f:
+        meta = _json.load(f)
+    codes = spark.read.parquet(_os.path.join(path, "base"))
+    vecs = None
+    if refine is not None:
+        if vectors is None:
+            raise ValueError("refine mode needs vectors= (the corpus "
+                             "table with the true vectors)")
+        vecs = vectors.select(F.col(id_col).alias("vec_id"),
+                              as_double_array(F.col(vec_col)).alias("_cv"))
+    return _sq8_rank(codes, queries, k,
+                     train=(meta["mins"], meta["maxs"]), refine=refine,
+                     vecs=vecs, query_id_col=query_id_col,
+                     query_vec_col=query_vec_col)

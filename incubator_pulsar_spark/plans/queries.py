@@ -6115,13 +6115,18 @@ def sq8_topk_embeddings(spark, sf_dir):
     return similarity.sq8_topk(emb, q, k=10, dim=64, refine=50)
 
 
-SQ8_TOPK_SQL = """
+def _sq8_sql(train_where: str | None = None) -> str:
+    """SQ8 oracle: per-dim grid + symmetric integer distance + refine.
+    ``train_where`` restricts the GRID-TRAINING rows (the persisted
+    index trains on the build half; codes still cover the corpus)."""
+    where = f"WHERE {train_where}" if train_where else ""
+    return f"""
 WITH raw AS (
   SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
          generate_subscripts(embedding, 1) AS d
   FROM embeddings),
 dims AS MATERIALIZED (
-  SELECT d, min(e) AS mn, max(e) AS mx FROM raw GROUP BY d),
+  SELECT d, min(e) AS mn, max(e) AS mx FROM raw {where} GROUP BY d),
 enc AS MATERIALIZED (
   SELECT vec_id, raw.d,
          CASE WHEN mx > mn
@@ -6157,6 +6162,9 @@ SELECT query_id, vec_id, sq8_dist, cosine_sim,
             AS INTEGER) AS rank
 FROM ref QUALIFY rank <= 10
 """
+
+
+SQ8_TOPK_SQL = _sq8_sql()
 
 
 def hll_distinct_events(spark, sf_dir):
@@ -6608,6 +6616,90 @@ FROM clusters c JOIN documents d ON d.doc_id = c.id
 """
 
 
+def sq8_index_topk_embeddings(spark, sf_dir):
+    """Persisted SQ8 index lifecycle: grid trains on the even half
+    (frozen in the sidecar), codes for build + appended odd half,
+    integer-distance probe with exact refine
+    (`similarity.sq8_write_index/sq8_append_index/sq8_search_index`).
+    The oracle re-points ONLY the grid-training CTE at the build half —
+    proving appends encode under the frozen grid, not a retrained
+    one."""
+    import shutil as _sh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = f"/tmp/ipq_sq8idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sh.rmtree(d, ignore_errors=True)
+    similarity.sq8_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
+                               dim=64)
+    similarity.sq8_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.sq8_search_index(spark, d, q, k=10, refine=50,
+                                       vectors=emb)
+
+
+SQ8_INDEX_SQL = _sq8_sql(train_where="vec_id % 2 = 0")
+
+
+def hll_hourly_users(spark, sf_dir):
+    """Windowed HyperLogLog: distinct-user estimate PER HOUR — the
+    shape a 100 TB metrics pipeline actually runs (unique visitors per
+    window; 2 KiB of mergeable register state per hour regardless of
+    traffic). Output: one row per hour with the zero-register count,
+    the floor-micro raw estimate and the true count."""
+    from ..functions import sketches
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_format(F.date_trunc("hour", F.col("ts")),
+                              "yyyy-MM-dd HH:00"))
+    regs = sketches.hll_register_table(ev, "user_id", group_cols=["hour"])
+    est = sketches.hll_estimate(regs, group_cols=["hour"])
+    ex = ev.groupBy("hour").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return est.join(ex, on="hour").select(
+        "hour", "n_zero", "est_micro", "n_exact")
+
+
+HLL_HOURLY_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         user_id
+  FROM events),
+vals AS (SELECT DISTINCT hour, user_id FROM ev),
+hr AS (
+  SELECT hour,
+         CAST(('0x' || substr(md5('hll:' || user_id), 15, 2))::BIGINT
+              AS INTEGER) AS bucket,
+         ('0x' || substr(md5('hll:' || user_id), 1, 14))::BIGINT AS w
+  FROM vals),
+regs AS (
+  SELECT hour, bucket,
+         CAST(MAX(CASE WHEN w = 0 THEN 57
+                       ELSE 57 - length(bin(w)) END) AS INTEGER) AS rho
+  FROM hr GROUP BY hour, bucket),
+hours AS (SELECT DISTINCT hour FROM ev),
+full_regs AS MATERIALIZED (
+  SELECT h.hour, CAST(b.range AS INTEGER) AS bucket,
+         CAST(COALESCE(r.rho, 0) AS INTEGER) AS rho
+  FROM hours h CROSS JOIN range(256) b
+  LEFT JOIN regs r ON r.bucket = b.range AND r.hour = h.hour),
+summ AS (
+  SELECT hour,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero,
+         CAST(floor(6.783892839851034e+21
+                    / CAST(SUM(((1::BIGINT) << (57 - rho))::DECIMAL(38,0))
+                           AS DOUBLE) * 1000000.0) AS BIGINT) AS est_micro
+  FROM full_regs GROUP BY hour),
+ex AS (
+  SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM ev GROUP BY hour)
+SELECT s.hour, s.n_zero, s.est_micro, e.n_exact
+FROM summ s JOIN ex e ON e.hour = s.hour
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6643,6 +6735,9 @@ ALL_QUERIES: dict[str, Query] = {
         # (q10/q11/q13/q16/q17 — equal proof count and staleness to
         # their demoted peers, tie-break by name) move to the tail and
         # rotate back next round ---
+        Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
+              SQ8_INDEX_SQL),
+        Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
         Query("pagerank_weighted_nations", pagerank_weighted_nations,
               PAGERANK_WEIGHTED_SQL),
         Query("pagerank_personalized_nations", pagerank_personalized_nations,
@@ -6694,8 +6789,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
@@ -6708,6 +6801,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),

@@ -799,3 +799,63 @@ class TestKeepBest:
             F.sum(F.col("keep").cast("int")).alias("nk")).collect()
         assert all(r.nk == 1 for r in agg)
         assert res.count() == docs.count()
+
+
+class TestSQ8Index:
+    def test_lifecycle_probe_under_frozen_grid(self, spark, tmp_path,
+                                               sf_dir):
+        """Grid trains on the build half and appends encode under it —
+        the probe equals a one-shot sq8_topk given the SAME half-grid
+        train (never a full-corpus retrain)."""
+        emb = _emb(spark, sf_dir)
+        d = str(tmp_path / "sq8")
+        train = similarity.sq8_write_index(
+            emb.filter(F.col("vec_id") % 2 == 0), d, dim=64)
+        similarity.sq8_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        a = similarity.sq8_search_index(spark, d, q, k=5, refine=20,
+                                        vectors=emb).collect()
+        b = similarity.sq8_topk(emb, q, k=5, dim=64, train=train,
+                                refine=20).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # and it differs from the full-corpus-grid result in general
+        mins, maxs = train
+        full = similarity.sq8_train(emb, dim=64)
+        assert (mins, maxs) != full  # halves have different extrema
+
+    def test_append_clamps_out_of_range(self, spark, tmp_path):
+        df0 = spark.createDataFrame([(0, [0.0]), (1, [1.0])],
+                                    "vec_id long, embedding array<double>")
+        df1 = spark.createDataFrame([(2, [5.0]), (3, [-5.0])],
+                                    "vec_id long, embedding array<double>")
+        d = str(tmp_path / "sq8")
+        similarity.sq8_write_index(df0, d, dim=1)
+        similarity.sq8_append_index(df1, d)
+        got = {r.vec_id: r.codes[0]
+               for r in spark.read.parquet(f"{d}/base").collect()}
+        assert got == {0: 0, 1: 255, 2: 255, 3: 0}
+
+
+class TestHLLHourly:
+    def test_per_hour_equals_per_group_reference(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = ev.withColumn("hour", F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"))
+        regs = sketches.hll_register_table(ev, "user_id",
+                                           group_cols=["hour"])
+        est = {r.hour: (r.n_zero, r.est_micro)
+               for r in sketches.hll_estimate(
+                   regs, group_cols=["hour"]).collect()}
+        rows = ev.select("hour", "user_id").collect()
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for r in rows:
+            groups[r.hour].append(r.user_id)
+        for h, us in groups.items():
+            regs_py = _hll_py_registers(us)
+            z = sum(1 << (57 - r) for r in regs_py)
+            want = (sum(1 for r in regs_py if r == 0),
+                    math.floor(sketches.HLL_EST_CONST / float(z) * 1e6))
+            assert est[h] == want, h
