@@ -38,7 +38,7 @@ needs a global float sum per iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -248,3 +248,65 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
             .select("node",
                     F.coalesce(F.col("n_triangles"), F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def label_propagation(edges: DataFrame, *, src_col: str = "src",
+                      dst_col: str = "dst", iters: int = 5,
+                      broadcast_labels: bool = False) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected collapse of the edge list — community detection for
+    graphs connected-components can't split (CC finds REACHABILITY;
+    LPA finds densely-linked regions inside one component).
+
+    Deterministic variant (the random-order classic can't gate):
+    label_0(v) = v; each round every node adopts the most frequent
+    label among its neighbors, ties → smallest label; isolated nodes
+    keep their own. Integer counts + (count DESC, label ASC)
+    row_number make every round bit-portable, so the oracle unrolls
+    the rounds exactly like the PageRank family. Fixed ``iters`` is
+    the gate contract (LPA converges in a handful of sweeps on
+    community-structured graphs; run more rounds for deep graphs).
+
+    Each round: one edges⋈labels join + one (node, label) count + one
+    argmax window — co-partitioned on the node key at scale;
+    ``broadcast_labels=True`` is the small-node-set plan (the
+    ``pagerank`` knob). Output: (node, label).
+    """
+    raw = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .filter(F.col("a") != F.col("b")))
+    und = (raw.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+           .distinct())
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .union(und.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr")))
+            .localCheckpoint(eager=True))
+    nodes = both.select("node").distinct().localCheckpoint(eager=True)
+    _maybe_b = F.broadcast if broadcast_labels else (lambda df: df)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(),
+                                           F.col("label"))
+    for _ in range(iters):
+        nbr_labels = (
+            both.join(_maybe_b(labels.select(F.col("node").alias("nbr"),
+                                             F.col("label"))), on="nbr")
+            .groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c")))
+        winners = (nbr_labels.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1)
+                   .select("node", F.col("label").alias("_new")))
+        # every node in `nodes` has ≥1 neighbor (both derives from
+        # edges), so winners covers all of them; the coalesce-to-own-id
+        # fallback is the correct degenerate semantics anyway (a
+        # neighborless node would keep label_0 = its id forever).
+        # Referencing the prior `labels` ONCE per round + a per-round
+        # localCheckpoint keeps the plan linear — the first cut
+        # referenced it twice per round and the 5-round plan blew up
+        # to 62 shuffles (2^rounds lineage doubling).
+        labels = (nodes.join(_maybe_b(winners), on="node", how="left")
+                  .select("node",
+                          F.coalesce(F.col("_new"), F.col("node"))
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels

@@ -6700,6 +6700,50 @@ FROM summ s JOIN ex e ON e.hour = s.hour
 """
 
 
+def label_propagation_nations(spark, sf_dir):
+    """Deterministic synchronous label propagation over the undirected
+    nation trade graph — community detection where CC can't split a
+    connected graph (`graph.label_propagation`: most-frequent neighbor
+    label, ties to the smallest, fixed 5 rounds, bit-portable)."""
+    from ..functions import graph
+
+    edges = _nation_trade_edges(spark, sf_dir)
+    return graph.label_propagation(edges, iters=5, broadcast_labels=True)
+
+
+def _label_propagation_sql(iters: int = 5) -> str:
+    parts = [f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({_PAGERANK_EDGE_SQL})
+),
+nbrs AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM nbrs),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+l{t} AS MATERIALIZED (
+  SELECT n.node, COALESCE(w.label, p.label) AS label
+  FROM nodes n
+  JOIN l{t - 1} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT b.node, p2.label, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY b.node
+                                ORDER BY COUNT(*) DESC, p2.label) AS rn
+      FROM nbrs b JOIN l{t - 1} p2 ON p2.node = b.nbr
+      GROUP BY b.node, p2.label)
+    WHERE rn = 1) w ON w.node = n.node)""")
+    parts.append(f"""
+SELECT node, label FROM l{iters}""")
+    return "".join(parts)
+
+
+LABEL_PROP_SQL = _label_propagation_sql()
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6735,6 +6779,8 @@ ALL_QUERIES: dict[str, Query] = {
         # (q10/q11/q13/q16/q17 — equal proof count and staleness to
         # their demoted peers, tie-break by name) move to the tail and
         # rotate back next round ---
+        Query("label_propagation_nations", label_propagation_nations,
+              LABEL_PROP_SQL),
         Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
               SQ8_INDEX_SQL),
         Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
@@ -6789,7 +6835,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("q8_market_share", q8_market_share, Q8_SQL),
@@ -6801,6 +6846,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),

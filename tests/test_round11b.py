@@ -859,3 +859,102 @@ class TestHLLHourly:
             want = (sum(1 for r in regs_py if r == 0),
                     math.floor(sketches.HLL_EST_CONST / float(z) * 1e6))
             assert est[h] == want, h
+
+
+class TestLabelPropagation:
+    def _ref(self, edges, iters=5):
+        und = {frozenset(e) for e in edges if e[0] != e[1]}
+        adj = {}
+        for e in und:
+            a, b = sorted(e)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v, ns in adj.items():
+                counts = {}
+                for n in ns:
+                    counts[lab[n]] = counts.get(lab[n], 0) + 1
+                new[v] = sorted(counts.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab = new
+        return lab
+
+    def test_two_communities_with_bridge(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.label
+               for r in graph.label_propagation(df, iters=5).collect()}
+        assert got == self._ref(edges)
+        # the two triangles end with different labels (CC would merge)
+        assert len({got["a"], got["x"]}) == 2
+        assert got["a"] == got["b"] == got["c"]
+        assert got["x"] == got["y"] == got["z"]
+
+    def test_matches_reference_on_mixed_graph(self, spark):
+        edges = [(f"n{i}", f"n{(i * 5 + 2) % 16}") for i in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.label
+               for r in graph.label_propagation(df, iters=5).collect()}
+        assert got == self._ref(edges)
+
+    def test_broadcast_labels_identical(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = graph.label_propagation(df, iters=3).collect()
+        b = graph.label_propagation(df, iters=3,
+                                    broadcast_labels=True).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestHLLWindowedStream:
+    def test_final_registers_equal_batch_hourly(self, spark, tmp_path,
+                                                sf_dir):
+        """Two availableNow passes over a growing topic: the LAST
+        emission per (window, bucket) equals the batch per-hour
+        register table — MAX is the streaming agg's own merge, so
+        there is no custom state to diverge."""
+        from incubator_pulsar_spark.streaming.sketches import (
+            hll_windowed_stream)
+
+        src = str(tmp_path / "ev_topic")
+        sink = str(tmp_path / "out")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("ts", "user_id")
+        first = ev.filter(F.col("user_id") % 2 == 0)
+        second = ev.filter(F.col("user_id") % 2 == 1)
+        first.write.parquet(src)
+
+        def run(tag):
+            stream = spark.readStream.schema(first.schema).parquet(src)
+            out = hll_windowed_stream(stream, "ts", "user_id",
+                                      window="1 hour",
+                                      watermark="100 days")
+
+            def write(df, batch_id):
+                df.withColumn("_tag", F.lit(tag)) \
+                    .write.mode("append").parquet(sink)
+
+            (out.writeStream.foreachBatch(write).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start().awaitTermination(120))
+
+        run(0)
+        second.write.mode("append").parquet(src)
+        run(1)
+
+        got = {}
+        for r in spark.read.parquet(sink).orderBy("_tag").collect():
+            key = (r.window_start.strftime("%Y-%m-%d %H:00"), r.bucket)
+            got[key] = r.rho  # later tag wins
+
+        evh = ev.withColumn("hour", F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"))
+        want = {(r.hour, r.bucket): r.rho
+                for r in sketches.hll_register_table(
+                    evh, "user_id", group_cols=["hour"]).collect()
+                if r.rho > 0}
+        assert got == want
