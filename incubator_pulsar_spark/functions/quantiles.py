@@ -171,3 +171,30 @@ def mad_outliers(df: DataFrame, group_cols: list[str], value_col: str, *,
         F.max("mad").alias("mad"),
         F.sum(F.when(F.col("_dev") * k_den > F.col("mad") * k_num, 1)
               .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+def winsorize(df: DataFrame, group_cols: list[str], value_col: str, *,
+              lo: tuple[int, int] = (1, 100), hi: tuple[int, int] = (99, 100),
+              out_col: str | None = None) -> DataFrame:
+    """Per-group winsorization: clamp values outside the [lo, hi]
+    type-1 quantile band to the band edges — the standard robust
+    pre-normalization step (cap reward/score/latency outliers before
+    training statistics), exact by the same rank-math discipline as
+    ``exact_quantiles`` (the clamp bounds are untouched data values,
+    so the output is value-hash portable).
+
+    Returns the input rows + ``{value_col}_w`` (or ``out_col``) with
+    the clamped value and a ``_clamped`` flag. One window pass for the
+    bounds + one broadcast-friendly join.
+    """
+    out_col = out_col or f"{value_col}_w"
+    bounds = exact_quantiles(
+        df, group_cols, value_col,
+        [(lo[0], lo[1], "_qlo"), (hi[0], hi[1], "_qhi")]) \
+        .select(*group_cols, "_qlo", "_qhi")
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi"))
+    return (df.join(bounds, on=group_cols)
+            .withColumn(out_col, clamped)
+            .withColumn("_clamped", v != clamped)
+            .drop("_qlo", "_qhi"))

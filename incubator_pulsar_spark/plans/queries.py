@@ -6744,6 +6744,49 @@ SELECT node, label FROM l{iters}""")
 LABEL_PROP_SQL = _label_propagation_sql()
 
 
+def winsorize_events(spark, sf_dir):
+    """Per-type winsorization summary: event values clamped to the
+    [p1, p99] type-1 quantile band (`functions/quantiles.winsorize` —
+    the robust pre-normalization step before training statistics).
+    Output: per-group clamp bounds, clamped-row count, and the exact
+    decimal sum of the winsorized values."""
+    from ..functions.quantiles import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    w = winsorize(ev, ["event_type"], "value")
+    return (w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_clamped").cast("int")).cast("long")
+        .alias("n_clamped"),
+        F.sum(F.col("value_w").cast("decimal(18,4)")).cast("double")
+        .alias("sum_w")))
+
+
+WINSORIZE_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+b AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor((n * 1 + 100 - 1) / 100) AS BIGINT)
+                  THEN value END) AS qlo,
+         max(CASE WHEN rn = CAST(floor((n * 99 + 100 - 1) / 100) AS BIGINT)
+                  THEN value END) AS qhi
+  FROM r GROUP BY event_type),
+w AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, b.qlo), b.qhi) AS value_w
+  FROM events e JOIN b USING (event_type))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value <> value_w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       CAST(SUM(CAST(value_w AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
+FROM w GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6779,6 +6822,7 @@ ALL_QUERIES: dict[str, Query] = {
         # (q10/q11/q13/q16/q17 — equal proof count and staleness to
         # their demoted peers, tie-break by name) move to the tail and
         # rotate back next round ---
+        Query("winsorize_events", winsorize_events, WINSORIZE_SQL),
         Query("label_propagation_nations", label_propagation_nations,
               LABEL_PROP_SQL),
         Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
@@ -6835,7 +6879,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("q8_market_share", q8_market_share, Q8_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
@@ -6846,6 +6889,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),

@@ -314,6 +314,7 @@ def hll_windowed_stream(
     value_col: str,
     *,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     group_cols: list[str] | None = None,
     salt: str = "hll",
@@ -327,7 +328,9 @@ def hll_windowed_stream(
     streaming-agg merge, so state is ≤ 2^8 rows per open window,
     late data folds in until the watermark closes the window, and
     replay is idempotent by the aggregation contract (nothing bespoke
-    to get wrong).
+    to get wrong). ``slide=`` makes the windows SLIDING (each event
+    lands in window/slide overlapping sketches — Spark's window()
+    fan-out; state stays ≤ 2^8 rows per OPEN window either way).
 
     Output (update mode): group_cols + (window_start, window_end,
     bucket, rho). Feed a completed window's rows to
@@ -345,7 +348,8 @@ def hll_windowed_stream(
            # reinterpretation — the r4c gotcha)
            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
            .withWatermark(ts_col, watermark)
-           .select(F.window(F.col(ts_col), window).alias("_w"),
+           .select(F.window(F.col(ts_col), window,
+                            slide if slide else window).alias("_w"),
                    *group_cols, bucket.alias("bucket"), rho.alias("_r")))
     return (pre.groupBy("_w", *group_cols, "bucket")
             .agg(F.max("_r").alias("rho"))

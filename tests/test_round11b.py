@@ -958,3 +958,82 @@ class TestHLLWindowedStream:
                     evh, "user_id", group_cols=["hour"]).collect()
                 if r.rho > 0}
         assert got == want
+
+
+class TestWinsorize:
+    def test_clamps_to_band_edges(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import winsorize
+
+        vals = list(range(1, 101))  # 1..100
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "grp string, v double")
+        got = winsorize(df, ["grp"], "v").collect()
+        # type-1 p1 = value at ceil(100/100)=1 -> 1.0; p99 at 99 -> 99.0
+        w = {r.v: (r.v_w, r._clamped) for r in got}
+        assert w[100.0] == (99.0, True)
+        assert w[99.0] == (99.0, False)
+        assert w[1.0] == (1.0, False)
+        assert w[50.0] == (50.0, False)
+        assert sum(1 for r in got if r._clamped) == 1
+
+    def test_custom_band_and_out_col(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import winsorize
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(1, 11)],
+            "grp string, v double")
+        got = winsorize(df, ["grp"], "v", lo=(2, 10), hi=(8, 10),
+                        out_col="vv").collect()
+        w = {r.v: r.vv for r in got}
+        assert w[1.0] == 2.0 and w[10.0] == 8.0 and w[5.0] == 5.0
+
+    def test_row_count_preserved(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions.quantiles import winsorize
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert winsorize(ev, ["event_type"], "value").count() == ev.count()
+
+
+class TestHLLSlidingStream:
+    def test_sliding_windows_fan_out(self, spark, tmp_path, sf_dir):
+        """slide= produces overlapping sketches: every event lands in
+        window/slide windows, and each window's final registers equal
+        the batch sketch of that window's span."""
+        from incubator_pulsar_spark.streaming.sketches import (
+            hll_windowed_stream)
+
+        src = str(tmp_path / "topic")
+        sink = str(tmp_path / "out")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("ts", "user_id").limit(500).cache()
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = hll_windowed_stream(stream, "ts", "user_id",
+                                  window="2 hours", slide="1 hour",
+                                  watermark="100 days")
+
+        def write(df, batch_id):
+            df.write.mode("append").parquet(sink)
+
+        (out.writeStream.foreachBatch(write).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start().awaitTermination(120))
+
+        got = {}
+        for r in spark.read.parquet(sink).collect():
+            got[(r.window_start, r.bucket)] = r.rho
+
+        # batch reference — window starts for a 2h window / 1h slide:
+        # trunc(ts) and trunc(ts) - 1h
+        evc = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        ref = evc.select(
+            F.explode(F.array(
+                F.date_trunc("hour", F.col("ts")),
+                F.date_trunc("hour", F.col("ts")) - F.expr(
+                    "INTERVAL 1 HOUR"))).alias("wstart"), "user_id")
+        regs = sketches.hll_register_table(
+            ref, "user_id", group_cols=["wstart"])
+        want = {(r.wstart, r.bucket): r.rho
+                for r in regs.collect() if r.rho > 0}
+        ev.unpersist()
+        assert got == want
