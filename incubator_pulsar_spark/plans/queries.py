@@ -40,6 +40,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _scratch(tag: str, sf_dir: str) -> str:
+    """Per-PROCESS scratch dir for index-lifecycle gates: two harnesses
+    (sweep + plan audit, or the driver's parallel checks) executing the
+    same gate must never rmtree/write the same path — a concurrent
+    sweep+audit run caught exactly that race on the sq8 index gate.
+    Deterministic within a process (rebuild-in-place per run is the
+    gate's own idempotence contract)."""
+    return f"/tmp/ipq_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+
+
 def _dec_sum(c, alias):  # exact, order-independent double sum
     return F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(alias)
 
@@ -4899,7 +4909,7 @@ def snapshot_time_travel_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
-    d = f"/tmp/ipq_snapshot_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("snapshot", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     ev.filter(F.col("event_id") % 4 < 2).write.parquet(d)
     v1 = snap.snapshot_topic(d)
@@ -5401,7 +5411,7 @@ def pq_index_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_pqindex_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("pqindex", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                               dim=64, m=4, ksub=16)
@@ -5453,7 +5463,7 @@ def ivfpq_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivfpq", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8)
     q = (emb.filter(F.col("vec_id") < 5)
@@ -5620,7 +5630,7 @@ def ivfpq_residual_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivfpqr_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivfpqr", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual=True)
@@ -5650,7 +5660,7 @@ def pq_fold_topk_embeddings(spark, sf_dir):
     from ..streaming.ann import pq_fold_stream, pq_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_pqfold_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("pqfold", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     _sh.rmtree(d + "_out", ignore_errors=True)
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
@@ -5686,7 +5696,7 @@ def ivfpq_fold_topk_embeddings(spark, sf_dir):
     from ..streaming.ann import ivfpq_fold_stream, ivfpq_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivffold_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivffold", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     _sh.rmtree(d + "_out", ignore_errors=True)
     similarity.ivfpq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
@@ -5725,7 +5735,7 @@ def ann_rerank_report(spark, sf_dir):
     from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_rerank_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("rerank", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     _sh.rmtree(d + "_out", ignore_errors=True)
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
@@ -5797,7 +5807,7 @@ def ivfpq_auto_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivfauto_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivfauto", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual="auto")
@@ -5829,7 +5839,7 @@ def ann_rerank_bounded(spark, sf_dir):
     from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_rerankb_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("rerankb", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     _sh.rmtree(d + "_out", ignore_errors=True)
     _sh.rmtree(d + "_rep", ignore_errors=True)
@@ -5871,7 +5881,7 @@ def ivfpq_rerank_bounded(spark, sf_dir):
     from ..streaming.ann import ivfpq_ingest_batch, rerank_candidate_log
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivfrerankb_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivfrerankb", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     _sh.rmtree(d + "_out", ignore_errors=True)
     _sh.rmtree(d + "_rep", ignore_errors=True)
@@ -5980,7 +5990,7 @@ def maxsim_stream_topk_embeddings(spark, sf_dir):
                   F.posexplode(F.array(*[
                       F.slice(F.col("v"), s * 16 + 1, 16)
                       for s in range(4)])).alias("token_pos", "vec")))
-    out = f"/tmp/ipq_maxsimstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = _scratch("maxsimstream", sf_dir)
     _sh.rmtree(out, ignore_errors=True)
     maxsim_ingest_batch(bags.filter(F.col("doc_id") % 2 == 0), 0,
                         query_tokens=qs, out_path=out,
@@ -6010,7 +6020,7 @@ def ivfpq_rotated_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_ivfrot_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("ivfrot", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual=True, rotate=True)
@@ -6042,7 +6052,7 @@ def pq_rotated_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_pqrot_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("pqrot", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                               dim=64, m=4, ksub=16, rotate=True)
@@ -6338,7 +6348,7 @@ def bq_index_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_bqidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("bqidx", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.bq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d, dim=64)
     similarity.bq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
@@ -6627,7 +6637,7 @@ def sq8_index_topk_embeddings(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
-    d = f"/tmp/ipq_sq8idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = _scratch("sq8idx", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.sq8_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                                dim=64)
