@@ -121,11 +121,16 @@ def pagerank_weighted(edges: DataFrame, *, src_col: str = "src",
     weights up before calling; zero/negative rows are rejected)."""
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"),
+                      F.col(weight_col).alias("_w0"),
                       F.col(weight_col).cast("long").alias("w"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
-    if e.filter(F.col("w") <= 0).limit(1).count() > 0:
-        raise ValueError("pagerank_weighted needs positive integer "
-                         "weights (scale fractional weights up)")
+    bad = e.filter((F.col("w") <= 0) | F.col("w").isNull()
+                   | (F.col("w").cast("double")
+                      != F.col("_w0").cast("double")))
+    if bad.limit(1).count() > 0:
+        raise ValueError("pagerank_weighted needs positive INTEGER "
+                         "weights (a fractional weight would silently "
+                         "truncate — scale fractional weights up first)")
     e = (e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
          .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))

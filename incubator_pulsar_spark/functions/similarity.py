@@ -2328,6 +2328,9 @@ def sq8_train(embeddings: DataFrame, *, dim: int,
         aggs.append(F.min(v[d]).alias(f"mn{d}"))
         aggs.append(F.max(v[d]).alias(f"mx{d}"))
     row = embeddings.agg(*aggs).collect()[0]
+    if row["mn0"] is None:
+        raise ValueError("sq8_train: empty corpus (no rows to train "
+                         "the per-dim grid on)")
     mins = [float(row[f"mn{d}"]) for d in range(dim)]
     maxs = [float(row[f"mx{d}"]) for d in range(dim)]
     return mins, maxs

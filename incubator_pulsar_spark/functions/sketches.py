@@ -349,8 +349,15 @@ def hll_register_table(df: DataFrame, value_col: str, *,
     """Dense register table: (group_cols..., bucket, rho) with ALL 2^p
     buckets present per group (empty buckets at rho=0 — the estimator
     needs them in the harmonic sum). One map-side-combinable MAX agg;
-    the zero-fill joins a 256-row range per group."""
+    the zero-fill joins a 256-row range per group.
+
+    Group values must be non-NULL: the zero-fill join is a plain
+    equality join, so a NULL group would silently zero its registers —
+    NULL-group rows are dropped here (filter upstream or coalesce a
+    sentinel if NULL is a real group)."""
     group_cols = group_cols or []
+    for g in group_cols:
+        df = df.filter(F.col(g).isNotNull())
     bucket, rho = hll_bucket_rho(F.col(value_col), salt)
     regs = (df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
             .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho")))

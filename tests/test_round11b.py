@@ -1037,3 +1037,24 @@ class TestHLLSlidingStream:
                 for r in regs.collect() if r.rho > 0}
         ev.unpersist()
         assert got == want
+
+
+class TestHardeningGuards:
+    def test_weighted_rejects_fractional(self, spark):
+        df = spark.createDataFrame([("a", "b", 1.5), ("b", "a", 1.0)],
+                                   "src string, dst string, weight double")
+        with pytest.raises(ValueError, match="INTEGER"):
+            graph.pagerank_weighted(df, iters=1)
+
+    def test_sq8_train_empty_corpus_raises(self, spark):
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.sq8_train(df, dim=4)
+
+    def test_hll_null_group_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1), ("g", 2), (None, 3)], "grp string, v long")
+        regs = sketches.hll_register_table(df, "v", group_cols=["grp"])
+        # only the non-null group materializes (documented contract)
+        assert regs.select("grp").distinct().collect()[0].grp == "g"
+        assert regs.count() == 256
