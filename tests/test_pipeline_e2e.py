@@ -87,3 +87,52 @@ def test_curation_pipeline_end_to_end(spark, docs, tmp_path):
         domain_col="lang", n_buckets=32)
     assert sorted(r.doc_id for r in b2.collect()) == \
         sorted(r.doc_id for r in budgeted.collect())
+
+
+def test_quality_dedup_and_monitoring_pipeline(spark, docs):
+    """Session-2 composition: the keep-BEST near-dup resolution feeding
+    a winsorized quality distribution and an HLL cardinality monitor —
+    the dedup-then-calibrate-then-count seams of a curation run.
+
+    1. near-dup clusters keep their longest member (not lowest-id);
+    2. the survivors' length distribution is winsorized at [p1, p99]
+       per language (robust normalization before any scoring model);
+    3. an HLL sketch monitors surviving-doc cardinality per source —
+       estimate within the documented error band of the exact count.
+    """
+    from incubator_pulsar_spark.functions import sketches
+    from incubator_pulsar_spark.functions.quantiles import winsorize
+
+    # 1. keep-best dedup
+    pairs = fuzzy.jaccard_pairs(docs, k=5, threshold=0.4)
+    resolved = fuzzy.neardup_keep_best(docs, pairs, "n_chars")
+    survivors = (resolved.filter(F.col("keep"))
+                 .join(docs, on="doc_id"))
+    n_clusters = resolved.select("cluster_id").distinct().count()
+    assert survivors.count() == n_clusters  # exactly one per cluster
+    # keep-best means every survivor is >= its cluster peers by n_chars
+    peers = resolved.join(
+        survivors.select(F.col("cluster_id"),
+                         F.col("score").alias("_best")), on="cluster_id")
+    assert peers.filter(F.col("score") > F.col("_best")).count() == 0
+
+    # 2. winsorized length distribution per language
+    w = winsorize(survivors, ["lang"], "n_chars")
+    assert w.count() == survivors.count()
+    stats = w.groupBy("lang").agg(
+        F.sum(F.col("_clamped").cast("int")).alias("nc"),
+        F.count(F.lit(1)).alias("n")).collect()
+    for r in stats:
+        assert r.nc <= max(2 * (r.n // 100 + 1), 2)  # ~2% tails clamp
+
+    # 3. HLL cardinality monitor per source
+    est = {r.source: r.est_micro / 1e6
+           for r in sketches.hll_distinct(
+               survivors, "doc_id", group_cols=["source"],
+               corrected=True).withColumn(
+                   "est_micro",
+                   (F.col("estimate") * 1e6).cast("long")).collect()}
+    exact = {r.source: r.n for r in survivors.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in exact.items():
+        assert abs(est[src] - n) / max(n, 1) < 0.25, (src, est[src], n)
