@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "hll_hourly_users",
     "label_propagation_nations",
     "winsorize_events",
+    "hll_set_algebra_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -412,3 +412,23 @@ def hll_distinct(df: DataFrame, value_col: str, *,
         "estimate",
         F.when((raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0), lc)
         .otherwise(raw))
+
+
+def hll_union(regs_a: DataFrame, regs_b: DataFrame, *,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Union of two HLL sketches = element-wise register MAX — the
+    algebra that makes HLL the distributed-counting workhorse: sketches
+    built on different machines / days / tables merge losslessly into
+    the sketch of the union (|A∪B| comes for free; with
+    inclusion–exclusion, |A∩B| ≈ est(A) + est(B) − est(A∪B) — an
+    ESTIMATE whose error compounds, kept honest by the gate's exact
+    comparison column). Inputs are dense register tables
+    (``hll_register_table``); output is the same shape."""
+    group_cols = group_cols or []
+    a = regs_a.select(*group_cols, "bucket", F.col("rho").alias("_ra"))
+    b = regs_b.select(*group_cols, "bucket", F.col("rho").alias("_rb"))
+    return (a.join(b, on=[*group_cols, "bucket"], how="full")
+            .select(*group_cols, "bucket",
+                    F.greatest(F.coalesce(F.col("_ra"), F.lit(0)),
+                               F.coalesce(F.col("_rb"), F.lit(0)))
+                    .cast("int").alias("rho")))

@@ -6797,6 +6797,86 @@ FROM w GROUP BY event_type
 """
 
 
+def hll_set_algebra_events(spark, sf_dir):
+    """HLL set algebra: sketches of two overlapping user sets (A =
+    user_id % 3 ≠ 0, B = user_id % 2 = 0) merged by register MAX
+    (`sketches.hll_union` — the lossless union that makes sketches
+    mergeable across machines/days), with the inclusion–exclusion
+    intersection ESTIMATE next to the exact intersection count."""
+    from ..functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 3 != 0)
+    b = ev.filter(F.col("user_id") % 2 == 0)
+    ra = sketches.hll_register_table(a, "user_id")
+    rb = sketches.hll_register_table(b, "user_id")
+    ru = sketches.hll_union(ra, rb)
+    ea = sketches.hll_estimate(ra).select(
+        F.col("est_micro").alias("est_a_micro"))
+    eb = sketches.hll_estimate(rb).select(
+        F.col("est_micro").alias("est_b_micro"))
+    eu = sketches.hll_estimate(ru).select(
+        F.col("est_micro").alias("est_union_micro"))
+    ex = (a.select("user_id").intersect(b.select("user_id"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter")))
+    return (ea.crossJoin(eb).crossJoin(eu).crossJoin(ex)
+            .select("est_a_micro", "est_b_micro", "est_union_micro",
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        (F.col("est_a_micro") + F.col("est_b_micro")
+                         - F.col("est_union_micro")).cast("long"))
+                    .alias("est_inter_micro"),
+                    "n_exact_inter"))
+
+
+def _hll_set_algebra_sql() -> str:
+    def regs(name, where):
+        return f"""
+vals_{name} AS (SELECT DISTINCT user_id FROM events WHERE {where}),
+hr_{name} AS (
+  SELECT CAST(('0x' || substr(md5('hll:' || user_id), 15, 2))::BIGINT
+              AS INTEGER) AS bucket,
+         ('0x' || substr(md5('hll:' || user_id), 1, 14))::BIGINT AS w
+  FROM vals_{name}),
+regs_{name} AS MATERIALIZED (
+  SELECT CAST(b.range AS INTEGER) AS bucket,
+         CAST(COALESCE(r.rho, 0) AS INTEGER) AS rho
+  FROM range(256) b LEFT JOIN (
+    SELECT bucket,
+           CAST(MAX(CASE WHEN w = 0 THEN 57
+                         ELSE 57 - length(bin(w)) END) AS INTEGER) AS rho
+    FROM hr_{name} GROUP BY bucket) r ON r.bucket = b.range)"""
+
+    def est(src, alias):
+        return f"""
+  (SELECT CAST(floor(6.783892839851034e+21
+          / CAST(SUM(((1::BIGINT) << (57 - rho))::DECIMAL(38,0)) AS DOUBLE)
+          * 1000000.0) AS BIGINT) FROM {src}) AS {alias}"""
+
+    return f"""
+WITH {regs('a', 'user_id % 3 <> 0').lstrip()},
+{regs('b', 'user_id % 2 = 0').lstrip()},
+regs_u AS MATERIALIZED (
+  SELECT a.bucket, greatest(a.rho, b.rho) AS rho
+  FROM regs_a a JOIN regs_b b ON a.bucket = b.bucket),
+ests AS (
+  SELECT {est('regs_a', 'est_a_micro')},
+         {est('regs_b', 'est_b_micro')},
+         {est('regs_u', 'est_union_micro')}),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+    SELECT user_id FROM vals_a INTERSECT SELECT user_id FROM vals_b))
+SELECT est_a_micro, est_b_micro, est_union_micro,
+       greatest(0, est_a_micro + est_b_micro - est_union_micro)
+         AS est_inter_micro,
+       n_exact_inter
+FROM ests CROSS JOIN ex
+"""
+
+
+HLL_SET_ALGEBRA_SQL = _hll_set_algebra_sql()
+
+
 # --------------------------------------------------------------------------
 
 # Registration order matters: the driver's correctness gate checks the
@@ -6832,6 +6912,8 @@ ALL_QUERIES: dict[str, Query] = {
         # (q10/q11/q13/q16/q17 — equal proof count and staleness to
         # their demoted peers, tie-break by name) move to the tail and
         # rotate back next round ---
+        Query("hll_set_algebra_events", hll_set_algebra_events,
+              HLL_SET_ALGEBRA_SQL),
         Query("winsorize_events", winsorize_events, WINSORIZE_SQL),
         Query("label_propagation_nations", label_propagation_nations,
               LABEL_PROP_SQL),
@@ -6889,7 +6971,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pattern_stats", pattern_stats, PATTERN_STATS_SQL),
         Query("persons_generator", persons_generator, PERSONS_SQL),
         Query("pii_redaction", pii_redaction, PII_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("q8_market_share", q8_market_share, Q8_SQL),
         Query("q9_profit_by_nation", q9_profit_by_nation, Q9_SQL),
         Query("repetition_stats", repetition_stats, REPETITION_SQL),
@@ -6899,6 +6980,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),

@@ -1058,3 +1058,32 @@ class TestHardeningGuards:
         # only the non-null group materializes (documented contract)
         assert regs.select("grp").distinct().collect()[0].grp == "g"
         assert regs.count() == 256
+
+
+class TestHLLUnion:
+    def test_union_registers_equal_direct_sketch(self, spark, sf_dir):
+        """hll_union(A, B) register table == the sketch built directly
+        on A ∪ B — the lossless-merge algebra."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = ev.filter(F.col("user_id") % 3 != 0)
+        b = ev.filter(F.col("user_id") % 2 == 0)
+        ra = sketches.hll_register_table(a, "user_id")
+        rb = sketches.hll_register_table(b, "user_id")
+        got = {r.bucket: r.rho
+               for r in sketches.hll_union(ra, rb).collect()}
+        want = {r.bucket: r.rho
+                for r in sketches.hll_register_table(
+                    a.unionByName(b), "user_id").collect()}
+        assert got == want
+
+    def test_union_is_commutative_and_idempotent(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = ev.filter(F.col("user_id") % 3 != 0)
+        b = ev.filter(F.col("user_id") % 2 == 0)
+        ra = sketches.hll_register_table(a, "user_id")
+        rb = sketches.hll_register_table(b, "user_id")
+        ab = sorted(map(tuple, sketches.hll_union(ra, rb).collect()))
+        ba = sorted(map(tuple, sketches.hll_union(rb, ra).collect()))
+        aa = sorted(map(tuple, sketches.hll_union(ra, ra).collect()))
+        assert ab == ba
+        assert aa == sorted(map(tuple, ra.collect()))
