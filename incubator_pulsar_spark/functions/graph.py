@@ -220,18 +220,78 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame, *,
     return ranks
 
 
+def _degree_oriented(und: DataFrame) -> DataFrame:
+    """Orient each canonical undirected edge from its (degree, id)-
+    SMALLER endpoint to the larger (Latapy 2008 compact-forward /
+    Chiba-Nishizeki ordering). Input: distinct (u, v) rows. Output:
+    (s, t, td) — source, target, target's (degree, id) rank struct —
+    every edge exactly once.
+
+    Why this exists: the naive value-order (u < v) wedge build puts a
+    degree-d hub at the wedge CENTER d²/2 times — one celebrity node
+    in a 100 TB link graph explodes the wedge stage. Under degree
+    ordering every wedge forms at its triangle's LOWEST-degree corner,
+    bounding wedges by Σ_v outdeg(v)² with outdeg(v) ≤ √(2m) — the
+    O(m^1.5) bound that makes edge-iterator triangle counting viable
+    on skewed graphs."""
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("_d")))
+    e = (und.join(deg.select(F.col("node").alias("u"),
+                             F.col("_d").alias("_du")), on="u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("_d").alias("_dv")), on="v"))
+    ru = F.struct(F.col("_du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("_dv").alias("d"), F.col("v").alias("n"))
+    u_first = ru < rv  # total order: (degree, id) — ids are distinct
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, rv).otherwise(ru).alias("td"))
+
+
+def _wedge_plan(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(oriented edges o, wedge stream) sharing ONE checkpointed o.
+    Wedges are (a, b, c) with a ≺ b ≺ c in (degree, id) order and
+    edges a–b, a–c present."""
+    o = _degree_oriented(und).localCheckpoint(eager=True)
+    o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"),
+                  F.col("td").alias("_rb"))
+    o2 = o.select(F.col("s").alias("a"), F.col("t").alias("c"),
+                  F.col("td").alias("_rc"))
+    wedges = (o1.join(o2, on="a")
+              .filter(F.col("_rb") < F.col("_rc"))
+              .select("a", "b", "c"))
+    return o, wedges
+
+
+def oriented_wedges(und: DataFrame) -> DataFrame:
+    """Wedge stream of the degree-ordered edge iterator. Exposed
+    separately so skew behavior is testable: on a hub graph this
+    stream is ~|E| rows where the value-ordered build emits
+    ~deg(hub)²/2."""
+    return _wedge_plan(und)[1]
+
+
 def triangle_count(edges: DataFrame, *, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED collapse of the
     edge list — the local clustering signal (spam-farm detection,
     community density).
 
-    Edge-iterator algorithm on canonicalized edges (u < v, distinct):
-    wedges (u<v<w) from e(u,v)⋈e(v,w), closed by probing e(u,w) —
-    every triangle found exactly once, then credited to all three
-    corners. Two equi-joins + one aggregation; the u<v<w ordering is
-    what keeps the wedge stream from tripling. Output: (node,
-    n_triangles) for every node in the graph (zeros included)."""
+    Degree-ordered edge-iterator (compact-forward): canonicalize to
+    distinct u<v edges, orient each from its (degree, id)-smaller
+    endpoint (``_degree_oriented``), build wedges at the smaller
+    corner, close by probing the oriented edge between the two larger
+    corners. Every triangle is found exactly once — at its unique
+    minimum corner under the (degree, id) total order — then credited
+    to all three corners. Same two equi-joins + one aggregation as the
+    value-ordered form, but the wedge stream is bounded O(m^1.5) even
+    with hub nodes (a degree-d celebrity contributes wedges only
+    through its LOW-degree neighbours). Output: (node, n_triangles)
+    for every node in the graph (zeros included) — identical to the
+    value-ordered algorithm (the triangle SET is orientation-
+    invariant), so the u<v<w oracle CTEs still gate it exactly."""
     raw = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -242,12 +302,10 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
     nodes = (und.select(F.col("u").alias("node"))
              .union(und.select(F.col("v").alias("node")))
              .distinct())
-    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    wedges = e1.join(e2, on="y").select("x", "y", "z")
-    closer = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tris = wedges.join(closer, on=["x", "z"])  # x < y < z, all edges present
-    per_node = (tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    o, wedges = _wedge_plan(und)
+    closer = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closer, on=["b", "c"])  # a≺b≺c, all edges present
+    per_node = (tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
     return (nodes.join(per_node, on="node", how="left")
             .select("node",

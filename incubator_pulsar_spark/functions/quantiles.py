@@ -46,10 +46,17 @@ def exact_quantiles(
     Output: group_cols + (n BIGINT) + one column per alias, each an
     untouched value from the group (deterministic even under value
     ties — position k of the sorted multiset is a fixed value).
+
+    NULL values are ignored (SQL percentile semantics — DuckDB's
+    quantile_disc and Spark's percentile both skip NULLs); without the
+    filter NULLs would sort first under row_number and shift every
+    rank position. ``n`` is therefore the NON-NULL count, and an
+    all-NULL group disappears from the output.
     """
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     wn = Window.partitionBy(*group_cols)
     ranked = df.select(*group_cols, value_col) \
+        .filter(F.col(value_col).isNotNull()) \
         .withColumn("_rn", F.row_number().over(w)) \
         .withColumn("_n", F.count(F.lit(1)).over(wn))
     aggs = [F.max("_n").cast("long").alias("n")]
@@ -156,7 +163,12 @@ def mad_outliers(df: DataFrame, group_cols: list[str], value_col: str, *,
     aggregate; the deviations never leave the executors.
 
     Output: group_cols + (n, median_value, mad, n_outliers).
+
+    NULL values are dropped up front (same semantics as
+    ``exact_quantiles``): a NULL can be neither the median nor an
+    outlier, so ``n`` is the non-NULL count.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     med = exact_quantiles(df, group_cols, value_col,
                           [(1, 2, "median_value")])
     dev = (df.join(med.select(*group_cols, "median_value"), on=group_cols)
@@ -186,6 +198,12 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str, *,
     Returns the input rows + ``{value_col}_w`` (or ``out_col``) with
     the clamped value and a ``_clamped`` flag. One window pass for the
     bounds + one broadcast-friendly join.
+
+    NULL values pass through unchanged (``_clamped`` = false): without
+    the guard F.greatest/F.least skip NULL operands, which would
+    FABRICATE ``_qlo`` as the output for a NULL input — a winsorizer
+    must never invent data. The band itself is computed over non-NULL
+    values only (``exact_quantiles`` semantics).
     """
     out_col = out_col or f"{value_col}_w"
     bounds = exact_quantiles(
@@ -193,8 +211,13 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str, *,
         [(lo[0], lo[1], "_qlo"), (hi[0], hi[1], "_qhi")]) \
         .select(*group_cols, "_qlo", "_qhi")
     v = F.col(value_col)
-    clamped = F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi"))
-    return (df.join(bounds, on=group_cols)
+    clamped = F.when(v.isNull(), v) \
+        .otherwise(F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi")))
+    # left join: a group whose values are ALL NULL has no bounds row —
+    # its rows still pass through (F.least/greatest skip NULL bounds)
+    return (df.join(bounds, on=group_cols, how="left")
             .withColumn(out_col, clamped)
-            .withColumn("_clamped", v != clamped)
+            .withColumn("_clamped",
+                        F.when(v.isNull(), F.lit(False))
+                        .otherwise(v != clamped))
             .drop("_qlo", "_qhi"))

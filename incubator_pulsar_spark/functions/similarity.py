@@ -2468,18 +2468,32 @@ def cosine_topk_gemm(embeddings: DataFrame, queries: DataFrame,
     ``cosine_topk`` (identical output on the fixture corpora at
     round-6) rather than DuckDB-oracle-gated — use ``cosine_topk``
     where exact-oracle discipline matters, this where Q·N does.
-    Ties break (cosine DESC, vec_id) like every ranker here.
+    Ties break (cosine DESC, vec_id) like every ranker here. Id columns
+    are type-agnostic (long / string / UUID-as-string): the output
+    schema derives from the input schemas and ids are never coerced.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
+    # id columns keep their INPUT types (long, string, UUID-as-string…)
+    # end to end — the schema derives from the inputs and the pandas
+    # side never coerces ids to int64, matching the id-agnostic
+    # contract of cosine_topk and every other ranker in this module
+    qid_type = queries.schema[query_id_col].dataType
+    vid_type = embeddings.schema[id_col].dataType
+    partial_schema = T.StructType([
+        T.StructField("query_id", qid_type),
+        T.StructField("vec_id", vid_type),
+        T.StructField("cosine_sim", T.DoubleType()),
+    ])
     q_rows = queries.select(F.col(query_id_col).alias("query_id"),
                             as_double_array(F.col(query_vec_col))
                             .alias("qv")).collect()
     if not q_rows:
         return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, cosine_sim double, rank int")
-    q_ids = np.array([r.query_id for r in q_rows], dtype="int64")
+            [], partial_schema.add("rank", T.IntegerType()))
+    q_ids = np.array([r.query_id for r in q_rows], dtype=object)
     Q = np.array([r.qv for r in q_rows], dtype="float64")
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0] = 1.0
@@ -2494,7 +2508,7 @@ def cosine_topk_gemm(embeddings: DataFrame, queries: DataFrame,
             if not len(pdf):
                 continue
             X = np.array(pdf["_v"].to_list(), dtype="float64")
-            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            ids = pdf["vec_id"].to_numpy()  # native dtype — ids stay as-is
             xn = np.linalg.norm(X, axis=1)
             xn[xn == 0] = 1.0
             # round BEFORE selection so partition-level tie-breaks see
@@ -2515,7 +2529,7 @@ def cosine_topk_gemm(embeddings: DataFrame, queries: DataFrame,
                     cand = np.arange(n)
                 order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
                 q_out.append(np.full(len(order), q_ids_l[j],
-                                     dtype="int64"))
+                                     dtype=object))
                 v_out.append(ids[order])
                 s_out.append(col[order])
             yield pd.DataFrame({
@@ -2527,8 +2541,7 @@ def cosine_topk_gemm(embeddings: DataFrame, queries: DataFrame,
     e = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"),
         as_double_array(F.col(vec_col)).alias("_v"))
-    partial = e.mapInPandas(
-        part, "query_id long, vec_id long, cosine_sim double")
+    partial = e.mapInPandas(part, partial_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("vec_id"))
     return (partial.withColumn("rank", F.row_number().over(w))

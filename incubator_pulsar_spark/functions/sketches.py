@@ -354,10 +354,15 @@ def hll_register_table(df: DataFrame, value_col: str, *,
     Group values must be non-NULL: the zero-fill join is a plain
     equality join, so a NULL group would silently zero its registers —
     NULL-group rows are dropped here (filter upstream or coalesce a
-    sentinel if NULL is a real group)."""
+    sentinel if NULL is a real group). NULL *values* are likewise
+    dropped before hashing — concat_ws would silently collapse them to
+    md5('hll') (one phantom distinct element), diverging from
+    countDistinct / approx_count_distinct / the DuckDB oracle, all of
+    which ignore NULLs."""
     group_cols = group_cols or []
     for g in group_cols:
         df = df.filter(F.col(g).isNotNull())
+    df = df.filter(F.col(value_col).isNotNull())
     bucket, rho = hll_bucket_rho(F.col(value_col), salt)
     regs = (df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
             .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho")))

@@ -40,14 +40,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _sweep_stale_scratch() -> None:
+    """Remove ipq_* scratch dirs left by DEAD processes: each process
+    only rmtree's its own PID-suffixed dirs at exit (atexit below), but
+    a kill -9'd harness leaks its dirs — this sweep (once per process,
+    at first _scratch call) reclaims any sibling whose PID no longer
+    exists. Live processes' dirs are never touched (the race the
+    per-PID suffix exists to prevent)."""
+    import glob
+    import re
+    import shutil
+
+    for d in glob.glob("/tmp/ipq_*_*"):
+        m = re.search(r"_(\d+)$", d)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists but owned elsewhere — leave it
+
+
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_own_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _scratch(tag: str, sf_dir: str) -> str:
     """Per-PROCESS scratch dir for index-lifecycle gates: two harnesses
     (sweep + plan audit, or the driver's parallel checks) executing the
     same gate must never rmtree/write the same path — a concurrent
     sweep+audit run caught exactly that race on the sq8 index gate.
     Deterministic within a process (rebuild-in-place per run is the
-    gate's own idempotence contract)."""
-    return f"/tmp/ipq_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    gate's own idempotence contract). Own dirs are atexit-removed;
+    dirs orphaned by dead PIDs are swept on first use so /tmp never
+    accumulates (ADVICE r11)."""
+    if not _SCRATCH_DIRS:
+        import atexit
+
+        _sweep_stale_scratch()
+        atexit.register(_cleanup_own_scratch)
+    d = f"/tmp/ipq_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    _SCRATCH_DIRS.add(d)
+    return d
 
 
 def _dec_sum(c, alias):  # exact, order-independent double sum

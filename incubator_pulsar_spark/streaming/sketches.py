@@ -272,6 +272,10 @@ def hll_distinct_stream(
     """
     from ..functions.sketches import HLL_EST_CONST, _HLL_M, hll_bucket_rho
 
+    # NULL values never reach the hash: concat_ws would collapse them to
+    # md5('hll') — one phantom distinct element (the batch sketch filters
+    # identically, so stream/batch register parity holds under NULLs)
+    stream = stream.filter(F.col(value_col).isNotNull())
     bucket, rho = hll_bucket_rho(stream[value_col], salt)
     pre = stream.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
     out_schema = T.StructType(
@@ -341,6 +345,8 @@ def hll_windowed_stream(
     from ..functions.sketches import hll_bucket_rho
 
     group_cols = group_cols or []
+    # same NULL-value discipline as hll_register_table / the keyed stream
+    stream = stream.filter(F.col(value_col).isNotNull())
     bucket, rho = hll_bucket_rho(stream[value_col], salt)
     pre = (stream
            # parquet timestamps read as TIMESTAMP_NTZ; watermarks demand

@@ -1,0 +1,247 @@
+"""Round-12 tests: the four ADVICE r11 fixes (HLL NULL values,
+winsorize/quantile NULL semantics, id-type-agnostic cosine_topk_gemm,
+scratch-dir reclamation) plus the round's new work."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_pulsar_spark.functions import quantiles, similarity, sketches
+
+
+class TestHLLNullValues:
+    def test_null_values_are_not_counted(self, spark):
+        """A NULL value must not register as a phantom distinct element
+        (ADVICE r11: concat_ws drops NULLs, so pre-fix NULL hashed as
+        md5('hll'))."""
+        with_null = spark.createDataFrame(
+            [(1,), (2,), (None,)], "v long")
+        without = spark.createDataFrame([(1,), (2,)], "v long")
+        got = {r.bucket: r.rho for r in
+               sketches.hll_register_table(with_null, "v").collect()}
+        want = {r.bucket: r.rho for r in
+                sketches.hll_register_table(without, "v").collect()}
+        assert got == want
+
+    def test_all_null_values_empty_sketch(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "v long")
+        est = sketches.hll_distinct(df, "v").collect()
+        # empty sketch: all 256 registers zero -> n_zero = 256
+        assert len(est) == 1 and est[0].n_zero == 256
+
+    def test_streaming_hll_matches_batch_under_nulls(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming.sketches import (
+            hll_distinct_stream,
+        )
+
+        rows = [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", 7)]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, "grp string, v long") \
+            .write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("grp string, v long").parquet(src)
+        out = hll_distinct_stream(stream, ["grp"], "v")
+        q = (out.writeStream.format("memory").queryName("hll_null_t")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.grp: r.est_micro
+               for r in spark.sql(
+                   "select * from hll_null_t").collect()}
+        batch = {r.grp: r.est_micro for r in sketches.hll_distinct(
+            spark.createDataFrame(rows, "grp string, v long"),
+            "v", group_cols=["grp"]).collect()}
+        assert got == batch
+        # 'b' has exactly one non-null value; its estimate must match a
+        # 1-element sketch, not a 2-element one
+        one = sketches.hll_distinct(
+            spark.createDataFrame([(7,)], "v long"), "v").collect()[0]
+        assert got["b"] == one.est_micro
+
+
+class TestQuantileNulls:
+    def test_exact_quantiles_ignore_nulls(self, spark):
+        """NULLs sort first under row_number — pre-fix they shifted
+        every rank. SQL percentile semantics: skip them."""
+        df = spark.createDataFrame(
+            [("g", None), ("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0)],
+            "grp string, v double")
+        row = quantiles.exact_quantiles(
+            df, ["grp"], "v", [(1, 2, "p50")]).collect()[0]
+        assert row.n == 3 and row.p50 == 2.0
+
+    def test_winsorize_null_passthrough(self, spark):
+        vals = [float(i) for i in range(1, 101)]
+        rows = [("g", v) for v in vals] + [("g", None)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = quantiles.winsorize(df, ["grp"], "v").collect()
+        nulls = [r for r in out if r.v is None]
+        assert len(nulls) == 1
+        # NULL passes through: no fabricated _qlo, flag is false not NULL
+        assert nulls[0].v_w is None and nulls[0]._clamped is False
+        # non-null rows clamp as before (p1=1.0 -> nothing below; p99=99)
+        hi = [r for r in out if r.v == 100.0][0]
+        assert hi.v_w == 99.0 and hi._clamped is True
+
+    def test_winsorize_all_null_group_survives(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("h", None)], "grp string, v double")
+        out = quantiles.winsorize(df, ["grp"], "v")
+        h = [r for r in out.collect() if r.grp == "h"]
+        assert len(h) == 1 and h[0].v_w is None and h[0]._clamped is False
+
+    def test_mad_outliers_ignore_nulls(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 100.0), ("g", None)],
+            "grp string, v double")
+        row = quantiles.mad_outliers(df, ["grp"], "v").collect()[0]
+        assert row.n == 4  # non-null count
+        assert row.median_value == 1.0 and row.n_outliers == 1
+
+
+class TestGemmIdTypes:
+    def test_string_ids_end_to_end(self, spark):
+        """ADVICE r11: gemm hardcoded long ids; every other ranker is
+        id-type-agnostic. String / UUID-ish ids must work and rank
+        identically to cosine_topk."""
+        import random
+
+        rng = random.Random(7)
+        emb = spark.createDataFrame(
+            [(f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(60)],
+            "vec_id string, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(f"q-{j}", [rng.uniform(-1, 1) for _ in range(8)])
+             for j in range(3)],
+            "query_id string, query_vec array<double>")
+        got = similarity.cosine_topk_gemm(emb, qs, k=5)
+        assert dict(got.dtypes)["query_id"] == "string"
+        assert dict(got.dtypes)["vec_id"] == "string"
+        want = similarity.cosine_topk(emb, qs, k=5)
+        g = sorted(map(tuple, got.select(
+            "query_id", "vec_id", "rank").collect()))
+        w = sorted(map(tuple, want.select(
+            "query_id", "vec_id", "rank").collect()))
+        assert g == w
+
+    def test_long_ids_unchanged(self, spark):
+        import random
+
+        rng = random.Random(11)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)])
+             for i in range(40)],
+            "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(j, [rng.uniform(-1, 1) for _ in range(8)])
+             for j in range(2)],
+            "query_id long, query_vec array<double>")
+        got = similarity.cosine_topk_gemm(emb, qs, k=4)
+        assert dict(got.dtypes)["vec_id"] == "bigint"
+        want = similarity.cosine_topk(emb, qs, k=4)
+        assert sorted(map(tuple,
+                          got.select("query_id", "vec_id", "rank")
+                          .collect())) == \
+            sorted(map(tuple,
+                       want.select("query_id", "vec_id", "rank").collect()))
+
+    def test_empty_query_set_schema(self, spark):
+        emb = spark.createDataFrame(
+            [("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+        qs = spark.createDataFrame(
+            [], "query_id string, query_vec array<double>")
+        out = similarity.cosine_topk_gemm(emb, qs, k=3)
+        assert out.count() == 0
+        assert dict(out.dtypes)["query_id"] == "string"
+
+
+class TestScratchReclaim:
+    def test_dead_pid_scratch_swept(self, tmp_path):
+        from incubator_pulsar_spark.plans import queries as Q
+
+        # fabricate a scratch dir owned by a PID that cannot exist
+        stale = "/tmp/ipq_testtag_sfX_999999999"
+        os.makedirs(stale, exist_ok=True)
+        live = Q._scratch("mytag", "/root/testdata/sf0.001")
+        assert not os.path.exists(stale), "dead-PID dir must be swept"
+        assert live.endswith(str(os.getpid()))
+        assert live in Q._SCRATCH_DIRS
+
+    def test_own_dirs_registered_for_atexit(self):
+        from incubator_pulsar_spark.plans import queries as Q
+
+        d = Q._scratch("another", "/root/testdata/sf0.001")
+        os.makedirs(d, exist_ok=True)
+        Q._cleanup_own_scratch()
+        assert not os.path.exists(d)
+
+
+class TestDegreeOrderedTriangles:
+    """VERDICT r11 #4: orient wedges low-degree -> high-degree so a hub
+    node cannot explode the wedge stage."""
+
+    @staticmethod
+    def _hub_graph(spark, half=30, hub=100):
+        # one hub with a MID-RANGE id (the value-ordered worst case:
+        # the hub sits at the wedge CENTER y in x<y<z) — half the
+        # spokes below the hub id, half above; spokes chained pairwise
+        # so real triangles exist: (i, i+1, hub) per chain edge
+        lo = list(range(1, half + 1))
+        hi = list(range(hub + 101, hub + 101 + half))
+        rows = [(i, hub) for i in lo] + [(hub, j) for j in hi]
+        rows += [(a, b) for a, b in zip(lo, lo[1:])]
+        rows += [(a, b) for a, b in zip(hi, hi[1:])]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_hub_wedge_stream_is_linear_not_quadratic(self, spark):
+        from incubator_pulsar_spark.functions import graph
+        from pyspark.sql import functions as F
+
+        edges = self._hub_graph(spark, half=30)  # hub degree 60
+        und = (edges.select(F.least("src", "dst").alias("u"),
+                            F.greatest("src", "dst").alias("v"))
+               .distinct())
+        n_wedges = graph.oriented_wedges(und).count()
+        # value-ordered build centers the hub: 30 lower x 30 upper =
+        # 900+ wedges through the hub alone. degree-ordered: every
+        # spoke has degree <= 3 (hub edge + <=2 chain edges), so each
+        # contributes <= C(3,2) = 3 wedges and the hub contributes 0
+        naive = (und.alias("a").join(und.alias("b"),
+                                     F.col("a.v") == F.col("b.u"))
+                 .count())
+        assert naive >= 900
+        assert n_wedges <= 3 * 61, \
+            f"wedge stream not skew-bounded: {n_wedges}"
+
+    def test_hub_graph_counts_match_brute_force(self, spark):
+        import itertools
+
+        from incubator_pulsar_spark.functions import graph
+
+        edges = self._hub_graph(spark, half=12)
+        es = {tuple(sorted((r.src, r.dst))) for r in edges.collect()}
+        nodes = sorted({n for e in es for n in e})
+        want = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if ((a, b) in es and (b, c) in es and (a, c) in es):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        got = {r.node: r.n_triangles
+               for r in graph.triangle_count(edges).collect()}
+        assert got == want
+
+    def test_degree_ties_still_exact(self, spark):
+        # K4: all degrees equal -> ordering falls back to ids; every
+        # node is in C(3,2)=3 triangles
+        from incubator_pulsar_spark.functions import graph
+
+        rows = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {r.node: r.n_triangles
+               for r in graph.triangle_count(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
