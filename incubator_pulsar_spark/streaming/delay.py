@@ -70,6 +70,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def checkpoint_source_count(checkpoint_location: str) -> int | None:
+    """Number of sources recorded in a streaming checkpoint's latest
+    offsets file, or None for a fresh/empty checkpoint.
+
+    The offsets file format is one line ``v1``, one metadata JSON
+    line, then ONE LINE PER SOURCE — so a pre-keepalive
+    delayed-delivery checkpoint shows 1 source and a keepalive one
+    shows 2. Spark hard-fails a restart whose source count differs
+    from the checkpoint ("There are [N] sources in the checkpoint
+    offsets and now there are [M]"), so this is the exact signal
+    ``delayed_delivery_stream`` needs to pick ``keepalive``
+    automatically (VERDICT r11 #5)."""
+    import os
+
+    offsets_dir = os.path.join(checkpoint_location, "offsets")
+    if not os.path.isdir(offsets_dir):
+        return None
+    batches = [f for f in os.listdir(offsets_dir) if f.isdigit()]
+    if not batches:
+        return None
+    latest = os.path.join(offsets_dir, max(batches, key=int))
+    with open(latest) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    return max(len(lines) - 2, 0)
+
+
 def delayed_delivery_stream(
     stream: DataFrame,
     *,
@@ -77,7 +103,9 @@ def delayed_delivery_stream(
     sequence_col: str = "sequence",
     deliver_at_col: str = "deliver_at",
     now_fn=None,
-    keepalive: bool = True,
+    keepalive: bool | None = None,
+    keepalive_interval: float = 1.0,
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Emit rows once ``deliver_at`` ≤ processing time; buffer the rest.
 
@@ -90,12 +118,61 @@ def delayed_delivery_stream(
     ``now_fn()`` is accepted for convenience but makes REPLAYED output
     depend on when the replay runs — test-only, and warned about.
 
-    ``keepalive=True`` unions a 1-row/sec rate ticker into the stream
-    so pending releases survive an idle-source restart (module header:
-    RESTART LIVENESS). Rows with a NULL ``sequence`` are treated as
-    ticks and dropped; rows with a real sequence but NULL
-    ``deliver_at`` are released immediately (a message without a
-    deliver-at is not delayed — MessageImpl.getDeliverAtTime() == 0)."""
+    ``keepalive`` (default None = auto, resolving to True) unions a
+    liveness ticker into the stream so pending releases survive an
+    idle-source restart (module header: RESTART LIVENESS). Rows with a
+    NULL ``sequence`` are treated as ticks and dropped; rows with a
+    real sequence but NULL ``deliver_at`` are released immediately (a
+    message without a deliver-at is not delayed —
+    MessageImpl.getDeliverAtTime() == 0).
+
+    ``checkpoint_location`` — pass the SAME path you will give
+    writeStream and restarts cannot strand: the helper reads the
+    checkpoint's source count and (a) auto-selects the matching
+    ``keepalive`` when you left it at None (a pre-keepalive 1-source
+    checkpoint restarts tick-free, with a stall-risk warning), or
+    (b) raises with the exact fix when your explicit ``keepalive``
+    contradicts the checkpoint — instead of Spark's opaque
+    source-count assertion at start().
+
+    ``keepalive_interval`` (seconds, default 1.0) tunes idle batch
+    cadence. 1.0 keeps the built-in ``rate`` ticker (checkpoint-
+    compatible with all prior keepalive checkpoints). Other values use
+    the ``heartbeat`` Python source (``streaming/heartbeat.py``) whose
+    OFFSET only advances each interval — a rarely-delayed topic then
+    constructs one micro-batch per interval instead of one per second.
+    The interval's source TYPE is part of the checkpoint contract:
+    changing 1.0 ↔ non-1.0 on an existing checkpoint is incompatible
+    (start a fresh checkpoint), so release latency ≈ the interval —
+    pick it at or below your delay tolerance."""
+    if checkpoint_location is not None:
+        n_src = checkpoint_source_count(checkpoint_location)
+        if n_src is not None:
+            required = n_src >= 2
+            if keepalive is None:
+                keepalive = required
+                if not required:
+                    warnings.warn(
+                        "checkpoint at %r predates the keepalive ticker "
+                        "(1 source): restarting WITHOUT keepalive so the "
+                        "source count matches. An idle restart of this "
+                        "stream can strand pending releases (module "
+                        "header: RESTART LIVENESS) — to migrate, drain "
+                        "the pending messages, then restart with a FRESH "
+                        "checkpoint (keepalive on)." % checkpoint_location,
+                        stacklevel=2)
+            elif keepalive != required:
+                shape = ("a keepalive ticker (2 sources)" if required
+                         else "no keepalive ticker (1 source)")
+                raise ValueError(
+                    f"checkpoint at {checkpoint_location!r} was written "
+                    f"with {shape} but keepalive={keepalive} was "
+                    f"requested — Spark would fail the restart on the "
+                    f"source-count mismatch. Pass keepalive={required} "
+                    f"(or keepalive=None to auto-detect), or start a "
+                    f"fresh checkpoint to change the setting.")
+    if keepalive is None:
+        keepalive = True
     out_schema = T.StructType([
         T.StructField("key", T.StringType()),
         T.StructField("sequence", T.LongType()),
@@ -193,15 +270,22 @@ def delayed_delivery_stream(
     if keepalive:
         # liveness ticker (module header: RESTART LIVENESS) — guarantees
         # batch construction after restart so expired timers fire; rows
-        # are dropped in fn via the NULL-sequence rule
-        ticks = (
-            stream.sparkSession.readStream.format("rate")
-            .option("rowsPerSecond", "1").load()
-            .select(
-                F.lit("\x00__keepalive__").alias("key"),
-                F.lit(None).cast("long").alias(sequence_col),
-                F.lit(None).cast("timestamp").alias(deliver_at_col),
-            )
+        # are dropped in fn via the NULL-sequence rule. interval==1 keeps
+        # the rate source (checkpoint-compatible with prior keepalive
+        # checkpoints); other intervals use the offset-cadenced
+        # heartbeat source so an idle stream batches once per interval
+        if keepalive_interval == 1.0:
+            raw_ticks = (stream.sparkSession.readStream.format("rate")
+                         .option("rowsPerSecond", "1").load())
+        else:
+            from .heartbeat import heartbeat_stream
+
+            raw_ticks = heartbeat_stream(stream.sparkSession,
+                                         keepalive_interval)
+        ticks = raw_ticks.select(
+            F.lit("\x00__keepalive__").alias("key"),
+            F.lit(None).cast("long").alias(sequence_col),
+            F.lit(None).cast("timestamp").alias(deliver_at_col),
         )
         keyed = keyed.unionByName(ticks)
     return keyed.groupBy("key").applyInPandasWithState(

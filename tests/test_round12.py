@@ -245,3 +245,175 @@ class TestDegreeOrderedTriangles:
         got = {r.node: r.n_triangles
                for r in graph.triangle_count(df).collect()}
         assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestHeartbeatSource:
+    """Offset-cadenced liveness ticker (streaming/heartbeat.py): the
+    idle-batch-cadence knob for delayed delivery (VERDICT r11 #6)."""
+
+    def test_offset_math_advances_once_per_interval(self):
+        from incubator_pulsar_spark.streaming.heartbeat import (
+            HeartbeatStreamReader,
+        )
+
+        r = HeartbeatStreamReader(5.0)
+        start = {"anchor_ms": 1000, "n": 0}
+        # 4.9s elapsed: no advance -> same offset object, no batch
+        assert r._advance(start, 1000 + 4900) == start
+        # 5.0s: one tick
+        assert r._advance(start, 1000 + 5000) == {"anchor_ms": 1000, "n": 1}
+        # 17s: catches up to 3 ticks in one go
+        assert r._advance(start, 1000 + 17000) == {"anchor_ms": 1000, "n": 3}
+
+    def test_replay_rows_are_pure_functions_of_offsets(self):
+        from incubator_pulsar_spark.streaming.heartbeat import (
+            HeartbeatStreamReader,
+        )
+
+        r = HeartbeatStreamReader(2.0)
+        a = {"anchor_ms": 0, "n": 1}
+        b = {"anchor_ms": 0, "n": 4}
+        first = list(r.readBetweenOffsets(a, b))
+        second = list(r.readBetweenOffsets(a, b))
+        assert first == second == [(2, 4000), (3, 6000), (4, 8000)]
+
+    def test_e2e_cadence(self, spark, tmp_path):
+        import time
+
+        from incubator_pulsar_spark.streaming.heartbeat import (
+            heartbeat_stream,
+        )
+
+        hb = heartbeat_stream(spark, interval_s=2.0)
+        q = (hb.writeStream.format("memory").queryName("hb_r12")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        time.sleep(9)
+        q.stop()
+        q.awaitTermination(60)
+        ticks = [r.tick for r in
+                 spark.sql("select * from hb_r12 order by tick").collect()]
+        assert len(ticks) >= 2, f"no ticks emitted: {ticks}"
+        assert ticks == list(range(1, len(ticks) + 1))  # gapless
+
+
+class TestDelayedCheckpointMigration:
+    """VERDICT r11 #5: a pre-keepalive checkpoint (1 source) must not
+    strand a naive restart — auto-detect or fail with the fix."""
+
+    @staticmethod
+    def _due_rows(spark, path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            Row(key="k", sequence=1,
+                deliver_at=now - dt.timedelta(seconds=5)),
+            Row(key="k", sequence=2, deliver_at=now + dt.timedelta(hours=2)),
+        ]
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def _run(spark, out, name, ck):
+        q = (out.writeStream.queryName(name).format("memory")
+             .outputMode("append").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    @staticmethod
+    def _run_parquet(out, path, ck):
+        # parquet sink: the only common sink that supports RESTARTING
+        # from a checkpoint (memory sink raises "does not support
+        # recovering from checkpoint location")
+        q = (out.writeStream.format("parquet").option("path", path)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    def _prefix_checkpoint(self, spark, tmp_path):
+        """Build a checkpoint shaped like a pre-keepalive (r10) stream:
+        exactly one source in the offsets log."""
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path = str(tmp_path / "t")
+        self._due_rows(spark, path)
+        ck = str(tmp_path / "ck1src")
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = sdelay.delayed_delivery_stream(stream, keepalive=False)
+        self._run_parquet(out, str(tmp_path / "rel1src"), ck)
+        return path, ck
+
+    def test_source_count_reads_the_offsets_log(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path, ck = self._prefix_checkpoint(spark, tmp_path)
+        assert sdelay.checkpoint_source_count(ck) == 1
+        assert sdelay.checkpoint_source_count(str(tmp_path / "nope")) is None
+
+    def test_auto_detect_restarts_one_source_with_warning(
+            self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path, ck = self._prefix_checkpoint(spark, tmp_path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        with pytest.warns(UserWarning, match="predates the keepalive"):
+            out = sdelay.delayed_delivery_stream(
+                stream, checkpoint_location=ck)
+        # the restart must actually run (pre-fix: Spark source-count
+        # assertion error); availableNow replays nothing new -> clean
+        q = self._run_parquet(out, str(tmp_path / "rel1src"), ck)
+        assert q.exception() is None
+
+    def test_explicit_mismatch_raises_with_instruction(
+            self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path, ck = self._prefix_checkpoint(spark, tmp_path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        with pytest.raises(ValueError, match="keepalive=False"):
+            sdelay.delayed_delivery_stream(
+                stream, keepalive=True, checkpoint_location=ck)
+
+    def test_two_source_checkpoint_rejects_keepalive_off(
+            self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path = str(tmp_path / "t2")
+        self._due_rows(spark, path)
+        ck = str(tmp_path / "ck2src")
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = sdelay.delayed_delivery_stream(stream)  # keepalive on
+        self._run_parquet(out, str(tmp_path / "rel2src"), ck)
+        assert sdelay.checkpoint_source_count(ck) == 2
+        stream2 = spark.readStream.schema(schema).parquet(path)
+        with pytest.raises(ValueError, match="keepalive=True"):
+            sdelay.delayed_delivery_stream(
+                stream2, keepalive=False, checkpoint_location=ck)
+        # and auto mode silently picks keepalive=True (no warning)
+        out3 = sdelay.delayed_delivery_stream(
+            stream2, checkpoint_location=ck)
+        q = self._run_parquet(out3, str(tmp_path / "rel2src"), ck)
+        assert q.exception() is None
+
+    def test_heartbeat_keepalive_releases_due_rows(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        path = str(tmp_path / "t3")
+        self._due_rows(spark, path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = sdelay.delayed_delivery_stream(stream, keepalive_interval=2.0)
+        q = self._run(spark, out, "dd_hb", str(tmp_path / "ckhb"))
+        assert q.exception() is None
+        rel = sorted(r.sequence
+                     for r in spark.sql("select * from dd_hb").collect())
+        assert rel == [1]  # seq 2 withheld
