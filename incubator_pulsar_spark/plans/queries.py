@@ -1378,7 +1378,11 @@ def semdedup_embeddings(spark, sf_dir):
     within-cell pair join in SQL — every verdict and every ``dup_of``
     id is exact-checked, not just the keep counts."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, threshold=0.3, n_cells=8)
+    # kernel="fold" pins the oracle gate surface: the SQL replays the
+    # fold's BLAS-free pair dots; the gemm kernel is pytest-parity-
+    # locked against this form (VERDICT r11 #3)
+    return similarity.semantic_dedup(emb, threshold=0.3, n_cells=8,
+                                     kernel="fold")
 
 
 def _semdedup_sql(n_cells: int = 8, threshold: float = 0.3) -> str:
@@ -1508,7 +1512,10 @@ def knn_graph_embeddings(spark, sf_dir):
     measured quadratic (3.3 s -> 27.4 s on 4x vectors); 16 cells holds
     the per-cell load flat across the gate SFs."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, k=5, n_cells=16, nprobe=2)
+    # kernel="fold": the oracle gate surface (gemm parity-locked in
+    # pytest — VERDICT r11 #3)
+    return similarity.knn_graph(emb, k=5, n_cells=16, nprobe=2,
+                                kernel="fold")
 
 
 def _knn_graph_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:
