@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from incubator_pulsar_spark.session import get_spark
-from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+from incubator_pulsar_spark.plans.queries import ALL_QUERIES, LIFECYCLES
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -192,6 +192,13 @@ BENCH_QUERIES = [
     "label_propagation_nations",
     "winsorize_events",
     "hll_set_algebra_events",
+    # round-12: SCD2 change history, the sparse-graph peeling /
+    # hubs-authorities pair, and the rank-math correlation + histogram
+    "scd2_history_events",
+    "kcore_nations",
+    "hits_nations",
+    "spearman_events",
+    "ntile_histogram_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
@@ -243,26 +250,52 @@ def main() -> None:
     total = 0.0
     med_total = 0.0
     cold_total = 0.0
-    for name in BENCH_QUERIES:
-        q = ALL_QUERIES[name]
+    def time_passes(fn) -> tuple[float, float, float, int]:
+        """(min, median, cold, rows) over 1 cold + 3 steady passes."""
         t0 = time.time()
-        n = q.build(spark, sf_dir).count()
+        n = fn()
         c = round(time.time() - t0, 3)
         runs: list[float] = []
         for _ in range(3):
             t0 = time.time()
-            q.build(spark, sf_dir).count()
+            fn()
             runs.append(round(time.time() - t0, 3))
-        dt = min(runs)
-        m = sorted(runs)[1]
+        return min(runs), sorted(runs)[1], c, n
+
+    def record(name: str, dt: float, m: float, c: float, n: int,
+               headline: bool) -> None:
+        nonlocal total, med_total, cold_total
         timings[name] = dt
         med[name] = m
         cold[name] = c
-        total += dt
-        med_total += m
-        cold_total += c
+        if headline:
+            # component rows (*_build/*_probe) re-measure work the
+            # composite row already counts — keep them OUT of the
+            # totals so cross-round total comparisons stay apples to
+            # apples
+            total += dt
+            med_total += m
+            cold_total += c
         print(f"# {name}: {dt:.3f}s min / {m:.3f}s median / {c:.3f}s cold "
               f"({n} rows)", file=sys.stderr)
+
+    for name in BENCH_QUERIES:
+        q = ALL_QUERIES[name]
+        record(name, *time_passes(lambda: q.build(spark, sf_dir).count()),
+               headline=True)
+        if name in LIFECYCLES:
+            # drift protocol (VERDICT r11 #1): the one-time build (I/O-
+            # jittery: train + write + append/ingest) and the
+            # production-recurring probe are tracked as separate rows,
+            # so a moving composite is attributable. The probe runs
+            # against the index the build pass just wrote.
+            build, probe = LIFECYCLES[name]
+            record(f"{name}_build",
+                   *time_passes(lambda: (build(spark, sf_dir), 0)[1]),
+                   headline=False)
+            record(f"{name}_probe",
+                   *time_passes(lambda: probe(spark, sf_dir).count()),
+                   headline=False)
 
     # per-query cold timings go to stderr only: the driver captures the
     # LAST 2000 chars of stdout and the r1 line (~2.4 KB with two
@@ -288,13 +321,26 @@ def main() -> None:
             payload["queries_omitted"] = omitted
         return json.dumps(payload, separators=(",", ":"))
 
+    # full per-query dict (min/median/cold, incl. *_build/*_probe
+    # component rows) persists to a repo artifact every run — the
+    # cross-round per-query record the 2000-char stdout line can't
+    # carry now that component rows exist
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump({"sf": sf, "min": timings, "median": med, "cold": cold},
+                  f, separators=(",", ":"), indent=None)
+
     # hard guard: the one stdout line must fit the 2000-char tail
-    # capture. If the full dict overflows, drop the FASTEST queries one
-    # by one — the line keeps every entry that fits, slowest first,
-    # with queries_omitted counting the rest (full dict on stderr).
+    # capture. Overflow policy: drop the *_build/*_probe component rows
+    # FIRST (bench_full.json carries them; the composite rows keep
+    # their r11 names so cross-round diffs stay inline), then the
+    # FASTEST remaining queries one by one, with queries_omitted
+    # counting the rest (full dict also on stderr).
     out = line(timings, 0)
     if len(out) >= 1900:
-        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        keep = {k: v for k, v in timings.items()
+                if not k.endswith(("_build", "_probe"))}
+        keep = dict(sorted(keep.items(), key=lambda kv: -kv[1]))
         while keep and len(line(keep, len(timings) - len(keep))) >= 1900:
             keep.pop(next(reversed(keep)))
         out = line(keep, len(timings) - len(keep))

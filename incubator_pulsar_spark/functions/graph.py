@@ -373,3 +373,141 @@ def label_propagation(edges: DataFrame, *, src_col: str = "src",
                           .alias("label"))
                   .localCheckpoint(eager=False))
     return labels
+
+
+def _canonical_undirected(edges: DataFrame, src_col: str,
+                          dst_col: str) -> DataFrame:
+    """Distinct (u < v) undirected collapse with NULLs and self-loops
+    dropped — the shared preamble of the undirected-graph family."""
+    raw = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .filter(F.col("a") != F.col("b")))
+    return (raw.select(F.least("a", "b").alias("u"),
+                       F.greatest("a", "b").alias("v"))
+            .distinct())
+
+
+def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core membership over the undirected collapse of the edge list
+    — iterative peeling (Seidman 1983; Matula & Beck's algorithm run
+    breadth-synchronously): repeatedly drop every node whose degree
+    among the REMAINING nodes is < k. What survives is the maximal
+    subgraph where everyone has ≥ k surviving neighbors — the standard
+    dense-region extractor (spam-farm cores, community nuclei,
+    link-graph quality tiers) that plain degree thresholds and
+    connected components both miss.
+
+    Fixed ``iters`` rounds (the oracle unrolls them as CTEs — the
+    PageRank-family discipline); peeling is monotone, so once a round
+    removes nothing the remaining rounds are no-ops and the fixpoint
+    IS the k-core (each round strictly shrinks the set or finishes —
+    convergence takes ≤ rounds-to-empty, in practice a handful; raise
+    ``iters`` for deep onion graphs). Each round is one semi-join of
+    edges against the survivor set + one degree aggregation —
+    co-partitioned on the node key at scale; the canonical edge set
+    localCheckpoints ONCE (the PageRank lineage lesson).
+
+    Output: (node, in_kcore ∈ {0,1}) for every node in the graph.
+    """
+    und = _canonical_undirected(edges, src_col, dst_col) \
+        .localCheckpoint(eager=True)
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .union(und.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr")))
+            .localCheckpoint(eager=True))
+    nodes = both.select("node").distinct().localCheckpoint(eager=True)
+    alive = nodes
+    for _ in range(iters):
+        # degree within the survivor set: both endpoints must be alive
+        deg = (both
+               .join(alive, on="node")
+               .join(alive.select(F.col("node").alias("nbr")), on="nbr")
+               .groupBy("node").agg(F.count(F.lit(1)).alias("_d")))
+        # EAGER checkpoint: ``alive`` feeds BOTH sides of next round's
+        # semi-join — a lazy reference would double the plan per round
+        # (the LPA 2^rounds lineage lesson); materializing the survivor
+        # set per round is the standard Pregel posture
+        alive = (deg.filter(F.col("_d") >= k).select("node")
+                 .localCheckpoint(eager=True))
+    return (nodes.join(alive.withColumn("_in", F.lit(1)), on="node",
+                       how="left")
+            .select("node",
+                    F.coalesce(F.col("_in"), F.lit(0)).cast("int")
+                    .alias("in_kcore")))
+
+
+def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
+         src_col: str = "src", dst_col: str = "dst",
+         broadcast_scores: bool = False) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
+    list: hub score = sum of pointed-to authority scores, authority
+    score = sum of pointing hubs — the bipartite-reinforcement
+    importance pair PageRank's single score can't express (a page can
+    be a great directory and a poor destination).
+
+    Determinism discipline (the oracle unrolls every iteration): both
+    scores live in integer MICRO-UNITS and each half-step renormalizes
+    by the MAX (L∞) via integer floor-division —
+
+        a'(v) = Σ_{u→v} h(u);   a(v) = (a'(v)·micro) DIV max_v a'(v)
+        h'(u) = Σ_{u→v} a(v);   h(u) = (h'(u)·micro) DIV max_u h'(u)
+
+    Integer sums are order-independent and DIV is exact, so the result
+    is bit-identical on any engine/partitioning (the classic L2
+    normalization is float-fold-order-dependent — ungateable; L∞ keeps
+    the same fixed-point RANKING, Kleinberg §4's convergence is
+    norm-independent). Duplicate edges collapse (DISTINCT). Dangling
+    directions simply contribute 0.
+
+    Scale shape per iteration: two edges⋈scores joins + two keyed
+    aggs, co-partitioned on the node key; max() is a 1-row broadcast.
+    ``broadcast_scores=True`` is the small-node-set plan (the
+    ``pagerank`` knob). Output: (node, hub_micro, auth_micro) for
+    every node appearing as src or dst.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    _maybe_b = F.broadcast if broadcast_scores else (lambda df: df)
+    hubs = nodes.select("node", F.lit(micro).cast("long").alias("h"))
+    auths = nodes.select("node", F.lit(micro).cast("long").alias("a"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        # EAGER checkpoint first: the raw-score table feeds BOTH the
+        # max aggregate and the division — two references to an
+        # unmaterialized iterative subtree double the plan per
+        # half-step (2^(2·iters) — the LPA lineage lesson). One small
+        # materialization per half-step is the Pregel posture.
+        df = df.localCheckpoint(eager=True)
+        mx = df.agg(F.max(col).alias("_mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"CAST(({col} * {int(micro)}) DIV _mx "
+                               f"AS LONG)").alias(col)))
+
+    for _ in range(iters):
+        a_raw = (e.join(_maybe_b(hubs.select(F.col("node").alias("src"),
+                                             "h")), on="src")
+                 .groupBy("dst").agg(F.sum("h").alias("a"))
+                 .select(F.col("dst").alias("node"), "a"))
+        auths = _norm(
+            nodes.join(_maybe_b(a_raw), on="node", how="left")
+            .select("node", F.coalesce(F.col("a"), F.lit(0)).alias("a")),
+            "a")
+        h_raw = (e.join(_maybe_b(auths.select(F.col("node").alias("dst"),
+                                              "a")), on="dst")
+                 .groupBy("src").agg(F.sum("a").alias("h"))
+                 .select(F.col("src").alias("node"), "h"))
+        hubs = _norm(
+            nodes.join(_maybe_b(h_raw), on="node", how="left")
+            .select("node", F.coalesce(F.col("h"), F.lit(0)).alias("h")),
+            "h")
+    return (hubs.join(auths, on="node")
+            .select("node", F.col("h").alias("hub_micro"),
+                    F.col("a").alias("auth_micro")))

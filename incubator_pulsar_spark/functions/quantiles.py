@@ -221,3 +221,80 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str, *,
                         F.when(v.isNull(), F.lit(False))
                         .otherwise(v != clamped))
             .drop("_qlo", "_qhi"))
+
+
+def spearman(df: DataFrame, group_cols: list[str], x_col: str, y_col: str,
+             *, tiebreak_col: str | None = None) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    signal robust to outliers and nonlinearity (Pearson needs float
+    moment folds that can never sit under a value-hash gate; rank math
+    can).
+
+    Deterministic-rank variant: both variables rank by row_number over
+    (value, tiebreak) — EXACT integer ranks, so
+
+        rho = 1 − 6·Σd² / (n·(n²−1)),   d = rank_x − rank_y
+
+    is a ratio of exact BIGINTs, rounded once to 6 decimals. (The
+    textbook tie handling assigns AVERAGE ranks — fractional and
+    fold-order-ambiguous; under heavy ties prefer the windowed
+    mid-rank off-gate. With a unique tiebreak the two agree whenever
+    values are distinct.) Rows where either value is NULL are dropped
+    (rank semantics); single-row groups emit rho NULL (the n(n²−1)=0
+    degeneracy).
+
+    One shuffle: both rank windows share the group partition. Output:
+    group_cols + (n, sum_d2, rho).
+    """
+    tie = [F.col(tiebreak_col)] if tiebreak_col else []
+    base = df.select(*group_cols, x_col, y_col,
+                     *([tiebreak_col] if tiebreak_col else [])) \
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    wx = Window.partitionBy(*group_cols).orderBy(F.col(x_col), *tie)
+    wy = Window.partitionBy(*group_cols).orderBy(F.col(y_col), *tie)
+    ranked = base.select(
+        *group_cols,
+        F.row_number().over(wx).cast("long").alias("_rx"),
+        F.row_number().over(wy).cast("long").alias("_ry"))
+    d2 = (F.col("_rx") - F.col("_ry")) * (F.col("_rx") - F.col("_ry"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"))
+    den = F.col("n") * (F.col("n") * F.col("n") - 1)
+    return agg.select(
+        *group_cols, "n", "sum_d2",
+        F.when(den > 0,
+               F.round(1.0 - (6.0 * F.col("sum_d2")) / den, 6))
+        .alias("rho"))
+
+
+def ntile_histogram(df: DataFrame, group_cols: list[str], value_col: str,
+                    *, buckets: int = 10,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Per-group equi-depth histogram via NTILE — the rank-math
+    histogram whose bucket boundaries are DATA VALUES (equi-WIDTH
+    histograms need a domain guess; equi-depth adapts to the
+    distribution, the form optimizers and drift monitors want).
+
+    NTILE(b) over (value, tiebreak) splits each group into b
+    near-equal runs (first ``n mod b`` buckets one row larger — the
+    ANSI rule both engines implement identically), then one aggregate
+    per (group, bucket) reports count + [lo, hi] — every output cell
+    an untouched input value or an exact count. NULL values are
+    dropped (rank semantics, as everywhere in this module).
+
+    One shuffle (the group-partition sort). Output: group_cols +
+    (bucket 1-based, n_rows, lo, hi).
+    """
+    tie = [F.col(tiebreak_col)] if tiebreak_col else []
+    base = df.select(*group_cols, value_col,
+                     *([tiebreak_col] if tiebreak_col else [])) \
+        .filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), *tie)
+    return (base.withColumn("bucket", F.ntile(buckets).over(w))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi"))
+            .select(*group_cols, F.col("bucket").cast("int").alias("bucket"),
+                    "n_rows", "lo", "hi"))

@@ -23,7 +23,7 @@ bucketed by ``key``, the shuffle disappears entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PUBLISH_ORDER = "publish_order"
@@ -100,3 +100,53 @@ def compacted_read(
         event_time_col=event_time_col, mode=mode,
     )
     return snapshot.unionByName(tail)
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+    order_col: str = "sequence",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) change history: collapse a
+    keyed update log into one row per VALUE RUN with its validity
+    interval — the full-history complement of ``compact`` (which keeps
+    only the latest run's value; `AbstractTwoPhaseCompactor` discards
+    history by design, while warehouse dimension tables must keep it).
+
+    Classic windowed derivation, all JVM-side: LAG detects run starts
+    (null-safe — a NULL value is a run like any other, and
+    NULL-after-NULL is NOT a change), LEAD over the run starts closes
+    each interval at the NEXT run's start. ``valid_to`` is NULL for
+    each key's current run (the open interval). ``version`` numbers a
+    key's runs from 1.
+
+    Scale: two window passes over the same (key × order) sort — ONE
+    shuffle (Catalyst reuses the sort for same-spec windows); no
+    driver state. Ties on ``order_col`` break by ``tiebreak_col``
+    (default: the order column alone must be unique per key).
+
+    Output: (key, value, valid_from, valid_to, version) with
+    valid_from/valid_to in ``order_col``'s type.
+    """
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    is_start = (F.row_number().over(w) == 1) | \
+        ~F.col(value_col).eqNullSafe(prev)
+    starts = (df.select(key_col, value_col, order_col,
+                        *([tiebreak_col] if tiebreak_col else []))
+              .withColumn("_st", is_start)
+              .filter(F.col("_st"))
+              .drop("_st"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (starts
+            .withColumn("valid_from", F.col(order_col))
+            .withColumn("valid_to", F.lead(F.col(order_col)).over(w2))
+            .withColumn("version",
+                        F.row_number().over(w2).cast("int"))
+            .select(key_col, value_col, "valid_from", "valid_to",
+                    "version"))

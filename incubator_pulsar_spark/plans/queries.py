@@ -19,7 +19,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import corpus, fuzzy, similarity, text
@@ -93,6 +93,13 @@ def _scratch(tag: str, sf_dir: str) -> str:
     d = f"/tmp/ipq_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     _SCRATCH_DIRS.add(d)
     return d
+
+
+def _probe_queries(emb, n: int = 5):
+    """The lifecycle gates' standard probe set: the n lowest vec_ids."""
+    return (emb.filter(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
 
 
 def _dec_sum(c, alias):  # exact, order-independent double sum
@@ -5460,6 +5467,11 @@ def pq_index_topk_embeddings(spark, sf_dir):
     lifecycle by restricting only the training-pool CTE — appends
     encoded with frozen books are definitionally the same rows as
     encoding everything with those books."""
+    _pqindex_build(spark, sf_dir)
+    return _pqindex_probe(spark, sf_dir)
+
+
+def _pqindex_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5468,10 +5480,12 @@ def pq_index_topk_embeddings(spark, sf_dir):
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                               dim=64, m=4, ksub=16)
     similarity.pq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+
+
+def _pqindex_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_search_index(spark, _scratch("pqindex", sf_dir),
+                                      _probe_queries(emb), k=10, refine=100,
                                       vectors=emb)
 
 
@@ -5512,16 +5526,23 @@ def ivfpq_topk_embeddings(spark, sf_dir):
     proven IVF seeding chain (_ivf_assign_parts: round-9 cosine
     farthest-point cells) with the proven PQ chain (_pq_chain_parts:
     round-9 L2 farthest-point codebooks) and must agree on every row."""
+    _ivfpq_build(spark, sf_dir)
+    return _ivfpq_probe(spark, sf_dir)
+
+
+def _ivfpq_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
     d = _scratch("ivfpq", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+
+
+def _ivfpq_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_index(spark, _scratch("ivfpq", sf_dir),
+                                         _probe_queries(emb), k=10, nprobe=3,
                                          refine=100, vectors=emb)
 
 
@@ -5679,6 +5700,11 @@ def ivfpq_residual_topk_embeddings(spark, sf_dir):
     proves residual CORRECTNESS; on this synthetic fixture residual
     recall measures BELOW raw — see the ivfpq_write_index docstring's
     measured caveat — which is a corpus property, not a defect.)"""
+    _ivfpqr_build(spark, sf_dir)
+    return _ivfpqr_probe(spark, sf_dir)
+
+
+def _ivfpqr_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5686,10 +5712,12 @@ def ivfpq_residual_topk_embeddings(spark, sf_dir):
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual=True)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+
+
+def _ivfpqr_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_index(spark, _scratch("ivfpqr", sf_dir),
+                                         _probe_queries(emb), k=10, nprobe=3,
                                          refine=100, vectors=emb)
 
 
@@ -5707,6 +5735,11 @@ def pq_fold_topk_embeddings(spark, sf_dir):
     code rows between directories without changing a single one, so
     the oracle is the pq_index lifecycle's verbatim: train on the even
     half, encode everything with those books, ADC + exact-refine."""
+    _pqfold_build(spark, sf_dir)
+    return _pqfold_probe(spark, sf_dir)
+
+
+def _pqfold_build(spark, sf_dir):
     import shutil as _sh
 
     from ..streaming.ann import pq_fold_stream, pq_ingest_batch
@@ -5722,10 +5755,12 @@ def pq_fold_topk_embeddings(spark, sf_dir):
     pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
                     index_path=d, out_path=d + "_out", k=5)
     pq_fold_stream(spark, d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+
+
+def _pqfold_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_search_index(spark, _scratch("pqfold", sf_dir),
+                                      _probe_queries(emb), k=10, refine=100,
                                       vectors=emb)
 
 
@@ -5743,6 +5778,11 @@ def ivfpq_fold_topk_embeddings(spark, sf_dir):
     probe prunes to 3 of 8 cells and exact-refines. Oracle: the proven
     composed IVF+PQ chain with the training POOL restricted to the
     build half."""
+    _ivffold_build(spark, sf_dir)
+    return _ivffold_probe(spark, sf_dir)
+
+
+def _ivffold_build(spark, sf_dir):
     import shutil as _sh
 
     from ..streaming.ann import ivfpq_fold_stream, ivfpq_ingest_batch
@@ -5758,10 +5798,12 @@ def ivfpq_fold_topk_embeddings(spark, sf_dir):
     ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
                        index_path=d, out_path=d + "_out", k=5, nprobe=3)
     ivfpq_fold_stream(spark, d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+
+
+def _ivffold_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_index(spark, _scratch("ivffold", sf_dir),
+                                         _probe_queries(emb), k=10, nprobe=3,
                                          refine=100, vectors=emb)
 
 
@@ -5782,9 +5824,14 @@ def ann_rerank_report(spark, sf_dir):
     even half, queries the odd ids < 10 — the rerank of a query's
     logged top-100 is definitionally the refine stage over the same
     shortlist."""
+    _rerank_build(spark, sf_dir)
+    return _rerank_probe(spark, sf_dir)
+
+
+def _rerank_build(spark, sf_dir):
     import shutil as _sh
 
-    from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
+    from ..streaming.ann import pq_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     d = _scratch("rerank", sf_dir)
@@ -5794,7 +5841,14 @@ def ann_rerank_report(spark, sf_dir):
                               dim=64, m=4, ksub=16)
     pq_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), 0,
                     index_path=d, out_path=d + "_out", k=100)
-    rep = rerank_candidate_log(spark, d + "_out", emb, k=10)
+
+
+def _rerank_probe(spark, sf_dir):
+    from ..streaming.ann import rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rep = rerank_candidate_log(spark, _scratch("rerank", sf_dir) + "_out",
+                               emb, k=10)
     return rep.filter(F.col("query_id") < 10)
 
 
@@ -5856,6 +5910,11 @@ def ivfpq_auto_topk_embeddings(spark, sf_dir):
     residual-space ADC distances and hash-mismatches on every row.
     The residual-wins regime is pytest-gated on a cell-structured
     fixture (tests/test_round9.py::TestResidualAuto)."""
+    _ivfauto_build(spark, sf_dir)
+    return _ivfauto_probe(spark, sf_dir)
+
+
+def _ivfauto_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5863,10 +5922,12 @@ def ivfpq_auto_topk_embeddings(spark, sf_dir):
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual="auto")
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+
+
+def _ivfauto_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_index(spark, _scratch("ivfauto", sf_dir),
+                                         _probe_queries(emb), k=10, nprobe=3,
                                          refine=100, vectors=emb)
 
 
@@ -5886,9 +5947,14 @@ def ann_rerank_bounded(spark, sf_dir):
     restricted to the even half and queries = batch 0's lowest ids —
     the rerank of a logged top-100 shortlist is definitionally the
     refine stage over that shortlist."""
+    _rerankb_build(spark, sf_dir)
+    return _rerankb_probe(spark, sf_dir)
+
+
+def _rerankb_build(spark, sf_dir):
     import shutil as _sh
 
-    from ..streaming.ann import pq_ingest_batch, rerank_candidate_log
+    from ..streaming.ann import pq_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     d = _scratch("rerankb", sf_dir)
@@ -5901,6 +5967,15 @@ def ann_rerank_bounded(spark, sf_dir):
                     index_path=d, out_path=d + "_out", k=100)
     pq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
                     index_path=d, out_path=d + "_out", k=100)
+
+
+def _rerankb_probe(spark, sf_dir):
+    # retire is retry-idempotent: a re-run reads retired-as-done and
+    # regenerates the identical report, so the probe is repeatable
+    from ..streaming.ann import rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _scratch("rerankb", sf_dir)
     rep = rerank_candidate_log(spark, d + "_out", emb, k=10,
                                batch_ids=[0], report_path=d + "_rep",
                                retire=True)
@@ -5928,9 +6003,14 @@ def ivfpq_rerank_bounded(spark, sf_dir):
     restricted to the even half, queries = batch 0's lowest ids — the
     exact rerank of a query's logged nprobe-pruned top-100 is
     definitionally the refine stage over that same shortlist."""
+    _ivfrerankb_build(spark, sf_dir)
+    return _ivfrerankb_probe(spark, sf_dir)
+
+
+def _ivfrerankb_build(spark, sf_dir):
     import shutil as _sh
 
-    from ..streaming.ann import ivfpq_ingest_batch, rerank_candidate_log
+    from ..streaming.ann import ivfpq_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     d = _scratch("ivfrerankb", sf_dir)
@@ -5943,6 +6023,13 @@ def ivfpq_rerank_bounded(spark, sf_dir):
                        index_path=d, out_path=d + "_out", k=100, nprobe=3)
     ivfpq_ingest_batch(emb.filter(F.col("vec_id") % 4 == 3), 1,
                        index_path=d, out_path=d + "_out", k=100, nprobe=3)
+
+
+def _ivfrerankb_probe(spark, sf_dir):
+    from ..streaming.ann import rerank_candidate_log
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _scratch("ivfrerankb", sf_dir)
     rep = rerank_candidate_log(spark, d + "_out", emb, k=10,
                                batch_ids=[0], report_path=d + "_rep",
                                retire=True)
@@ -6025,9 +6112,14 @@ def maxsim_stream_topk_embeddings(spark, sf_dir):
     batches (even/odd ids); the oracle is the BATCH MaxSim oracle
     verbatim, which is the whole point: stream-then-finalize must be
     row-identical to one-shot scoring."""
+    _maxsimstream_build(spark, sf_dir)
+    return _maxsimstream_probe(spark, sf_dir)
+
+
+def _maxsimstream_build(spark, sf_dir):
     import shutil as _sh
 
-    from ..streaming.ann import maxsim_ingest_batch, maxsim_topk_from_log
+    from ..streaming.ann import maxsim_ingest_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     arr = emb.select("vec_id",
@@ -6050,7 +6142,13 @@ def maxsim_stream_topk_embeddings(spark, sf_dir):
     maxsim_ingest_batch(bags.filter(F.col("doc_id") % 2 == 1), 1,
                         query_tokens=qs, out_path=out,
                         n_query_tokens=4, k=10)
-    return maxsim_topk_from_log(spark, out, k=10)
+
+
+def _maxsimstream_probe(spark, sf_dir):
+    from ..streaming.ann import maxsim_topk_from_log
+
+    return maxsim_topk_from_log(spark, _scratch("maxsimstream", sf_dir),
+                                k=10)
 
 
 MAXSIM_STREAM_SQL = _maxsim_sql()
@@ -6069,6 +6167,11 @@ def ivfpq_rotated_topk_embeddings(spark, sf_dir):
     (tests/test_round10.py::test_rotation_balances_blocky_variance is
     the flat-PQ twin). The oracle threads the rotated CTEs through the
     composed IVF+PQ chain and must agree on every row."""
+    _ivfrot_build(spark, sf_dir)
+    return _ivfrot_probe(spark, sf_dir)
+
+
+def _ivfrot_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6076,10 +6179,12 @@ def ivfpq_rotated_topk_embeddings(spark, sf_dir):
     _sh.rmtree(d, ignore_errors=True)
     similarity.ivfpq_write_index(emb, d, dim=64, m=4, ksub=16, n_cells=8,
                                  residual=True, rotate=True)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.ivfpq_search_index(spark, d, q, k=10, nprobe=3,
+
+
+def _ivfrot_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_index(spark, _scratch("ivfrot", sf_dir),
+                                         _probe_queries(emb), k=10, nprobe=3,
                                          refine=100, vectors=emb)
 
 
@@ -6101,6 +6206,11 @@ def pq_rotated_topk_embeddings(spark, sf_dir):
     must agree on every row — a probe or append that forgot the
     rotation encodes different codes and hash-mismatches
     immediately."""
+    _pqrot_build(spark, sf_dir)
+    return _pqrot_probe(spark, sf_dir)
+
+
+def _pqrot_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6109,10 +6219,12 @@ def pq_rotated_topk_embeddings(spark, sf_dir):
     similarity.pq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                               dim=64, m=4, ksub=16, rotate=True)
     similarity.pq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.pq_search_index(spark, d, q, k=10, refine=100,
+
+
+def _pqrot_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_search_index(spark, _scratch("pqrot", sf_dir),
+                                      _probe_queries(emb), k=10, refine=100,
                                       vectors=emb)
 
 
@@ -6397,6 +6509,11 @@ def bq_index_topk_embeddings(spark, sf_dir):
     oracle is the one-shot BQ chain verbatim: lifecycle == one-shot is
     exactly the property the gate proves
     (`similarity.bq_write_index/bq_append_index/bq_search_index`)."""
+    _bqidx_build(spark, sf_dir)
+    return _bqidx_probe(spark, sf_dir)
+
+
+def _bqidx_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6404,10 +6521,12 @@ def bq_index_topk_embeddings(spark, sf_dir):
     _sh.rmtree(d, ignore_errors=True)
     similarity.bq_write_index(emb.filter(F.col("vec_id") % 2 == 0), d, dim=64)
     similarity.bq_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.bq_search_index(spark, d, q, k=10, refine=50,
+
+
+def _bqidx_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bq_search_index(spark, _scratch("bqidx", sf_dir),
+                                      _probe_queries(emb), k=10, refine=50,
                                       vectors=emb)
 
 
@@ -6686,6 +6805,11 @@ def sq8_index_topk_embeddings(spark, sf_dir):
     The oracle re-points ONLY the grid-training CTE at the build half —
     proving appends encode under the frozen grid, not a retrained
     one."""
+    _sq8idx_build(spark, sf_dir)
+    return _sq8idx_probe(spark, sf_dir)
+
+
+def _sq8idx_build(spark, sf_dir):
     import shutil as _sh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6694,10 +6818,12 @@ def sq8_index_topk_embeddings(spark, sf_dir):
     similarity.sq8_write_index(emb.filter(F.col("vec_id") % 2 == 0), d,
                                dim=64)
     similarity.sq8_append_index(emb.filter(F.col("vec_id") % 2 == 1), d)
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec")))
-    return similarity.sq8_search_index(spark, d, q, k=10, refine=50,
+
+
+def _sq8idx_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.sq8_search_index(spark, _scratch("sq8idx", sf_dir),
+                                       _probe_queries(emb), k=10, refine=50,
                                        vectors=emb)
 
 
@@ -6931,6 +7057,258 @@ HLL_SET_ALGEBRA_SQL = _hll_set_algebra_sql()
 
 # --------------------------------------------------------------------------
 
+# ---------------------------------------------------------------- round 12
+
+
+def scd2_history_events(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) change history over the
+    per-user event-type log (`operators/compaction.scd2_history`): one
+    row per value RUN with [valid_from, valid_to) and a per-key
+    version — the full-history complement of topic compaction (the
+    reference's compactor keeps only the latest value per key;
+    dimension tables must keep every run). Pure window math, one
+    shuffle."""
+    from ..operators.compaction import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_history(ev, key_col="user_id", value_col="event_type",
+                       order_col="ts", tiebreak_col="event_id")
+    return out.select("user_id", "event_type",
+                      _fmt_ts(F.col("valid_from")).alias("valid_from"),
+                      _fmt_ts(F.col("valid_to")).alias("valid_to"),
+                      "version")
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(row_number() OVER w2 AS INTEGER) AS version
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _top_partner_edges(spark, sf_dir, top: int = 2):
+    """Sparsified trade graph: each nation keeps its ``top`` partners
+    by lineitem count (count DESC, partner name tiebreak). The raw
+    nation graph is near-complete at every SF — useless for peeling
+    algorithms; top-k-per-node is the standard degree-bounded
+    sparsifier and is SF-robust (relative, not an absolute count
+    threshold)."""
+    e = _nation_trade_edges(spark, sf_dir)
+    cnt = e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("src").orderBy(F.col("_c").desc(), F.col("dst"))
+    return (cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top).select("src", "dst"))
+
+
+_TOP_PARTNER_SQL = """
+tpc AS (SELECT src, dst, COUNT(*) AS c FROM ({edges}) GROUP BY src, dst),
+tp AS (SELECT src, dst FROM tpc
+       QUALIFY row_number() OVER (PARTITION BY src
+                                  ORDER BY c DESC, dst) <= {top})"""
+
+
+def kcore_nations(spark, sf_dir):
+    """k-core membership (`graph.kcore`, k=3) over the top-2-partner
+    trade graph: iterative peeling drops nations whose surviving
+    degree < 3 until the dense core stabilizes — the dense-region
+    extractor degree thresholds and connected components both miss
+    (every node here has degree >= 2 by construction; the core is
+    decided by the PEELING cascade, not raw degree). 6 unrolled
+    rounds, fixpoint well before that on this graph."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.kcore(edges, k=3, iters=6)
+
+
+def _kcore_sql(k: int = 3, iters: int = 6, top: int = 2) -> str:
+    parts = [f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=top)},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tp WHERE src <> dst),
+bd AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v, u FROM und),
+nodes AS (SELECT DISTINCT node FROM bd),
+r0 AS (SELECT node FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+r{t} AS (
+  SELECT b.node FROM bd b
+  JOIN r{t - 1} a ON a.node = b.node
+  JOIN r{t - 1} a2 ON a2.node = b.nbr
+  GROUP BY b.node HAVING COUNT(*) >= {k})""")
+    parts.append(f"""
+SELECT n.node,
+       CAST(CASE WHEN r.node IS NULL THEN 0 ELSE 1 END AS INTEGER)
+       AS in_kcore
+FROM nodes n LEFT JOIN r{iters} r ON r.node = n.node""")
+    return "".join(parts)
+
+
+KCORE_SQL = _kcore_sql()
+
+
+def hits_nations(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (`graph.hits`) over the
+    directed nation trade graph — supplier nations that ship broadly
+    are hubs, customer nations that absorb broadly are authorities;
+    the two-sided importance signal PageRank's single score collapses.
+    Integer micro-units with L-infinity (MAX) renormalization per
+    half-step — exact integer DIV arithmetic, so the oracle unrolls
+    all 5 iterations and matches bit-for-bit."""
+    from ..functions import graph
+
+    edges = _nation_trade_edges(spark, sf_dir)
+    return graph.hits(edges, iters=5, broadcast_scores=True)
+
+
+def _hits_sql(iters: int = 5, micro: int = 1_000_000) -> str:
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({_PAGERANK_EDGE_SQL})
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST({micro} AS BIGINT) AS h FROM nodes)"""]
+    # every iteration CTE is MATERIALIZED: each is referenced twice
+    # (once by the scalar MAX, once by the division) — inlined, the
+    # tree doubles per half-step and the planner never returns (the
+    # same 2^t blowup the Spark side fixes with eager localCheckpoints)
+    for t in range(1, iters + 1):
+        parts.append(f""",
+ar{t} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.h) AS a
+    FROM edges e JOIN h{t - 1} p ON p.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node),
+a{t} AS MATERIALIZED (
+  SELECT node, CAST((a * {micro}) // (SELECT MAX(a) FROM ar{t})
+                    AS BIGINT) AS a
+  FROM ar{t}),
+hr{t} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(p.a) AS h
+    FROM edges e JOIN a{t} p ON p.node = e.dst
+    GROUP BY e.src) s ON s.node = n.node),
+h{t} AS MATERIALIZED (
+  SELECT node, CAST((h * {micro}) // (SELECT MAX(h) FROM hr{t})
+                    AS BIGINT) AS h
+  FROM hr{t})""")
+    parts.append(f"""
+SELECT h.node, h.h AS hub_micro, a.a AS auth_micro
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node""")
+    return "".join(parts)
+
+
+HITS_SQL = _hits_sql()
+
+
+def spearman_events(spark, sf_dir):
+    """Per-type Spearman rank correlation between event value and
+    event time (`functions/quantiles.spearman`) — the monotone-drift
+    detector (are values trending over time?) in exact integer rank
+    math: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over deterministic
+    row_number ranks, a ratio of exact BIGINTs where Pearson's moment
+    folds could never gate."""
+    from ..functions.quantiles import spearman
+
+    ev = _t(spark, sf_dir, "events")
+    return spearman(ev, ["event_type"], "value", "ts",
+                    tiebreak_col="event_id")
+
+
+SPEARMAN_SQL = """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS ry
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM r GROUP BY event_type)
+SELECT event_type, n, sum_d2,
+       CASE WHEN n * (n * n - 1) > 0
+            THEN round(1.0 - (6.0 * sum_d2) / (n * (n * n - 1)), 6)
+            END AS rho
+FROM agg
+"""
+
+
+def ntile_histogram_events(spark, sf_dir):
+    """Per-type equi-depth value histogram
+    (`functions/quantiles.ntile_histogram`, 10 buckets): NTILE rank
+    math splits each type's values into near-equal runs whose [lo, hi]
+    bounds are untouched data values — the adaptive histogram shape
+    drift monitors and optimizers want, exact on both engines (the
+    ANSI first-n-mod-b-buckets-larger rule)."""
+    from ..functions.quantiles import ntile_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return ntile_histogram(ev, ["event_type"], "value", buckets=10,
+                           tiebreak_col="event_id")
+
+
+NTILE_HIST_SQL = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY event_type, bucket
+"""
+
+
+# Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
+# gate splits into the I/O-jittery one-time BUILD (train + write +
+# append/ingest under the per-process scratch dir) and the
+# production-recurring PROBE (pure read of the built index). bench.py
+# times the composite row (cross-round continuity) AND each component,
+# so the recurring number is tracked separately from build noise. The
+# probe assumes the build ran earlier in the same process (same
+# _scratch path) — exactly what bench.py and the gates guarantee.
+LIFECYCLES: dict[str, tuple] = {
+    "pq_index_topk_embeddings": (_pqindex_build, _pqindex_probe),
+    "ivfpq_topk_embeddings": (_ivfpq_build, _ivfpq_probe),
+    "ivfpq_residual_topk_embeddings": (_ivfpqr_build, _ivfpqr_probe),
+    "pq_fold_topk_embeddings": (_pqfold_build, _pqfold_probe),
+    "ivfpq_fold_topk_embeddings": (_ivffold_build, _ivffold_probe),
+    "ann_rerank_report": (_rerank_build, _rerank_probe),
+    "ann_rerank_bounded": (_rerankb_build, _rerankb_probe),
+    "ivfpq_auto_topk_embeddings": (_ivfauto_build, _ivfauto_probe),
+    "ivfpq_rotated_topk_embeddings": (_ivfrot_build, _ivfrot_probe),
+    "pq_rotated_topk_embeddings": (_pqrot_build, _pqrot_probe),
+    "ivfpq_rerank_bounded": (_ivfrerankb_build, _ivfrerankb_probe),
+    "maxsim_stream_topk_embeddings": (_maxsimstream_build,
+                                      _maxsimstream_probe),
+    "bq_index_topk_embeddings": (_bqidx_build, _bqidx_probe),
+    "sq8_index_topk_embeddings": (_sq8idx_build, _sq8idx_probe),
+}
+
+
 # Registration order matters: the driver's correctness gate checks the
 # FIRST 50 entries only. Rotation policy (mechanical, derived from the
 # union of CORRECTNESS_r01..r(N-1)): order by (driver-proof count ASC,
@@ -6944,68 +7322,97 @@ HLL_SET_ALGEBRA_SQL = _hll_set_algebra_sql()
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r11 rotation, VERDICT
-        # r10 #2: the 2 NEW r11 gates (ivfpq_rerank_bounded — the
-        # cell-pruned candidate-log rerank; maxsim_stream — the
-        # late-interaction streaming twin), then the once-proven r10
-        # quintet, the twice-proven r9/r10 quartet, then the STALEST
-        # rows by (proof count ASC, last-proven round ASC): the 39
-        # 3x-proven rows last driver-proven in r7 — the TPC-H core and
-        # the r2-r4 operator families — which had aged in the tail
-        # while the head accumulated 5x-proven rows. Every query whose
-        # code path changed this round is inside (rerank read path:
-        # ann_rerank_report/bounded + ivfpq_rerank_bounded; maxsim
-        # token-pos check: both maxsim gates; fold guard:
-        # pq/ivfpq_fold). Demoted: all 39 former head rows at >=3
-        # proofs, most recently proven r10. Exactly 50, locked by
-        # tests/test_round8.py::test_head_marker_is_exactly_50.
-        # Session 2 additions: 5 brand-new gates (bq/sq8/hll/pagerank/
-        # containment) enter at the top; 5 of the r7-stale TPC-H rows
-        # (q10/q11/q13/q16/q17 — equal proof count and staleness to
-        # their demoted peers, tie-break by name) move to the tail and
-        # rotate back next round ---
+        # --- head 1-50: driver gate this round (r12 rotation, VERDICT
+        # r11 #2): every query whose code path changed this round sits
+        # in the head — the HLL NULL-value fix (3 gates), the quantile-
+        # family NULL semantics (winsorize/mad/value_quantiles), the
+        # degree-ordered triangle rewrite, the gemm-kernel call sites
+        # (knn_graph/semdedup, gates pinned to fold), the 14 index-
+        # lifecycle gates refactored into build/probe components, and
+        # snapshot_time_travel (shared _scratch helper change) — 24
+        # rows; the remaining 26 slots go to the stalest pool by
+        # (driver-proof count ASC, last-proven round ASC, name): the
+        # 9 remaining once-proven r11 session-2 gates, the twice-
+        # proven maxsim_topk, and 16 of the r7-stale TPC-H core.
+        # Demoted: 23 rows at >=3 proofs most recently proven r11.
+        # Exactly 50, locked by
+        # tests/test_round8.py::test_head_marker_is_exactly_50. ---
+        # r12 session additions: five brand-new gates enter at the top
+        Query("scd2_history_events", scd2_history_events, SCD2_SQL),
+        Query("kcore_nations", kcore_nations, KCORE_SQL),
+        Query("hits_nations", hits_nations, HITS_SQL),
+        Query("spearman_events", spearman_events, SPEARMAN_SQL),
+        Query("ntile_histogram_events", ntile_histogram_events,
+              NTILE_HIST_SQL),
+        Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
+        Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
         Query("hll_set_algebra_events", hll_set_algebra_events,
               HLL_SET_ALGEBRA_SQL),
         Query("winsorize_events", winsorize_events, WINSORIZE_SQL),
-        Query("label_propagation_nations", label_propagation_nations,
-              LABEL_PROP_SQL),
-        Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
-              SQ8_INDEX_SQL),
-        Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
-        Query("pagerank_weighted_nations", pagerank_weighted_nations,
-              PAGERANK_WEIGHTED_SQL),
-        Query("pagerank_personalized_nations", pagerank_personalized_nations,
-              PAGERANK_PERSONALIZED_SQL),
-        Query("triangle_count_nations", triangle_count_nations,
-              TRIANGLE_SQL),
-        Query("neardup_keep_best_docs", neardup_keep_best_docs,
-              NEARDUP_KEEP_BEST_SQL),
-        Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
-              BQ_INDEX_SQL),
-        Query("minhash_estimate_docs", minhash_estimate_docs,
-              MINHASH_ESTIMATE_SQL),
         Query("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL),
-        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
-        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
-        Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
-        Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
-        Query("containment_docs", containment_docs, CONTAINMENT_SQL),
-        Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
-              IVFPQ_RERANK_BOUNDED_SQL),
-        Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
-              MAXSIM_STREAM_SQL),
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
+        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
+        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
+        Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
+              PQ_INDEX_SQL),
+        Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
+        Query("ivfpq_residual_topk_embeddings", ivfpq_residual_topk_embeddings,
+              IVFPQ_RESIDUAL_SQL),
+        Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
+        Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
+              IVFPQ_FOLD_SQL),
+        Query("ann_rerank_report", ann_rerank_report, RERANK_SQL),
         Query("ann_rerank_bounded", ann_rerank_bounded, RERANK_BOUNDED_SQL),
         Query("ivfpq_auto_topk_embeddings", ivfpq_auto_topk_embeddings,
               IVFPQ_AUTO_SQL),
         Query("ivfpq_rotated_topk_embeddings", ivfpq_rotated_topk_embeddings,
               IVFPQ_ROTATED_SQL),
-        Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
         Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
               PQ_ROTATED_SQL),
-        Query("ann_rerank_report", ann_rerank_report, RERANK_SQL),
-        Query("ivfpq_fold_topk_embeddings", ivfpq_fold_topk_embeddings,
-              IVFPQ_FOLD_SQL),
-        Query("pq_fold_topk_embeddings", pq_fold_topk_embeddings, PQ_FOLD_SQL),
+        Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
+              IVFPQ_RERANK_BOUNDED_SQL),
+        Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
+              MAXSIM_STREAM_SQL),
+        Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
+              BQ_INDEX_SQL),
+        Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
+              SQ8_INDEX_SQL),
+        Query("snapshot_time_travel_events", snapshot_time_travel_events,
+              SNAPSHOT_TT_SQL),
+        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
+        Query("containment_docs", containment_docs, CONTAINMENT_SQL),
+        Query("label_propagation_nations", label_propagation_nations,
+              LABEL_PROP_SQL),
+        Query("minhash_estimate_docs", minhash_estimate_docs,
+              MINHASH_ESTIMATE_SQL),
+        Query("neardup_keep_best_docs", neardup_keep_best_docs,
+              NEARDUP_KEEP_BEST_SQL),
+        Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
+        Query("pagerank_personalized_nations", pagerank_personalized_nations,
+              PAGERANK_PERSONALIZED_SQL),
+        Query("pagerank_weighted_nations", pagerank_weighted_nations,
+              PAGERANK_WEIGHTED_SQL),
+        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
+        Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
+        Query("q10_returned_items", q10_returned_items, Q10_SQL),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
+        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("window_udaf_bigkey", window_udaf_bigkey,
               WINDOW_UDAF_BIGKEY_SQL),
         Query("contamination_check", contamination_check, CONTAM_SQL),
@@ -7031,32 +7438,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("setops_customers", setops_customers, SETOPS_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
-        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
-        Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("q10_returned_items", q10_returned_items, Q10_SQL),
-        Query("q11_important_parts", q11_important_parts, Q11_SQL),
-        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
-        Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
-              Q17_SQL),
         Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
               PQ_LLOYD_SQL),
-        Query("ivfpq_residual_topk_embeddings",
-              ivfpq_residual_topk_embeddings, IVFPQ_RESIDUAL_SQL),
-        Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
-        Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
-              PQ_INDEX_SQL),
         Query("boilerplate_lines_docs", boilerplate_lines_docs,
               BOILERPLATE_LINES_SQL),
         Query("pq_adc_topk_embeddings", pq_adc_topk_embeddings, PQ_ADC_SQL),
@@ -7104,7 +7488,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("subscription_backlog_events", subscription_backlog_events,
               SUBSCRIPTION_BACKLOG_SQL),
         Query("topic_digest_events", topic_digest_events, TOPIC_DIGEST_SQL),
-        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         Query("weighted_sample_docs", weighted_sample_docs,
               WEIGHTED_SAMPLE_SQL),
         Query("auto_consume_events", auto_consume_events, AUTO_CONSUME_SQL),
@@ -7140,7 +7523,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("kmeans_embeddings_clusters", kmeans_embeddings_clusters,
               KMEANS_SQL),
         Query("kmv_distinct_events", kmv_distinct_events, KMV_SQL),
-        Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
         Query("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_SQL),
         Query("mixture_sample_docs", mixture_sample_docs, MIXTURE_SAMPLE_SQL),
         Query("multi_topic_counts", multi_topic_counts, MULTI_TOPIC_SQL),
@@ -7156,10 +7538,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("range_rolling_user_value", range_rolling_user_value,
               RANGE_ROLLING_SQL),
         Query("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_SQL),
-        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
         Query("shuffle_shards_docs", shuffle_shards_docs, SHUFFLE_SHARDS_SQL),
-        Query("snapshot_time_travel_events", snapshot_time_travel_events,
-              SNAPSHOT_TT_SQL),
         Query("split_leakage", split_leakage, LEAKAGE_SQL),
         Query("token_budget_docs", token_budget_docs, TOKEN_BUDGET_SQL),
         Query("train_split_stats", train_split_stats, SPLIT_SQL),

@@ -485,3 +485,168 @@ class TestGemmKernelAdoption:
                                     kernel="gemm")
         assert sorted(map(tuple, fold.collect())) == \
             sorted(map(tuple, gemm.collect()))
+
+
+class TestScd2History:
+    def test_runs_and_versions(self, spark):
+        from incubator_pulsar_spark.operators.compaction import scd2_history
+
+        rows = [
+            ("k", "a", 1), ("k", "a", 2), ("k", "b", 3), ("k", "a", 4),
+            ("j", "x", 1),
+        ]
+        df = spark.createDataFrame(rows, "key string, value string, seq long")
+        out = {(r.key, r.version): (r.value, r.valid_from, r.valid_to)
+               for r in scd2_history(df, order_col="seq").collect()}
+        # k: run a[1,3) v1, b[3,4) v2, a[4,None) v3 -- consecutive equal
+        # values collapse, a RETURNING value starts a NEW run
+        assert out[("k", 1)] == ("a", 1, 3)
+        assert out[("k", 2)] == ("b", 3, 4)
+        assert out[("k", 3)] == ("a", 4, None)
+        assert out[("j", 1)] == ("x", 1, None)
+
+    def test_null_values_are_runs(self, spark):
+        from incubator_pulsar_spark.operators.compaction import scd2_history
+
+        rows = [("k", "a", 1), ("k", None, 2), ("k", None, 3), ("k", "a", 4)]
+        df = spark.createDataFrame(rows, "key string, value string, seq long")
+        out = sorted((r.version, r.value, r.valid_from)
+                     for r in scd2_history(df, order_col="seq").collect())
+        # NULL-after-NULL is NOT a change (eqNullSafe); NULL run is v2
+        assert out == [(1, "a", 1), (2, None, 2), (3, "a", 4)]
+
+    def test_matches_compact_latest(self, spark, sf_dir):
+        """The OPEN run per key (valid_to NULL) must carry the same
+        value topic compaction keeps — SCD2 is compaction + history."""
+        from incubator_pulsar_spark.operators.compaction import scd2_history
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hist = scd2_history(ev, key_col="user_id", value_col="event_type",
+                            order_col="ts", tiebreak_col="event_id")
+        open_runs = {r.user_id: r.event_type
+                     for r in hist.filter(F.col("valid_to").isNull())
+                     .collect()}
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                             F.col("event_id").desc())
+        latest = {r.user_id: r.event_type
+                  for r in ev.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").collect()}
+        assert open_runs == latest
+        # exactly one open run per key
+        n_open = hist.filter(F.col("valid_to").isNull()) \
+            .groupBy("user_id").count().filter("count > 1").count()
+        assert n_open == 0
+
+
+class TestKCore:
+    def test_known_graph(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # K4 core (0-3) + a pendant path 4-5 hanging off node 0
+        rows = [(a, b) for a in range(4) for b in range(4) if a < b]
+        rows += [(0, 4), (4, 5)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: r.in_kcore
+               for r in graph.kcore(df, k=3, iters=6).collect()}
+        assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+    def test_peeling_cascade(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # a chain has max degree 2: the ENTIRE graph peels away at k=2
+        # only via the cascade (endpoints first, then inward)
+        rows = [(i, i + 1) for i in range(6)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: r.in_kcore
+               for r in graph.kcore(df, k=2, iters=6).collect()}
+        assert set(out.values()) == {0}
+        # a cycle survives k=2 entirely (everyone keeps degree 2)
+        rows = [(i, (i + 1) % 5) for i in range(5)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: r.in_kcore
+               for r in graph.kcore(df, k=2, iters=6).collect()}
+        assert set(out.values()) == {1}
+
+
+class TestHits:
+    def test_hub_authority_split(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # star: 0 points at 1..4 -> 0 is the max hub (1e6), targets are
+        # equal max authorities, no node is both
+        rows = [(0, i) for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: (r.hub_micro, r.auth_micro)
+               for r in graph.hits(df, iters=3).collect()}
+        assert out[0] == (1_000_000, 0)
+        for i in range(1, 5):
+            assert out[i] == (0, 1_000_000)
+
+    def test_broadcast_knob_is_identical(self, spark, sf_dir):
+        from incubator_pulsar_spark.functions import graph
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        edges = ev.select((F.col("user_id") % 7).alias("src"),
+                          (F.col("event_id") % 7).alias("dst"))
+        a = sorted(map(tuple, graph.hits(edges, iters=3).collect()))
+        b = sorted(map(tuple, graph.hits(edges, iters=3,
+                                         broadcast_scores=True).collect()))
+        assert a == b
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import spearman
+
+        rows = [("g", float(i), float(i * 2), i) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double, id long")
+        r = spearman(df, ["grp"], "x", "y", tiebreak_col="id").collect()[0]
+        assert r.rho == 1.0 and r.sum_d2 == 0
+
+    def test_perfect_antimonotone_and_nulls(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import spearman
+
+        rows = [("g", float(i), float(-i), i) for i in range(8)]
+        rows += [("g", None, 1.0, 99), ("h", 1.0, 1.0, 1)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double, id long")
+        out = {r.grp: r for r in
+               spearman(df, ["grp"], "x", "y", tiebreak_col="id").collect()}
+        assert out["g"].rho == -1.0 and out["g"].n == 8  # null row dropped
+        assert out["h"].rho is None  # single-row degeneracy
+
+    def test_matches_scipy_formula(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import spearman
+        import random
+
+        rng = random.Random(5)
+        vals = [(("g",) + (rng.random(), rng.random(), i))
+                for i in range(50)]
+        df = spark.createDataFrame(vals, "grp string, x double, y double, id long")
+        r = spearman(df, ["grp"], "x", "y", tiebreak_col="id").collect()[0]
+        xs = sorted(range(50), key=lambda i: vals[i][1])
+        ys = sorted(range(50), key=lambda i: vals[i][2])
+        rx = {i: k + 1 for k, i in enumerate(xs)}
+        ry = {i: k + 1 for k, i in enumerate(ys)}
+        d2 = sum((rx[i] - ry[i]) ** 2 for i in range(50))
+        want = round(1 - 6 * d2 / (50 * (50 * 50 - 1)), 6)
+        assert r.sum_d2 == d2 and r.rho == want
+
+
+class TestNtileHistogram:
+    def test_bucket_sizes_and_bounds(self, spark):
+        from incubator_pulsar_spark.functions.quantiles import ntile_histogram
+
+        rows = [("g", float(i), i) for i in range(23)]
+        df = spark.createDataFrame(rows, "grp string, v double, id long")
+        out = {r.bucket: (r.n_rows, r.lo, r.hi)
+               for r in ntile_histogram(df, ["grp"], "v", buckets=10,
+                                        tiebreak_col="id").collect()}
+        # 23 rows / 10 buckets: first 3 buckets 3 rows, rest 2 (ANSI)
+        assert [out[b][0] for b in range(1, 11)] == [3, 3, 3] + [2] * 7
+        assert out[1] == (3, 0.0, 2.0)
+        assert out[10] == (2, 21.0, 22.0)
+        # bucket ranges tile the domain in order
+        for b in range(1, 10):
+            assert out[b][2] <= out[b + 1][1]
