@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "hits_nations",
     "spearman_events",
     "ntile_histogram_events",
+    "ols_trend_events",
+    "psi_drift_events",
+    "connected_components_nations",
+    "bucketed_join_orders",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -298,3 +298,128 @@ def ntile_histogram(df: DataFrame, group_cols: list[str], value_col: str,
                  F.max(value_col).alias("hi"))
             .select(*group_cols, F.col("bucket").cast("int").alias("bucket"),
                     "n_rows", "lo", "hi"))
+
+
+def ols_trend(df: DataFrame, group_cols: list[str], ts_col: str,
+              value_col: str, *, y_micro: int = 1_000_000) -> DataFrame:
+    """Per-group OLS trend line of value over time — the drift slope a
+    monitoring pipeline alerts on (is latency/score/reward creeping?),
+    in EXACT sufficient statistics where naive float folds could never
+    sit under a value-hash gate.
+
+    Exactness recipe: x = epoch MICROseconds RELATIVE to the group's
+    min timestamp in MILLIseconds (bounded exact BIGINT — absolute or
+    microsecond epochs square past DECIMAL(38,0)), y snaps to
+    integer micro-units (round(y·1e6) — the bigram-LM discipline,
+    identical half-away-from-zero rounding on both engines). The four
+    sufficient statistics Σx, Σy, Σxy, Σx² are then exact
+    DECIMAL(38,0) integer sums (order-independent), and
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²̄)
+        intercept = (Σy·Σx² − Σx·Σxy) / (same denominator)
+
+    each take ONE float division at the end, rounded to 6. slope is in
+    micro-y per second; intercept is micro-y at the group's first
+    timestamp. Groups with zero x-variance (all rows at one instant)
+    emit NULL slope/intercept.
+
+    One shuffle (the group agg; the min-ts join is broadcast-sized).
+    Output: group_cols + (n, slope_micro_per_s, intercept_micro).
+    """
+    base = df.select(*group_cols,
+                     F.col(ts_col).cast("timestamp").alias("_ts"),
+                     F.col(value_col).alias("_y")) \
+        .filter(F.col("_ts").isNotNull() & F.col("_y").isNotNull())
+    x0 = base.groupBy(*group_cols).agg(F.min("_ts").alias("_ts0"))
+    j = base.join(F.broadcast(x0), on=group_cols)
+    # MILLIsecond offsets: unix_timestamp floors to seconds while
+    # DuckDB's epoch()::BIGINT rounds — unix_millis/epoch_ms are an
+    # exact-integer pair (both floor the internal microseconds).
+    # Millis, not micros: the cross-products sy*sxx / sx*sxy must fit
+    # DECIMAL(38,0), and microsecond offsets overflow it at ~10k rows
+    # per group x month-long spans (caught live at sf0.01)
+    xs = (F.unix_millis(F.col("_ts"))
+          - F.unix_millis(F.col("_ts0"))).cast("long")
+    ym = F.round(F.col("_y") * y_micro, 0).cast("long")
+    d = "decimal(38,0)"
+    agg = j.select(*group_cols, xs.alias("_x"), ym.alias("_ym")).groupBy(
+        *group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(d)).alias("_sx"),
+        F.sum(F.col("_ym").cast(d)).alias("_sy"),
+        # cast BEFORE multiplying: x is microseconds, so x*x overflows
+        # LONG at spans beyond ~1.7 days — the product must be decimal
+        F.sum(F.col("_x").cast(d) * F.col("_ym")).alias("_sxy"),
+        F.sum(F.col("_x").cast(d) * F.col("_x")).alias("_sxx"))
+    den = (F.col("n").cast(d) * F.col("_sxx")
+           - F.col("_sx") * F.col("_sx")).cast("double")
+    s_num = (F.col("n").cast(d) * F.col("_sxy")
+             - F.col("_sx") * F.col("_sy")).cast("double")
+    i_num = (F.col("_sy") * F.col("_sxx")
+             - F.col("_sx") * F.col("_sxy")).cast("double")
+    return agg.select(
+        *group_cols, "n",
+        # x is in MILLIseconds -> x1e3 renders the slope per SECOND
+        F.when(den != 0, F.round(s_num / den * 1_000.0, 6))
+        .alias("slope_micro_per_s"),
+        F.when(den != 0, F.round(i_num / den, 6)).alias("intercept_micro"))
+
+
+def psi_drift(df: DataFrame, group_cols: list[str], value_col: str,
+              ts_col: str, *, buckets: int = 10) -> DataFrame:
+    """Per-group Population Stability Index between the EARLY and LATE
+    halves of the time range — the standard drift score risk teams
+    threshold on (<0.1 stable, 0.1-0.25 shifting, >0.25 drifted).
+
+    Deterministic construction, gate-exact end to end:
+
+    - the time split is the integer midpoint of each group's [min,
+      max] epoch (exact BIGINT DIV — no median estimation);
+    - bin edges are the REFERENCE half's type-1 decile values
+      (``exact_quantiles`` rank math — untouched data values), and a
+      row's bin is 1 + Σ (v > edge_j): pure comparisons, identical on
+      any engine;
+    - per-bin fractions are exact count ratios; each bin's
+      contribution (p−q)·ln(p/q) snaps to integer micro-units
+      (round(·1e6) — the bigram-LM discipline) so the final sum is
+      order-independent integer math. Empty bins on either side clamp
+      that side's fraction to 1e-6 (the standard PSI epsilon,
+      mirrored verbatim in the oracle).
+
+    Output: group_cols + (n_ref, n_cur, psi) with psi = Σ
+    contributions / 1e6 rounded to 6.
+    """
+    base = df.select(*group_cols,
+                     F.col(ts_col).cast("timestamp").alias("_ts"),
+                     F.col(value_col).alias("_v")) \
+        .filter(F.col("_ts").isNotNull() & F.col("_v").isNotNull()) \
+        .withColumn("_e", F.unix_micros(F.col("_ts")))
+    span = base.groupBy(*group_cols).agg(
+        F.expr("CAST((MIN(_e) + MAX(_e)) DIV 2 AS LONG)").alias("_cut"))
+    tagged = base.join(F.broadcast(span), on=group_cols) \
+        .withColumn("_is_ref", F.col("_e") <= F.col("_cut"))
+    ref = tagged.filter(F.col("_is_ref"))
+    qs = [(i, buckets, f"_q{i}") for i in range(1, buckets)]
+    edges = exact_quantiles(ref, group_cols, "_v", qs) \
+        .select(*group_cols, *[f"_q{i}" for i in range(1, buckets)])
+    binned = tagged.join(F.broadcast(edges), on=group_cols).withColumn(
+        "_bin",
+        sum((F.col("_v") > F.col(f"_q{i}")).cast("int")
+            for i in range(1, buckets)) + F.lit(1))
+    counts = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_cr"),
+        F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0)).alias("_cc"))
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum("_cr").cast("long").alias("n_ref"),
+        F.sum("_cc").cast("long").alias("n_cur"))
+    j = counts.join(F.broadcast(totals), on=group_cols)
+    eps = F.lit(1e-6)
+    p = F.greatest(F.col("_cr") / F.col("n_ref"), eps)
+    q = F.greatest(F.col("_cc") / F.col("n_cur"), eps)
+    contrib = F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("long")
+    out = j.select(*group_cols, "n_ref", "n_cur", contrib.alias("_c")) \
+        .groupBy(*group_cols).agg(
+            F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur"),
+            F.sum("_c").alias("_s"))
+    return out.select(*group_cols, "n_ref", "n_cur",
+                      F.round(F.col("_s") / 1_000_000.0, 6).alias("psi"))

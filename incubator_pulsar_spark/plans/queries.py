@@ -7282,6 +7282,206 @@ FROM b GROUP BY event_type, bucket
 """
 
 
+# ------------------------------------------------------------ round 12b
+
+
+def ols_trend_events(spark, sf_dir):
+    """Per-type OLS trend of value over time
+    (`functions/quantiles.ols_trend`): exact integer sufficient
+    statistics (micro-second x offsets from the group's first event,
+    micro-unit y) folded as DECIMAL(38,0), one float division at the
+    end — the drift slope a 100 TB monitoring pipeline alerts on,
+    value-hash-exact where naive float moment folds never could."""
+    from ..functions.quantiles import ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return ols_trend(ev, ["event_type"], "ts", "value")
+
+
+OLS_TREND_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_ms(ts) AS e, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+x0 AS (SELECT event_type, MIN(e) AS e0 FROM base GROUP BY event_type),
+pts AS (
+  SELECT b.event_type, (e - e0) AS x,
+         CAST(round(y * 1000000, 0) AS BIGINT) AS ym
+  FROM base b JOIN x0 USING (event_type)),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(ym AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * ym) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY event_type)
+SELECT event_type, n,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       * 1000.0, 6) END AS slope_micro_per_s,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            END AS intercept_micro
+FROM agg
+"""
+
+
+def psi_drift_events(spark, sf_dir):
+    """Per-type Population Stability Index between the early and late
+    halves of the time range (`functions/quantiles.psi_drift`):
+    integer-midpoint time split, reference-decile bin edges by exact
+    rank math, per-bin (p-q)*ln(p/q) snapped to integer micro-units —
+    the distribution-drift score monitoring pipelines threshold on,
+    deterministic end to end."""
+    from ..functions.quantiles import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(ev, ["event_type"], "value", "ts")
+
+
+def _psi_sql(buckets: int = 10) -> str:
+    edge_cases = ",\n         ".join(
+        f"max(CASE WHEN rn = CAST(floor((n * {i} + {buckets - 1}) "
+        f"/ {buckets}) AS BIGINT) THEN v END) AS q{i}"
+        for i in range(1, buckets))
+    bin_expr = " + ".join(
+        f"(CASE WHEN t.v > e.q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, buckets))
+    return f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS e, value AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+span AS (
+  SELECT event_type, (MIN(e) + MAX(e)) // 2 AS cut
+  FROM base GROUP BY event_type),
+tagged AS (
+  SELECT b.event_type, b.v, (b.e <= s.cut) AS is_ref
+  FROM base b JOIN span s USING (event_type)),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE is_ref),
+edges AS (
+  SELECT event_type,
+         {edge_cases}
+  FROM r GROUP BY event_type),
+binned AS (
+  SELECT t.event_type, t.is_ref, {bin_expr} + 1 AS bin
+  FROM tagged t JOIN edges e USING (event_type)),
+counts AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+  FROM binned GROUP BY event_type, bin),
+totals AS (
+  SELECT event_type, CAST(SUM(cr) AS BIGINT) AS n_ref,
+         CAST(SUM(cc) AS BIGINT) AS n_cur
+  FROM counts GROUP BY event_type),
+contrib AS (
+  SELECT c.event_type, t.n_ref, t.n_cur,
+         CAST(round((greatest(c.cr / t.n_ref, 0.000001)
+                     - greatest(c.cc / t.n_cur, 0.000001))
+                    * ln(greatest(c.cr / t.n_ref, 0.000001)
+                         / greatest(c.cc / t.n_cur, 0.000001))
+                    * 1000000, 0) AS BIGINT) AS c
+  FROM counts c JOIN totals t USING (event_type))
+SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+       round(SUM(c) / 1000000.0, 6) AS psi
+FROM contrib GROUP BY event_type
+"""
+
+
+PSI_SQL = _psi_sql()
+
+
+def connected_components_nations(spark, sf_dir):
+    """Connected components over the top-2-partner trade graph
+    (`fuzzy.connected_components` — min-label propagation, the
+    GraphX-CC recipe without the dependency): every nation labeled
+    with the smallest reachable nation name. The sparsified graph can
+    split into several components where the raw near-complete graph is
+    trivially one — the reachability complement of the peeling /
+    community gates."""
+    from ..functions import fuzzy
+
+    edges = _top_partner_edges(spark, sf_dir)
+    und = edges.select(F.col("src").alias("doc_a"),
+                       F.col("dst").alias("doc_b")) \
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    nodes = (edges.select(F.col("src").alias("doc_id"))
+             .union(edges.select(F.col("dst").alias("doc_id"))).distinct())
+    out = fuzzy.connected_components(und, all_ids=nodes)
+    return out.select(F.col("id").alias("node"), "cluster")
+
+
+CC_NATIONS_SQL = f"""
+WITH RECURSIVE {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=2)},
+ed AS (
+  SELECT src AS a, dst AS b FROM tp WHERE src <> dst
+  UNION SELECT dst, src FROM tp WHERE src <> dst),
+nodes AS (SELECT DISTINCT a AS node FROM ed),
+reach(id, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN ed e ON e.a = reach.id
+)
+SELECT id AS node, min(r) AS cluster FROM reach GROUP BY id
+"""
+
+
+def _bucketed_build(spark, sf_dir):
+    """Write orders + lineitem bucketed by the join key (8 buckets,
+    sorted in-bucket) — the pay-the-shuffle-once step. Table names and
+    paths are per-process (the _scratch discipline: concurrent
+    harnesses must never clobber each other's catalog entries)."""
+    from ..operators.bucketing import write_bucketed
+
+    pid = os.getpid()
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey")
+    write_bucketed(o, f"b_orders_{pid}", bucket_col="o_orderkey",
+                   n_buckets=8, path=_scratch("bktord", sf_dir))
+    write_bucketed(li, f"b_lineitem_{pid}", bucket_col="o_orderkey",
+                   n_buckets=8, path=_scratch("bktli", sf_dir))
+
+
+def _bucketed_probe(spark, sf_dir):
+    from ..operators.bucketing import bucketed_join
+
+    pid = os.getpid()
+    j = bucketed_join(spark, f"b_orders_{pid}", f"b_lineitem_{pid}",
+                      "o_orderkey")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+                 _dec_sum("l_extendedprice", "revenue")))
+
+
+def bucketed_join_orders(spark, sf_dir):
+    """Bucketed co-located join lifecycle
+    (`operators/bucketing.write_bucketed/bucketed_join`): write orders
+    and lineitem hash-bucketed by the join key, then join WITHOUT
+    shuffling either side — the repeated-big-big-join posture at
+    100 TB (pay the shuffle once at write, never again per query).
+    The pytest plan lock asserts the probe join plans ZERO
+    hashpartitioning exchanges on the key; this gate proves the
+    bucketed read path returns byte-identical results to the plain
+    join."""
+    _bucketed_build(spark, sf_dir)
+    return _bucketed_probe(spark, sf_dir)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+       AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -7306,6 +7506,7 @@ LIFECYCLES: dict[str, tuple] = {
                                       _maxsimstream_probe),
     "bq_index_topk_embeddings": (_bqidx_build, _bqidx_probe),
     "sq8_index_topk_embeddings": (_sq8idx_build, _sq8idx_probe),
+    "bucketed_join_orders": (_bucketed_build, _bucketed_probe),
 }
 
 
@@ -7339,6 +7540,12 @@ ALL_QUERIES: dict[str, Query] = {
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
         # r12 session additions: five brand-new gates enter at the top
         Query("scd2_history_events", scd2_history_events, SCD2_SQL),
+        Query("ols_trend_events", ols_trend_events, OLS_TREND_SQL),
+        Query("psi_drift_events", psi_drift_events, PSI_SQL),
+        Query("connected_components_nations", connected_components_nations,
+              CC_NATIONS_SQL),
+        Query("bucketed_join_orders", bucketed_join_orders,
+              BUCKETED_JOIN_SQL),
         Query("kcore_nations", kcore_nations, KCORE_SQL),
         Query("hits_nations", hits_nations, HITS_SQL),
         Query("spearman_events", spearman_events, SPEARMAN_SQL),
@@ -7403,11 +7610,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
         Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
               Q17_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
