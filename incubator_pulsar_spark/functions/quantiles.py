@@ -307,9 +307,9 @@ def ols_trend(df: DataFrame, group_cols: list[str], ts_col: str,
     in EXACT sufficient statistics where naive float folds could never
     sit under a value-hash gate.
 
-    Exactness recipe: x = epoch MICROseconds RELATIVE to the group's
-    min timestamp in MILLIseconds (bounded exact BIGINT — absolute or
-    microsecond epochs square past DECIMAL(38,0)), y snaps to
+    Exactness recipe: x = MILLIsecond offset from the group's min
+    timestamp (bounded exact BIGINT — absolute or microsecond offsets
+    square past DECIMAL(38,0) in the cross-products), y snaps to
     integer micro-units (round(y·1e6) — the bigram-LM discipline,
     identical half-away-from-zero rounding on both engines). The four
     sufficient statistics Σx, Σy, Σxy, Σx² are then exact

@@ -52,7 +52,10 @@ def _sweep_stale_scratch() -> None:
     import shutil
 
     for d in glob.glob("/tmp/ipq_*_*"):
-        m = re.search(r"_(\d+)$", d)
+        # PID sits before an optional derived-dir suffix: the lifecycle
+        # gates write ipq_<tag>_<sf>_<pid>, _<pid>_out and _<pid>_rep
+        # (ADVICE r12: the plain-$ regex never matched the siblings)
+        m = re.search(r"_(\d+)(?:_out|_rep)?$", d)
         if not m:
             continue
         pid = int(m.group(1))
@@ -91,7 +94,10 @@ def _scratch(tag: str, sf_dir: str) -> str:
         _sweep_stale_scratch()
         atexit.register(_cleanup_own_scratch)
     d = f"/tmp/ipq_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
-    _SCRATCH_DIRS.add(d)
+    # register the rerank/maxsim lifecycle siblings too (ADVICE r12):
+    # gates derive d+"_out" / d+"_rep" paths that must ride the same
+    # atexit cleanup + dead-PID sweep as the primary dir
+    _SCRATCH_DIRS.update((d, d + "_out", d + "_rep"))
     return d
 
 
@@ -4338,7 +4344,7 @@ WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
@@ -6599,12 +6605,13 @@ WITH m AS (
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
   GROUP BY event_type),
 d AS (
   SELECT e.event_type, abs(e.value - m.median_value) AS dev,
          m.median_value
-  FROM events e JOIN m USING (event_type)),
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL),
 md AS (
   SELECT event_type,
          max(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
@@ -6955,7 +6962,7 @@ WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 b AS (
   SELECT event_type,
          max(CASE WHEN rn = CAST(floor((n * 1 + 100 - 1) / 100) AS BIGINT)
@@ -6964,9 +6971,13 @@ b AS (
                   THEN value END) AS qhi
   FROM r GROUP BY event_type),
 w AS (
+  -- outer side stays UNFILTERED (NULL pass-through rule): a NULL value
+  -- stays NULL (never fabricated into the band edge) and still counts
+  -- in n; LEFT JOIN keeps all-NULL groups (no bounds row) alive
   SELECT e.event_type, e.value,
-         least(greatest(e.value, b.qlo), b.qhi) AS value_w
-  FROM events e JOIN b USING (event_type))
+         CASE WHEN e.value IS NULL THEN NULL
+              ELSE least(greatest(e.value, b.qlo), b.qhi) END AS value_w
+  FROM events e LEFT JOIN b USING (event_type))
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN value <> value_w THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clamped,

@@ -84,6 +84,15 @@ def checkpoint_source_count(checkpoint_location: str) -> int | None:
     automatically (VERDICT r11 #5)."""
     import os
 
+    lines = _latest_offsets_lines(checkpoint_location)
+    if lines is None:
+        return None
+    return max(len(lines) - 2, 0)
+
+
+def _latest_offsets_lines(checkpoint_location: str) -> list[str] | None:
+    import os
+
     offsets_dir = os.path.join(checkpoint_location, "offsets")
     if not os.path.isdir(offsets_dir):
         return None
@@ -92,8 +101,36 @@ def checkpoint_source_count(checkpoint_location: str) -> int | None:
         return None
     latest = os.path.join(offsets_dir, max(batches, key=int))
     with open(latest) as f:
-        lines = [ln for ln in f.read().splitlines() if ln.strip()]
-    return max(len(lines) - 2, 0)
+        return [ln for ln in f.read().splitlines() if ln.strip()]
+
+
+def checkpoint_ticker_type(checkpoint_location: str) -> str | None:
+    """Which keepalive ticker a checkpoint was written with: ``"rate"``,
+    ``"heartbeat"``, or None (fresh checkpoint / no second source).
+
+    The source TYPE is part of the checkpoint contract but Spark only
+    reports a mismatch as an opaque offset-deserialization error at
+    start(). The offsets log itself disambiguates (ADVICE r12): the
+    ticker is the SECOND source line (union order), and the two
+    tickers serialize differently — ``rate`` writes a bare long
+    (LongOffset), the ``heartbeat`` Python source writes its offset
+    dict ``{"anchor_ms": ..., "n": ...}``."""
+    import json
+
+    lines = _latest_offsets_lines(checkpoint_location)
+    if lines is None or len(lines) < 4:  # v1 + metadata + >=2 sources
+        return None
+    try:
+        off = json.loads(lines[3])
+        if isinstance(off, str):  # python-source offsets double-encode
+            off = json.loads(off)
+    except (ValueError, TypeError):
+        return None
+    if isinstance(off, dict) and "anchor_ms" in off:
+        return "heartbeat"
+    if isinstance(off, (int, float)):
+        return "rate"
+    return None
 
 
 def delayed_delivery_stream(
@@ -143,8 +180,12 @@ def delayed_delivery_stream(
     constructs one micro-batch per interval instead of one per second.
     The interval's source TYPE is part of the checkpoint contract:
     changing 1.0 ↔ non-1.0 on an existing checkpoint is incompatible
-    (start a fresh checkpoint), so release latency ≈ the interval —
-    pick it at or below your delay tolerance."""
+    (start a fresh checkpoint) — with ``checkpoint_location`` passed,
+    the helper sniffs the recorded ticker type from the offsets log
+    (``checkpoint_ticker_type``) and raises the instructive error here
+    instead of Spark's opaque offset-format failure at start().
+    Release latency ≈ the interval — pick it at or below your delay
+    tolerance."""
     if checkpoint_location is not None:
         n_src = checkpoint_source_count(checkpoint_location)
         if n_src is not None:
@@ -171,6 +212,29 @@ def delayed_delivery_stream(
                     f"source-count mismatch. Pass keepalive={required} "
                     f"(or keepalive=None to auto-detect), or start a "
                     f"fresh checkpoint to change the setting.")
+            if keepalive and required:
+                # the source TYPE is checkpoint contract too (ADVICE
+                # r12): a rate↔heartbeat swap passes the source-count
+                # check yet dies at start() with Spark's opaque
+                # offset-format error — sniff the offsets log and give
+                # the instructive error here instead
+                recorded = checkpoint_ticker_type(checkpoint_location)
+                chosen = ("rate" if keepalive_interval == 1.0
+                          else "heartbeat")
+                if recorded is not None and recorded != chosen:
+                    fix = ("keepalive_interval=1.0"
+                           if recorded == "rate"
+                           else "a non-1.0 keepalive_interval (e.g. the "
+                                "interval the checkpoint was started "
+                                "with)")
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_location!r} was "
+                        f"written with the {recorded!r} keepalive ticker "
+                        f"but keepalive_interval={keepalive_interval} "
+                        f"selects the {chosen!r} ticker — Spark would "
+                        f"fail the restart on the offset-format "
+                        f"mismatch. Pass {fix}, or start a fresh "
+                        f"checkpoint to change the cadence.")
     if keepalive is None:
         keepalive = True
     out_schema = T.StructType([

@@ -1,0 +1,235 @@
+"""Round-13 coverage: the four ADVICE r12 findings (NULL-bearing
+oracle parity for the legacy quantile trio, scratch-sibling cleanup,
+ols_trend docstring, keepalive ticker-type sniff)."""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _canon(rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat().replace("+00:00", "")
+        return str(v)
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    """An sf-dir clone whose events table carries NULL values: ~10% of
+    rows NULL, plus one synthetic all-NULL event_type group — the
+    inputs the ADVICE r12 medium finding says the legacy quantile
+    oracles silently diverge on."""
+    d = tmp_path_factory.mktemp("nullsf")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    nulled = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")))
+    extra = spark.range(7).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("allnull").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit("{}").alias("props"))
+    nulled.unionByName(extra).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+class TestNullBearingOracleParity:
+    """ADVICE r12 (medium): QUANTILES/MAD/WINSORIZE oracles must agree
+    with the Spark implementations on NULL-bearing data, not only on
+    the NULL-free fixtures."""
+
+    @pytest.mark.parametrize("qname", ["value_quantiles_events",
+                                       "mad_outliers_events",
+                                       "winsorize_events"])
+    def test_spark_matches_duckdb_with_nulls(self, spark, null_sf_dir,
+                                             qname):
+        from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+
+        q = ALL_QUERIES[qname]
+        sdf = q.build(spark, null_sf_dir)
+        s_rows, s_cols = sdf.collect(), sdf.columns
+
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{null_sf_dir}/events.parquet/*.parquet')")
+        cur = con.execute(q.oracle)
+        o_cols = [c[0] for c in cur.description]
+        o_rows = cur.fetchall()
+
+        assert sorted(s_cols) == sorted(o_cols)
+        assert len(s_rows) == len(o_rows)
+        assert _canon(s_rows, s_cols) == _canon(o_rows, o_cols)
+
+    def test_winsorize_null_passthrough_and_allnull_group(
+            self, spark, null_sf_dir):
+        """The NULL pass-through contract itself: NULL values stay NULL
+        (never clamped to the band edge) and the all-NULL group
+        survives with n_clamped 0 and sum_w NULL."""
+        from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+
+        out = {r.event_type: r for r in ALL_QUERIES["winsorize_events"]
+               .build(spark, null_sf_dir).collect()}
+        assert "allnull" in out
+        r = out["allnull"]
+        assert r.n == 7 and r.n_clamped == 0 and r.sum_w is None
+
+    def test_quantiles_n_excludes_nulls(self, spark, null_sf_dir):
+        from incubator_pulsar_spark.plans.queries import ALL_QUERIES
+
+        got = ALL_QUERIES["value_quantiles_events"].build(
+            spark, null_sf_dir)
+        ev = spark.read.parquet(f"{null_sf_dir}/events.parquet")
+        want = {r.event_type: r.n for r in
+                ev.filter(F.col("value").isNotNull())
+                .groupBy("event_type").agg(F.count("*").alias("n"))
+                .collect()}
+        for r in got.collect():
+            assert r.n == want[r.event_type]
+        # the all-NULL group has no non-NULL quantiles: absent entirely
+        assert "allnull" not in {r.event_type for r in got.collect()}
+
+
+class TestScratchSiblingCleanup:
+    """ADVICE r12 (low): the rerank/maxsim lifecycle gates derive
+    d+'_out' / d+'_rep' paths that must ride the same atexit cleanup
+    and dead-PID sweep as the primary scratch dir."""
+
+    def test_scratch_registers_siblings(self):
+        from incubator_pulsar_spark.plans import queries as pq
+
+        d = pq._scratch("r13test", "/root/testdata/sf0.001")
+        assert d in pq._SCRATCH_DIRS
+        assert d + "_out" in pq._SCRATCH_DIRS
+        assert d + "_rep" in pq._SCRATCH_DIRS
+
+    def test_sweep_removes_dead_pid_siblings(self):
+        from incubator_pulsar_spark.plans import queries as pq
+
+        # a real, just-freed PID: spawn-and-reap so the sweep's
+        # os.kill(pid, 0) sees ProcessLookupError
+        p = subprocess.Popen(["true"])
+        p.wait()
+        dead = p.pid
+        paths = [f"/tmp/ipq_r13sweep_sf0.001_{dead}",
+                 f"/tmp/ipq_r13sweep_sf0.001_{dead}_out",
+                 f"/tmp/ipq_r13sweep_sf0.001_{dead}_rep"]
+        for pth in paths:
+            os.makedirs(pth, exist_ok=True)
+        try:
+            pq._sweep_stale_scratch()
+            for pth in paths:
+                assert not os.path.exists(pth), pth
+        finally:
+            import shutil
+
+            for pth in paths:
+                shutil.rmtree(pth, ignore_errors=True)
+
+    def test_sweep_spares_live_pid_dirs(self):
+        from incubator_pulsar_spark.plans import queries as pq
+
+        live = os.getpid()
+        pth = f"/tmp/ipq_r13live_sf0.001_{live}_out"
+        os.makedirs(pth, exist_ok=True)
+        try:
+            pq._sweep_stale_scratch()
+            assert os.path.exists(pth)
+        finally:
+            os.rmdir(pth)
+
+
+class TestTickerTypeSniff:
+    """ADVICE r12 (low): a rate↔heartbeat keepalive swap passes the
+    source-count check yet dies at start() with Spark's opaque
+    offset-format error — the helper must sniff the recorded ticker
+    type from the offsets log and raise the instructive error."""
+
+    @staticmethod
+    def _due_rows(spark, path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = [Row(key="k", sequence=1,
+                    deliver_at=now - dt.timedelta(seconds=5)),
+                Row(key="k", sequence=2,
+                    deliver_at=now + dt.timedelta(hours=2))]
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def _drain(out, path, ck):
+        q = (out.writeStream.format("parquet").option("path", path)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    def _seed(self, spark, tmp_path, name, **kw):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        src = str(tmp_path / f"src_{name}")
+        self._due_rows(spark, src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = sdelay.delayed_delivery_stream(stream, **kw)
+        ck = str(tmp_path / f"ck_{name}")
+        self._drain(out, str(tmp_path / f"rel_{name}"), ck)
+        return src, ck, schema
+
+    def test_sniffs_rate_and_heartbeat(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        _, ck_rate, _ = self._seed(spark, tmp_path, "rate")
+        assert sdelay.checkpoint_ticker_type(ck_rate) == "rate"
+        _, ck_hb, _ = self._seed(spark, tmp_path, "hb",
+                                 keepalive_interval=2.0)
+        assert sdelay.checkpoint_ticker_type(ck_hb) == "heartbeat"
+        assert sdelay.checkpoint_ticker_type(str(tmp_path / "nope")) is None
+
+    def test_cross_restart_raises_instructive(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        src, ck_rate, schema = self._seed(spark, tmp_path, "ratex")
+        stream = spark.readStream.schema(schema).parquet(src)
+        with pytest.raises(ValueError, match="'rate' keepalive ticker"):
+            sdelay.delayed_delivery_stream(
+                stream, keepalive_interval=3.0, checkpoint_location=ck_rate)
+
+        src2, ck_hb, schema2 = self._seed(spark, tmp_path, "hbx",
+                                          keepalive_interval=2.0)
+        stream2 = spark.readStream.schema(schema2).parquet(src2)
+        with pytest.raises(ValueError,
+                           match="'heartbeat' keepalive ticker"):
+            sdelay.delayed_delivery_stream(
+                stream2, keepalive_interval=1.0, checkpoint_location=ck_hb)
+
+    def test_matching_restart_passes(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming import delay as sdelay
+
+        src, ck, schema = self._seed(spark, tmp_path, "hbok",
+                                     keepalive_interval=2.0)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = sdelay.delayed_delivery_stream(
+            stream, keepalive_interval=2.0, checkpoint_location=ck)
+        self._drain(out, str(tmp_path / "rel_hbok"), ck)
