@@ -7111,6 +7111,90 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def scd2_stream_events(spark, sf_dir):
+    """Event-time streaming SCD2 (streaming/scd2.scd2_stream_event_time
+    — the watermark-closed variant tolerating cross-batch disorder,
+    the `EventTimeOrderCompactor.java:40-76` semantic; VERDICT r12
+    #1). Lifecycle under test: the per-user event-type log is split
+    into four 8-day bands, each band's rows written DISORDERED (md5
+    shuffle) as its own file, replayed availableNow one file per
+    micro-batch — so every batch carries a whole band of out-of-order
+    rows and runs straddle batch boundaries. A sentinel row 1h past
+    the log's max ts advances the final watermark over every real
+    timestamp; the trailing no-data batch fires the event-time timers
+    and flushes every closed run. The oracle is the batch SCD2
+    derivation restricted to CLOSED runs (valid_to NOT NULL — open
+    runs stay in state by contract), with n_dropped_late asserting no
+    row was falsely dropped as late."""
+    import shutil as _sh
+
+    from ..streaming.scd2 import scd2_stream_event_time
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_type").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"))
+    d = _scratch("scd2stream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    t0 = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = t0[0], t0[1]
+    band = F.floor(
+        (F.unix_micros(F.col("ts")) - F.lit(int(lo.timestamp() * 1e6)))
+        / F.lit(8 * 86400 * 1_000_000)).cast("int")
+    banded = ev.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b).drop("_band")
+         .orderBy(F.md5(F.concat_ws("|", "key", F.col("ts").cast("string"))))
+         .coalesce(1).write.mode("append").parquet(src))
+    import datetime as _dt
+
+    sent = spark.createDataFrame(
+        [("\x00flush", "x", hi + _dt.timedelta(hours=1))],
+        "key string, value string, ts timestamp")
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = scd2_stream_event_time(stream, delay="10 seconds")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.read.parquet(sink)
+            .filter(F.col("key") != "\x00flush")
+            .select(F.col("key").cast("long").alias("user_id"),
+                    F.col("value").alias("event_type"),
+                    "valid_from", "valid_to", "version",
+                    "n_dropped_late"))
+
+
+SCD2_STREAM_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+starts AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+),
+runs AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS valid_from,
+         epoch_us(lead(ts) OVER w2) AS valid_to,
+         CAST(row_number() OVER w2 AS INTEGER) AS version
+  FROM starts
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_type, valid_from, valid_to, version,
+       CAST(0 AS BIGINT) AS n_dropped_late
+FROM runs WHERE valid_to IS NOT NULL
+"""
+
+
 def _top_partner_edges(spark, sf_dir, top: int = 2):
     """Sparsified trade graph: each nation keeps its ``top`` partners
     by lineitem count (count DESC, partner name tiebreak). The raw
@@ -7549,6 +7633,8 @@ ALL_QUERIES: dict[str, Query] = {
         # Demoted: 23 rows at >=3 proofs most recently proven r11.
         # Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
+        # r13 session additions enter at the top
+        Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
         # r12 session additions: five brand-new gates enter at the top
         Query("scd2_history_events", scd2_history_events, SCD2_SQL),
         Query("ols_trend_events", ols_trend_events, OLS_TREND_SQL),
@@ -7619,9 +7705,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
               Q17_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),

@@ -17,6 +17,7 @@ SCD2_STATE_SCHEMA = T.StructType([
     T.StructField("cur_from", T.LongType()),
     T.StructField("version", T.IntegerType()),
     T.StructField("has_null_value", T.BooleanType()),
+    T.StructField("n_dropped_late", T.LongType()),
 ])
 
 
@@ -46,8 +47,13 @@ def scd2_stream(
     a change) — the exact batch semantics, so the pytest parity gate
     asserts stream output == ``scd2_history`` on the same rows.
 
-    Output: (key, value, valid_from, valid_to, version) with
-    valid_from/valid_to as LONG order values.
+    Output: (key, value, valid_from, valid_to, version,
+    n_dropped_late) with valid_from/valid_to as LONG order values.
+    ``n_dropped_late`` is the key's CUMULATIVE dropped-late-row count
+    as of the emission (VERDICT r12 "what's wrong #3": contract
+    violations must be observable, not silent — the late-data-topic
+    pattern from ``streaming/late.py`` folded into the output);
+    consumers that want pure SCD2 rows drop the column.
     """
     out_schema = T.StructType([
         T.StructField("key", T.StringType()),
@@ -55,15 +61,16 @@ def scd2_stream(
         T.StructField("valid_from", T.LongType()),
         T.StructField("valid_to", T.LongType()),
         T.StructField("version", T.IntegerType()),
+        T.StructField("n_dropped_late", T.LongType()),
     ])
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur_value, cur_from, version, has_null = state.get
+            cur_value, cur_from, version, has_null, n_dropped = state.get
             if has_null:
                 cur_value = None
         else:
-            cur_value, cur_from, version = None, None, 0
+            cur_value, cur_from, version, n_dropped = None, None, 0, 0
         rows = []
         for pdf in pdfs:
             for v, o in zip(pdf[value_col], pdf[order_col]):
@@ -75,19 +82,23 @@ def scd2_stream(
                 cur_value, cur_from, version = v, o, 1
                 continue
             if o < cur_from:
-                continue  # late arrival older than the open run: drop
+                n_dropped += 1  # older than the open run: drop, counted
+                continue
             if v != cur_value:
-                out.append((key[0], cur_value, cur_from, o, version))
+                out.append((key[0], cur_value, cur_from, o, version,
+                            n_dropped))
                 cur_value, cur_from, version = v, o, version + 1
         if version > 0:
             state.update((cur_value if cur_value is not None else None,
-                          cur_from, version, cur_value is None))
+                          cur_from, version, cur_value is None,
+                          n_dropped))
             # the (possibly extended) open run — valid_to NULL
-            out.append((key[0], cur_value, cur_from, None, version))
+            out.append((key[0], cur_value, cur_from, None, version,
+                        n_dropped))
         if out:
             yield pd.DataFrame(
                 out, columns=["key", "value", "valid_from", "valid_to",
-                              "version"])
+                              "version", "n_dropped_late"])
 
     keyed = stream.select(
         F.col(key_col).cast("string").alias("key"),
@@ -95,3 +106,139 @@ def scd2_stream(
         F.col(order_col).cast("long").alias(order_col))
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, SCD2_STATE_SCHEMA, "append", "NoTimeout")
+
+
+SCD2_ET_STATE_SCHEMA = T.StructType([
+    T.StructField("cur_value", T.StringType()),
+    T.StructField("cur_from", T.LongType()),
+    T.StructField("version", T.IntegerType()),
+    T.StructField("has_null_value", T.BooleanType()),
+    T.StructField("n_dropped_late", T.LongType()),
+    T.StructField("buf_order", T.ArrayType(T.LongType())),
+    T.StructField("buf_value", T.ArrayType(T.StringType())),
+    T.StructField("buf_null", T.ArrayType(T.BooleanType())),
+])
+
+
+def scd2_stream_event_time(
+    stream: DataFrame,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Event-time streaming SCD2: watermark-closed change history that
+    tolerates CROSS-BATCH disorder — the streaming twin of
+    ``operators/compaction.scd2_history`` under the event-time-order
+    contract (the ``EventTimeOrderCompactor.java:40-76`` semantic,
+    where ``scd2_stream`` above is the publish-order
+    ``PublishingOrderCompactor`` twin).
+
+    Rows may arrive in any order; a row is only folded into the
+    history once the WATERMARK (max event time seen − ``delay``)
+    passes it, so any disorder within the lateness bound reorders
+    correctly. Per key the state holds (a) the open run at the
+    finalization frontier and (b) the buffer of rows still above the
+    watermark. Each invocation — new data or an event-time timer —
+    sorts the buffer, folds every row strictly below the watermark
+    through the run logic, and emits each CLOSED run exactly once:
+    a closed run's ``valid_to`` is below the watermark, so no future
+    row (all ≥ watermark) can split or extend it — emissions are
+    FINAL, which is what lets the operator declare append mode and
+    feed file sinks directly (no upsert-by-version read contract
+    needed, unlike the publish-order form).
+
+    An event-time timer re-arms at (watermark + 1s) whenever the
+    buffer is non-empty, so buffered rows finalize as the watermark
+    advances even with no new data for the key (Spark's no-data-batch
+    machinery runs the timer batch). Open runs stay in state and are
+    never emitted — stream consumers read closed history; the open
+    tail is the compacted ``latest value`` view, available from the
+    publish-order form or a batch ``scd2_history`` over the same log.
+
+    Rows older than the frontier that still reach the function (Spark
+    already drops rows below the watermark before the operator) are
+    dropped and counted in ``n_dropped_late``, carried on every
+    emitted row (cumulative per key).
+
+    Output: (key, value, valid_from, valid_to, version,
+    n_dropped_late); valid_from/valid_to are unix MICROsecond longs
+    (exact — the ts→micros pairing discipline), valid_to always
+    non-NULL. ``version`` numbers a key's runs from 1; version gaps
+    at the stream's current tail are impossible (runs close in
+    order), so downstream can assert contiguity.
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("valid_from", T.LongType()),
+        T.StructField("valid_to", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("n_dropped_late", T.LongType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (cur_value, cur_from, version, has_null, n_dropped,
+             buf_order, buf_value, buf_null) = state.get
+            if has_null:
+                cur_value = None
+            buf = [(int(o), None if isnull else str(v))
+                   for o, v, isnull in zip(buf_order or [], buf_value or [],
+                                           buf_null or [])]
+        else:
+            cur_value, cur_from, version, n_dropped = None, None, 0, 0
+            buf = []
+        frontier = cur_from if version > 0 else None
+        for pdf in pdfs:
+            for v, o in zip(pdf[value_col], pdf["_order_us"]):
+                o = int(o)
+                if frontier is not None and o < frontier:
+                    n_dropped += 1  # below the finalized frontier
+                    continue
+                buf.append((o, None if pd.isna(v) else str(v)))
+        # watermark is millisecond-precision; event times are micros.
+        # Fold strictly-below-watermark rows only: a future row can
+        # arrive AT the watermark, never below it.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort(key=lambda r: r[0])
+        out = []
+        keep = []
+        for o, v in buf:
+            if o >= wm_us:
+                keep.append((o, v))
+                continue
+            if version == 0:
+                cur_value, cur_from, version = v, o, 1
+                continue
+            if v != cur_value:
+                # CLOSED run: valid_to = o < wm — final, emit once
+                out.append((key[0], cur_value, cur_from, o, version,
+                            n_dropped))
+                cur_value, cur_from, version = v, o, version + 1
+        if version > 0 or keep or n_dropped:
+            state.update((
+                cur_value if cur_value is not None else None,
+                cur_from, version, cur_value is None, n_dropped,
+                [o for o, _ in keep], [v for _, v in keep],
+                [v is None for _, v in keep]))
+            if keep:
+                # re-check when the watermark moves (min granularity 1s
+                # above it — Spark demands timeout > watermark)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                          + 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "value", "valid_from", "valid_to",
+                              "version", "n_dropped_late"])
+
+    keyed = (stream
+             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+             .withWatermark(ts_col, delay)
+             .select(F.col(key_col).cast("string").alias("key"),
+                     F.col(value_col).cast("string").alias(value_col),
+                     F.col(ts_col),
+                     F.unix_micros(F.col(ts_col)).alias("_order_us")))
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, SCD2_ET_STATE_SCHEMA, "append", "EventTimeTimeout")

@@ -233,3 +233,132 @@ class TestTickerTypeSniff:
         out = sdelay.delayed_delivery_stream(
             stream, keepalive_interval=2.0, checkpoint_location=ck)
         self._drain(out, str(tmp_path / "rel_hbok"), ck)
+
+
+class TestEventTimeScd2:
+    """VERDICT r12 #1: the watermark-closed SCD2 variant must reorder
+    genuine CROSS-BATCH disorder (the publish-order form drops it),
+    and the publish-order form must COUNT what it drops."""
+
+    @staticmethod
+    def _write_batch(spark, src, rows):
+        import time
+
+        df = spark.createDataFrame(rows,
+                                   "key string, value string, ts timestamp")
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    def test_cross_batch_disorder_reorders(self, spark, tmp_path):
+        """A row arriving one batch LATE but inside the watermark bound
+        must split the run it lands inside — the exact case the
+        publish-order contract forbids."""
+        import datetime as dt
+
+        from incubator_pulsar_spark.streaming.scd2 import (
+            scd2_stream_event_time,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + dt.timedelta(seconds=s)
+
+        src = str(tmp_path / "src")
+        # batch 1 disordered within itself: b(40) written before a(10)
+        self._write_batch(spark, src, [("k", "b", ts(40)),
+                                       ("k", "a", ts(10))])
+        # batch 2: a row BETWEEN them arrives a whole batch later
+        self._write_batch(spark, src, [("k", "c", ts(25))])
+        # batch 3: sentinel advances the watermark past everything
+        self._write_batch(spark, src, [("\x00flush", "x", ts(600))])
+
+        stream = (spark.readStream
+                  .schema("key string, value string, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = scd2_stream_event_time(stream, delay="30 seconds")
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            (r.key, r.value, r.valid_from, r.valid_to, r.version,
+             r.n_dropped_late)
+            for r in spark.read.parquet(sink).collect()
+            if r.key != "\x00flush")
+        us = 1_000_000
+
+        def u(s):
+            return int(ts(s).timestamp()) * us
+
+        # closed runs only: a [10,25) v1, c [25,40) v2; b stays open
+        assert got == [("k", "a", u(10), u(25), 1, 0),
+                       ("k", "c", u(25), u(40), 2, 0)]
+
+    def test_emissions_are_final_no_duplicates(self, spark, tmp_path):
+        """Each closed run must appear EXACTLY once across all batches
+        (append-mode finality — no upsert contract needed)."""
+        import datetime as dt
+
+        from incubator_pulsar_spark.streaming.scd2 import (
+            scd2_stream_event_time,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + dt.timedelta(seconds=s)
+
+        src = str(tmp_path / "src")
+        self._write_batch(spark, src, [("k", "a", ts(0)), ("k", "b", ts(50))])
+        self._write_batch(spark, src, [("k", "c", ts(100)),
+                                       ("k", "d", ts(150))])
+        self._write_batch(spark, src, [("\x00flush", "x", ts(600))])
+        stream = (spark.readStream
+                  .schema("key string, value string, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = scd2_stream_event_time(stream, delay="10 seconds")
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = [r for r in spark.read.parquet(sink).collect()
+                if r.key != "\x00flush"]
+        keys = [(r.key, r.version) for r in rows]
+        assert len(keys) == len(set(keys))  # exactly-once per run
+        assert sorted(r.version for r in rows) == [1, 2, 3]  # d open
+        assert all(r.valid_to is not None for r in rows)
+
+    def test_publish_order_counts_dropped_late(self, spark, tmp_path):
+        """The publish-order form drops out-of-contract rows — now with
+        an observable cumulative counter instead of silence."""
+        from incubator_pulsar_spark.streaming.scd2 import scd2_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [("k", "a", 100), ("k", "b", 200)],
+            "key string, value string, sequence long")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        import time
+
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [("k", "zzz", 150), ("k", "c", 300)],  # 150 < 200: late
+            "key string, value string, sequence long")
+        b2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = scd2_stream(stream)
+        q = (out.writeStream.format("memory").queryName("scd2_late13")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from scd2_late13").collect()
+        # the late 'zzz' row was dropped (no zzz run) and counted
+        assert not any(r.value == "zzz" for r in rows)
+        final = max(rows, key=lambda r: (r.version, r.n_dropped_late))
+        assert final.n_dropped_late == 1
