@@ -892,6 +892,60 @@ def _semdedup_dups_gemm(e: DataFrame, threshold: float, idt) -> DataFrame:
         .groupBy("cell").applyInPandas(fn, out_schema)
 
 
+def _semdedup_dups_gemm_sharded(e: DataFrame, threshold: float, idt,
+                                n_shards: int) -> DataFrame:
+    """(id_b, _dup_of) rows via row-SHARDED per-cell gram matrices
+    (VERDICT r12 #7 / ROADMAP candidate #4): the plain gemm kernel's
+    parallelism collapses to n_cells tasks because each cell is one
+    Arrow group. This variant explodes every member row to all
+    ``n_shards`` shard groups of its cell (vectors ship n_shards×) and
+    each (cell, shard) task grams the FULL member block against only
+    its shard's columns — total BLAS work unchanged (n × n/s per task
+    × s tasks), parallelism n_cells × n_shards, peak task memory cut
+    by s. Verdicts are identical to the whole-cell gram: a column's
+    dup test only reads rows ABOVE it in the id sort, all of which are
+    present in every shard group."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField("id_b", idt),
+                               T.StructField("_dup_of", idt)])
+
+    def fn(key, pdf):
+        shard = key[1]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_b": [], "_dup_of": []})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        own = pdf["_shard"].to_numpy()[order]
+        X = np.array(pdf["vec"].to_list(), dtype="float64")[order]
+        n = pdf["_norm"].to_numpy(dtype="float64")[order]
+        cols = np.nonzero(own == shard)[0]
+        cols = cols[cols > 0]  # global-min id is never a dup
+        if not len(cols):
+            return pd.DataFrame({"id_b": [], "_dup_of": []})
+        S = _zeroed_cosine_matrix(X, n, X[cols], n[cols])
+        hit = S >= threshold
+        id_b, dup_of = [], []
+        for c, g in enumerate(cols):
+            col = hit[:g, c]
+            if col.any():
+                id_b.append(ids[g])
+                dup_of.append(ids[int(np.argmax(col))])
+        return pd.DataFrame({"id_b": np.array(id_b, dtype=object),
+                             "_dup_of": np.array(dup_of, dtype=object)})
+
+    exploded = (e.select("cell", "vec_id", "vec", "_norm")
+                .withColumn("_shard",
+                            F.pmod(F.xxhash64(F.col("vec_id")),
+                                   F.lit(n_shards)).cast("int"))
+                .withColumn("_grp",
+                            F.explode(F.sequence(
+                                F.lit(0), F.lit(n_shards - 1)))))
+    return exploded.groupBy("cell", "_grp").applyInPandas(fn, out_schema)
+
+
 def _argmax_cell(scores: Column) -> Column:
     """argmax via array_position(scores, array_max(scores)) — the same
     deterministic first-max rule as ``_nearest_cell``, over an already
@@ -902,7 +956,7 @@ def _argmax_cell(scores: Column) -> Column:
 def semantic_dedup(
     embeddings: DataFrame, threshold: float, *, n_cells: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    kernel: str = "fold",
+    kernel: str = "fold", n_shards: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster the corpus coarsely, then prune near-identical vectors
@@ -939,15 +993,19 @@ def semantic_dedup(
     ship into the shuffle once per CELL instead of once per PAIR, so
     it is the shape for corpora where the pair join's vector
     duplication (|cell| copies of every vector) dominates: cells of
-    thousands × a corpus too big to broadcast. Outputs are identical
-    (pytest parity lock); the decision table is in SCALING.md
-    (VERDICT r11 #3).
+    thousands × a corpus too big to broadcast. ``"gemm_sharded"``
+    recovers the gemm kernel's lost parallelism by splitting each
+    cell's gram into ``n_shards`` column shards (n_cells × n_shards
+    tasks, vectors ship n_shards× — VERDICT r12 #7); measured numbers
+    for all three are in SCALING.md's decision table. Outputs are
+    identical (pytest parity lock across all kernels).
 
     Output: (vec_id, cell, is_kept ∈ {0,1}, dup_of — smallest
     triggering id, −1 when kept).
     """
-    if kernel not in ("gemm", "fold"):
-        raise ValueError(f"kernel must be 'gemm' or 'fold': {kernel!r}")
+    if kernel not in ("gemm", "fold", "gemm_sharded"):
+        raise ValueError(
+            f"kernel must be 'gemm', 'gemm_sharded' or 'fold': {kernel!r}")
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = _seed_centroids(embeddings, n_cells=n_cells,
                             id_col=id_col, vec_col=vec_col)
@@ -960,6 +1018,9 @@ def semantic_dedup(
     if kernel == "gemm":
         dups = _semdedup_dups_gemm(e, threshold,
                                    embeddings.schema[id_col].dataType)
+    elif kernel == "gemm_sharded":
+        dups = _semdedup_dups_gemm_sharded(
+            e, threshold, embeddings.schema[id_col].dataType, n_shards)
     else:
         a = e.select(F.col("vec_id").alias("id_a"), F.col("cell"),
                      F.col("vec").alias("_va"), F.col("_norm").alias("_na"))

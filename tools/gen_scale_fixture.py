@@ -72,6 +72,73 @@ def gen_documents(spark, n_docs: int):
     )
 
 
+def _wide_vocab(size: int = 4096) -> list[str]:
+    """Deterministic letters-only vocabulary (the [a-z]+ tokenizer
+    drops digits — a 'w001'-style vocab would silently tokenize to
+    one word 'w'). Word k = 4-8 letters from md5(k), collision-deduped
+    by extension."""
+    import hashlib
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for k in range(size):
+        h = hashlib.md5(f"v{k}".encode()).hexdigest()
+        n = 4 + int(h[0], 16) % 5
+        w = "".join(chr(ord("a") + int(h[i * 2:i * 2 + 2], 16) % 26)
+                    for i in range(n))
+        while w in seen:  # rare; extend deterministically
+            w += chr(ord("a") + int(h[-2:], 16) % 26)
+        seen.add(w)
+        out.append(w)
+    return out
+
+
+def gen_documents_wide(spark, n_docs: int, vocab_size: int = 4096):
+    """Realistic-diversity corpus for the banded-dedup bench (VERDICT
+    r12 #5): the driver fixture's 31-word vocabulary makes EVERY
+    shingle hot — band buckets collide ~all docs and LSH degenerates
+    to the quadratic pair stream it exists to avoid. This corpus keeps
+    the same schema/row shape but draws from a 4096-word vocabulary
+    with a low-skew product distribution (two uniform hashes
+    multiplied — density peaks at the head like real text), plants
+    ~1% EXACT duplicates (doc_id % 97) and ~2.7% NEAR duplicates
+    (doc_id % 37 copies its seed with every 7th word substituted), so
+    banding has true positives to find while honest negatives
+    dominate."""
+    vocab = _wide_vocab(vocab_size)
+    varr = F.array(*[F.lit(w) for w in vocab])
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    exact_seed = F.when((F.col("doc_id") % 97 == 1) & (F.col("doc_id") > 0),
+                        F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    near = (F.col("doc_id") % 37 == 1) & (F.col("doc_id") > 0)
+    seed = F.when(near, F.col("doc_id") - 1).otherwise(exact_seed)
+    n_words = (40 + _h(F.lit("n"), seed) % 81).cast("int")
+
+    def word_at(i, salt):
+        h1 = _h(F.lit("wa"), salt, i) % 65536
+        h2 = _h(F.lit("wb"), salt, i) % 65536
+        idx = (h1 * h2 * vocab_size / F.lit(65536 * 65536)).cast("int")
+        return F.element_at(varr, idx + 1)
+
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.when(near & (i % 7 == 3),
+                         word_at(i, F.concat(F.lit("mut"),
+                                             F.col("doc_id").cast("string"))))
+        .otherwise(word_at(i, seed.cast("string"))))
+    text = F.array_join(words, " ")
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]),
+                     (_h(F.lit("l"), F.col("doc_id")) % len(LANGS) + 1)
+                     .cast("int")).alias("lang"),
+        F.concat(F.lit("src"),
+                 (_h(F.lit("s"), F.col("doc_id")) % N_SOURCES)).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
 def gen_embeddings(spark, n_vecs: int, dim: int = 64):
     base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
     # ~1.2% exact clone vectors: vec 83k+1 copies vec 83k
@@ -89,17 +156,23 @@ def gen_embeddings(spark, n_vecs: int, dim: int = 64):
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures", "sf1")
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    args = [a for a in sys.argv[1:] if a != "--wide"]
+    wide = "--wide" in sys.argv[1:]
+    out = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixtures", "wide" if wide else "sf1")
+    n_docs = int(args[1]) if len(args) > 1 else 50_000
+    n_vecs = int(args[2]) if len(args) > 2 else 20_000
     spark = get_spark("gen-scale-fixture")
     spark.sparkContext.setLogLevel("ERROR")
-    gen_documents(spark, n_docs).repartition(8).write.mode("overwrite").parquet(
+    docs = (gen_documents_wide(spark, n_docs) if wide
+            else gen_documents(spark, n_docs))
+    docs.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet"))
     gen_embeddings(spark, n_vecs).repartition(8).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {n_docs} documents / {n_vecs} embeddings to {out}")
+    print(f"wrote {n_docs}{' wide-vocab' if wide else ''} documents / "
+          f"{n_vecs} embeddings to {out}")
 
 
 if __name__ == "__main__":
