@@ -1,0 +1,199 @@
+"""Behavioral / longitudinal analytics over keyed event logs: cohort
+retention, Markov state transitions, per-key distribution entropy,
+time-weighted averages, and CUSUM change-point scan.
+
+These are the user-timeline complements of the funnel/session/window
+family (``operators/windows.py``, ``funnel_conversion_events``): every
+operator consumes the same (key, ts, state/value) shape a topic's
+per-key message stream exposes (reference: the per-key ordering the
+broker guarantees — ``PersistentTopic`` dispatch order — is exactly
+what makes per-key timelines well-defined; cf.
+``pulsar-client-api/.../Message.java`` event-time accessors).
+
+Determinism discipline (the module-wide gate contract): time lives in
+epoch MILLISECONDS (unix_millis ↔ epoch_ms — the floor/round trap),
+values in integer micro-units, sums in DECIMAL, and every float op
+happens ONCE at the end under round(·, 6). Transcendentals (ln) snap
+to 9 decimals before any arithmetic (the bigram-LM/idf precedent:
+libm ulp drift across engines is absorbed by the snap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WEEK_MS = 7 * 86_400_000
+
+
+def cohort_retention(df: DataFrame, *, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_ms: int = _WEEK_MS) -> DataFrame:
+    """Cohort retention matrix: users bucketed by FIRST-ACTIVITY period
+    (anchored at the corpus min timestamp so the bucketing is
+    data-deterministic, not wall-clock), counted in every later period
+    they return — the standard growth-analytics triangle (cohort ×
+    offset → distinct returning users).
+
+    Exactness: periods are integer floor-divisions of epoch
+    milliseconds; counts are exact distincts. Plan shape: one per-user
+    min (keyed agg), a 1-row global min broadcast (scalar join), one
+    (cohort, offset) distinct-count — two shuffles total, no windows.
+
+    Output: (cohort INT, offset INT ≥ 0, n_users BIGINT).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(user_col).alias("_u"), ms.alias("_ms"))
+    g0 = ev.agg(F.min("_ms").alias("_g0"))
+    first = ev.groupBy("_u").agg(F.min("_ms").alias("_f"))
+    per = ev.join(first, on="_u").crossJoin(F.broadcast(g0))
+    cohort = F.floor((F.col("_f") - F.col("_g0")) / F.lit(period_ms))
+    period = F.floor((F.col("_ms") - F.col("_g0")) / F.lit(period_ms))
+    return (per.select("_u", cohort.cast("int").alias("cohort"),
+                       (period - cohort).cast("int").alias("offset"))
+            .groupBy("cohort", "offset")
+            .agg(F.count_distinct("_u").alias("n_users")))
+
+
+def markov_transitions(df: DataFrame, *, key_col: str = "user_id",
+                       order_col: str = "ts", state_col: str = "event_type",
+                       micro: int = 1_000_000) -> DataFrame:
+    """First-order Markov transition counts over per-key state
+    timelines: for each key the states sort by ``order_col``; every
+    adjacent (state → next_state) pair counts once; probabilities are
+    integer micro-units via floor division (count·micro DIV row_total
+    — exact on any engine, the PageRank-family discipline).
+
+    One shuffle: the per-key sort window; the transition agg reuses
+    nothing keyed. Output: (state, next_state, n BIGINT,
+    prob_micro BIGINT) where prob_micro/1e6 ≈ P(next | state).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    pairs = (df.select(F.col(key_col), F.col(order_col),
+                       F.col(state_col).alias("state"))
+             .withColumn("next_state", F.lead("state").over(w))
+             .filter(F.col("next_state").isNotNull()))
+    cnt = pairs.groupBy("state", "next_state") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("state").agg(F.sum("n").alias("_row_n"))
+    return (cnt.join(tot, on="state")
+            .select("state", "next_state", "n",
+                    # SQL DIV: exact floor division (float `/` + cast
+                    # mis-rounds near-integer quotients — the PageRank
+                    # contrib lesson)
+                    F.expr(f"CAST((n * {int(micro)}) DIV _row_n AS LONG)")
+                    .alias("prob_micro")))
+
+
+def state_entropy(df: DataFrame, *, key_col: str = "user_id",
+                  state_col: str = "event_type") -> DataFrame:
+    """Per-key Shannon entropy (nats) of the key's state distribution
+    — the behavioral-diversity score (a user who only ever 'view's is
+    H=0; uniform over k states is ln k). The identity used is the
+    count form H = ln n − (Σ cᵢ·ln cᵢ)/n, which needs ONE float
+    division: each ln snaps to 9 decimals (libm parity), the weighted
+    sum folds in exact DECIMAL, and the final expression rounds to 6.
+
+    One keyed shuffle (two-level agg). Output: (key, n_events BIGINT,
+    n_states BIGINT, entropy DOUBLE round-6).
+    """
+    per = (df.groupBy(F.col(key_col).alias("key"),
+                      F.col(state_col).alias("_s"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    term = (F.round(F.log(F.col("_c").cast("double")), 9)
+            .cast("decimal(20,9)")
+            * F.col("_c").cast("decimal(18,0)")).cast("decimal(38,9)")
+    agg = per.groupBy("key").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_states"),
+        F.sum(term).alias("_s_clnc"))
+    return agg.select(
+        "key", "n_events", "n_states",
+        F.round(F.round(F.log(F.col("n_events").cast("double")), 9)
+                - F.col("_s_clnc").cast("double") / F.col("n_events"),
+                6).alias("entropy"))
+
+
+def twap(df: DataFrame, group_cols: list[str], *, ts_col: str = "ts",
+         value_col: str = "value") -> DataFrame:
+    """Time-weighted average value per group (the TWAP/uptime-weighted
+    mean): each observation holds until the group's NEXT observation,
+    so its weight is that interval in milliseconds; the last
+    observation carries no interval (standard step-function TWAP over
+    a closed observation window).
+
+    Exactness: values go through decimal(18,4) (the module-wide float
+    discipline), each (value × dur_ms) product is DECIMAL×DECIMAL
+    (cast each OPERAND first — the r1 multi-factor lesson), sums are
+    exact, and the single final division rounds to 6. One shuffle
+    (the group sort window; the agg reuses its partitioning).
+
+    Output: group_cols + (n_intervals BIGINT, total_ms BIGINT,
+    twap DOUBLE round-6 — value units).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*group_cols).orderBy("_ms")
+    vm = F.col(value_col).cast("decimal(18,4)")
+    stepped = (df.select(*group_cols, ms.alias("_ms"), vm.alias("_vm"))
+               .withColumn("_dur",
+                           (F.lead("_ms").over(w) - F.col("_ms"))
+                           .cast("decimal(18,0)"))
+               .filter(F.col("_dur").isNotNull()))
+    return (stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("_dur").cast("long").alias("total_ms"),
+        F.round(
+            F.sum((F.col("_vm") * F.col("_dur")).cast("decimal(38,4)"))
+            .cast("double")
+            / F.sum("_dur").cast("double"), 6).alias("twap")))
+
+
+def cusum_max(df: DataFrame, group_cols: list[str], *,
+              order_col: str = "ts", value_col: str = "value",
+              tiebreak_col: str | None = None) -> DataFrame:
+    """CUSUM change-point scan per group: the classic mean-shift
+    statistic max_k |N·S_k − k·S_N| over the order-sorted prefix sums
+    (Page 1954's cumulative-sum test in its exact cross-multiplied
+    form — the variant of max |S_k − (k/N)·S_N| that avoids the float
+    ratio entirely). The argmax position is the most likely change
+    point; pipelines alert when max_stat crosses a threshold
+    calibrated to N (this pairs with ``psi_drift``/``ols_trend`` as
+    the third drift detector: PSI sees distribution shape, OLS sees
+    slow trend, CUSUM sees abrupt level shifts).
+
+    All arithmetic is exact: values go through decimal(18,4), prefix
+    sums fold in DECIMAL, the cross products cast each operand before
+    multiplying (decimal(10,0)×decimal(28,4) → decimal(38,4), in
+    bounds for ~1e5 rows × 4-decimal values — the ols_trend overflow
+    budget discipline). Ties on the statistic break to the SMALLEST
+    k. One shuffle (the group sort window; every later window reuses
+    the same partitioning).
+
+    Output: group_cols + (n BIGINT, max_stat DECIMAL(38,4),
+    argmax_k BIGINT 1-based).
+    """
+    tie = [F.col(tiebreak_col)] if tiebreak_col else []
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col), *tie)
+    wg = Window.partitionBy(*group_cols)
+    vm = F.col(value_col).cast("decimal(18,4)")
+    rows = (df.select(*group_cols, F.col(order_col),
+                      *([tiebreak_col] if tiebreak_col else []),
+                      vm.alias("_vm"))
+            .withColumn("_k", F.row_number().over(w).cast("long"))
+            .withColumn("_sk", F.sum("_vm").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("decimal(28,4)"))
+            .withColumn("_n", F.count(F.lit(1)).over(wg))
+            .withColumn("_sn", F.sum("_vm").over(wg)
+                        .cast("decimal(28,4)")))
+    stat = F.abs(
+        F.col("_n").cast("decimal(10,0)") * F.col("_sk")
+        - F.col("_k").cast("decimal(10,0)") * F.col("_sn")
+    ).cast("decimal(38,4)")
+    scored = (rows.withColumn("_stat", stat)
+              .withColumn("_mx", F.max("_stat").over(wg)))
+    return (scored.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_stat").alias("max_stat"),
+        F.min(F.when(F.col("_stat") == F.col("_mx"), F.col("_k")))
+        .cast("long").alias("argmax_k")))

@@ -539,3 +539,84 @@ def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
     return (hubs.join(auths, on="node")
             .select("node", F.col("h").alias("hub_micro"),
                     F.col("a").alias("auth_micro")))
+
+
+def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
+             src_col: str = "src", dst_col: str = "dst",
+             directed: bool = True,
+             on_unconverged: str = "warn") -> DataFrame:
+    """Multi-source BFS hop distance: the shortest number of edges
+    from ANY source to each node — the reachability/radius primitive
+    under crawl-frontier scheduling, blast-radius analysis, and
+    "within-k-hops" graph slicing (the one classic graph op this
+    module lacked beside PageRank/CC/LPA/k-core/HITS/triangles).
+
+    Breadth-synchronous min-plus propagation: round t extends every
+    settled distance by one edge and keeps the per-node MIN — after t
+    rounds distances ≤ t are final (BFS layers settle in order), so
+    ``iters`` bounds the measurable radius, NOT an approximation knob
+    within it. Early-stop on a no-change round (same (rows, Σdist)
+    fingerprint — distances only decrease and nodes only get added,
+    so an unchanged fingerprint is the fixpoint); exhausting ``iters``
+    mid-expansion warns or raises (``on_unconverged`` — the kcore
+    discipline) naming the frontier still moving.
+
+    Exact integer hop counts; per round one edges⋈frontier join + one
+    min-agg, co-partitioned on the node key; the distance frame is
+    EAGER-checkpointed per round (it feeds the union AND the join —
+    the 2^rounds lineage lesson). Output: (node, hops INT; -1 =
+    unreached within iters).
+    """
+    if on_unconverged not in ("warn", "raise"):
+        raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
+                         f"got {on_unconverged!r}")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    src_df = spark.createDataFrame([(s,) for s in sources],
+                                   ["node"]).distinct()
+    dist = (nodes.join(src_df, on="node")
+            .select("node", F.lit(0).cast("int").alias("hops"))
+            .localCheckpoint(eager=True))
+
+    def fingerprint(d: DataFrame) -> tuple:
+        r = d.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+        return (r[0], r[1])
+
+    prev = fingerprint(dist)
+    converged = False
+    for _ in range(iters):
+        nxt = (dist.join(e, dist["node"] == e["src"])
+               .select(F.col("dst").alias("node"),
+                       (F.col("hops") + 1).cast("int").alias("hops")))
+        dist = (dist.union(nxt).groupBy("node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True))
+        cur = fingerprint(dist)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (f"bfs_hops exhausted iters={iters} with the frontier "
+               f"still expanding (settled {prev[0]} nodes): nodes "
+               f"farther than {iters} hops report -1. Raise iters to "
+               f"cover the graph's radius.")
+        if on_unconverged == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return (nodes.join(dist, on="node", how="left")
+            .select("node",
+                    F.coalesce(F.col("hops"), F.lit(-1)).cast("int")
+                    .alias("hops")))

@@ -7577,6 +7577,207 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Round-13 additions: behavioral/longitudinal analytics
+# (functions/behavior.py) + multi-source BFS (functions/graph.bfs_hops)
+# --------------------------------------------------------------------------
+
+def retention_cohorts_events(spark, sf_dir):
+    """Weekly cohort retention (`behavior.cohort_retention`): users
+    bucketed by first-activity week (anchored at the corpus min ts —
+    data-deterministic), counted in every later week they return. Two
+    shuffles: per-user min + the (cohort, offset) distinct-count; the
+    global anchor is a 1-row broadcast."""
+    from ..functions import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return (behavior.cohort_retention(ev)
+            .withColumnRenamed("offset", "week_offset"))
+
+
+RETENTION_SQL = """
+WITH ms AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+g AS (SELECT MIN(ms) AS g0 FROM ms),
+f AS (SELECT user_id, MIN(ms) AS fms FROM ms GROUP BY user_id)
+SELECT CAST(floor((f.fms - g.g0) / 604800000.0) AS INTEGER) AS cohort,
+       CAST(floor((m.ms - g.g0) / 604800000.0)
+            - floor((f.fms - g.g0) / 604800000.0) AS INTEGER)
+         AS week_offset,
+       CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_users
+FROM ms m JOIN f ON m.user_id = f.user_id CROSS JOIN g
+GROUP BY 1, 2
+"""
+
+
+def markov_transitions_events(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    timelines (`behavior.markov_transitions`): adjacent-state counts
+    plus exact floor-division micro-probabilities — the sequence
+    model a recommendation/anomaly pipeline derives from a keyed
+    topic. One keyed-sort shuffle."""
+    from ..functions import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.markov_transitions(ev)
+
+
+MARKOV_SQL = """
+WITH s AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS next_state
+  FROM events),
+c AS (SELECT state, next_state, COUNT(*) AS n FROM s
+      WHERE next_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT state, SUM(n) AS rn FROM c GROUP BY state)
+SELECT c.state, c.next_state, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.rn AS BIGINT) AS prob_micro
+FROM c JOIN t USING (state)
+"""
+
+
+def state_entropy_events(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution
+    (`behavior.state_entropy`) — the behavioral-diversity score. Each
+    ln snaps to 9 decimals (libm parity, the bigram-LM discipline),
+    the weighted sum folds in exact DECIMAL, one float division at
+    the end under round-6."""
+    from ..functions import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.state_entropy(ev)
+
+
+ENTROPY_SQL = """
+WITH per AS (
+  SELECT user_id AS key, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_states,
+         SUM(CAST(round(ln(c), 9) AS DECIMAL(20,9)) * c) AS s
+  FROM per GROUP BY key)
+SELECT key, n_events, n_states,
+       round(round(ln(n_events), 9) - CAST(s AS DOUBLE) / n_events, 6)
+         AS entropy
+FROM a
+"""
+
+
+def twap_events(spark, sf_dir):
+    """Time-weighted average event value per type (`behavior.twap`):
+    each observation holds until the type's next one, weighted by the
+    interval in ms — the step-function TWAP every metering/billing
+    pipeline computes over a keyed topic. Exact decimal products; one
+    final round-6 division."""
+    from ..functions import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.twap(ev, ["event_type"])
+
+
+TWAP_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ms,
+         CAST(value AS DECIMAL(18,4)) AS vm
+  FROM events),
+d AS (
+  SELECT event_type, vm,
+         lead(ms) OVER (PARTITION BY event_type ORDER BY ms) - ms AS dur
+  FROM s)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       round(CAST(SUM(vm * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+FROM d WHERE dur IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def cusum_max_events(spark, sf_dir):
+    """CUSUM change-point scan per event type (`behavior.cusum_max`):
+    max_k |N·S_k − k·S_N| over ts-ordered prefix sums in exact
+    decimal — the abrupt-level-shift detector beside PSI (shape) and
+    OLS (trend). Ties break to the smallest k; (ts, event_id) is the
+    deterministic order."""
+    from ..functions import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.cusum_max(ev, ["event_type"],
+                              tiebreak_col="event_id")
+
+
+CUSUM_SQL = """
+WITH s AS (
+  SELECT event_type,
+         row_number() OVER w AS k,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS sk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+              (PARTITION BY event_type) AS DECIMAL(28,4)) AS sn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+st AS (
+  SELECT event_type, n, k,
+         abs(CAST(n AS DECIMAL(10,0)) * sk
+             - CAST(k AS DECIMAL(10,0)) * sn) AS stat
+  FROM s),
+mx AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(stat) AS max_stat
+  FROM st GROUP BY event_type)
+SELECT m.event_type, m.n,
+       CAST(m.max_stat AS DECIMAL(38,4)) AS max_stat,
+       CAST(MIN(s2.k) AS BIGINT) AS argmax_k
+FROM mx m JOIN st s2
+  ON s2.event_type = m.event_type AND s2.stat = m.max_stat
+GROUP BY 1, 2, 3
+"""
+
+
+def bfs_hops_nations(spark, sf_dir):
+    """Multi-source BFS hop distance (`graph.bfs_hops`) from ALGERIA
+    over the top-2-partner trade graph (directed — the same
+    degree-bounded sparsifier as kcore; the full graph is
+    near-complete and radius ~1). 8 unrolled rounds, fixpoint well
+    inside that on this graph (convergence detection early-stops and
+    certifies)."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.bfs_hops(edges, ["ALGERIA"], iters=8)
+
+
+def _bfs_hops_sql(iters: int = 8, top: int = 2,
+                  seed: str = "ALGERIA") -> str:
+    parts = [f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=top)},
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM tp UNION ALL SELECT dst FROM tp)),
+d0 AS (SELECT node, 0 AS hops FROM nodes WHERE node = '{seed}')"""]
+    for t in range(1, iters + 1):
+        # each step references d{t-1} twice (carry + expand): AS
+        # MATERIALIZED or the inliner doubles the tree per step
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{t - 1}
+    UNION ALL
+    SELECT tp.dst AS node, p.hops + 1 AS hops
+    FROM d{t - 1} p JOIN tp ON p.node = tp.src)
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT n.node, CAST(COALESCE(d.hops, -1) AS INTEGER) AS hops
+FROM nodes n LEFT JOIN d{iters} d ON d.node = n.node""")
+    return "".join(parts)
+
+
+BFS_HOPS_SQL = _bfs_hops_sql()
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -7635,6 +7836,14 @@ ALL_QUERIES: dict[str, Query] = {
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
         # r13 session additions enter at the top
         Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
+        Query("retention_cohorts_events", retention_cohorts_events,
+              RETENTION_SQL),
+        Query("markov_transitions_events", markov_transitions_events,
+              MARKOV_SQL),
+        Query("state_entropy_events", state_entropy_events, ENTROPY_SQL),
+        Query("twap_events", twap_events, TWAP_SQL),
+        Query("cusum_max_events", cusum_max_events, CUSUM_SQL),
+        Query("bfs_hops_nations", bfs_hops_nations, BFS_HOPS_SQL),
         # r12 session additions: five brand-new gates enter at the top
         Query("scd2_history_events", scd2_history_events, SCD2_SQL),
         Query("ols_trend_events", ols_trend_events, OLS_TREND_SQL),
@@ -7699,13 +7908,13 @@ ALL_QUERIES: dict[str, Query] = {
               PAGERANK_WEIGHTED_SQL),
         Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("q10_returned_items", q10_returned_items, Q10_SQL),
         Query("q11_important_parts", q11_important_parts, Q11_SQL),
         Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
         Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
         Query("q15_top_supplier", q15_top_supplier, Q15_SQL),
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
               Q17_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),

@@ -536,3 +536,145 @@ class TestSemdedupShardedKernel:
             emb, threshold=0.9, n_cells=1, kernel="gemm_sharded",
             n_shards=16).collect()}
         assert s == {1: 1, 2: 0}
+
+
+class TestBehaviorOperators:
+    """Round-13 behavioral analytics family (functions/behavior.py):
+    hand-computable fixtures beside the oracle gates."""
+
+    def test_cohort_retention_small(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(days):
+            return t0 + dt.timedelta(days=days)
+
+        rows = [  # u1 first week 0, returns week 1; u2 first week 1
+            (1, ts(0)), (1, ts(2)), (1, ts(8)),
+            (2, ts(9)), (2, ts(10))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r.cohort, r.offset): r.n_users
+               for r in behavior.cohort_retention(df).collect()}
+        assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+    def test_markov_transitions_small(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0 + dt.timedelta(minutes=i), s)
+                for i, s in enumerate(["a", "b", "a", "b"])]
+        rows += [(2, t0 + dt.timedelta(minutes=i), s)
+                 for i, s in enumerate(["a", "a"])]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        got = {(r.state, r.next_state): (r.n, r.prob_micro)
+               for r in behavior.markov_transitions(df).collect()}
+        # from 'a': b,a,b -> a->b twice, a->a once
+        assert got[("a", "b")] == (2, 666666)
+        assert got[("a", "a")] == (1, 333333)
+        assert got[("b", "a")] == (1, 1000000)
+
+    def test_state_entropy_uniform_and_point(self, spark):
+        import math
+
+        from incubator_pulsar_spark.functions import behavior
+
+        rows = [(1, "a"), (1, "b"), (1, "c"), (1, "d"),
+                (2, "x"), (2, "x"), (2, "x")]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {r.key: r for r in behavior.state_entropy(df).collect()}
+        assert abs(got[1].entropy - math.log(4)) < 1e-6
+        assert got[2].entropy == 0.0
+        assert got[1].n_states == 4 and got[2].n_events == 3
+
+    def test_twap_step_function(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        # value 10 holds 1s, value 20 holds 3s, last obs carries none
+        rows = [("g", t0, 10.0),
+                ("g", t0 + dt.timedelta(seconds=1), 20.0),
+                ("g", t0 + dt.timedelta(seconds=4), 99.0)]
+        df = spark.createDataFrame(rows,
+                                   "grp string, ts timestamp, value double")
+        r = behavior.twap(df, ["grp"]).collect()[0]
+        assert r.n_intervals == 2 and r.total_ms == 4000
+        assert abs(r.twap - 17.5) < 1e-9  # (10*1 + 20*3)/4
+
+    def test_cusum_flags_level_shift(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("g", t0 + dt.timedelta(seconds=i), i,
+                 0.0 if i < 10 else 100.0) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "grp string, ts timestamp, event_id long, value double")
+        r = behavior.cusum_max(df, ["grp"],
+                               tiebreak_col="event_id").collect()[0]
+        # max |N*S_k - k*S_N| at the change point k=10:
+        # |20*0 - 10*1000| = 10000
+        assert r.argmax_k == 10 and float(r.max_stat) == 10000.0
+
+    def test_cusum_stable_series_small_stat(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("g", t0 + dt.timedelta(seconds=i), i, 5.0)
+                for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "grp string, ts timestamp, event_id long, value double")
+        r = behavior.cusum_max(df, ["grp"],
+                               tiebreak_col="event_id").collect()[0]
+        assert float(r.max_stat) == 0.0  # constant series: no shift
+
+
+class TestBfsHops:
+    def test_path_distances_and_unreached(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "src string, dst string")
+        got = {r.node: r.hops
+               for r in graph.bfs_hops(edges, ["a"], iters=5).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": -1, "y": -1}
+
+    def test_multi_source_min(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "c")], "src string, dst string")
+        got = {r.node: r.hops
+               for r in graph.bfs_hops(edges, ["a", "d"], iters=5).collect()}
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 0}
+
+    def test_undirected_mode(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b")], "src string, dst string")
+        got = {r.node: r.hops
+               for r in graph.bfs_hops(edges, ["a"], iters=5,
+                                       directed=False).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_unconverged_warns(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        edges = spark.createDataFrame(chain, "src string, dst string")
+        with pytest.warns(UserWarning, match="exhausted iters=2"):
+            got = {r.node: r.hops for r in
+                   graph.bfs_hops(edges, ["n0"], iters=2).collect()}
+        assert got["n2"] == 2 and got["n6"] == -1
