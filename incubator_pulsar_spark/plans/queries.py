@@ -7819,22 +7819,20 @@ LIFECYCLES: dict[str, tuple] = {
 ALL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
-        # --- head 1-50: driver gate this round (r12 rotation, VERDICT
-        # r11 #2): every query whose code path changed this round sits
-        # in the head — the HLL NULL-value fix (3 gates), the quantile-
-        # family NULL semantics (winsorize/mad/value_quantiles), the
-        # degree-ordered triangle rewrite, the gemm-kernel call sites
-        # (knn_graph/semdedup, gates pinned to fold), the 14 index-
-        # lifecycle gates refactored into build/probe components, and
-        # snapshot_time_travel (shared _scratch helper change) — 24
-        # rows; the remaining 26 slots go to the stalest pool by
-        # (driver-proof count ASC, last-proven round ASC, name): the
-        # 9 remaining once-proven r11 session-2 gates, the twice-
-        # proven maxsim_topk, and 16 of the r7-stale TPC-H core.
-        # Demoted: 23 rows at >=3 proofs most recently proven r11.
-        # Exactly 50, locked by
+        # --- head 1-50: driver gate this round (r13 rotation, VERDICT
+        # r12 #2 — computed mechanically from the CORRECTNESS_r01..r12
+        # union by (driver-proof count ASC, last-proven ASC, name)).
+        # Slots 1-7: the seven brand-new r13 gates (streaming SCD2 +
+        # the behavior family + BFS). Slots 8-14: every query whose
+        # code path changed this round (the quantile-trio NULL-safe
+        # oracles, kcore convergence detection, the spearman/ntile tie
+        # guards, semantic_dedup's new kernel parameter). Slots 15-50:
+        # the stalest pool — the six once-proven r12 gates, the
+        # seventeen twice-proven r12 session-2 gates, and the thirteen
+        # r7-stale rows (q1/q2/q4/q5/q6/q7/q18/q19/q21/q22 +
+        # topic_stats/topk_orders/winnow) — 20 head rows were NOT in
+        # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
-        # r13 session additions enter at the top
         Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
         Query("retention_cohorts_events", retention_cohorts_events,
               RETENTION_SQL),
@@ -7844,29 +7842,64 @@ ALL_QUERIES: dict[str, Query] = {
         Query("twap_events", twap_events, TWAP_SQL),
         Query("cusum_max_events", cusum_max_events, CUSUM_SQL),
         Query("bfs_hops_nations", bfs_hops_nations, BFS_HOPS_SQL),
-        # r12 session additions: five brand-new gates enter at the top
-        Query("scd2_history_events", scd2_history_events, SCD2_SQL),
-        Query("ols_trend_events", ols_trend_events, OLS_TREND_SQL),
-        Query("psi_drift_events", psi_drift_events, PSI_SQL),
-        Query("connected_components_nations", connected_components_nations,
-              CC_NATIONS_SQL),
-        Query("bucketed_join_orders", bucketed_join_orders,
-              BUCKETED_JOIN_SQL),
+        Query("winsorize_events", winsorize_events, WINSORIZE_SQL),
+        Query("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL),
+        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
         Query("kcore_nations", kcore_nations, KCORE_SQL),
-        Query("hits_nations", hits_nations, HITS_SQL),
         Query("spearman_events", spearman_events, SPEARMAN_SQL),
         Query("ntile_histogram_events", ntile_histogram_events,
               NTILE_HIST_SQL),
+        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
+        Query("bucketed_join_orders", bucketed_join_orders, BUCKETED_JOIN_SQL),
+        Query("connected_components_nations", connected_components_nations,
+              CC_NATIONS_SQL),
+        Query("hits_nations", hits_nations, HITS_SQL),
+        Query("ols_trend_events", ols_trend_events, OLS_TREND_SQL),
+        Query("psi_drift_events", psi_drift_events, PSI_SQL),
+        Query("scd2_history_events", scd2_history_events, SCD2_SQL),
+        Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
+              BQ_INDEX_SQL),
+        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
+        Query("containment_docs", containment_docs, CONTAINMENT_SQL),
         Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
         Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
         Query("hll_set_algebra_events", hll_set_algebra_events,
               HLL_SET_ALGEBRA_SQL),
-        Query("winsorize_events", winsorize_events, WINSORIZE_SQL),
-        Query("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL),
-        Query("value_quantiles_events", value_quantiles_events, QUANTILES_SQL),
+        Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
+              IVFPQ_RERANK_BOUNDED_SQL),
+        Query("label_propagation_nations", label_propagation_nations,
+              LABEL_PROP_SQL),
+        Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
+              MAXSIM_STREAM_SQL),
+        Query("minhash_estimate_docs", minhash_estimate_docs,
+              MINHASH_ESTIMATE_SQL),
+        Query("neardup_keep_best_docs", neardup_keep_best_docs,
+              NEARDUP_KEEP_BEST_SQL),
+        Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
+        Query("pagerank_personalized_nations", pagerank_personalized_nations,
+              PAGERANK_PERSONALIZED_SQL),
+        Query("pagerank_weighted_nations", pagerank_weighted_nations,
+              PAGERANK_WEIGHTED_SQL),
+        Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
+              SQ8_INDEX_SQL),
+        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+        Query("q4_order_priority", q4_order_priority, Q4_SQL),
+        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        Query("topk_orders", topk_orders, TOPK_SQL),
+        Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
+              WINNOW_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
-        Query("semdedup_embeddings", semdedup_embeddings, SEMDEDUP_SQL),
         Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
               PQ_INDEX_SQL),
         Query("ivfpq_topk_embeddings", ivfpq_topk_embeddings, IVFPQ_SQL),
@@ -7883,32 +7916,9 @@ ALL_QUERIES: dict[str, Query] = {
               IVFPQ_ROTATED_SQL),
         Query("pq_rotated_topk_embeddings", pq_rotated_topk_embeddings,
               PQ_ROTATED_SQL),
-        Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
-              IVFPQ_RERANK_BOUNDED_SQL),
-        Query("maxsim_stream_topk_embeddings", maxsim_stream_topk_embeddings,
-              MAXSIM_STREAM_SQL),
-        Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
-              BQ_INDEX_SQL),
-        Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
-              SQ8_INDEX_SQL),
         Query("snapshot_time_travel_events", snapshot_time_travel_events,
               SNAPSHOT_TT_SQL),
-        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
-        Query("containment_docs", containment_docs, CONTAINMENT_SQL),
-        Query("label_propagation_nations", label_propagation_nations,
-              LABEL_PROP_SQL),
-        Query("minhash_estimate_docs", minhash_estimate_docs,
-              MINHASH_ESTIMATE_SQL),
-        Query("neardup_keep_best_docs", neardup_keep_best_docs,
-              NEARDUP_KEEP_BEST_SQL),
-        Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
-        Query("pagerank_personalized_nations", pagerank_personalized_nations,
-              PAGERANK_PERSONALIZED_SQL),
-        Query("pagerank_weighted_nations", pagerank_weighted_nations,
-              PAGERANK_WEIGHTED_SQL),
-        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("maxsim_topk_embeddings", maxsim_topk_embeddings, MAXSIM_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("q10_returned_items", q10_returned_items, Q10_SQL),
         Query("q11_important_parts", q11_important_parts, Q11_SQL),
         Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
@@ -7917,15 +7927,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q16_supplier_variety", q16_supplier_variety, Q16_SQL),
         Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
               Q17_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
-        Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("window_udaf_bigkey", window_udaf_bigkey,
               WINDOW_UDAF_BIGKEY_SQL),
         Query("contamination_check", contamination_check, CONTAM_SQL),
@@ -7951,7 +7952,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("setops_customers", setops_customers, SETOPS_SQL),
         Query("simhash_docs", simhash_docs, SIMHASH_SQL),
         Query("tfidf_top_terms", tfidf_top_terms_docs, TFIDF_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("pq_lloyd_adc_topk_embeddings", pq_lloyd_adc_topk_embeddings,
               PQ_LLOYD_SQL),
         Query("boilerplate_lines_docs", boilerplate_lines_docs,
@@ -8009,10 +8009,6 @@ ALL_QUERIES: dict[str, Query] = {
               ANTIJOIN_SQL),
         Query("asof_join_events_salted", asof_join_events_salted, ASOF_SQL),
         Query("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
-        Query("topk_orders", topk_orders, TOPK_SQL),
-        Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
-              WINNOW_SQL),
         Query("analytic_functions_orders", analytic_functions_orders,
               ANALYTIC_FUNCS_SQL),
         Query("asof_join_events", asof_join_events, ASOF_SQL),
