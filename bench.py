@@ -203,6 +203,17 @@ BENCH_QUERIES = [
     "psi_drift_events",
     "connected_components_nations",
     "bucketed_join_orders",
+    # round-13: the behavior family + BFS + the event-time streaming
+    # SCD2 (a streaming lifecycle composite: 5-file availableNow replay
+    # + watermark flush — the fixed streaming-machinery overhead
+    # dominates, like the index-lifecycle rows; included honestly)
+    "retention_cohorts_events",
+    "markov_transitions_events",
+    "state_entropy_events",
+    "twap_events",
+    "cusum_max_events",
+    "bfs_hops_nations",
+    "scd2_stream_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -191,6 +191,7 @@ def scd2_stream_event_time(
             cur_value, cur_from, version, n_dropped = None, None, 0, 0
             buf = []
         frontier = cur_from if version > 0 else None
+        n_buf0, n_drop0 = len(buf), n_dropped
         for pdf in pdfs:
             for v, o in zip(pdf[value_col], pdf["_order_us"]):
                 o = int(o)
@@ -217,17 +218,27 @@ def scd2_stream_event_time(
                 out.append((key[0], cur_value, cur_from, o, version,
                             n_dropped))
                 cur_value, cur_from, version = v, o, version + 1
-        if version > 0 or keep or n_dropped:
+        # a TIMER invocation whose watermark moved nothing (no new
+        # rows, no folds, no drops) must not rewrite the array state —
+        # at scale every no-data batch re-invokes every buffered key,
+        # and the state-store writes dominate (measured on the sf0.1
+        # gate); it only re-arms its timer
+        changed = (len(buf) != n_buf0 or n_dropped != n_drop0
+                   or bool(out) or len(keep) != len(buf))
+        if changed and (version > 0 or keep or n_dropped):
             state.update((
                 cur_value if cur_value is not None else None,
                 cur_from, version, cur_value is None, n_dropped,
                 [o for o, _ in keep], [v for _, v in keep],
                 [v is None for _, v in keep]))
-            if keep:
-                # re-check when the watermark moves (min granularity 1s
-                # above it — Spark demands timeout > watermark)
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
-                                          + 1000)
+        if keep:
+            # re-check when the watermark moves (min granularity 1s
+            # above it — Spark demands timeout > watermark); a fired
+            # timer is consumed, so EVERY invocation with a live
+            # buffer must re-arm even when nothing else changed (state
+            # exists here: an unchanged buffer was written previously)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                      + 1000)
         if out:
             yield pd.DataFrame(
                 out, columns=["key", "value", "valid_from", "valid_to",
