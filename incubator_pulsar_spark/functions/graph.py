@@ -620,3 +620,97 @@ def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
             .select("node",
                     F.coalesce(F.col("hops"), F.lit(-1)).cast("int")
                     .alias("hops")))
+
+
+def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,
+                   src_col: str = "src", dst_col: str = "dst",
+                   weight_col: str = "w", directed: bool = True,
+                   on_unconverged: str = "warn") -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (breadth-synchronous
+    Bellman-Ford): minimum total edge weight from any source to each
+    node — the cost-aware generalization of ``bfs_hops`` (routing
+    cost, trade-friction distance, weighted blast radius). On a dense
+    graph a cheap 2-hop route can beat an expensive direct edge, which
+    hop-count BFS cannot express.
+
+    Weights must be POSITIVE INTEGERS (the ``pagerank_weighted``
+    exactness contract — scale fractional costs up first; zero would
+    make relaxation cycles free and negative is out of scope). Each
+    round relaxes every settled distance across every edge and keeps
+    the per-node MIN; with positive weights the (rows, Σdist)
+    fingerprint is monotone (nodes only get added, distances only
+    shrink), so an unchanged fingerprint certifies the fixpoint and
+    the loop stops early. ``iters`` bounds the longest EDGE-COUNT path
+    a shortest route may take (Bellman-Ford needs ≤ |V|−1); exhausting
+    it mid-relaxation warns or raises (``on_unconverged``).
+
+    Per round one edges⋈frontier join + one min-agg, co-partitioned on
+    the node key; the distance frame is EAGER-checkpointed per round
+    (it feeds the union AND the join). Output: (node, dist LONG; -1 =
+    unreached within iters).
+    """
+    if on_unconverged not in ("warn", "raise"):
+        raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
+                         f"got {on_unconverged!r}")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"),
+                      F.col(weight_col).alias("_w0"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    bad = e.filter((F.col("w") <= 0) | F.col("w").isNull()
+                   | (F.col("w").cast("double")
+                      != F.col("_w0").cast("double")))
+    if bad.limit(1).count() > 0:
+        raise ValueError("shortest_paths needs positive INTEGER weights "
+                         "(fractional weights would silently truncate — "
+                         "scale them up first)")
+    e = e.select("src", "dst", "w")
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    e = (e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    src_df = spark.createDataFrame([(s,) for s in sources],
+                                   ["node"]).distinct()
+    dist = (nodes.join(src_df, on="node")
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True))
+
+    def fingerprint(d: DataFrame) -> tuple:
+        r = d.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        return (r[0], r[1])
+
+    prev = fingerprint(dist)
+    converged = False
+    for _ in range(iters):
+        nxt = (dist.join(e, dist["node"] == e["src"])
+               .select(F.col("dst").alias("node"),
+                       (F.col("dist") + F.col("w")).cast("long")
+                       .alias("dist")))
+        dist = (dist.union(nxt).groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        cur = fingerprint(dist)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (f"shortest_paths exhausted iters={iters} with distances "
+               f"still relaxing (settled {prev[0]} nodes): routes "
+               f"needing more than {iters} edges report inflated or -1 "
+               f"distances. Raise iters (Bellman-Ford needs at most "
+               f"|V|-1).")
+        if on_unconverged == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return (nodes.join(dist, on="node", how="left")
+            .select("node",
+                    F.coalesce(F.col("dist"), F.lit(-1)).cast("long")
+                    .alias("dist")))

@@ -7778,6 +7778,121 @@ FROM nodes n LEFT JOIN d{iters} d ON d.node = n.node""")
 BFS_HOPS_SQL = _bfs_hops_sql()
 
 
+def shortest_paths_nations(spark, sf_dir):
+    """Weighted shortest paths (`graph.shortest_paths` — synchronous
+    Bellman-Ford, the cost-aware BFS generalization) from CHINA over
+    the FULL nation trade graph with trade-friction weights
+    w = 1 + 10000 DIV trade_count (heavier trade = cheaper edge, all
+    integer math): on this dense graph a cheap two-hop route beats an
+    expensive direct edge, the case hop-count BFS cannot express. 6
+    unrolled rounds; convergence certified by the (rows, Σdist)
+    fingerprint early-stop."""
+    from ..functions import graph
+
+    edges = (_nation_trade_edges(spark, sf_dir)
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("_c"))
+             .select("src", "dst",
+                     F.expr("CAST(1 + 10000 DIV _c AS LONG)").alias("w")))
+    return graph.shortest_paths(edges, ["CHINA"], iters=6)
+
+
+def _shortest_paths_sql(iters: int = 6, seed: str = "CHINA") -> str:
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, 1 + 10000 // COUNT(*) AS w
+  FROM ({_PAGERANK_EDGE_SQL}) GROUP BY src, dst),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       WHERE node = '{seed}')"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM d{t - 1} p JOIN e ON p.node = e.src)
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT n.node, CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist
+FROM nodes n LEFT JOIN d{iters} d ON d.node = n.node""")
+    return "".join(parts)
+
+
+SHORTEST_PATHS_SQL = _shortest_paths_sql()
+
+
+def markov_stream_events(spark, sf_dir):
+    """Streaming Markov transition deltas
+    (`streaming/behavior.markov_stream`): the events log split into
+    four time bands replayed availableNow one file per micro-batch
+    (per-key publish order holds ACROSS batches; within a batch the
+    operator sorts), each batch emitting (state, next_state, n_delta)
+    increments; the sink fold SUM(n_delta) + the same exact DIV
+    probability must equal the batch `behavior.markov_transitions` on
+    the same rows — transitions that STRADDLE batch boundaries are
+    the point (the held last-state chains them)."""
+    import shutil as _sh
+
+    from ..streaming.behavior import markov_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("sequence"),
+        "event_type")
+    d = _scratch("markovstream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    t0 = ev.agg(F.min("sequence"), F.max("sequence")).collect()[0]
+    lo = t0[0]
+    band = F.floor((F.col("sequence") - F.lit(lo))
+                   / F.lit(8 * 86400 * 1_000_000)).cast("int")
+    banded = ev.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b).drop("_band")
+         .orderBy(F.md5(F.concat_ws("|", "user_id", "sequence")))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = markov_stream(stream, key_col="user_id")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    deltas = spark.read.parquet(sink)
+    cnt = (deltas.filter(F.col("state").isNotNull())
+           .groupBy("state", "next_state")
+           .agg(F.sum("n_delta").cast("long").alias("n")))
+    tot = cnt.groupBy("state").agg(F.sum("n").alias("_row_n"))
+    dropped = deltas.agg(
+        F.coalesce(F.max("n_dropped_late"), F.lit(0)).cast("long")
+        .alias("n_dropped"))
+    return (cnt.join(tot, on="state").crossJoin(F.broadcast(dropped))
+            .select("state", "next_state", "n",
+                    F.expr("CAST((n * 1000000) DIV _row_n AS LONG)")
+                    .alias("prob_micro"),
+                    "n_dropped"))
+
+
+MARKOV_STREAM_SQL = """
+WITH s AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS next_state
+  FROM events),
+c AS (SELECT state, next_state, COUNT(*) AS n FROM s
+      WHERE next_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT state, SUM(n) AS rn FROM c GROUP BY state)
+SELECT c.state, c.next_state, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.rn AS BIGINT) AS prob_micro,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM c JOIN t USING (state)
+"""
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -7834,6 +7949,10 @@ ALL_QUERIES: dict[str, Query] = {
         # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
         Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
+        Query("markov_stream_events", markov_stream_events,
+              MARKOV_STREAM_SQL),
+        Query("shortest_paths_nations", shortest_paths_nations,
+              SHORTEST_PATHS_SQL),
         Query("retention_cohorts_events", retention_cohorts_events,
               RETENTION_SQL),
         Query("markov_transitions_events", markov_transitions_events,
@@ -7895,10 +8014,10 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
               WINNOW_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
         Query("knn_graph_embeddings", knn_graph_embeddings, KNN_GRAPH_SQL),
         Query("pq_index_topk_embeddings", pq_index_topk_embeddings,
               PQ_INDEX_SQL),

@@ -1,0 +1,97 @@
+"""Streaming behavioral analytics: the keyed-state twins of
+``functions/behavior.py`` (the scd2_stream pattern — batch==stream
+parity is the contract, pytest- and gate-locked)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MARKOV_STATE_SCHEMA = T.StructType([
+    T.StructField("last_state", T.StringType()),
+    T.StructField("last_order", T.LongType()),
+    T.StructField("n_dropped_late", T.LongType()),
+])
+
+
+def markov_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    order_col: str = "sequence",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming first-order Markov transition DELTAS: per key the
+    state holds only (last_state, last_order); each batch sorts its
+    rows by ``order_col``, chains them onto the held last state, and
+    emits one (state, next_state, n_delta) row per transition pair
+    observed in the batch — the downstream transition matrix is
+    SUM(n_delta) GROUP BY (state, next_state), an associative fold any
+    sink can maintain incrementally (the counts-as-deltas CDC shape,
+    append-mode friendly).
+
+    Contract: per-key ``order_col`` non-decreasing ACROSS batches (the
+    publish-order discipline of ``scd2_stream``); a row older than the
+    held last_order is dropped and counted (``n_dropped_late``
+    cumulative per key, emitted on a dedicated (NULL, NULL) marker row
+    per batch that dropped something — observable, never silent).
+
+    Parity: availableNow replay of an ordered log == the batch
+    ``behavior.markov_transitions`` counts on the same rows
+    (gate-locked; probabilities are derived at read time with the
+    same exact DIV).
+
+    Output: (state, next_state, n_delta BIGINT, n_dropped_late BIGINT).
+    """
+    out_schema = T.StructType([
+        T.StructField("state", T.StringType()),
+        T.StructField("next_state", T.StringType()),
+        T.StructField("n_delta", T.LongType()),
+        T.StructField("n_dropped_late", T.LongType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_state, last_order, n_dropped = state.get
+        else:
+            last_state, last_order, n_dropped = None, None, 0
+        rows = []
+        for pdf in pdfs:
+            for s, o in zip(pdf[state_col], pdf[order_col]):
+                rows.append((int(o), None if pd.isna(s) else str(s)))
+        rows.sort(key=lambda r: r[0])
+        deltas: dict[tuple, int] = {}
+        dropped_this_batch = False
+        for o, s in rows:
+            if last_order is not None and o < last_order:
+                n_dropped += 1
+                dropped_this_batch = True
+                continue
+            if last_state is not None:
+                k = (last_state, s)
+                deltas[k] = deltas.get(k, 0) + 1
+            last_state, last_order = s, o
+        if rows:
+            state.update((last_state, last_order, n_dropped))
+        out = [(a, b, n, n_dropped) for (a, b), n in deltas.items()]
+        if dropped_this_batch and not out:
+            # dropped-rows marker: keeps the counter observable even
+            # when the batch produced no transitions
+            out = [(None, None, 0, n_dropped)]
+        if out:
+            yield pd.DataFrame(
+                out, columns=["state", "next_state", "n_delta",
+                              "n_dropped_late"])
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(state_col).cast("string").alias(state_col))
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, MARKOV_STATE_SCHEMA, "append", "NoTimeout")

@@ -678,3 +678,124 @@ class TestBfsHops:
             got = {r.node: r.hops for r in
                    graph.bfs_hops(edges, ["n0"], iters=2).collect()}
         assert got["n2"] == 2 and got["n6"] == -1
+
+
+class TestMarkovStream:
+    """Streaming Markov deltas: batch==stream parity with transitions
+    straddling batch boundaries, and the dropped-late counter."""
+
+    def test_stream_matches_batch_across_batches(self, spark, tmp_path):
+        import time
+
+        from incubator_pulsar_spark.functions import behavior
+        from incubator_pulsar_spark.streaming.behavior import markov_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 10, "x")],
+            "user_id long, sequence long, event_type string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        # u1's b->a transition STRADDLES the batch boundary
+        b2 = spark.createDataFrame(
+            [(1, 30, "a"), (2, 20, "x"), (2, 30, "y")],
+            "user_id long, sequence long, event_type string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = markov_stream(stream, key_col="user_id")
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        from pyspark.sql import functions as SF
+
+        got = {(r.state, r.next_state): r.n for r in
+               spark.read.parquet(sink).filter(SF.col("state").isNotNull())
+               .groupBy("state", "next_state")
+               .agg(SF.sum("n_delta").alias("n")).collect()}
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        batch_rows = [(1, t0 + dt.timedelta(seconds=10), "a"),
+                      (1, t0 + dt.timedelta(seconds=20), "b"),
+                      (1, t0 + dt.timedelta(seconds=30), "a"),
+                      (2, t0 + dt.timedelta(seconds=10), "x"),
+                      (2, t0 + dt.timedelta(seconds=20), "x"),
+                      (2, t0 + dt.timedelta(seconds=30), "y")]
+        bdf = spark.createDataFrame(
+            batch_rows, "user_id long, ts timestamp, event_type string")
+        want = {(r.state, r.next_state): r.n
+                for r in behavior.markov_transitions(bdf).collect()}
+        assert got == want
+        assert got[("b", "a")] == 1  # the straddling transition
+
+    def test_late_rows_dropped_and_counted(self, spark, tmp_path):
+        import time
+
+        from incubator_pulsar_spark.streaming.behavior import markov_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [(1, 100, "a"), (1, 200, "b")],
+            "user_id long, sequence long, event_type string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [(1, 150, "zzz")],  # older than the held last_order: late
+            "user_id long, sequence long, event_type string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = markov_stream(stream, key_col="user_id")
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        assert not any(r.state == "zzz" or r.next_state == "zzz"
+                       for r in rows)
+        assert max(r.n_dropped_late for r in rows) == 1
+
+
+class TestShortestPaths:
+    def test_cheap_two_hop_beats_expensive_direct(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("s", "t", 10), ("s", "m", 2), ("m", "t", 3)],
+            "src string, dst string, w int")
+        got = {r.node: r.dist for r in
+               graph.shortest_paths(edges, ["s"], iters=5).collect()}
+        assert got == {"s": 0, "m": 2, "t": 5}
+
+    def test_unreached_and_multi_source(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("c", "b", 7), ("x", "y", 1)],
+            "src string, dst string, w int")
+        got = {r.node: r.dist for r in
+               graph.shortest_paths(edges, ["a", "c"], iters=5).collect()}
+        assert got == {"a": 0, "c": 0, "b": 1, "x": -1, "y": -1}
+
+    def test_fractional_weights_rejected(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 0.5)], "src string, dst string, w double")
+        with pytest.raises(ValueError, match="INTEGER weights"):
+            graph.shortest_paths(edges, ["a"])
+
+    def test_unconverged_warns(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        chain = [(f"n{i}", f"n{i+1}", 1) for i in range(5)]
+        edges = spark.createDataFrame(chain, "src string, dst string, w int")
+        with pytest.warns(UserWarning, match="exhausted iters=2"):
+            got = {r.node: r.dist for r in
+                   graph.shortest_paths(edges, ["n0"], iters=2).collect()}
+        assert got["n2"] == 2 and got["n5"] == -1
