@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "cusum_max_events",
     "bfs_hops_nations",
     "scd2_stream_events",
+    "shortest_paths_nations",
+    "markov_stream_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the
