@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "scd2_stream_events",
     "shortest_paths_nations",
     "markov_stream_events",
+    "retention_stream_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

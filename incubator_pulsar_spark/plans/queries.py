@@ -7893,6 +7893,63 @@ FROM c JOIN t USING (state)
 """
 
 
+def retention_stream_events(spark, sf_dir):
+    """Streaming cohort retention
+    (`streaming/behavior.retention_stream`): keyed state = the user's
+    cohort (first-activity week) + the weeks already credited; each
+    user's first event in a new week emits a (cohort, offset, +1)
+    delta, folded by SUM downstream — replayed availableNow over four
+    ordered time-band files so cohorts open in one batch and return
+    visits land in LATER batches (the cross-batch crediting is the
+    parity point vs the batch `cohort_retention` oracle). The week
+    grid anchors at the corpus min epoch-ms (a config in the
+    streaming form; derived here for oracle parity)."""
+    import shutil as _sh
+
+    from ..streaming.behavior import retention_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("sequence"))
+    d = _scratch("retstream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    lo = ev.agg(F.min("sequence")).collect()[0][0]
+    band = F.floor((F.col("sequence") - F.lit(lo))
+                   / F.lit(8 * 86_400_000)).cast("int")
+    banded = ev.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b).drop("_band")
+         .orderBy(F.md5(F.concat_ws("|", "user_id", "sequence")))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = retention_stream(stream, anchor=int(lo))
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    deltas = spark.read.parquet(sink)
+    return (deltas.groupBy("cohort", "week_offset")
+            .agg(F.sum("delta").cast("long").alias("n_users"),
+                 F.max("n_dropped_late").cast("long").alias("n_dropped")))
+
+
+RETENTION_STREAM_SQL = """
+WITH ms AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+g AS (SELECT MIN(ms) AS g0 FROM ms),
+f AS (SELECT user_id, MIN(ms) AS fms FROM ms GROUP BY user_id)
+SELECT CAST(floor((f.fms - g.g0) / 604800000.0) AS INTEGER) AS cohort,
+       CAST(floor((m.ms - g.g0) / 604800000.0)
+            - floor((f.fms - g.g0) / 604800000.0) AS INTEGER)
+         AS week_offset,
+       CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM ms m JOIN f ON m.user_id = f.user_id CROSS JOIN g
+GROUP BY 1, 2
+"""
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -7951,6 +8008,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
         Query("markov_stream_events", markov_stream_events,
               MARKOV_STREAM_SQL),
+        Query("retention_stream_events", retention_stream_events,
+              RETENTION_STREAM_SQL),
         Query("shortest_paths_nations", shortest_paths_nations,
               SHORTEST_PATHS_SQL),
         Query("retention_cohorts_events", retention_cohorts_events,
@@ -8013,8 +8072,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
-        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs,
               WINNOW_SQL),

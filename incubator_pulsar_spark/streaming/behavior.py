@@ -95,3 +95,87 @@ def markov_stream(
         F.col(state_col).cast("string").alias(state_col))
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, MARKOV_STATE_SCHEMA, "append", "NoTimeout")
+
+
+RETENTION_STATE_SCHEMA = T.StructType([
+    T.StructField("first_period", T.IntegerType()),
+    T.StructField("seen_periods", T.ArrayType(T.IntegerType())),
+    T.StructField("n_dropped_late", T.LongType()),
+])
+
+
+def retention_stream(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    order_col: str = "sequence",
+    anchor: int,
+    period: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Streaming cohort-retention DELTAS: per user the state holds the
+    first-activity period (the cohort) and the set of periods already
+    credited; the first event of a user in a NEW period emits one
+    (cohort, offset, +1) increment — the downstream retention matrix
+    is SUM(delta) GROUP BY (cohort, offset), the same associative
+    CDC-fold shape as ``markov_stream``.
+
+    ``anchor``/``period`` are in the SAME unit as ``order_col``
+    (default: epoch milliseconds, matching the batch operator's
+    unix_millis grid — mixing units shifts bucket boundaries at the
+    edges). The anchor is a CONFIG in the streaming form (the batch
+    operator derives it from the corpus min, which a stream cannot
+    know ahead of time; pass the deployment's epoch). Per-user publish-order
+    arrival is the contract: a row in a period EARLIER than the held
+    cohort would rewrite history (the cohort itself) — it is dropped
+    and counted (``n_dropped_late`` cumulative, carried on every
+    emission). Within or after the cohort period any order is fine
+    (the seen-set absorbs duplicates and disorder).
+
+    State per user is the cohort int + the seen-period int array —
+    bounded by the stream's lifetime in periods (weeks), not by event
+    volume. Output: (cohort INT, week_offset INT, delta BIGINT,
+    n_dropped_late BIGINT).
+    """
+    out_schema = T.StructType([
+        T.StructField("cohort", T.IntegerType()),
+        T.StructField("week_offset", T.IntegerType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("n_dropped_late", T.LongType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first, seen_list, n_dropped = state.get
+            seen = set(seen_list or [])
+        else:
+            first, seen, n_dropped = None, set(), 0
+        periods = []
+        for pdf in pdfs:
+            for o in pdf[order_col]:
+                periods.append(int((int(o) - anchor) // period))
+        periods.sort()
+        out = []
+        changed = False
+        for p in periods:
+            if first is None:
+                first = p
+            if p < first:
+                n_dropped += 1  # would rewrite the cohort: late, counted
+                changed = True
+                continue
+            if p not in seen:
+                seen.add(p)
+                out.append((first, p - first, 1, n_dropped))
+                changed = True
+        if changed or (periods and not state.exists):
+            state.update((first, sorted(seen), n_dropped))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["cohort", "week_offset", "delta",
+                              "n_dropped_late"])
+
+    keyed = stream.select(
+        F.col(user_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias(order_col))
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, RETENTION_STATE_SCHEMA, "append", "NoTimeout")

@@ -799,3 +799,85 @@ class TestShortestPaths:
             got = {r.node: r.dist for r in
                    graph.shortest_paths(edges, ["n0"], iters=2).collect()}
         assert got["n2"] == 2 and got["n5"] == -1
+
+
+class TestRetentionStream:
+    def test_cross_batch_crediting_matches_batch(self, spark, tmp_path):
+        import time
+
+        from incubator_pulsar_spark.functions import behavior
+        from incubator_pulsar_spark.streaming.behavior import (
+            retention_stream,
+        )
+
+        wk = 7 * 86_400_000
+        # u1 cohort week0, returns week1+week2; u2 cohort week1
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [(1, 0), (1, 1000)], "user_id long, sequence long")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [(1, wk + 5), (2, wk + 9)], "user_id long, sequence long")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b3 = spark.createDataFrame(
+            [(1, 2 * wk + 1), (2, wk + 10)],
+            "user_id long, sequence long")
+        b3.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = retention_stream(stream, anchor=0)
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        from pyspark.sql import functions as SF
+
+        got = {(r.cohort, r.week_offset): r.n for r in
+               spark.read.parquet(sink).groupBy("cohort", "week_offset")
+               .agg(SF.sum("delta").alias("n")).collect()}
+        assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+        # same rows through the batch operator (ts in ms since epoch)
+        import datetime as dt
+
+        rows = [(1, 0), (1, 1000), (1, wk + 5), (1, 2 * wk + 1),
+                (2, wk + 9), (2, wk + 10)]
+        bdf = spark.createDataFrame(
+            [(u, dt.datetime.utcfromtimestamp(ms / 1000.0))
+             for u, ms in rows], "user_id long, ts timestamp")
+        want = {(r.cohort, r.offset): r.n_users
+                for r in behavior.cohort_retention(bdf).collect()}
+        assert got == want
+
+    def test_cohort_rewrite_dropped_and_counted(self, spark, tmp_path):
+        import time
+
+        from incubator_pulsar_spark.streaming.behavior import (
+            retention_stream,
+        )
+
+        wk = 7 * 86_400_000
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [(1, 2 * wk)], "user_id long, sequence long")  # cohort wk2
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [(1, 0), (1, 3 * wk)],  # week0 would REWRITE the cohort
+            "user_id long, sequence long")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = retention_stream(stream, anchor=0)
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        assert sorted((r.cohort, r.week_offset) for r in rows) == \
+            [(2, 0), (2, 1)]
+        assert max(r.n_dropped_late for r in rows) == 1
