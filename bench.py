@@ -217,6 +217,11 @@ BENCH_QUERIES = [
     "shortest_paths_nations",
     "markov_stream_events",
     "retention_stream_events",
+    # round-13 session 2: the TWAP delta-fold and entropy replace-emit
+    # streaming twins (streaming lifecycle composites like the rows
+    # above — 4-file availableNow replay dominates)
+    "twap_stream_events",
+    "entropy_stream_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

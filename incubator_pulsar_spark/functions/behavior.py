@@ -100,6 +100,17 @@ def state_entropy(df: DataFrame, *, key_col: str = "user_id",
     per = (df.groupBy(F.col(key_col).alias("key"),
                       F.col(state_col).alias("_s"))
            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    return entropy_from_counts(per)
+
+
+def entropy_from_counts(per: DataFrame) -> DataFrame:
+    """Entropy tail over a pre-counted (key, _c) frame — the single
+    float path shared by ``state_entropy`` and the streaming count-map
+    twin (``streaming/behavior.entropy_stream`` emits exact count maps;
+    this derivation at read time IS the batch==stream parity argument).
+    Expects one row per (key, state) with the state's count in ``_c``;
+    any other columns are ignored.
+    """
     term = (F.round(F.log(F.col("_c").cast("double")), 9)
             .cast("decimal(20,9)")
             * F.col("_c").cast("decimal(18,0)")).cast("decimal(38,9)")

@@ -7950,6 +7950,133 @@ GROUP BY 1, 2
 """
 
 
+def twap_stream_events(spark, sf_dir):
+    """Streaming step-function TWAP
+    (`streaming/behavior.twap_stream`): keyed state = the open
+    observation (last ms + value in integer 1e-4 units); each batch
+    emits the closed intervals' (n, dur, Σ value·dur) delta, folded
+    downstream by SUM — replayed availableNow over four ordered
+    time-band files so observations opened in one batch close in LATER
+    batches (the cross-batch interval is the parity point vs the batch
+    `behavior.twap` oracle). Values pre-scale to integer 1e-4 units
+    Spark-side (DECIMAL(18,4)·10⁴ → LONG) so the kernel is pure
+    bigint — exact at any scale."""
+    import shutil as _sh
+
+    from ..streaming.behavior import twap_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("sequence"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS LONG)")
+        .alias("v4"))
+    d = _scratch("twapstream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    lo = ev.agg(F.min("sequence")).collect()[0][0]
+    band = F.floor((F.col("sequence") - F.lit(lo))
+                   / F.lit(8 * 86_400_000)).cast("int")
+    banded = ev.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b).drop("_band")
+         .orderBy(F.md5(F.concat_ws("|", "event_type", "sequence")))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = twap_stream(stream)
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    deltas = spark.read.parquet(sink)
+    return (deltas.groupBy("key")
+            .agg(F.sum("n_delta").cast("long").alias("n_intervals"),
+                 F.sum("dur_delta").cast("long").alias("total_ms"),
+                 F.round(F.sum("wsum_delta").cast("double")
+                         / F.sum("dur_delta").cast("double"), 6)
+                 .alias("twap"),
+                 F.max("n_dropped_late").cast("long").alias("n_dropped"))
+            .filter(F.col("n_intervals") > 0)
+            .withColumnRenamed("key", "event_type"))
+
+
+TWAP_STREAM_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ms,
+         CAST(value AS DECIMAL(18,4)) AS vm
+  FROM events),
+d AS (
+  SELECT event_type, vm,
+         lead(ms) OVER (PARTITION BY event_type ORDER BY ms) - ms AS dur
+  FROM s)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       round(CAST(SUM(vm * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE), 6) AS twap,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM d WHERE dur IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def entropy_stream_events(spark, sf_dir):
+    """Streaming per-user entropy via count-map REPLACE emissions
+    (`streaming/behavior.entropy_stream`): keyed state = the full
+    (event_type → count) map + a monotone version, re-emitted whole on
+    every batch the user appears in; the read contract takes the
+    LATEST version per key (upsert-by-version, the scd2 discipline)
+    and derives entropy with the batch operator's exact tail
+    (`behavior.entropy_from_counts` — ln-snap-9, DECIMAL fold, one
+    round-6 division), so stream and batch share one float path.
+    Cross-batch accumulation (counts spanning all four band files) is
+    the parity point vs the batch `state_entropy` oracle."""
+    import shutil as _sh
+
+    from ..functions.behavior import entropy_from_counts
+    from ..streaming.behavior import entropy_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("_ms"),
+        "event_type")
+    d = _scratch("entstream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    lo = ev.agg(F.min("_ms")).collect()[0][0]
+    band = F.floor((F.col("_ms") - F.lit(lo))
+                   / F.lit(8 * 86_400_000)).cast("int")
+    banded = ev.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b)
+         .select("user_id", "event_type")
+         .orderBy(F.md5(F.concat_ws("|", "user_id", "event_type")))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("user_id long, event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = entropy_stream(stream)
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    latest = (spark.read.parquet(sink)
+              .groupBy("key")
+              .agg(F.max_by(F.struct("states", "counts"), "version")
+                   .alias("_m")))
+    per = (latest.select(
+        F.col("key").cast("long").alias("key"),
+        F.explode(F.arrays_zip(F.col("_m.states").alias("_s"),
+                               F.col("_m.counts").alias("_c"))).alias("z"))
+        .select("key", F.col("z._s").alias("_s"),
+                F.col("z._c").alias("_c")))
+    return entropy_from_counts(per)
+
+
+# same final state as the batch operator — the stream replays the whole
+# log, so the latest count maps equal the batch groupBy counts
+ENTROPY_STREAM_SQL = ENTROPY_SQL
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -7994,8 +8121,9 @@ ALL_QUERIES: dict[str, Query] = {
         # --- head 1-50: driver gate this round (r13 rotation, VERDICT
         # r12 #2 — computed mechanically from the CORRECTNESS_r01..r12
         # union by (driver-proof count ASC, last-proven ASC, name)).
-        # Slots 1-7: the seven brand-new r13 gates (streaming SCD2 +
-        # the behavior family + BFS). Slots 8-14: every query whose
+        # Slots 1-9: the nine brand-new r13 gates (the streaming
+        # TWAP/entropy twins, streaming SCD2, the behavior family,
+        # BFS). Then: every query whose
         # code path changed this round (the quantile-trio NULL-safe
         # oracles, kcore convergence detection, the spearman/ntile tie
         # guards, semantic_dedup's new kernel parameter). Slots 15-50:
@@ -8005,6 +8133,9 @@ ALL_QUERIES: dict[str, Query] = {
         # topic_stats/topk_orders/winnow) — 20 head rows were NOT in
         # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
+        Query("twap_stream_events", twap_stream_events, TWAP_STREAM_SQL),
+        Query("entropy_stream_events", entropy_stream_events,
+              ENTROPY_STREAM_SQL),
         Query("scd2_stream_events", scd2_stream_events, SCD2_STREAM_SQL),
         Query("markov_stream_events", markov_stream_events,
               MARKOV_STREAM_SQL),
@@ -8062,9 +8193,7 @@ ALL_QUERIES: dict[str, Query] = {
               SQ8_INDEX_SQL),
         Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
-        Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
@@ -8073,6 +8202,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
         Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
+        # (q1/q18 demoted mid-r13 to make head room for the two new
+        # streaming twins — the most-proven non-edited head rows:
+        # q1 4 proofs, q18 3; the r14 rotation re-ranks the pool.)
+        Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs,

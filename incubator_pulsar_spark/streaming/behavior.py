@@ -179,3 +179,166 @@ def retention_stream(
         F.col(order_col).cast("long").alias(order_col))
     return keyed.groupBy("key").applyInPandasWithState(
         fn, out_schema, RETENTION_STATE_SCHEMA, "append", "NoTimeout")
+
+
+TWAP_STATE_SCHEMA = T.StructType([
+    T.StructField("last_order", T.LongType()),
+    T.StructField("last_v4", T.LongType()),
+    T.StructField("n_dropped_late", T.LongType()),
+])
+
+
+def twap_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "event_type",
+    order_col: str = "sequence",
+    value_col: str = "v4",
+) -> DataFrame:
+    """Streaming step-function TWAP DELTAS (the last-observation-carry
+    twin of ``behavior.twap``): per key the state holds only the open
+    observation (last_order ms, last value in integer 1e-4 units); each
+    batch sorts its rows by ``order_col``, chains them onto the held
+    observation, and emits ONE row per key per batch with the CLOSED
+    intervals' aggregate — (n_delta intervals, dur_delta ms,
+    wsum_delta = Σ value·dur as DECIMAL(38,4)) — so the downstream TWAP
+    is the associative fold SUM(wsum)/SUM(dur) over deltas (the
+    markov_stream CDC shape, append-mode friendly). The still-open last
+    observation carries no weight until a later batch closes it —
+    exactly the batch operator's closed-window semantics.
+
+    Inputs are integer by contract: ``value_col`` is the value scaled
+    by 1e4 (cast value to DECIMAL(18,4)·10000 AS LONG upstream — the
+    module's decimal discipline moved to ingest so the kernel is pure
+    integer arithmetic, exact at any scale via Python bigints; the
+    emitted DECIMAL(38,4) cannot overflow). ``order_col`` is epoch
+    milliseconds. Per-key publish order ACROSS batches is the contract
+    (the scd2_stream discipline): a row older than the held observation
+    is dropped and counted (``n_dropped_late`` cumulative per key,
+    observable on every emission — a batch that only dropped still
+    emits a zero-interval marker row).
+
+    Parity: availableNow replay of an ordered log == the batch
+    ``behavior.twap`` on the same rows (gate-locked). Output: (key,
+    n_delta BIGINT, dur_delta BIGINT, wsum_delta DECIMAL(38,4),
+    n_dropped_late BIGINT).
+    """
+    from decimal import Decimal
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n_delta", T.LongType()),
+        T.StructField("dur_delta", T.LongType()),
+        T.StructField("wsum_delta", T.DecimalType(38, 4)),
+        T.StructField("n_dropped_late", T.LongType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_o, last_v, n_dropped = state.get
+        else:
+            last_o, last_v, n_dropped = None, None, 0
+        rows = []
+        for pdf in pdfs:
+            for o, v in zip(pdf[order_col], pdf[value_col]):
+                rows.append((int(o), int(v)))
+        rows.sort()
+        n = dur = wsum = 0
+        dropped_this_batch = False
+        for o, v in rows:
+            if last_o is not None and o < last_o:
+                n_dropped += 1
+                dropped_this_batch = True
+                continue
+            if last_o is not None:
+                d = o - last_o
+                n += 1
+                dur += d
+                wsum += last_v * d  # Python bigint: exact, unbounded
+            last_o, last_v = o, v
+        if rows:
+            state.update((last_o, last_v, n_dropped))
+        if n or dropped_this_batch:
+            yield pd.DataFrame(
+                [(key[0], n, dur, Decimal(wsum).scaleb(-4), n_dropped)],
+                columns=["key", "n_delta", "dur_delta", "wsum_delta",
+                         "n_dropped_late"])
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(value_col).cast("long").alias(value_col))
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, TWAP_STATE_SCHEMA, "append", "NoTimeout")
+
+
+ENTROPY_STATE_SCHEMA = T.StructType([
+    T.StructField("states", T.ArrayType(T.StringType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("version", T.LongType()),
+])
+
+
+def entropy_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming per-key state-distribution tracker (the count-map twin
+    of ``behavior.state_entropy``): entropy is NOT an associative fold,
+    so this emits REPLACE rows, not deltas — per key the state holds
+    the full (state → count) map plus a monotone version; every batch
+    the key appears in re-emits the complete updated map under
+    version+1. Downstream read contract: latest version per key wins
+    (the scd2 upsert-by-version discipline — append-mode file sinks
+    stay valid because stale versions are superseded, never wrong).
+
+    The kernel does NO float math: counts are exact integers; the
+    entropy itself is derived at read time from the emitted map with
+    the batch operator's exact pipeline (ln-snap-9 → DECIMAL fold →
+    one round-6 division) so stream and batch share one float path —
+    that is the parity argument, not a reimplementation.
+
+    State size is the key's distinct-state count (bounded by the state
+    vocabulary, not event volume). Arrival order is irrelevant (counts
+    commute) — no late/dropped semantics. Output: (key, version
+    BIGINT, states ARRAY<STRING>, counts ARRAY<BIGINT>), arrays
+    co-indexed and sorted by state for deterministic emission.
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("states", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            states, counts, version = state.get
+            m = dict(zip(states, counts))
+        else:
+            m, version = {}, 0
+        n_new = 0
+        for pdf in pdfs:
+            for s in pdf[state_col]:
+                s = None if pd.isna(s) else str(s)
+                m[s] = m.get(s, 0) + 1
+                n_new += 1
+        if n_new:
+            version += 1
+            # NULL state sorts first (deterministic emission order)
+            items = sorted(m.items(),
+                           key=lambda kv: (kv[0] is not None, kv[0]))
+            ks = [k for k, _ in items]
+            vs = [int(v) for _, v in items]
+            state.update((ks, vs, version))
+            yield pd.DataFrame(
+                [(key[0], version, ks, vs)],
+                columns=["key", "version", "states", "counts"])
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(state_col).cast("string").alias(state_col))
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, out_schema, ENTROPY_STATE_SCHEMA, "append", "NoTimeout")

@@ -1,0 +1,174 @@
+"""Round-13 session-2 additions: the streaming TWAP / entropy twins
+(ROADMAP candidate #4 — the last-observation-carry delta fold and the
+count-map replace-emit patterns)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _run_available_now(out, tmp_path, tag):
+    sink, ck = str(tmp_path / f"{tag}_sink"), str(tmp_path / f"{tag}_ck")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return sink
+
+
+class TestTwapStream:
+    """Last-observation-carry interval deltas: batch==stream parity
+    with the carried observation CLOSING across a batch boundary, and
+    the dropped-late counter."""
+
+    def test_stream_matches_batch_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+        from incubator_pulsar_spark.streaming.behavior import twap_stream
+
+        src = str(tmp_path / "src")
+        # key a's observation at ms=2000 (v=3.0) closes in batch 2 —
+        # the cross-batch interval is the parity point
+        b1 = spark.createDataFrame(
+            [("a", 1000, 20000), ("a", 2000, 30000), ("b", 500, 10000)],
+            "event_type string, sequence long, v4 long")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [("a", 4000, 50000), ("b", 1500, 70000)],
+            "event_type string, sequence long, v4 long")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(twap_stream(stream), tmp_path, "twap")
+        got = {r.key: (r.n, r.dur, round(r.twap, 6)) for r in
+               (spark.read.parquet(sink).groupBy("key")
+                .agg(F.sum("n_delta").alias("n"),
+                     F.sum("dur_delta").alias("dur"),
+                     (F.sum("wsum_delta").cast("double")
+                      / F.sum("dur_delta").cast("double")).alias("twap"))
+                .collect())}
+
+        t0 = dt.datetime(2024, 1, 1)
+        bdf = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(milliseconds=ms), v4 / 10000)
+             for k, ms, v4 in [("a", 1000, 20000), ("a", 2000, 30000),
+                               ("a", 4000, 50000), ("b", 500, 10000),
+                               ("b", 1500, 70000)]],
+            "event_type string, ts timestamp, value double")
+        want = {r.event_type: (r.n_intervals, r.total_ms, r.twap)
+                for r in behavior.twap(bdf, ["event_type"]).collect()}
+        assert got == want
+        # the straddling interval: a@2000 (v=3.0) closed by a@4000
+        assert got["a"] == (2, 3000, round((2.0 * 1000 + 3.0 * 2000)
+                                           / 3000, 6))
+
+    def test_late_rows_dropped_and_counted(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming.behavior import twap_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [("a", 1000, 10000), ("a", 2000, 20000)],
+            "event_type string, sequence long, v4 long")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [("a", 1500, 99999)],  # older than the held observation
+            "event_type string, sequence long, v4 long")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(twap_stream(stream), tmp_path, "late")
+        rows = spark.read.parquet(sink).collect()
+        # the late row contributed NO interval (weight would be wrong)
+        assert sum(r.n_delta for r in rows) == 1
+        assert max(r.n_dropped_late for r in rows) == 1
+        # …and the drop is observable even though batch 2 closed nothing
+        marker = [r for r in rows if r.n_delta == 0]
+        assert marker and marker[0].n_dropped_late == 1
+
+    def test_zero_duration_interval_matches_batch_tie(self, spark,
+                                                      tmp_path):
+        """Equal order values chain as a 0-duration interval (the batch
+        lead() semantics), not as late rows."""
+        from incubator_pulsar_spark.streaming.behavior import twap_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [("a", 1000, 10000), ("a", 1000, 10000), ("a", 2000, 30000)],
+            "event_type string, sequence long, v4 long")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(twap_stream(stream), tmp_path, "tie")
+        rows = spark.read.parquet(sink).collect()
+        assert sum(r.n_delta for r in rows) == 2       # 0-dur + 1000ms
+        assert sum(r.dur_delta for r in rows) == 1000
+        assert max(r.n_dropped_late for r in rows) == 0
+
+
+class TestEntropyStream:
+    """Count-map replace emissions: latest-version-per-key equals the
+    batch distribution; versions are monotone per key."""
+
+    def test_latest_version_matches_batch(self, spark, tmp_path):
+        from incubator_pulsar_spark.functions import behavior
+        from incubator_pulsar_spark.functions.behavior import (
+            entropy_from_counts,
+        )
+        from incubator_pulsar_spark.streaming.behavior import entropy_stream
+
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "x")],
+            "user_id long, event_type string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        b2 = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "z")],
+            "user_id long, event_type string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(entropy_stream(stream), tmp_path, "ent")
+        latest = (spark.read.parquet(sink).groupBy("key")
+                  .agg(F.max_by(F.struct("states", "counts"), "version")
+                       .alias("m")))
+        per = (latest.select(
+            F.col("key").cast("long").alias("key"),
+            F.explode(F.arrays_zip(F.col("m.states").alias("s"),
+                                   F.col("m.counts").alias("c")))
+            .alias("z"))
+            .select("key", F.col("z.c").alias("_c")))
+        got = {r.key: (r.n_events, r.n_states, r.entropy)
+               for r in entropy_from_counts(per).collect()}
+        want = {r.key: (r.n_events, r.n_states, r.entropy)
+                for r in behavior.state_entropy(b1.unionAll(b2)).collect()}
+        assert got == want
+
+    def test_replace_emits_are_versioned_and_cumulative(self, spark,
+                                                        tmp_path):
+        from incubator_pulsar_spark.streaming.behavior import entropy_stream
+
+        src = str(tmp_path / "src")
+        for batch in ([(1, "x")], [(1, "x"), (1, "y")], [(2, "q")]):
+            spark.createDataFrame(
+                batch, "user_id long, event_type string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("user_id long, event_type string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(entropy_stream(stream), tmp_path, "ver")
+        rows = sorted(((r.key, r.version, list(r.states), list(r.counts))
+                       for r in spark.read.parquet(sink).collect()))
+        # key 1: v1 after batch 1, v2 after batch 2 (cumulative map);
+        # key 2 only appears in batch 3 → single v1 emission
+        assert rows == [("1", 1, ["x"], [1]),
+                        ("1", 2, ["x", "y"], [2, 1]),
+                        ("2", 1, ["q"], [1])]
