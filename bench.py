@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     # above — 4-file availableNow replay dominates)
     "twap_stream_events",
     "entropy_stream_events",
+    "assoc_rules_orders",
+    "link_prediction_nations",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -313,6 +313,79 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
                     .cast("long").alias("n_triangles")))
 
 
+def link_prediction(edges: DataFrame, *, src_col: str = "src",
+                    dst_col: str = "dst",
+                    min_common: int = 1) -> DataFrame:
+    """Neighborhood-overlap link prediction over the undirected
+    collapse of the edge list: for every NON-adjacent node pair with
+    ≥ ``min_common`` shared neighbors, the three classic scores —
+    common-neighbor count, Jaccard overlap, and Adamic–Adar
+    (Σ 1/ln(deg w) over shared neighbors w: rare mutual friends count
+    more; Adamic & Adar 2003) — the missing-edge ranking behind
+    follow/connect recommendations and knowledge-graph completion.
+
+    Exactness: counts and degrees are integers; Jaccard is a micro-unit
+    floor division (cn·10⁶ DIV (deg_a + deg_b − cn)); each Adamic–Adar
+    term snaps twice — round(ln(deg),9) then round(1/·,9) (IEEE double
+    division is correctly rounded, so given snapped inputs both engines
+    produce identical bits; only ln needs the libm-parity snap) — and
+    folds in exact DECIMAL(38,9), which IS the output (no trailing
+    float round: a 9-decimal sum can land exactly on a 6-decimal
+    halfway tie, where engine rounding modes diverge — the decimal fold
+    sidesteps the entire class). A wedge center has ≥2 neighbors, so
+    ln(deg) > 0 always.
+
+    Plan shape: wedge self-join on the shared-neighbor key (the pair
+    space is Σ deg² — feed a degree-bounded graph, the kcore/top-k
+    sparsifier contract, or hubs explode it), one anti-join against
+    the existing edge set, one pair aggregation. Output: (node_a,
+    node_b) with node_a < node_b, common_neighbors BIGINT,
+    jaccard_micro BIGINT, adamic_adar DECIMAL(38,9).
+    """
+    raw = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .filter(F.col("a") != F.col("b")))
+    und = (raw.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+           .distinct().localCheckpoint(eager=True))
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .union(und.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr"))))
+    deg = both.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    # wedges at the shared neighbor w: (w, a) ⋈ (w, b), a < b
+    left = both.select(F.col("node").alias("w"), F.col("nbr").alias("a"))
+    right = both.select(F.col("node").alias("w"), F.col("nbr").alias("b"))
+    wedges = (left.join(right, on="w")
+              .filter(F.col("a") < F.col("b")))
+    candidates = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        on=["a", "b"], how="left_anti")
+    aa_term = (F.round(
+        F.lit(1.0) / F.round(F.log(F.col("deg").cast("double")), 9), 9)
+        .cast("decimal(38,9)"))
+    scored = (candidates
+              .join(deg.select(F.col("node").alias("w"), "deg"), on="w")
+              .groupBy(F.col("a").alias("node_a"),
+                       F.col("b").alias("node_b"))
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("common_neighbors"),
+                   F.sum(aa_term).alias("_aa"))
+              .filter(F.col("common_neighbors") >= min_common))
+    return (scored
+            .join(deg.select(F.col("node").alias("node_a"),
+                             F.col("deg").alias("_da")), on="node_a")
+            .join(deg.select(F.col("node").alias("node_b"),
+                             F.col("deg").alias("_db")), on="node_b")
+            .select("node_a", "node_b", "common_neighbors",
+                    F.expr("CAST((common_neighbors * 1000000) DIV "
+                           "(_da + _db - common_neighbors) AS LONG)")
+                    .alias("jaccard_micro"),
+                    F.col("_aa").cast("decimal(38,9)")
+                    .alias("adamic_adar")))
+
+
 def label_propagation(edges: DataFrame, *, src_col: str = "src",
                       dst_col: str = "dst", iters: int = 5,
                       broadcast_labels: bool = False) -> DataFrame:

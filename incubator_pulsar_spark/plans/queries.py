@@ -8077,6 +8077,98 @@ def entropy_stream_events(spark, sf_dir):
 ENTROPY_STREAM_SQL = ENTROPY_SQL
 
 
+def assoc_rules_orders(spark, sf_dir):
+    """Association rules over order baskets
+    (`functions/baskets.association_rules`): part brands co-occurring
+    in the same order, with exact micro-unit support / confidence /
+    lift (the DECIMAL(38,0) cross-multiplied floor division — bigint
+    overflows near 10¹⁰ baskets). The pair space is bounded by BASKET
+    size (≤7 lineitems per order), never corpus size; the
+    max_basket_size guard raises at execution on pathological
+    mega-baskets instead of silently stalling the self-join."""
+    from ..functions.baskets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(p, li["l_partkey"] == p["p_partkey"])
+               .select(F.col("l_orderkey").alias("basket"),
+                       F.col("p_brand").alias("item")))
+    return association_rules(baskets, basket_col="basket",
+                             item_col="item", min_pair_count=5,
+                             max_basket_size=64)
+
+
+ASSOC_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+i AS (SELECT it, COUNT(*) AS n FROM b GROUP BY it),
+p AS (SELECT a.it AS item_a, b2.it AS item_b, COUNT(*) AS n_ab
+      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT p.item_a, p.item_b,
+       CAST(ia.n AS BIGINT) AS n_a, CAST(ib.n AS BIGINT) AS n_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       CAST((p.n_ab * 1000000) // nb.n_baskets AS BIGINT)
+         AS support_micro,
+       CAST((p.n_ab * 1000000) // ia.n AS BIGINT) AS conf_ab_micro,
+       CAST((p.n_ab * 1000000) // ib.n AS BIGINT) AS conf_ba_micro,
+       CAST((p.n_ab * nb.n_baskets * 1000000) // (ia.n * ib.n)
+            AS BIGINT) AS lift_micro
+FROM p
+JOIN i ia ON ia.it = p.item_a
+JOIN i ib ON ib.it = p.item_b
+CROSS JOIN nb
+"""
+
+
+def link_prediction_nations(spark, sf_dir):
+    """Link prediction (`graph.link_prediction`) over the
+    top-2-partner trade graph: common-neighbor / Jaccard /
+    Adamic–Adar scores for every non-adjacent nation pair — "which
+    trade links are missing" (the degree-bounded sparsifier keeps
+    non-edges in existence AND bounds the wedge space, the kcore
+    posture). Adamic–Adar folds ln-snapped 9-decimal terms in exact
+    DECIMAL — no trailing float round anywhere."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.link_prediction(edges)
+
+
+LINK_PREDICTION_SQL = f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=2)},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tp WHERE src <> dst),
+bd AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM bd GROUP BY node),
+wdg AS (
+  SELECT l.node AS w, l.nbr AS a, r.nbr AS b
+  FROM bd l JOIN bd r ON l.node = r.node AND l.nbr < r.nbr),
+cand AS (
+  SELECT wdg.w, wdg.a, wdg.b FROM wdg
+  LEFT JOIN und e ON e.u = wdg.a AND e.v = wdg.b
+  WHERE e.u IS NULL),
+sc AS (
+  SELECT a AS node_a, b AS node_b, COUNT(*) AS cn,
+         SUM(CAST(round(1.0 / round(ln(d.deg), 9), 9)
+                  AS DECIMAL(38,9))) AS aa
+  FROM cand JOIN deg d ON d.node = cand.w
+  GROUP BY 1, 2)
+SELECT sc.node_a, sc.node_b, CAST(sc.cn AS BIGINT) AS common_neighbors,
+       CAST((sc.cn * 1000000) // (da.deg + db.deg - sc.cn) AS BIGINT)
+         AS jaccard_micro,
+       CAST(sc.aa AS DECIMAL(38,9)) AS adamic_adar
+FROM sc
+JOIN deg da ON da.node = sc.node_a
+JOIN deg db ON db.node = sc.node_b
+"""
+
+
 # Lifecycle bench components (VERDICT r11 #1): each index-lifecycle
 # gate splits into the I/O-jittery one-time BUILD (train + write +
 # append/ingest under the per-process scratch dir) and the
@@ -8133,6 +8225,9 @@ ALL_QUERIES: dict[str, Query] = {
         # topic_stats/topk_orders/winnow) — 20 head rows were NOT in
         # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
+        Query("assoc_rules_orders", assoc_rules_orders, ASSOC_RULES_SQL),
+        Query("link_prediction_nations", link_prediction_nations,
+              LINK_PREDICTION_SQL),
         Query("twap_stream_events", twap_stream_events, TWAP_STREAM_SQL),
         Query("entropy_stream_events", entropy_stream_events,
               ENTROPY_STREAM_SQL),
@@ -8199,14 +8294,14 @@ ALL_QUERIES: dict[str, Query] = {
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
-        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
-        # (q1/q18 demoted mid-r13 to make head room for the two new
-        # streaming twins — the most-proven non-edited head rows:
-        # q1 4 proofs, q18 3; the r14 rotation re-ranks the pool.)
+        # (q1/q18/q6/q7 demoted mid-r13 to make head room for the four
+        # new session-2 gates — the most-proven non-edited head rows:
+        # q1 4 proofs, the rest 3; the r14 rotation re-ranks the pool.)
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL),
         Query("topic_stats", topic_stats, TOPIC_STATS_SQL),
         Query("topk_orders", topk_orders, TOPK_SQL),
         Query("winnow_fingerprints_docs", winnow_fingerprints_docs,

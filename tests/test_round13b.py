@@ -172,3 +172,89 @@ class TestEntropyStream:
         assert rows == [("1", 1, ["x"], [1]),
                         ("1", 2, ["x", "y"], [2, 1]),
                         ("2", 1, ["q"], [1])]
+
+
+class TestAssociationRules:
+    def test_metrics_exact_on_hand_basket(self, spark):
+        from incubator_pulsar_spark.functions.baskets import (
+            association_rules,
+        )
+
+        rows = [(1, "x"), (1, "y"), (1, "x"),   # dup x collapses
+                (2, "x"), (2, "y"),
+                (3, "x"), (4, "z")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = {(r.item_a, r.item_b): r for r in association_rules(
+            df, basket_col="basket", item_col="item").collect()}
+        assert set(got) == {("x", "y")}
+        r = got[("x", "y")]
+        # n_x=3, n_y=2, n_xy=2, N=4
+        assert (r.n_a, r.n_b, r.n_ab, r.n_baskets) == (3, 2, 2, 4)
+        assert r.support_micro == 2 * 1_000_000 // 4
+        assert r.conf_ab_micro == 2 * 1_000_000 // 3
+        assert r.conf_ba_micro == 2 * 1_000_000 // 2
+        assert r.lift_micro == 2 * 4 * 1_000_000 // (3 * 2)
+
+    def test_min_pair_count_filters(self, spark):
+        from incubator_pulsar_spark.functions.baskets import (
+            association_rules,
+        )
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+                (3, "c")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = association_rules(df, basket_col="basket",
+                                item_col="item",
+                                min_pair_count=2).collect()
+        assert {(r.item_a, r.item_b) for r in got} == {("a", "b")}
+
+    def test_mega_basket_guard_raises(self, spark):
+        from incubator_pulsar_spark.functions.baskets import (
+            association_rules,
+        )
+
+        rows = [(1, f"i{j}") for j in range(5)] + [(2, "i0"), (2, "i1")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        with pytest.raises(Exception, match="max_basket_size"):
+            association_rules(df, basket_col="basket", item_col="item",
+                              max_basket_size=3).collect()
+
+
+class TestLinkPrediction:
+    def test_scores_on_hand_graph(self, spark):
+        from decimal import Decimal
+
+        from incubator_pulsar_spark.functions import graph
+
+        # path a-w-b plus w-c: non-adjacent pairs through w
+        edges = spark.createDataFrame(
+            [("w", "a"), ("w", "b"), ("w", "c"), ("a", "b")],
+            "src string, dst string")
+        got = {(r.node_a, r.node_b): r
+               for r in graph.link_prediction(edges).collect()}
+        # (a,b) IS an edge -> excluded; (a,c) and (b,c) share only w
+        assert set(got) == {("a", "c"), ("b", "c")}
+        r = got[("a", "c")]
+        assert r.common_neighbors == 1
+        # deg a=2 (w,b), deg c=1 (w) -> jaccard = 1/(2+1-1)
+        assert r.jaccard_micro == 1_000_000 // 2
+        # deg w = 3 -> AA = round(1/round(ln 3,9),9)
+        import math
+        want = round(1.0 / round(math.log(3), 9), 9)
+        assert got[("a", "c")].adamic_adar == Decimal(
+            f"{want:.9f}")
+
+    def test_min_common_filters(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # a and b share two centers w1, w2; a and c share only w1
+        edges = spark.createDataFrame(
+            [("w1", "a"), ("w1", "b"), ("w1", "c"),
+             ("w2", "a"), ("w2", "b")],
+            "src string, dst string")
+        got = {(r.node_a, r.node_b)
+               for r in graph.link_prediction(
+                   edges, min_common=2).collect()}
+        assert ("a", "b") in got
+        assert all(p == ("a", "b") or "w" in p[0] or "w" in p[1]
+                   for p in got)
