@@ -224,6 +224,10 @@ BENCH_QUERIES = [
     "entropy_stream_events",
     "assoc_rules_orders",
     "link_prediction_nations",
+    "acf_events",
+    "gini_orders",
+    "hhi_customer_revenue",
+    "benford_lineitem",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

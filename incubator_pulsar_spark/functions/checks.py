@@ -170,6 +170,56 @@ def profile_table(df: DataFrame) -> DataFrame:
         "z.min_num", "z.max_num")
 
 
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    corrupted-feed screen: naturally-occurring multiplicative
+    quantities (prices, populations, file sizes) put digit d first
+    with probability log₁₀(1+1/d); a flat or spiked observed
+    distribution flags synthetic or truncated data. This is the
+    distribution-level complement of the scalar rules above (one more
+    Deequ-style audit, not a per-row flag).
+
+    Scope contract: rows with value ≥ 1 only (first-SIGNIFICANT-digit
+    normalization for sub-unit magnitudes needs log-scale shifting —
+    float territory; the audit's domain is natural magnitudes).
+    NULLs and sub-unit rows are excluded and reported via n_values.
+
+    Determinism: the digit comes from the DECIMAL(18,2) STRING render
+    (both engines format decimals identically — never from float
+    log10, whose power-of-10 edges are ulp-fragile). Counts are exact;
+    the observed share is micro-unit DIV; expected shares snap to 9
+    decimals (the ln-snap discipline); the deviation is one float
+    subtract under round-6. One aggregation, one 9-row digit spine
+    (zeros included — a digit that NEVER appears is the loudest
+    signal). Output: (digit INT 1-9, n BIGINT, p_obs_micro BIGINT,
+    p_benford DOUBLE, abs_dev DOUBLE round-6).
+    """
+    digit = F.substring(
+        F.col(value_col).cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (df.filter(F.col(value_col).isNotNull()
+                        & (F.col(value_col) >= 1))
+              .select(digit.alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    tot = counts.agg(F.sum("n").cast("long").alias("_nt"))
+    p_ben = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 9)
+    return (spine.join(counts, on="digit", how="left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n"),
+                    F.expr("CAST((COALESCE(n, 0) * 1000000) DIV _nt "
+                           "AS LONG)").alias("p_obs_micro"),
+                    p_ben.alias("p_benford"))
+            .withColumn(
+                "abs_dev",
+                F.round(F.abs(F.col("p_obs_micro") / F.lit(1e6)
+                              - F.col("p_benford")), 6)))
+
+
 def start_checks_stream(stream: DataFrame, rules: list[Rule], *,
                         out_path: str, checkpoint_path: str,
                         available_now: bool = False):

@@ -409,6 +409,104 @@ def ols_trend(df: DataFrame, group_cols: list[str], ts_col: str,
         F.when(den != 0, F.round(i_num / den, 6)).alias("intercept_micro"))
 
 
+def acf(df: DataFrame, group_cols: list[str], *, order_col: str = "ts",
+        value_col: str = "value", lags: tuple[int, ...] = (1, 2, 3),
+        tiebreak_col: str | None = None) -> DataFrame:
+    """Per-group lag-k autocorrelation (sample ACF) of the
+    ``order_col``-sorted value series — the periodicity/persistence
+    detector beside the drift trio (PSI sees shape, OLS slow trend,
+    CUSUM level shifts; ACF sees CYCLES — a daily-seasonal metric
+    shows a positive ACF spike at the day lag, a white-noise one sits
+    near 0 everywhere).
+
+    Exactness recipe (the ols_trend discipline): values snap to
+    integer 1e-4 units (DECIMAL(18,4)·10⁴ → LONG), the sufficient
+    statistics are exact DECIMAL(38,0) integer sums, and each lag's
+
+        r_k = n²·P_k − n·S·(H_k + T_k) + m_k·S²
+              ───────────────────────────────────     (one float
+                        n²·Q − n·S²                    division,
+                                                       round-6)
+
+    where P_k = Σ y_t·y_{t+k}, H_k/T_k = head/tail sums over the m_k
+    = n−k aligned pairs, S/Q = full-series sum / sum of squares — the
+    cross-multiplied form of Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y−ȳ)² that
+    never computes the float mean. Overflow budget: with 4-decimal
+    values ≤ ~10⁵ the n²·P product passes DECIMAL(38,0) at ~10⁸ rows
+    per group; beyond that, window the series first (the ols_trend
+    ms-offset lesson: budgets are documented, not discovered).
+
+    Determinism guard (the spearman discipline): ``lead`` over tied
+    order values is partition-order-dependent — with
+    ``tiebreak_col=None`` the fold counts distinct order values and
+    RAISES at execution on ties, naming the fix.
+
+    One shuffle (the group sort window; the agg reuses its
+    partitioning). Zero-variance groups emit NULL. Output: group_cols
+    + (lag INT, n BIGINT, n_pairs BIGINT, acf DOUBLE round-6).
+    """
+    lags = tuple(sorted(set(int(k) for k in lags)))
+    if not lags or lags[0] < 1:
+        raise ValueError("acf: lags must be positive integers")
+    tie = [F.col(tiebreak_col)] if tiebreak_col else []
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col), *tie)
+    y4 = (F.col(value_col).cast("decimal(18,4)") * 10000).cast("long")
+    base = (df.select(*group_cols, F.col(order_col),
+                      *([tiebreak_col] if tiebreak_col else []),
+                      y4.alias("_y"))
+            .filter(F.col("_y").isNotNull()))
+    led = base.select(
+        *group_cols, F.col(order_col), F.col("_y"),
+        *[F.lead("_y", k).over(w).alias(f"_y{k}") for k in lags])
+    d = "decimal(38,0)"
+    per_lag_aggs = []
+    for k in lags:
+        yk = F.col(f"_y{k}")
+        present = yk.isNotNull()
+        per_lag_aggs += [
+            F.count(F.when(present, 1)).cast("long").alias(f"_m{k}"),
+            F.sum(F.when(present, F.col("_y").cast(d) * yk))
+            .alias(f"_p{k}"),
+            F.sum(F.when(present, F.col("_y").cast(d))).alias(f"_h{k}"),
+            F.sum(F.when(present, yk.cast(d))).alias(f"_t{k}"),
+        ]
+    guard_cols = [] if tiebreak_col else [
+        F.count_distinct(F.col(order_col)).alias("_ndo")]
+    agg = led.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_y").cast(d)).alias("_s"),
+        F.sum(F.col("_y").cast(d) * F.col("_y")).alias("_q"),
+        *per_lag_aggs, *guard_cols)
+    n_d = F.col("n").cast(d)
+    den = (n_d * n_d * F.col("_q")
+           - n_d * F.col("_s") * F.col("_s")).cast("double")
+    rows = []
+    for k in lags:
+        num = (n_d * n_d * F.col(f"_p{k}")
+               - n_d * F.col("_s") * (F.col(f"_h{k}") + F.col(f"_t{k}"))
+               + F.col(f"_m{k}").cast(d) * F.col("_s") * F.col("_s")
+               ).cast("double")
+        r = F.when((den != 0) & (F.col(f"_m{k}") > 0),
+                   F.round(num / den, 6))
+        if not tiebreak_col:
+            r = F.when(
+                F.col("_ndo") < F.col("n"),
+                F.raise_error(F.lit(
+                    "acf: tied order values with tiebreak_col=None "
+                    "make lead() pairing partition-order-dependent "
+                    "(nondeterministic acf); pass a unique "
+                    "tiebreak_col"))
+            ).otherwise(r)
+        rows.append(F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"_m{k}").alias("n_pairs"), r.alias("acf")))
+    return (agg.select(*group_cols, "n",
+                       F.explode(F.array(*rows)).alias("_z"))
+            .select(*group_cols, F.col("_z.lag").alias("lag"), "n",
+                    F.col("_z.n_pairs").alias("n_pairs"),
+                    F.col("_z.acf").alias("acf")))
+
+
 def psi_drift(df: DataFrame, group_cols: list[str], value_col: str,
               ts_col: str, *, buckets: int = 10) -> DataFrame:
     """Per-group Population Stability Index between the EARLY and LATE

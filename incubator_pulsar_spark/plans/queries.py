@@ -8077,6 +8077,169 @@ def entropy_stream_events(spark, sf_dir):
 ENTROPY_STREAM_SQL = ENTROPY_SQL
 
 
+def gini_orders(spark, sf_dir):
+    """Per-segment Gini coefficient of order totals
+    (`concentration.gini`): the inequality score of each market
+    segment's revenue distribution — exact rank identity
+    (2Σi·x − (n+1)Σx)/(nΣx) in cap-proof scale-0 decimals over 1e-4
+    integer units; tie-invariant (no tiebreak needed), one round-6
+    division."""
+    from ..functions import concentration
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.join(c, o["o_custkey"] == c["c_custkey"])
+         .select(F.col("c_mktsegment").alias("segment"),
+                 F.col("o_totalprice")))
+    return concentration.gini(j, ["segment"], "o_totalprice")
+
+
+GINI_SQL = """
+WITH s AS (
+  SELECT c_mktsegment AS segment,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS vm,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+           AS x4
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (SELECT segment, vm, x4,
+             row_number() OVER (PARTITION BY segment ORDER BY x4) AS i
+      FROM s),
+a AS (SELECT segment, COUNT(*) AS n,
+             CAST(SUM(vm) AS DECIMAL(38,4)) AS sum_value,
+             SUM(CAST(x4 AS HUGEINT)) AS s4,
+             SUM(CAST(i AS HUGEINT) * x4) AS w
+      FROM r GROUP BY segment)
+SELECT segment, CAST(n AS BIGINT) AS n, sum_value,
+       CASE WHEN n * s4 <> 0 THEN
+         round(CAST(2 * w - (n + 1) * s4 AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * s4 AS DOUBLE), 6)
+       END AS gini
+FROM a
+"""
+
+
+def hhi_customer_revenue(spark, sf_dir):
+    """Per-segment Herfindahl–Hirschman index over CUSTOMER revenue
+    shares (`concentration.hhi`): is a segment's revenue spread across
+    its customers or captured by a few? Cross-multiplied Σx²/(Σx)² in
+    cap-proof scale-0 decimals — the share ratio never materializes;
+    one round-6 division."""
+    from ..functions import concentration
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.join(c, o["o_custkey"] == c["c_custkey"])
+         .select(F.col("c_mktsegment").alias("segment"),
+                 F.col("o_custkey"), F.col("o_totalprice")))
+    return concentration.hhi(j, ["segment"], "o_custkey",
+                             "o_totalprice")
+
+
+HHI_SQL = """
+WITH per AS (
+  SELECT c_mktsegment AS segment, o_custkey AS e,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                  AS BIGINT)) AS xe
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+a AS (SELECT segment, COUNT(*) AS n_entities,
+             SUM(CAST(xe AS HUGEINT)) AS s,
+             SUM(CAST(xe AS HUGEINT) * xe) AS q
+      FROM per GROUP BY segment)
+SELECT segment, CAST(n_entities AS BIGINT) AS n_entities,
+       CASE WHEN s <> 0 THEN
+         round(CAST(q AS DOUBLE) / CAST(s * s AS DOUBLE), 6)
+       END AS hhi
+FROM a
+"""
+
+
+def benford_lineitem(spark, sf_dir):
+    """Benford first-digit audit of extended prices
+    (`checks.benford_digits`): the fabricated-data screen — observed
+    first-digit shares (exact micro-unit DIV) against the
+    log₁₀(1+1/d) law (snap-9), digit from the DECIMAL string render
+    (never float log10). TPC-H prices are uniform-ish products, NOT
+    Benford-distributed — the audit's job is to MEASURE that deviation
+    exactly, which is what the oracle locks."""
+    from ..functions.checks import benford_digits
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_digits(li, "l_extendedprice")
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
+  GROUP BY 1),
+t AS (SELECT SUM(n) AS nt FROM c),
+d AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10))
+SELECT d.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST((COALESCE(c.n, 0) * 1000000) // t.nt AS BIGINT)
+         AS p_obs_micro,
+       round(log10(1 + 1.0 / d.digit), 9) AS p_benford,
+       round(abs(((COALESCE(c.n, 0) * 1000000) // t.nt) / 1e6
+                 - round(log10(1 + 1.0 / d.digit), 9)), 6) AS abs_dev
+FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
+"""
+
+
+def acf_events(spark, sf_dir):
+    """Per-type lag-1/2/3 autocorrelation (`quantiles.acf`): the
+    periodicity/persistence detector completing the drift quartet
+    (PSI shape, OLS trend, CUSUM level shifts, ACF cycles). Exact
+    cross-multiplied sufficient statistics in DECIMAL(38,0) — the
+    float mean is never computed; one division per lag under round-6;
+    (ts, event_id) is the deterministic order."""
+    from ..functions import quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return quantiles.acf(ev, ["event_type"], order_col="ts",
+                         value_col="value", lags=(1, 2, 3),
+                         tiebreak_col="event_id")
+
+
+def _acf_sql(lags=(1, 2, 3)) -> str:
+    leads = ",\n         ".join(
+        f"lead(y, {k}) OVER w AS y{k}" for k in lags)
+    per = ",\n         ".join(
+        f"COUNT(y{k}) AS m{k},\n         "
+        f"SUM(CAST(y AS HUGEINT) * y{k}) AS p{k},\n         "
+        f"SUM(CASE WHEN y{k} IS NOT NULL THEN CAST(y AS HUGEINT) END)"
+        f" AS h{k},\n         "
+        f"SUM(CAST(y{k} AS HUGEINT)) AS t{k}" for k in lags)
+    arms = "\nUNION ALL\n".join(f"""
+SELECT event_type, CAST({k} AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+       CAST(m{k} AS BIGINT) AS n_pairs,
+       CASE WHEN (n*n*q - n*s*s) <> 0 AND m{k} > 0 THEN
+         round(CAST(n*n*p{k} - n*s*(h{k} + t{k}) + m{k}*s*s AS DOUBLE)
+               / CAST(n*n*q - n*s*s AS DOUBLE), 6)
+       END AS acf
+FROM a""" for k in lags)
+    return f"""
+WITH s0 AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y,
+         {leads}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS q,
+         {per}
+  FROM s0 GROUP BY event_type)
+{arms}
+"""
+
+
+ACF_SQL = _acf_sql()
+
+
 def assoc_rules_orders(spark, sf_dir):
     """Association rules over order baskets
     (`functions/baskets.association_rules`): part brands co-occurring
@@ -8225,6 +8388,10 @@ ALL_QUERIES: dict[str, Query] = {
         # topic_stats/topk_orders/winnow) — 20 head rows were NOT in
         # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
+        Query("acf_events", acf_events, ACF_SQL),
+        Query("gini_orders", gini_orders, GINI_SQL),
+        Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
+        Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
         Query("assoc_rules_orders", assoc_rules_orders, ASSOC_RULES_SQL),
         Query("link_prediction_nations", link_prediction_nations,
               LINK_PREDICTION_SQL),
@@ -8290,14 +8457,15 @@ ALL_QUERIES: dict[str, Query] = {
         Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
+        # (q1/q18/q2/q4/q5/q6/q7/q22 demoted mid-r13 to make head room
+        # for the eight new session-2 gates — the most-proven
+        # non-edited head rows: q1 4 proofs, the rest 3; r14 re-ranks
+        # the pool.)
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),
         Query("q5_region_revenue", q5_region_revenue, Q5_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
-        # (q1/q18/q6/q7 demoted mid-r13 to make head room for the four
-        # new session-2 gates — the most-proven non-edited head rows:
-        # q1 4 proofs, the rest 3; the r14 rotation re-ranks the pool.)
         Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
         Query("q18_large_orders", q18_large_orders, Q18_SQL),
         Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),

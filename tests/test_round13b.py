@@ -258,3 +258,97 @@ class TestLinkPrediction:
         assert ("a", "b") in got
         assert all(p == ("a", "b") or "w" in p[0] or "w" in p[1]
                    for p in got)
+
+
+class TestAcf:
+    def test_lag1_hand_series(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+        df = spark.createDataFrame(rows, "g string, t long, value double")
+        got = {r.lag: r for r in quantiles.acf(
+            df, ["g"], order_col="t", lags=(1,)).collect()}
+        # y=[1,2,3,4]: r1 = 1.25/5 = 0.25
+        assert got[1].n == 4 and got[1].n_pairs == 3
+        assert got[1].acf == 0.25
+
+    def test_alternating_series_negative_lag1_positive_lag2(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("g", i, float(1 if i % 2 == 0 else 2))
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "g string, t long, value double")
+        got = {r.lag: r.acf for r in quantiles.acf(
+            df, ["g"], order_col="t", lags=(1, 2)).collect()}
+        assert got[1] < 0 < got[2]
+
+    def test_constant_series_null(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("g", i, 5.0) for i in range(4)]
+        df = spark.createDataFrame(rows, "g string, t long, value double")
+        got = quantiles.acf(df, ["g"], order_col="t",
+                            lags=(1,)).collect()
+        assert got[0].acf is None
+
+    def test_tied_order_raises_without_tiebreak(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("g", 1, 1.0), ("g", 1, 2.0), ("g", 2, 3.0)]
+        df = spark.createDataFrame(rows, "g string, t long, value double")
+        with pytest.raises(Exception, match="tiebreak_col"):
+            quantiles.acf(df, ["g"], order_col="t",
+                          lags=(1,)).collect()
+
+
+class TestConcentration:
+    def test_gini_equal_and_extreme(self, spark):
+        from incubator_pulsar_spark.functions import concentration
+
+        rows = ([("eq", 1.0)] * 4
+                + [("ex", 0.0)] * 3 + [("ex", 10.0)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r.g: r.gini for r in concentration.gini(
+            df, ["g"], "v").collect()}
+        assert got["eq"] == 0.0
+        assert got["ex"] == 0.75          # (n-1)/n with one holder
+
+    def test_gini_tie_invariance_is_deterministic(self, spark):
+        from incubator_pulsar_spark.functions import concentration
+
+        rows = [("g", v) for v in (2.0, 2.0, 2.0, 6.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        # ranks among the tied 2.0s are arbitrary; G is not
+        vals = {concentration.gini(df.repartition(p), ["g"], "v")
+                .collect()[0].gini for p in (1, 3, 7)}
+        assert len(vals) == 1
+
+    def test_hhi_monopoly_and_uniform(self, spark):
+        from incubator_pulsar_spark.functions import concentration
+
+        rows = ([("mono", "a", 5.0), ("mono", "a", 3.0)]
+                + [("uni", e, 1.0) for e in "abcd"])
+        df = spark.createDataFrame(rows, "g string, e string, v double")
+        got = {r.g: (r.n_entities, r.hhi) for r in concentration.hhi(
+            df, ["g"], "e", "v").collect()}
+        assert got["mono"] == (1, 1.0)
+        assert got["uni"] == (4, 0.25)
+
+
+class TestBenford:
+    def test_digit_counts_and_exclusions(self, spark):
+        from incubator_pulsar_spark.functions.checks import benford_digits
+
+        rows = [(v,) for v in
+                (1.5, 12.0, 19.99, 0.5, 250.0, 2.0, None, 900.0)]
+        df = spark.createDataFrame(rows, "v double")
+        got = {r.digit: r for r in benford_digits(df, "v").collect()}
+        assert len(got) == 9                       # full spine
+        assert got[1].n == 3                       # 1.5, 12, 19.99
+        assert got[2].n == 2                       # 250, 2  (0.5 out)
+        assert got[9].n == 1 and got[3].n == 0
+        n_total = sum(r.n for r in got.values())
+        assert n_total == 6                        # NULL + 0.5 excluded
+        assert got[1].p_obs_micro == 3 * 1_000_000 // 6
+        import math
+        assert got[1].p_benford == round(math.log10(2), 9)
