@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "gini_orders",
     "hhi_customer_revenue",
     "benford_lineitem",
+    "interval_coverage_events",
+    "assortativity_nations",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -386,6 +386,65 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
                     .alias("adamic_adar")))
 
 
+def assortativity(edges: DataFrame, *, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Degree assortativity of the undirected collapse (Newman 2002):
+    the Pearson correlation of endpoint degrees over the edge list —
+    positive = hubs link hubs (social nets), negative = hubs link
+    leaves (the internet, star topologies). The one-number structural
+    fingerprint beside triangle density and the degree distribution.
+
+    Over the BOTH-DIRECTIONS edge multiset the two endpoint marginals
+    are identical (every edge contributes (deg u, deg v) AND (deg v,
+    deg u)), so Pearson's sqrt-denominator collapses symmetrically:
+
+        r = (M·Σxy − S²) / (M·Σx² − S²),   S = Σx = Σy, M = 2·|E|
+
+    — an exact ratio of integers: degrees are exact BIGINTs, the
+    sums fold in DECIMAL(38,0) with operand precisions ≤ 38 (cap-proof
+    scale-0), and ONE float division lands under round-6. No sqrt,
+    no float moments. Overflow budget: M·Σxy < 10³⁸ to ~10¹² edges ×
+    10⁶ max degree. Regular graphs (all degrees equal) have zero
+    variance → NULL.
+
+    Plan shape: one degree agg, two broadcast-friendly joins of the
+    edge list against the degree table, one global agg. Output: 1 row
+    (n_edges BIGINT — undirected, assortativity DOUBLE round-6).
+    """
+    raw = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .filter(F.col("a") != F.col("b")))
+    und = (raw.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+           .distinct().localCheckpoint(eager=True))
+    both = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .union(und.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr"))))
+    deg = both.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    d = "decimal(38,0)"
+    pairs = (both
+             .join(deg.select(F.col("node"), F.col("deg").alias("_dx")),
+                   on="node")
+             .join(deg.select(F.col("node").alias("nbr"),
+                              F.col("deg").alias("_dy")), on="nbr"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum(F.col("_dx").cast("decimal(28,0)")).alias("_s"),
+        F.sum(F.col("_dx").cast("decimal(19,0)")
+              * F.col("_dy").cast("decimal(18,0)")).alias("_sxy"),
+        F.sum(F.col("_dx").cast("decimal(19,0)")
+              * F.col("_dx").cast("decimal(18,0)")).alias("_sxx"))
+    num = (F.col("_m").cast(d) * F.col("_sxy")
+           - F.col("_s") * F.col("_s")).cast("double")
+    den = (F.col("_m").cast(d) * F.col("_sxx")
+           - F.col("_s") * F.col("_s")).cast("double")
+    return agg.select(
+        (F.col("_m") / 2).cast("long").alias("n_edges"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"))
+
+
 def label_propagation(edges: DataFrame, *, src_col: str = "src",
                       dst_col: str = "dst", iters: int = 5,
                       broadcast_labels: bool = False) -> DataFrame:

@@ -8077,6 +8077,88 @@ def entropy_stream_events(spark, sf_dir):
 ENTROPY_STREAM_SQL = ENTROPY_SQL
 
 
+def interval_coverage_events(spark, sf_dir):
+    """Sweep-line interval union + peak concurrency per type
+    (`operators/interval.interval_coverage`): events become half-open
+    activity intervals [ts, ts + value·1000ms); the ±1 sweep reports
+    covered wall-clock (union, no double-count) and the concurrency
+    peak — delta-ASC ordering at shared timestamps IS the half-open
+    semantics (end-meets-start is never an overlap). All-integer
+    milliseconds."""
+    from ..operators.interval import interval_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    dur = (F.col("value").cast("decimal(18,4)") * 1000).cast("long")
+    iv = ev.select(F.col("event_type"), ms.alias("s"),
+                   (ms + dur).alias("e"))
+    return interval_coverage(iv, ["event_type"], start_col="s",
+                             end_col="e")
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT event_type, epoch_ms(ts) AS s,
+         epoch_ms(ts)
+           + CAST(CAST(value AS DECIMAL(18,4)) * 1000 AS BIGINT) AS e
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND CAST(CAST(value AS DECIMAL(18,4)) * 1000 AS BIGINT) > 0),
+ev AS (SELECT event_type, s AS t, 1 AS d, e - s AS dur FROM iv
+       UNION ALL
+       SELECT event_type, e, -1, 0 FROM iv),
+sw AS (SELECT event_type, t, d, dur,
+              SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                           ROWS UNBOUNDED PRECEDING) AS run,
+              lead(t) OVER (PARTITION BY event_type ORDER BY t, d)
+                AS nxt
+       FROM ev)
+SELECT event_type,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST(SUM(CASE WHEN run > 0 AND nxt IS NOT NULL
+                     THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_ms,
+       CAST(MAX(run) AS BIGINT) AS peak_concurrency
+FROM sw GROUP BY event_type
+"""
+
+
+def assortativity_nations(spark, sf_dir):
+    """Degree assortativity (`graph.assortativity`) of the
+    top-2-partner trade graph — do well-connected nations trade with
+    each other (positive) or with peripherals (negative)? The
+    symmetric both-directions form needs NO sqrt: an exact integer
+    ratio with one round-6 division."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.assortativity(edges)
+
+
+ASSORTATIVITY_SQL = f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=2)},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tp WHERE src <> dst),
+bd AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM bd GROUP BY node),
+p AS (SELECT CAST(dx.deg AS HUGEINT) AS x, CAST(dy.deg AS HUGEINT) AS y
+      FROM bd
+      JOIN deg dx ON dx.node = bd.node
+      JOIN deg dy ON dy.node = bd.nbr),
+a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS s,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM p)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       CASE WHEN (m * sxx - s * s) <> 0 THEN
+         round(CAST(m * sxy - s * s AS DOUBLE)
+               / CAST(m * sxx - s * s AS DOUBLE), 6)
+       END AS assortativity
+FROM a
+"""
+
+
 def gini_orders(spark, sf_dir):
     """Per-segment Gini coefficient of order totals
     (`concentration.gini`): the inequality score of each market
@@ -8389,6 +8471,10 @@ ALL_QUERIES: dict[str, Query] = {
         # the r12 gate. Exactly 50, locked by
         # tests/test_round8.py::test_head_marker_is_exactly_50. ---
         Query("acf_events", acf_events, ACF_SQL),
+        Query("interval_coverage_events", interval_coverage_events,
+              INTERVAL_COVERAGE_SQL),
+        Query("assortativity_nations", assortativity_nations,
+              ASSORTATIVITY_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
         Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
         Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
@@ -8455,13 +8541,13 @@ ALL_QUERIES: dict[str, Query] = {
               SQ8_INDEX_SQL),
         Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
-        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
-        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
-        # (q1/q18/q2/q4/q5/q6/q7/q22 demoted mid-r13 to make head room
-        # for the eight new session-2 gates — the most-proven
+        # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 demoted mid-r13 to make
+        # head room for the ten new session-2 gates — the most-proven
         # non-edited head rows: q1 4 proofs, the rest 3; r14 re-ranks
         # the pool.)
+        Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),
         Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
         Query("q4_order_priority", q4_order_priority, Q4_SQL),

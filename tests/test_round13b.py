@@ -352,3 +352,80 @@ class TestBenford:
         assert got[1].p_obs_micro == 3 * 1_000_000 // 6
         import math
         assert got[1].p_benford == round(math.log10(2), 9)
+
+
+class TestIntervalCoverage:
+    def test_union_peak_and_half_open_boundary(self, spark):
+        from incubator_pulsar_spark.operators.interval import (
+            interval_coverage,
+        )
+
+        rows = [
+            # g1: [0,10) [5,15) overlap 5; [20,30) disjoint;
+            #     [15,20) end-meets-start chain -> NO phantom peak
+            ("g1", 0, 10), ("g1", 5, 15), ("g1", 15, 20),
+            ("g1", 20, 30),
+            # g2: zero-length + inverted dropped; one real interval
+            ("g2", 5, 5), ("g2", 9, 3), ("g2", 0, 7),
+        ]
+        df = spark.createDataFrame(rows, "g string, s long, e long")
+        got = {r.g: r for r in interval_coverage(
+            df, ["g"], start_col="s", end_col="e").collect()}
+        g1 = got["g1"]
+        assert g1.n_intervals == 4
+        assert g1.total_ms == 10 + 10 + 5 + 10
+        assert g1.covered_ms == 30            # [0,30) fully covered
+        assert g1.peak_concurrency == 2       # only the [5,10) overlap
+        g2 = got["g2"]
+        assert (g2.n_intervals, g2.total_ms, g2.covered_ms,
+                g2.peak_concurrency) == (1, 7, 7, 1)
+
+    def test_gap_not_counted(self, spark):
+        from incubator_pulsar_spark.operators.interval import (
+            interval_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 0, 10), ("g", 100, 110)], "g string, s long, e long")
+        r = interval_coverage(df, ["g"], start_col="s",
+                              end_col="e").collect()[0]
+        assert r.covered_ms == 20 and r.peak_concurrency == 1
+
+
+class TestAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # star: hub degree 3 meets leaves degree 1 -> r = -1
+        edges = spark.createDataFrame(
+            [("h", "a"), ("h", "b"), ("h", "c")],
+            "src string, dst string")
+        r = graph.assortativity(edges).collect()[0]
+        assert r.n_edges == 3
+        assert r.assortativity == -1.0
+
+    def test_regular_graph_null(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string")
+        r = graph.assortativity(edges).collect()[0]
+        assert r.n_edges == 4 and r.assortativity is None
+
+    def test_two_triangles_bridge(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        # two triangles joined by a bridge: known exact value
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"),
+             ("d", "e"), ("e", "f"), ("d", "f"),
+             ("c", "d")],
+            "src string, dst string")
+        r = graph.assortativity(edges).collect()[0]
+        # degrees: a2 b2 c3 d3 e2 f2; both-direction sums:
+        # M=14, S=34, Sxy=82, Sxx=86
+        assert r.n_edges == 7
+        assert r.assortativity == round(
+            (14 * 82 - 34 * 34) / (14 * 86 - 34 * 34), 6)
