@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "benford_lineitem",
     "interval_coverage_events",
     "assortativity_nations",
+    # streaming lifecycle composite (4-file availableNow replay)
+    "interval_stream_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

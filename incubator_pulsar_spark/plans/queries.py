@@ -8123,6 +8123,61 @@ FROM sw GROUP BY event_type
 """
 
 
+def interval_stream_events(spark, sf_dir):
+    """Streaming sweep-line coverage
+    (`streaming/interval.interval_stream`): keyed state = start
+    high-water mark + union frontier + the OPEN-ends set (bounded by
+    peak concurrency, not volume); per-batch (n, total, covered)
+    deltas SUM-fold and the peak MAX-folds downstream — replayed
+    availableNow over four start-ordered band files so intervals
+    opened in one batch stay open into later ones (the cross-batch
+    frontier/heap carry is the parity point vs the batch
+    `interval_coverage` oracle)."""
+    import shutil as _sh
+
+    from ..streaming.interval import interval_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    dur = (F.col("value").cast("decimal(18,4)") * 1000).cast("long")
+    iv = ev.select(F.col("event_type"), ms.alias("s"),
+                   (ms + dur).alias("e"))
+    d = _scratch("ivstream", sf_dir)
+    _sh.rmtree(d, ignore_errors=True)
+    src, sink, ck = d + "/src", d + "/sink", d + "/ck"
+    lo = iv.agg(F.min("s")).collect()[0][0]
+    band = F.floor((F.col("s") - F.lit(lo))
+                   / F.lit(8 * 86_400_000)).cast("int")
+    banded = iv.withColumn("_band", band)
+    for b in range(4):
+        (banded.filter(F.col("_band") == b).drop("_band")
+         .orderBy(F.md5(F.concat_ws("|", "event_type", "s", "e")))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(iv.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = interval_stream(stream)
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    deltas = spark.read.parquet(sink)
+    return (deltas.groupBy("key")
+            .agg(F.sum("n_delta").cast("long").alias("n_intervals"),
+                 F.sum("total_delta").cast("long").alias("total_ms"),
+                 F.sum("covered_delta").cast("long").alias("covered_ms"),
+                 F.max("peak").cast("long").alias("peak_concurrency"),
+                 F.max("n_dropped_late").cast("long").alias("n_dropped"))
+            .withColumnRenamed("key", "event_type"))
+
+
+# the stream replays the whole start-ordered log → same final state as
+# the batch sweep, plus the zero dropped-late counter
+INTERVAL_STREAM_SQL = INTERVAL_COVERAGE_SQL.replace(
+    "       CAST(MAX(run) AS BIGINT) AS peak_concurrency",
+    "       CAST(MAX(run) AS BIGINT) AS peak_concurrency,\n"
+    "       CAST(0 AS BIGINT) AS n_dropped")
+
+
 def assortativity_nations(spark, sf_dir):
     """Degree assortativity (`graph.assortativity`) of the
     top-2-partner trade graph — do well-connected nations trade with
@@ -8473,6 +8528,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("acf_events", acf_events, ACF_SQL),
         Query("interval_coverage_events", interval_coverage_events,
               INTERVAL_COVERAGE_SQL),
+        Query("interval_stream_events", interval_stream_events,
+              INTERVAL_STREAM_SQL),
         Query("assortativity_nations", assortativity_nations,
               ASSORTATIVITY_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
@@ -8516,7 +8573,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("scd2_history_events", scd2_history_events, SCD2_SQL),
         Query("bq_index_topk_embeddings", bq_index_topk_embeddings,
               BQ_INDEX_SQL),
-        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
         Query("containment_docs", containment_docs, CONTAINMENT_SQL),
         Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
         Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
@@ -8542,10 +8598,11 @@ ALL_QUERIES: dict[str, Query] = {
         Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
         Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
-        # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 demoted mid-r13 to make
-        # head room for the ten new session-2 gates — the most-proven
-        # non-edited head rows: q1 4 proofs, the rest 3; r14 re-ranks
-        # the pool.)
+        # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 + bq_topk demoted
+        # mid-r13 to make head room for the eleven new session-2
+        # gates — the most-proven non-edited head rows: q1 4 proofs,
+        # bq_topk 2/r12, the rest 3; r14 re-ranks the pool.)
+        Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),

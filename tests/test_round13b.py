@@ -429,3 +429,72 @@ class TestAssortativity:
         assert r.n_edges == 7
         assert r.assortativity == round(
             (14 * 82 - 34 * 34) / (14 * 86 - 34 * 34), 6)
+
+
+class TestIntervalStream:
+    def test_stream_matches_batch_across_batches(self, spark, tmp_path):
+        from incubator_pulsar_spark.operators.interval import (
+            interval_coverage,
+        )
+        from incubator_pulsar_spark.streaming.interval import (
+            interval_stream,
+        )
+
+        rows_b1 = [("g", 0, 10), ("g", 5, 15), ("h", 10, 14)]
+        rows_b2 = [("g", 15, 20), ("g", 20, 30), ("h", 2, 3)]  # h late
+        src = str(tmp_path / "src")
+        for batch in (rows_b1, rows_b2):
+            spark.createDataFrame(
+                batch, "event_type string, s long, e long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("event_type string, s long, e long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(interval_stream(stream), tmp_path, "iv")
+        got = {r.key: r for r in
+               (spark.read.parquet(sink).groupBy("key")
+                .agg(F.sum("n_delta").alias("n"),
+                     F.sum("total_delta").alias("total"),
+                     F.sum("covered_delta").alias("cov"),
+                     F.max("peak").alias("peak"),
+                     F.max("n_dropped_late").alias("nd"))
+                .collect())}
+        # g: all four intervals, start-ordered across batches
+        bdf = spark.createDataFrame(
+            rows_b1[:2] + rows_b2[:2],
+            "event_type string, s long, e long")
+        want = interval_coverage(bdf, ["event_type"], start_col="s",
+                                 end_col="e").collect()[0]
+        g = got["g"]
+        assert (g.n, g.total, g.cov, g.peak) == (
+            want.n_intervals, want.total_ms, want.covered_ms,
+            want.peak_concurrency)
+        assert g.nd == 0
+        # h's second interval starts BEFORE the high-water mark: late
+        h = got["h"]
+        assert (h.n, h.nd) == (1, 1)
+
+    def test_open_interval_carries_across_batches(self, spark, tmp_path):
+        from incubator_pulsar_spark.streaming.interval import (
+            interval_stream,
+        )
+
+        # one long interval opened in batch 1 still open in batch 2:
+        # the batch-2 interval overlaps it -> peak 2, union merged
+        src = str(tmp_path / "src")
+        for batch in ([("g", 0, 100)], [("g", 50, 60)]):
+            spark.createDataFrame(
+                batch, "event_type string, s long, e long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("event_type string, s long, e long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        sink = _run_available_now(interval_stream(stream), tmp_path,
+                                  "carry")
+        agg = (spark.read.parquet(sink)
+               .agg(F.sum("covered_delta").alias("cov"),
+                    F.max("peak").alias("peak")).collect()[0])
+        assert agg.cov == 100       # [50,60) adds nothing to the union
+        assert agg.peak == 2
