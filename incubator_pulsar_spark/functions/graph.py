@@ -598,6 +598,84 @@ def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
                     .alias("in_kcore")))
 
 
+def ktruss(edges: DataFrame, k: int = 3, *, iters: int = 8,
+           src_col: str = "src", dst_col: str = "dst",
+           on_unconverged: str = "warn") -> DataFrame:
+    """k-truss membership over the undirected collapse — the EDGE
+    analogue of k-core (Cohen 2008): repeatedly drop every edge whose
+    triangle SUPPORT among the surviving edges is < k−2; what survives
+    is the maximal subgraph where every edge sits in ≥ k−2 triangles.
+    Stricter than k-core (every k-truss is inside the (k−1)-core, not
+    vice versa) — the standard cohesive-subgraph tier between cores
+    and cliques (a k-clique is the extreme k-truss).
+
+    Breadth-synchronous peeling, ≤ ``iters`` rounds (the oracle
+    unrolls them; extra oracle rounds past the fixpoint are no-ops,
+    so Spark's early stop and the fixed unroll agree). Edge peeling
+    is monotone ⇒ the per-round surviving-EDGE count certifies
+    convergence exactly as in ``kcore``; exhausting ``iters``
+    mid-peel warns/raises naming the fix (the r12 convergence
+    contract). Each round: one triangle enumeration over the
+    survivors via the degree-ordered wedge plan (``_wedge_plan`` —
+    the O(m^1.5) bound holds per round since peeling only shrinks
+    degrees), one 3-edge explode + count, one semi-join filter; the
+    survivor edge set eager-checkpoints per round (the twice-
+    referenced-loop-state lesson).
+
+    Output: (u, v, in_ktruss ∈ {0,1}) for every canonical u<v edge
+    of the input graph.
+    """
+    if on_unconverged not in ("warn", "raise"):
+        raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
+                         f"got {on_unconverged!r}")
+    if k < 3:
+        raise ValueError(f"ktruss needs k >= 3, got {k}")
+    und = _canonical_undirected(edges, src_col, dst_col) \
+        .localCheckpoint(eager=True)
+    alive = und
+    prev_n = alive.count()
+    converged = False
+    n = prev_n
+    for _ in range(iters):
+        o, wedges = _wedge_plan(alive)
+        closer = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+        tris = wedges.join(closer, on=["b", "c"])
+        tri_edges = tris.select(F.explode(F.array(
+            F.struct(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v")),
+            F.struct(F.least("a", "c").alias("u"),
+                     F.greatest("a", "c").alias("v")),
+            F.struct(F.least("b", "c").alias("u"),
+                     F.greatest("b", "c").alias("v")))).alias("_e")) \
+            .select("_e.u", "_e.v")
+        support = tri_edges.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("_sup"))
+        # inner join: an edge in NO triangle has support 0 < k-2 (k>=3)
+        alive = (alive.join(support, on=["u", "v"])
+                 .filter(F.col("_sup") >= k - 2).select("u", "v")
+                 .localCheckpoint(eager=True))
+        n = alive.count()
+        if n == prev_n:
+            converged = True  # monotone peeling: no-change = fixpoint
+            break
+        prev_n = n
+    if not converged:
+        msg = (f"ktruss(k={k}) exhausted iters={iters} still peeling "
+               f"(last round {prev_n} -> {n} surviving edges): the "
+               f"result includes not-yet-peeled edges. Raise iters "
+               f"(long peel cascades need O(depth) rounds).")
+        if on_unconverged == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return (und.join(alive.withColumn("_in", F.lit(1)),
+                     on=["u", "v"], how="left")
+            .select("u", "v",
+                    F.coalesce(F.col("_in"), F.lit(0)).cast("int")
+                    .alias("in_ktruss")))
+
+
 def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
          src_col: str = "src", dst_col: str = "dst",
          broadcast_scores: bool = False) -> DataFrame:

@@ -8123,6 +8123,54 @@ FROM sw GROUP BY event_type
 """
 
 
+def ktruss_nations(spark, sf_dir):
+    """k-truss membership (`graph.ktruss`, k=3) over the
+    top-2-partner trade graph: iterative EDGE peeling by triangle
+    support — the cohesive tier between the k-core (node degrees) and
+    cliques; an edge survives only while ≥ k−2 triangles survive
+    around it, so the peel CASCADES (kill one edge, its triangles'
+    other edges lose support). 6 unrolled rounds; fixpoint certified
+    by the surviving-edge count well before that."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.ktruss(edges, k=3, iters=6)
+
+
+def _ktruss_sql(k: int = 3, iters: int = 6, top: int = 2) -> str:
+    parts = [f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=top)},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tp WHERE src <> dst)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+tri{t} AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{t - 1} a
+  JOIN e{t - 1} b ON b.u = a.v
+  JOIN e{t - 1} c ON c.u = a.u AND c.v = b.v),
+s{t} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM tri{t}
+    UNION ALL SELECT y, z FROM tri{t}
+    UNION ALL SELECT x, z FROM tri{t})
+  GROUP BY u, v),
+e{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{t - 1} e
+  JOIN s{t} s ON s.u = e.u AND s.v = e.v
+  WHERE s.sup >= {k - 2})""")
+    parts.append(f"""
+SELECT e.u, e.v,
+       CAST(CASE WHEN a.u IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS in_ktruss
+FROM e0 e LEFT JOIN e{iters} a ON a.u = e.u AND a.v = e.v""")
+    return "".join(parts)
+
+
+KTRUSS_SQL = _ktruss_sql()
+
+
 def interval_stream_events(spark, sf_dir):
     """Streaming sweep-line coverage
     (`streaming/interval.interval_stream`): keyed state = start
@@ -8532,6 +8580,7 @@ ALL_QUERIES: dict[str, Query] = {
               INTERVAL_STREAM_SQL),
         Query("assortativity_nations", assortativity_nations,
               ASSORTATIVITY_SQL),
+        Query("ktruss_nations", ktruss_nations, KTRUSS_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
         Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
         Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
@@ -8576,8 +8625,6 @@ ALL_QUERIES: dict[str, Query] = {
         Query("containment_docs", containment_docs, CONTAINMENT_SQL),
         Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
         Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
-        Query("hll_set_algebra_events", hll_set_algebra_events,
-              HLL_SET_ALGEBRA_SQL),
         Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
               IVFPQ_RERANK_BOUNDED_SQL),
         Query("label_propagation_nations", label_propagation_nations,
@@ -8601,8 +8648,11 @@ ALL_QUERIES: dict[str, Query] = {
         # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 + bq_topk demoted
         # mid-r13 to make head room for the eleven new session-2
         # gates — the most-proven non-edited head rows: q1 4 proofs,
-        # bq_topk 2/r12, the rest 3; r14 re-ranks the pool.)
+        # bq_topk/hll_set_algebra 2/r12, the rest 3; r14 re-ranks the
+        # pool.)
         Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
+        Query("hll_set_algebra_events", hll_set_algebra_events,
+              HLL_SET_ALGEBRA_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),

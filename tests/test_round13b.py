@@ -498,3 +498,52 @@ class TestIntervalStream:
                     F.max("peak").alias("peak")).collect()[0])
         assert agg.cov == 100       # [50,60) adds nothing to the union
         assert agg.peak == 2
+
+
+class TestKtruss:
+    def _k4_plus_tail(self, spark):
+        # K4 on a,b,c,d plus a pendant triangle c-d-e
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"), ("c", "e"), ("d", "e")]
+        return spark.createDataFrame(edges, "src string, dst string")
+
+    def test_k4_is_4truss_tail_peels(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        got = {(r.u, r.v): r.in_ktruss for r in
+               graph.ktruss(self._k4_plus_tail(spark), k=4,
+                            iters=6).collect()}
+        assert len(got) == 8
+        k4 = {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")}
+        assert all(got[e] == 1 for e in k4)
+        assert got[("c", "e")] == 0 and got[("d", "e")] == 0
+
+    def test_whole_graph_is_3truss(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        got = {(r.u, r.v): r.in_ktruss for r in
+               graph.ktruss(self._k4_plus_tail(spark), k=3,
+                            iters=6).collect()}
+        assert all(v == 1 for v in got.values())
+
+    def test_k5_empties_everything(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        got = {(r.u, r.v): r.in_ktruss for r in
+               graph.ktruss(self._k4_plus_tail(spark), k=5,
+                            iters=6).collect()}
+        assert all(v == 0 for v in got.values())
+
+    def test_unconverged_warns(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        with pytest.warns(UserWarning, match="exhausted iters=1"):
+            graph.ktruss(self._k4_plus_tail(spark), k=4,
+                         iters=1).collect()
+
+    def test_k_below_3_rejected(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        with pytest.raises(ValueError, match="k >= 3"):
+            graph.ktruss(self._k4_plus_tail(spark), k=2)
