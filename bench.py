@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     # streaming lifecycle composite (4-file availableNow replay)
     "interval_stream_events",
     "ktruss_nations",
+    "centrality_nations",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

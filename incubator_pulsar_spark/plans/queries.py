@@ -8171,6 +8171,52 @@ FROM e0 e LEFT JOIN e{iters} a ON a.u = e.u AND a.v = e.v""")
 KTRUSS_SQL = _ktruss_sql()
 
 
+def centrality_nations(spark, sf_dir):
+    """Closeness + harmonic centrality (`graph.closeness_centrality`)
+    over the top-2-partner trade graph, ALL nodes as seeds in one
+    pair-keyed BFS (the product-graph trick — |V|² pair state is the
+    documented budget; sampled seeds at scale). Closeness is one
+    round-6 division; harmonic folds snap-9 integer reciprocals in
+    exact DECIMAL — the disconnected-graph-safe variant."""
+    from ..functions import graph
+
+    edges = _top_partner_edges(spark, sf_dir)
+    return graph.closeness_centrality(edges, iters=8)
+
+
+def _centrality_sql(iters: int = 8, top: int = 2) -> str:
+    parts = [f"""
+WITH {_TOP_PARTNER_SQL.format(edges=_PAGERANK_EDGE_SQL, top=top)},
+ds AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tp WHERE src <> dst),
+bd AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM ds UNION ALL SELECT v, u FROM ds),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM bd),
+d0 AS (SELECT node AS seed, node, 0 AS h FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT seed, node, MIN(h) AS h FROM (
+    SELECT seed, node, h FROM d{t - 1}
+    UNION ALL
+    SELECT p.seed, e.dst AS node, p.h + 1 AS h
+    FROM d{t - 1} p JOIN bd e ON p.node = e.src)
+  GROUP BY seed, node)""")
+    parts.append(f"""
+SELECT seed AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CASE WHEN SUM(h) > 0 THEN
+         round(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(h) AS DOUBLE), 6)
+       END AS closeness,
+       CAST(SUM(CAST(round(1.0 / h, 9) AS DECIMAL(38,9)))
+            FILTER (h > 0) AS DECIMAL(38,9)) AS harmonic
+FROM d{iters} GROUP BY seed""")
+    return "".join(parts)
+
+
+CENTRALITY_SQL = _centrality_sql()
+
+
 def interval_stream_events(spark, sf_dir):
     """Streaming sweep-line coverage
     (`streaming/interval.interval_stream`): keyed state = start
@@ -8581,6 +8627,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("assortativity_nations", assortativity_nations,
               ASSORTATIVITY_SQL),
         Query("ktruss_nations", ktruss_nations, KTRUSS_SQL),
+        Query("centrality_nations", centrality_nations, CENTRALITY_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
         Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
         Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
@@ -8624,7 +8671,6 @@ ALL_QUERIES: dict[str, Query] = {
               BQ_INDEX_SQL),
         Query("containment_docs", containment_docs, CONTAINMENT_SQL),
         Query("hll_distinct_events", hll_distinct_events, HLL_SQL),
-        Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
         Query("ivfpq_rerank_bounded", ivfpq_rerank_bounded,
               IVFPQ_RERANK_BOUNDED_SQL),
         Query("label_propagation_nations", label_propagation_nations,
@@ -8653,6 +8699,7 @@ ALL_QUERIES: dict[str, Query] = {
         Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
         Query("hll_set_algebra_events", hll_set_algebra_events,
               HLL_SET_ALGEBRA_SQL),
+        Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),

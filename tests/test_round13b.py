@@ -547,3 +547,52 @@ class TestKtruss:
 
         with pytest.raises(ValueError, match="k >= 3"):
             graph.ktruss(self._k4_plus_tail(spark), k=2)
+
+
+class TestClosenessCentrality:
+    def test_path_graph_hand_values(self, spark):
+        from decimal import Decimal
+
+        from incubator_pulsar_spark.functions import graph
+
+        # path a-b-c: dists from a: b=1, c=2; from b: 1,1
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        got = {r.node: r for r in
+               graph.closeness_centrality(edges, iters=5).collect()}
+        assert got["a"].n_reached == 3
+        assert got["a"].closeness == round(2 / 3, 6)
+        assert got["b"].closeness == 1.0
+        # harmonic from a: 1/1 + 1/2
+        assert got["a"].harmonic == Decimal("1.500000000")
+        # center beats ends on both measures
+        assert got["b"].harmonic == Decimal("2.000000000")
+
+    def test_disconnected_components_harmonic_safe(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("x", "y")], "src string, dst string")
+        got = {r.node: r for r in
+               graph.closeness_centrality(edges, iters=5).collect()}
+        # each seed only reaches its own component
+        assert got["a"].n_reached == 2
+        assert got["x"].closeness == 1.0
+
+    def test_sampled_seeds_subset(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        got = graph.closeness_centrality(
+            edges, sources=["a"], iters=5).collect()
+        assert len(got) == 1 and got[0].node == "a"
+
+    def test_directed_mode(self, spark):
+        from incubator_pulsar_spark.functions import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        got = {r.node: r.n_reached for r in graph.closeness_centrality(
+            edges, iters=5, directed=True).collect()}
+        assert got == {"a": 3, "b": 2, "c": 1}
