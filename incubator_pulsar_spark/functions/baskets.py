@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 def association_rules(df: DataFrame, *, basket_col: str,
                       item_col: str, min_pair_count: int = 1,
                       max_basket_size: int | None = None,
+                      broadcast_items: bool = False,
                       micro: int = 1_000_000) -> DataFrame:
     """Pairwise association rules over (basket, item) rows: for every
     unordered item pair {a, b} co-occurring in ``min_pair_count``+
@@ -45,7 +46,12 @@ def association_rules(df: DataFrame, *, basket_col: str,
     n_baskets (all BIGINT), support_micro, conf_ab_micro,
     conf_ba_micro, lift_micro (BIGINT; value/1e6 ≈ the probability /
     ratio; lift_micro > 10⁶ means positive association).
+    ``broadcast_items=True`` hashes the (item, count) table into the
+    two metric joins — right whenever the item VOCABULARY (not the
+    row count) fits an executor (brands/categories: yes; raw SKUs at
+    catalog scale: measure first).
     """
+    _maybe_b = F.broadcast if broadcast_items else (lambda x: x)
     b = (df.select(F.col(basket_col).alias("_bk"),
                    F.col(item_col).alias("_it"))
          .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
@@ -63,6 +69,11 @@ def association_rules(df: DataFrame, *, basket_col: str,
         ).otherwise(F.col("_it"))
         b = (b.join(sizes, on="_bk")
              .select("_bk", guarded_item.alias("_it")))
+    # b feeds FIVE downstream reads (basket count, item counts, both
+    # self-join sides, the guard) — materialize once or every branch
+    # re-scans and re-shuffles the full input (audited: 40 scans / 25
+    # shuffles on the lazy form; the checkpoint collapses it to one)
+    b = b.localCheckpoint(eager=True)
     n_baskets = b.select("_bk").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets"))
     item_n = b.groupBy("_it").agg(
@@ -75,10 +86,12 @@ def association_rules(df: DataFrame, *, basket_col: str,
              .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
              .filter(F.col("n_ab") >= min_pair_count))
     out = (pairs
-           .join(item_n.select(F.col("_it").alias("item_a"),
-                               F.col("_n").alias("n_a")), on="item_a")
-           .join(item_n.select(F.col("_it").alias("item_b"),
-                               F.col("_n").alias("n_b")), on="item_b")
+           .join(_maybe_b(item_n.select(F.col("_it").alias("item_a"),
+                                        F.col("_n").alias("n_a"))),
+                 on="item_a")
+           .join(_maybe_b(item_n.select(F.col("_it").alias("item_b"),
+                                        F.col("_n").alias("n_b"))),
+                 on="item_b")
            .crossJoin(F.broadcast(n_baskets)))
     m = int(micro)
     return out.select(

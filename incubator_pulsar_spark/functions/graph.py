@@ -314,8 +314,8 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
 
 
 def link_prediction(edges: DataFrame, *, src_col: str = "src",
-                    dst_col: str = "dst",
-                    min_common: int = 1) -> DataFrame:
+                    dst_col: str = "dst", min_common: int = 1,
+                    broadcast_degrees: bool = False) -> DataFrame:
     """Neighborhood-overlap link prediction over the undirected
     collapse of the edge list: for every NON-adjacent node pair with
     ≥ ``min_common`` shared neighbors, the three classic scores —
@@ -338,10 +338,16 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
     Plan shape: wedge self-join on the shared-neighbor key (the pair
     space is Σ deg² — feed a degree-bounded graph, the kcore/top-k
     sparsifier contract, or hubs explode it), one anti-join against
-    the existing edge set, one pair aggregation. Output: (node_a,
-    node_b) with node_a < node_b, common_neighbors BIGINT,
-    jaccard_micro BIGINT, adamic_adar DECIMAL(38,9).
+    the existing edge set, one pair aggregation;
+    ``broadcast_degrees=True`` broadcasts the (node, deg) table into
+    its three joins (the pagerank broadcast_ranks knob — right
+    whenever the node set fits an executor, which a degree-bounded
+    graph's usually does; audited: turns 10 SortMergeJoins into hash
+    joins on the gate). Output: (node_a, node_b) with node_a <
+    node_b, common_neighbors BIGINT, jaccard_micro BIGINT,
+    adamic_adar DECIMAL(38,9).
     """
+    _maybe_b = F.broadcast if broadcast_degrees else (lambda df: df)
     raw = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -366,7 +372,8 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
         F.lit(1.0) / F.round(F.log(F.col("deg").cast("double")), 9), 9)
         .cast("decimal(38,9)"))
     scored = (candidates
-              .join(deg.select(F.col("node").alias("w"), "deg"), on="w")
+              .join(_maybe_b(deg.select(F.col("node").alias("w"),
+                                        "deg")), on="w")
               .groupBy(F.col("a").alias("node_a"),
                        F.col("b").alias("node_b"))
               .agg(F.count(F.lit(1)).cast("long")
@@ -374,10 +381,12 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
                    F.sum(aa_term).alias("_aa"))
               .filter(F.col("common_neighbors") >= min_common))
     return (scored
-            .join(deg.select(F.col("node").alias("node_a"),
-                             F.col("deg").alias("_da")), on="node_a")
-            .join(deg.select(F.col("node").alias("node_b"),
-                             F.col("deg").alias("_db")), on="node_b")
+            .join(_maybe_b(deg.select(F.col("node").alias("node_a"),
+                                      F.col("deg").alias("_da"))),
+                  on="node_a")
+            .join(_maybe_b(deg.select(F.col("node").alias("node_b"),
+                                      F.col("deg").alias("_db"))),
+                  on="node_b")
             .select("node_a", "node_b", "common_neighbors",
                     F.expr("CAST((common_neighbors * 1000000) DIV "
                            "(_da + _db - common_neighbors) AS LONG)")
@@ -387,7 +396,8 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
 
 
 def assortativity(edges: DataFrame, *, src_col: str = "src",
-                  dst_col: str = "dst") -> DataFrame:
+                  dst_col: str = "dst",
+                  broadcast_degrees: bool = False) -> DataFrame:
     """Degree assortativity of the undirected collapse (Newman 2002):
     the Pearson correlation of endpoint degrees over the edge list —
     positive = hubs link hubs (social nets), negative = hubs link
@@ -407,10 +417,13 @@ def assortativity(edges: DataFrame, *, src_col: str = "src",
     10⁶ max degree. Regular graphs (all degrees equal) have zero
     variance → NULL.
 
-    Plan shape: one degree agg, two broadcast-friendly joins of the
-    edge list against the degree table, one global agg. Output: 1 row
-    (n_edges BIGINT — undirected, assortativity DOUBLE round-6).
+    Plan shape: one degree agg, two joins of the edge list against
+    the degree table (``broadcast_degrees=True`` hashes them — the
+    node table fits an executor whenever degrees were computable),
+    one global agg. Output: 1 row (n_edges BIGINT — undirected,
+    assortativity DOUBLE round-6).
     """
+    _maybe_b = F.broadcast if broadcast_degrees else (lambda df: df)
     raw = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -425,10 +438,12 @@ def assortativity(edges: DataFrame, *, src_col: str = "src",
         F.count(F.lit(1)).cast("long").alias("deg"))
     d = "decimal(38,0)"
     pairs = (both
-             .join(deg.select(F.col("node"), F.col("deg").alias("_dx")),
+             .join(_maybe_b(deg.select(F.col("node"),
+                                       F.col("deg").alias("_dx"))),
                    on="node")
-             .join(deg.select(F.col("node").alias("nbr"),
-                              F.col("deg").alias("_dy")), on="nbr"))
+             .join(_maybe_b(deg.select(F.col("node").alias("nbr"),
+                                       F.col("deg").alias("_dy"))),
+                   on="nbr"))
     agg = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("_m"),
         F.sum(F.col("_dx").cast("decimal(28,0)")).alias("_s"),

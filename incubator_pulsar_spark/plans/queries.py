@@ -8281,7 +8281,7 @@ def assortativity_nations(spark, sf_dir):
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
-    return graph.assortativity(edges)
+    return graph.assortativity(edges, broadcast_degrees=True)
 
 
 ASSORTATIVITY_SQL = f"""
@@ -8489,7 +8489,7 @@ def assoc_rules_orders(spark, sf_dir):
                        F.col("p_brand").alias("item")))
     return association_rules(baskets, basket_col="basket",
                              item_col="item", min_pair_count=5,
-                             max_basket_size=64)
+                             max_basket_size=64, broadcast_items=True)
 
 
 ASSOC_RULES_SQL = """
@@ -8529,7 +8529,7 @@ def link_prediction_nations(spark, sf_dir):
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
-    return graph.link_prediction(edges)
+    return graph.link_prediction(edges, broadcast_degrees=True)
 
 
 LINK_PREDICTION_SQL = f"""
