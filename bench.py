@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "interval_stream_events",
     "ktruss_nations",
     "centrality_nations",
+    "mutual_info_orders",
+    "ks_pairs_events",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

@@ -125,6 +125,74 @@ def entropy_from_counts(per: DataFrame) -> DataFrame:
                 6).alias("entropy"))
 
 
+def mutual_information(df: DataFrame, x_col: str,
+                       y_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the feature-dependence profile (is order priority informative
+    about market segment? is event type predictive of user cohort?)
+    that correlation can't see on nominal data. Reported beside the
+    marginal entropies so normalized variants (MI/min(Hx,Hy),
+    MI/√(HxHy)) are one division away downstream.
+
+    Exactness (the state_entropy identity generalized): with cell
+    counts c_xy, marginals c_x/c_y, total N,
+
+        MI·N = Σ c_xy·(ln c_xy + ln N − ln c_x − ln c_y)
+
+    — each ln snaps to 9 decimals (libm parity), the bracketed term
+    is an exact DECIMAL sum, the c_xy product and the fold stay in
+    DECIMAL, and ONE float division by N lands under round-6. The
+    same pass derives H(x), H(y), H(x,y) from their count forms
+    (H = ln N − Σc·ln c / N), so MI = Hx + Hy − Hxy holds exactly in
+    the reported numbers. NULL categories count as a category (they
+    carry dependence information); the identity MI ≥ 0 can be off by
+    at most the 1e-9 snap times cells (sub-1e-6 — invisible under
+    round-6).
+
+    Plan: one (x, y) cell count (shuffle), marginals re-aggregated
+    from the cells (tiny), one broadcast-joined final row. Output:
+    1 row (n BIGINT, n_cells BIGINT, h_x, h_y, h_xy, mi — DOUBLE
+    round-6).
+    """
+    cells = (df.groupBy(F.col(x_col).alias("_x"),
+                        F.col(y_col).alias("_y"))
+             .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+             .localCheckpoint(eager=True))
+    ln9 = (lambda c: F.round(F.log(c.cast("double")), 9)
+           .cast("decimal(20,9)"))
+    cd = F.col("_c").cast("decimal(18,0)")
+
+    def _clnc(per: DataFrame) -> DataFrame:
+        # Σ c·ln(c) over the given grouping, as an exact decimal
+        return per.agg(
+            F.sum((ln9(F.col("_c")) * cd).cast("decimal(38,9)"))
+            .alias("s"))
+
+    sxy = _clnc(cells).select(F.col("s").alias("_sxy"))
+    sx = _clnc(cells.groupBy("_x")
+               .agg(F.sum("_c").cast("long").alias("_c"))) \
+        .select(F.col("s").alias("_sx"))
+    sy = _clnc(cells.groupBy("_y")
+               .agg(F.sum("_c").cast("long").alias("_c"))) \
+        .select(F.col("s").alias("_sy"))
+    tot = cells.agg(F.sum("_c").cast("long").alias("n"),
+                    F.count(F.lit(1)).cast("long").alias("n_cells"))
+    one = (tot.crossJoin(F.broadcast(sx)).crossJoin(F.broadcast(sy))
+           .crossJoin(F.broadcast(sxy)))
+    ln_n = F.round(F.log(F.col("n").cast("double")), 9)
+    nd = F.col("n").cast("double")
+    h = lambda s: ln_n - F.col(s).cast("double") / nd  # noqa: E731
+    return one.select(
+        "n", "n_cells",
+        F.round(h("_sx"), 6).alias("h_x"),
+        F.round(h("_sy"), 6).alias("h_y"),
+        F.round(h("_sxy"), 6).alias("h_xy"),
+        # MI = Hx + Hy − Hxy, all from the same exact decimal sums:
+        # (Sxy − Sx − Sy)/N + ln N
+        F.round((F.col("_sxy") - F.col("_sx") - F.col("_sy"))
+                .cast("double") / nd + ln_n, 6).alias("mi"))
+
+
 def twap(df: DataFrame, group_cols: list[str], *, ts_col: str = "ts",
          value_col: str = "value") -> DataFrame:
     """Time-weighted average value per group (the TWAP/uptime-weighted

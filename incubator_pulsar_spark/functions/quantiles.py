@@ -507,6 +507,81 @@ def acf(df: DataFrame, group_cols: list[str], *, order_col: str = "ts",
                     F.col("_z.acf").alias("acf")))
 
 
+def ks_pairs(df: DataFrame, group_col: str, value_col: str,
+             *, scale: int = 10_000) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic for EVERY pair of
+    groups: D = max over x of |F₁(x) − F₂(x)| between the two groups'
+    empirical value distributions — the exact (unbinned) two-sample
+    drift test beside PSI (which needs bins) and CUSUM (which needs
+    order): "did segment A's latency distribution move away from
+    B's" with no tuning knobs.
+
+    Exactness: D cross-multiplies to integers — at each distinct
+    value boundary, D·n₁·n₂ = |cum₁·n₂ − cum₂·n₁| over exact
+    cumulative counts, so the maximum is an exact BIGINT comparison;
+    ONE float division at the end under round-6. Values snap to
+    integer 1e-4 units on ingest (grouping by distinct value — ties
+    collapse into one boundary, which IS the correct KS treatment of
+    ties). Argmax reports the SMALLEST boundary value achieving D
+    (deterministic tiebreak).
+
+    Plan: one (pair, value) count after a (k−1)× pair-explode of each
+    row (k = group cardinality — the operator targets few-group
+    columns; a high-cardinality group_col multiplies the data), one
+    sort window per pair over DISTINCT values (not rows), one max
+    aggregation. Output: (group_a, group_b) with group_a < group_b,
+    n_a, n_b (BIGINT), d_num = max|cum₁n₂ − cum₂n₁| (DECIMAL(38,0) —
+    cap-proof past the ~3·10⁹-rows-per-side bigint budget), ks DOUBLE
+    round-6 = d_num/(n_a·n_b), argmax_v4 BIGINT (the boundary, in
+    1e-4 units).
+    """
+    v4 = (F.col(value_col).cast("decimal(18,4)") * 10000).cast("long")
+    base = (df.select(F.col(group_col).alias("_g"), v4.alias("_v"))
+            .filter(F.col("_g").isNotNull() & F.col("_v").isNotNull()))
+    groups = base.select("_g").distinct()
+    pairs = (groups.select(F.col("_g").alias("group_a"))
+             .join(groups.select(F.col("_g").alias("group_b")),
+                   F.col("group_a") < F.col("group_b")))
+    # explode each row into every pair containing its group, tagged
+    # with which side it belongs to
+    sided = (base.join(F.broadcast(pairs),
+                       (F.col("_g") == F.col("group_a"))
+                       | (F.col("_g") == F.col("group_b")))
+             .select("group_a", "group_b", "_v",
+                     F.when(F.col("_g") == F.col("group_a"), 1)
+                     .otherwise(0).alias("_ia")))
+    per_v = (sided.groupBy("group_a", "group_b", "_v")
+             .agg(F.sum("_ia").cast("long").alias("_ca"),
+                  F.sum(1 - F.col("_ia")).cast("long").alias("_cb")))
+    w = (Window.partitionBy("group_a", "group_b").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("group_a", "group_b")
+    cum = (per_v
+           .withColumn("_cuma", F.sum("_ca").over(w))
+           .withColumn("_cumb", F.sum("_cb").over(w))
+           .withColumn("_na", F.sum("_ca").over(wp))
+           .withColumn("_nb", F.sum("_cb").over(wp)))
+    # DECIMAL(19,0)×(18,0) → (38,0): cap-proof scale-0 products (long
+    # cum·n overflows past ~3·10⁹ rows per side)
+    stat = F.abs(
+        F.col("_cuma").cast("decimal(19,0)")
+        * F.col("_nb").cast("decimal(18,0)")
+        - F.col("_cumb").cast("decimal(19,0)")
+        * F.col("_na").cast("decimal(18,0)"))
+    scored = (cum.withColumn("_st", stat)
+              .withColumn("_mx", F.max("_st").over(wp)))
+    den = (F.max("_na").cast("decimal(19,0)")
+           * F.max("_nb").cast("decimal(18,0)"))
+    return (scored.groupBy("group_a", "group_b").agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.max("_st").cast("decimal(38,0)").alias("d_num"),
+        F.round(F.max("_st").cast("double") / den.cast("double"), 6)
+        .alias("ks"),
+        F.min(F.when(F.col("_st") == F.col("_mx"), F.col("_v")))
+        .cast("long").alias("argmax_v4")))
+
+
 def psi_drift(df: DataFrame, group_cols: list[str], value_col: str,
               ts_col: str, *, buckets: int = 10) -> DataFrame:
     """Per-group Population Stability Index between the EARLY and LATE

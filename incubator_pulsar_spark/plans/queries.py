@@ -8419,6 +8419,97 @@ FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
 """
 
 
+def mutual_info_orders(spark, sf_dir):
+    """Mutual information between order priority and customer market
+    segment (`behavior.mutual_information`) — the categorical
+    feature-dependence profile: MI·N folds snap-9 lns of exact cell /
+    marginal counts in DECIMAL, one float division; reported beside
+    the three entropies so MI = Hx + Hy − Hxy holds in the output."""
+    from ..functions import behavior
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.join(c, o["o_custkey"] == c["c_custkey"])
+         .select("o_orderpriority", "c_mktsegment"))
+    return behavior.mutual_information(j, "o_orderpriority",
+                                       "c_mktsegment")
+
+
+MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, c_mktsegment AS y, COUNT(*) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+sx AS (SELECT SUM(CAST(round(ln(c), 9) AS DECIMAL(20,9)) * c) AS s
+       FROM (SELECT SUM(c) AS c FROM cells GROUP BY x)),
+sy AS (SELECT SUM(CAST(round(ln(c), 9) AS DECIMAL(20,9)) * c) AS s
+       FROM (SELECT SUM(c) AS c FROM cells GROUP BY y)),
+sxy AS (SELECT SUM(CAST(round(ln(c), 9) AS DECIMAL(20,9)) * c) AS s
+        FROM cells),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+SELECT t.n, t.n_cells,
+       round(round(ln(t.n), 9) - CAST(sx.s AS DOUBLE) / t.n, 6) AS h_x,
+       round(round(ln(t.n), 9) - CAST(sy.s AS DOUBLE) / t.n, 6) AS h_y,
+       round(round(ln(t.n), 9) - CAST(sxy.s AS DOUBLE) / t.n, 6)
+         AS h_xy,
+       round(CAST(sxy.s - sx.s - sy.s AS DOUBLE) / t.n
+             + round(ln(t.n), 9), 6) AS mi
+FROM t, sx, sy, sxy
+"""
+
+
+def ks_pairs_events(spark, sf_dir):
+    """Pairwise two-sample Kolmogorov–Smirnov over event-type value
+    distributions (`quantiles.ks_pairs`) — the unbinned two-sample
+    drift test (PSI needs bins, CUSUM needs order; KS needs nothing):
+    D cross-multiplies to exact integers at distinct-value
+    boundaries, one round-6 division, smallest-boundary argmax."""
+    from ..functions import quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return quantiles.ks_pairs(ev, "event_type", "value")
+
+
+KS_PAIRS_SQL = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+pairs AS (SELECT a.g AS ga, b.g AS gb
+          FROM (SELECT DISTINCT g FROM base) a
+          JOIN (SELECT DISTINCT g FROM base) b ON a.g < b.g),
+sided AS (
+  SELECT p.ga, p.gb, b.v,
+         CASE WHEN b.g = p.ga THEN 1 ELSE 0 END AS ia
+  FROM base b JOIN pairs p ON b.g = p.ga OR b.g = p.gb),
+perv AS (SELECT ga, gb, v, SUM(ia) AS ca, SUM(1 - ia) AS cb
+         FROM sided GROUP BY 1, 2, 3),
+cum AS (SELECT ga, gb, v,
+               SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+               SUM(ca) OVER wp AS na, SUM(cb) OVER wp AS nb
+        FROM perv
+        WINDOW w AS (PARTITION BY ga, gb ORDER BY v
+                     ROWS UNBOUNDED PRECEDING),
+               wp AS (PARTITION BY ga, gb)),
+st AS (SELECT ga, gb, v, na, nb,
+              abs(CAST(cuma AS HUGEINT) * nb
+                  - CAST(cumb AS HUGEINT) * na) AS s
+       FROM cum),
+mx AS (SELECT ga, gb, CAST(MAX(na) AS BIGINT) AS n_a,
+              CAST(MAX(nb) AS BIGINT) AS n_b, MAX(s) AS d
+       FROM st GROUP BY 1, 2)
+SELECT m.ga AS group_a, m.gb AS group_b, m.n_a, m.n_b,
+       CAST(m.d AS DECIMAL(38,0)) AS d_num,
+       round(CAST(m.d AS DOUBLE)
+             / CAST(CAST(m.n_a AS HUGEINT) * m.n_b AS DOUBLE), 6)
+         AS ks,
+       CAST(MIN(s2.v) AS BIGINT) AS argmax_v4
+FROM mx m JOIN st s2
+  ON s2.ga = m.ga AND s2.gb = m.gb AND s2.s = m.d
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
 def acf_events(spark, sf_dir):
     """Per-type lag-1/2/3 autocorrelation (`quantiles.acf`): the
     periodicity/persistence detector completing the drift quartet
@@ -8628,6 +8719,8 @@ ALL_QUERIES: dict[str, Query] = {
               ASSORTATIVITY_SQL),
         Query("ktruss_nations", ktruss_nations, KTRUSS_SQL),
         Query("centrality_nations", centrality_nations, CENTRALITY_SQL),
+        Query("mutual_info_orders", mutual_info_orders, MUTUAL_INFO_SQL),
+        Query("ks_pairs_events", ks_pairs_events, KS_PAIRS_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
         Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
         Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
@@ -8688,8 +8781,6 @@ ALL_QUERIES: dict[str, Query] = {
               PAGERANK_WEIGHTED_SQL),
         Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
               SQ8_INDEX_SQL),
-        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
-        Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
         # --- tail 51+: proven >=3x and recently; local sweep only ---
         # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 + bq_topk demoted
         # mid-r13 to make head room for the eleven new session-2
@@ -8700,6 +8791,8 @@ ALL_QUERIES: dict[str, Query] = {
         Query("hll_set_algebra_events", hll_set_algebra_events,
               HLL_SET_ALGEBRA_SQL),
         Query("hll_hourly_users", hll_hourly_users, HLL_HOURLY_SQL),
+        Query("sq8_topk_embeddings", sq8_topk_embeddings, SQ8_TOPK_SQL),
+        Query("triangle_count_nations", triangle_count_nations, TRIANGLE_SQL),
         Query("q19_disjunctive_filter", q19_disjunctive_filter, Q19_SQL),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
         Query("q22_idle_balance", q22_idle_balance, Q22_SQL),

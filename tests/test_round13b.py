@@ -596,3 +596,75 @@ class TestClosenessCentrality:
         got = {r.node: r.n_reached for r in graph.closeness_centrality(
             edges, iters=5, directed=True).collect()}
         assert got == {"a": 3, "b": 2, "c": 1}
+
+
+class TestMutualInformation:
+    def test_independent_columns_zero(self, spark):
+        from incubator_pulsar_spark.functions import behavior
+
+        # product distribution: every (x, y) cell equally likely
+        rows = [(x, y) for x in "ab" for y in "cd" for _ in range(3)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = behavior.mutual_information(df, "x", "y").collect()[0]
+        assert r.n == 12 and r.n_cells == 4
+        assert r.mi == 0.0
+        assert r.h_x == r.h_y == round(__import__("math").log(2), 6)
+
+    def test_identical_columns_mi_equals_entropy(self, spark):
+        from incubator_pulsar_spark.functions import behavior
+
+        rows = [("a", "a")] * 2 + [("b", "b")] * 2
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = behavior.mutual_information(df, "x", "y").collect()[0]
+        assert r.mi == r.h_x == r.h_y == r.h_xy
+
+    def test_additivity_identity_holds_in_output(self, spark):
+        from incubator_pulsar_spark.functions import behavior
+
+        rows = [("a", "c")] * 5 + [("a", "d")] * 2 + [("b", "c")] * 1 \
+            + [("b", "d")] * 7
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = behavior.mutual_information(df, "x", "y").collect()[0]
+        assert abs(r.mi - (r.h_x + r.h_y - r.h_xy)) < 2e-6
+        assert r.mi > 0  # the 5/2/1/7 split is dependent
+
+
+class TestKsPairs:
+    def test_identical_distributions_zero(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("a", float(v)) for v in (1, 2, 3)] \
+            + [("b", float(v)) for v in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = quantiles.ks_pairs(df, "g", "value").collect()[0]
+        assert (r.group_a, r.group_b) == ("a", "b")
+        assert int(r.d_num) == 0 and r.ks == 0.0
+
+    def test_disjoint_supports_d_is_one(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [("a", float(v)) for v in (1, 2)] \
+            + [("b", float(v)) for v in (10, 20, 30)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = quantiles.ks_pairs(df, "g", "value").collect()[0]
+        assert r.ks == 1.0
+        assert r.argmax_v4 == 2 * 10000  # D peaks at a's last value
+
+    def test_hand_computed_mid_shift(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        # a: 1,2,3,4  b: 3,4,5,6 -> D = 1/2 at value 2
+        rows = [("a", float(v)) for v in (1, 2, 3, 4)] \
+            + [("b", float(v)) for v in (3, 4, 5, 6)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        r = quantiles.ks_pairs(df, "g", "value").collect()[0]
+        assert r.ks == 0.5 and r.argmax_v4 == 2 * 10000
+
+    def test_all_pairs_emitted(self, spark):
+        from incubator_pulsar_spark.functions import quantiles
+
+        rows = [(g, float(i)) for i, g in enumerate("abc")]
+        df = spark.createDataFrame(rows, "g string, value double")
+        got = {(r.group_a, r.group_b) for r in
+               quantiles.ks_pairs(df, "g", "value").collect()}
+        assert got == {("a", "b"), ("a", "c"), ("b", "c")}
