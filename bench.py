@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "centrality_nations",
     "mutual_info_orders",
     "ks_pairs_events",
+    "kaplan_meier_users",
+    "rfm_customers",
     # Excluded with reasons (the sf0.1 documents corpus is CONSTANT-
     # COLLISION by construction — a 31-word vocabulary, so hot shingles
     # / band buckets put ~every doc pair in the candidate stream; the

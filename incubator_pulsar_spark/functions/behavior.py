@@ -227,6 +227,61 @@ def twap(df: DataFrame, group_cols: list[str], *, ts_col: str = "ts",
             / F.sum("_dur").cast("double"), 6).alias("twap")))
 
 
+def rfm_segments(df: DataFrame, *, entity_col: str, ts_col: str = "ts",
+                 value_col: str = "value", n_bins: int = 5,
+                 anchor_ms: int | None = None) -> DataFrame:
+    """RFM segmentation — the classic behavioral customer scoring:
+    per entity, Recency (ms since last activity, against a
+    deterministic anchor), Frequency (event count), Monetary (exact
+    decimal value sum), each bucketed into ``n_bins`` equi-depth
+    bins, composed into the familiar 3-digit segment code.
+
+    Determinism: the anchor defaults to the corpus max timestamp (a
+    data property, not wall-clock; pass ``anchor_ms`` for a
+    deployment epoch); bucketing is SQL NTILE over (metric ASC,
+    entity ASC) — the entity tiebreak makes tied metrics
+    deterministic (the ntile_histogram tie lesson), and matching
+    NTILE semantics on both engines makes the bucket edges
+    bit-identical. Scores are ASCENDING in each raw metric (r=1 most
+    recent, f=``n_bins`` most frequent, m=``n_bins`` highest spend);
+    flip downstream if a "5 is best" convention is wanted.
+
+    Plan: one entity rollup (map-side partials), a 1-row anchor
+    broadcast, three rank windows sharing one repartition on a
+    constant (the metric windows are global — RFM is a
+    whole-population ranking by construction; at extreme entity
+    counts shard by a coarse segment column first). Output: (entity,
+    recency_ms BIGINT, frequency BIGINT, monetary DECIMAL(38,4),
+    r/f/m INT, rfm_code INT = r·100 + f·10 + m).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    per = (df.select(F.col(entity_col).alias("entity"), ms.alias("_ms"),
+                     F.col(value_col).cast("decimal(18,4)").alias("_v"))
+           .groupBy("entity")
+           .agg(F.max("_ms").alias("_last"),
+                F.count(F.lit(1)).cast("long").alias("frequency"),
+                F.sum("_v").cast("decimal(38,4)").alias("monetary")))
+    if anchor_ms is None:
+        anchor = per.agg(F.max("_last").alias("_anchor"))
+        per = per.crossJoin(F.broadcast(anchor))
+    else:
+        per = per.withColumn("_anchor", F.lit(int(anchor_ms)))
+    per = per.withColumn("recency_ms",
+                         (F.col("_anchor") - F.col("_last"))
+                         .cast("long"))
+    wr = Window.orderBy(F.col("recency_ms"), F.col("entity"))
+    wf = Window.orderBy(F.col("frequency"), F.col("entity"))
+    wm = Window.orderBy(F.col("monetary"), F.col("entity"))
+    return (per
+            .withColumn("r", F.ntile(n_bins).over(wr))
+            .withColumn("f", F.ntile(n_bins).over(wf))
+            .withColumn("m", F.ntile(n_bins).over(wm))
+            .select("entity", "recency_ms", "frequency", "monetary",
+                    "r", "f", "m",
+                    (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+                    .cast("int").alias("rfm_code")))
+
+
 def cusum_max(df: DataFrame, group_cols: list[str], *,
               order_col: str = "ts", value_col: str = "value",
               tiebreak_col: str | None = None) -> DataFrame:

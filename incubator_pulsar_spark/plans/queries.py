@@ -8419,6 +8419,97 @@ FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
 """
 
 
+def kaplan_meier_users(spark, sf_dir):
+    """Kaplan–Meier user-lifetime curve (`survival.kaplan_meier`):
+    duration = whole days between a user's first and last event;
+    event = churned (last activity > 8 idle hours before the corpus
+    max — a data-anchored, deterministic censoring rule), else
+    right-censored. The curve the naive retention count gets wrong:
+    censored users are at-risk mass, not churn events."""
+    from ..functions.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = (ev.select(F.col("user_id"), ms.alias("_ms"))
+         .groupBy("user_id")
+         .agg(F.min("_ms").alias("_f"), F.max("_ms").alias("_l")))
+    mx = u.agg(F.max("_l").alias("_mx"))
+    base = (u.crossJoin(F.broadcast(mx))
+            .select(
+                F.expr("CAST((_l - _f) DIV 86400000 AS LONG)")
+                .alias("dur_days"),
+                F.when(F.col("_mx") - F.col("_l") > 8 * 3_600_000, 1)
+                .otherwise(0).alias("churned")))
+    return kaplan_meier(base, [], duration_col="dur_days",
+                        event_col="churned")
+
+
+KAPLAN_MEIER_SQL = """
+WITH u AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS f, MAX(epoch_ms(ts)) AS l
+  FROM events GROUP BY user_id),
+mx AS (SELECT MAX(l) AS m FROM u),
+base AS (
+  SELECT (l - f) // 86400000 AS t,
+         CASE WHEN m - l > 8 * 3600000 THEN 1 ELSE 0 END AS e
+  FROM u CROSS JOIN mx),
+per AS (SELECT t, COUNT(*) AS c, SUM(e) AS d FROM base GROUP BY t),
+r AS (SELECT t, c, d,
+             SUM(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+               AS n
+      FROM per),
+s AS (SELECT t, n, d,
+             SUM(CASE WHEN d > 0 AND d < n THEN
+                   CAST(round(ln(1 - CAST(d AS DOUBLE) / n), 9)
+                        AS DECIMAL(38,9)) END) OVER wa AS lns,
+             MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER wa AS dead
+      FROM r WINDOW wa AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+SELECT CAST(t AS BIGINT) AS duration, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(COALESCE(CAST(lns AS DOUBLE), 0.0)), 6)
+       END AS survival
+FROM s WHERE d > 0
+"""
+
+
+def rfm_customers(spark, sf_dir):
+    """RFM customer segmentation (`behavior.rfm_segments`) over the
+    orders log: recency vs the corpus-max anchor, exact decimal
+    monetary, NTILE quintiles with the entity tiebreak so tied
+    metrics bucket deterministically on any engine."""
+    from ..functions import behavior
+
+    o = _t(spark, sf_dir, "orders")
+    return behavior.rfm_segments(o, entity_col="o_custkey",
+                                 ts_col="o_orderdate",
+                                 value_col="o_totalprice")
+
+
+RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey AS entity,
+         MAX(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS last_ms,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              AS DECIMAL(38,4)) AS monetary
+  FROM orders GROUP BY o_custkey),
+a AS (SELECT MAX(last_ms) AS anchor FROM per),
+sc AS (
+  SELECT entity, CAST(a.anchor - last_ms AS BIGINT) AS recency_ms,
+         frequency, monetary,
+         NTILE(5) OVER (ORDER BY a.anchor - last_ms, entity) AS r,
+         NTILE(5) OVER (ORDER BY frequency, entity) AS f,
+         NTILE(5) OVER (ORDER BY monetary, entity) AS m
+  FROM per CROSS JOIN a)
+SELECT entity, recency_ms, frequency, monetary,
+       CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+       CAST(m AS INTEGER) AS m,
+       CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_code
+FROM sc
+"""
+
+
 def mutual_info_orders(spark, sf_dir):
     """Mutual information between order priority and customer market
     segment (`behavior.mutual_information`) — the categorical
@@ -8721,6 +8812,9 @@ ALL_QUERIES: dict[str, Query] = {
         Query("centrality_nations", centrality_nations, CENTRALITY_SQL),
         Query("mutual_info_orders", mutual_info_orders, MUTUAL_INFO_SQL),
         Query("ks_pairs_events", ks_pairs_events, KS_PAIRS_SQL),
+        Query("kaplan_meier_users", kaplan_meier_users,
+              KAPLAN_MEIER_SQL),
+        Query("rfm_customers", rfm_customers, RFM_SQL),
         Query("gini_orders", gini_orders, GINI_SQL),
         Query("hhi_customer_revenue", hhi_customer_revenue, HHI_SQL),
         Query("benford_lineitem", benford_lineitem, BENFORD_SQL),
@@ -8777,16 +8871,16 @@ ALL_QUERIES: dict[str, Query] = {
         Query("pagerank_nations", pagerank_nations, PAGERANK_SQL),
         Query("pagerank_personalized_nations", pagerank_personalized_nations,
               PAGERANK_PERSONALIZED_SQL),
+        # --- tail 51+: proven >=3x and recently; local sweep only ---
+        # (the ten stale q-rows + bq_topk/hll_set_algebra/hll_hourly/
+        # sq8_topk/triangle_count/pagerank_weighted/sq8_index demoted
+        # mid-r13 to make head room for the seventeen new session-2
+        # gates — always the most-proven non-edited head rows; r14
+        # re-ranks the pool mechanically.)
         Query("pagerank_weighted_nations", pagerank_weighted_nations,
               PAGERANK_WEIGHTED_SQL),
         Query("sq8_index_topk_embeddings", sq8_index_topk_embeddings,
               SQ8_INDEX_SQL),
-        # --- tail 51+: proven >=3x and recently; local sweep only ---
-        # (q1/q18/q2/q4/q5/q6/q7/q19/q21/q22 + bq_topk demoted
-        # mid-r13 to make head room for the eleven new session-2
-        # gates — the most-proven non-edited head rows: q1 4 proofs,
-        # bq_topk/hll_set_algebra 2/r12, the rest 3; r14 re-ranks the
-        # pool.)
         Query("bq_topk_embeddings", bq_topk_embeddings, BQ_TOPK_SQL),
         Query("hll_set_algebra_events", hll_set_algebra_events,
               HLL_SET_ALGEBRA_SQL),

@@ -668,3 +668,90 @@ class TestKsPairs:
         got = {(r.group_a, r.group_b) for r in
                quantiles.ks_pairs(df, "g", "value").collect()}
         assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+class TestKaplanMeier:
+    def test_hand_curve_with_censoring(self, spark):
+        from incubator_pulsar_spark.functions.survival import (
+            kaplan_meier,
+        )
+
+        rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+        df = spark.createDataFrame(rows, "dur long, e int")
+        got = {r.duration: r for r in kaplan_meier(
+            df, [], duration_col="dur", event_col="e").collect()}
+        # event rows only: t=1 (n=5, d=1) and t=3 (n=3, d=2)
+        assert set(got) == {1, 3}
+        assert (got[1].n_risk, got[1].n_events) == (5, 1)
+        assert got[1].survival == 0.8
+        assert (got[3].n_risk, got[3].n_events) == (3, 2)
+        assert got[3].survival == round(0.8 * (1 / 3), 6)
+
+    def test_extinction_is_exact_zero(self, spark):
+        from incubator_pulsar_spark.functions.survival import (
+            kaplan_meier,
+        )
+
+        rows = [(1, 1), (2, 1), (2, 1)]
+        df = spark.createDataFrame(rows, "dur long, e int")
+        got = {r.duration: r.survival for r in kaplan_meier(
+            df, [], duration_col="dur", event_col="e").collect()}
+        assert got[1] == round(2 / 3, 6)
+        assert got[2] == 0.0
+
+    def test_grouped_curves_independent(self, spark):
+        from incubator_pulsar_spark.functions.survival import (
+            kaplan_meier,
+        )
+
+        rows = [("a", 1, 1), ("a", 2, 0), ("b", 1, 1)]
+        df = spark.createDataFrame(rows, "g string, dur long, e int")
+        got = {(r.g, r.duration): r.survival for r in kaplan_meier(
+            df, ["g"], duration_col="dur", event_col="e").collect()}
+        assert got[("a", 1)] == 0.5
+        assert got[("b", 1)] == 0.0   # b's only subject dies
+
+
+class TestRfmSegments:
+    def test_scores_and_tiebreak(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # A: 3 orders, latest day 9, total 30; B: 2 orders, day 5,
+        # total 300; C: 1 order, day 9, total 1  (C ties A on recency)
+        for ent, days, vals in (("A", [1, 5, 9], [10, 10, 10]),
+                                ("B", [2, 5], [150, 150]),
+                                ("C", [9], [1])):
+            for d, v in zip(days, vals):
+                rows.append((ent, t0 + dt.timedelta(days=d), float(v)))
+        df = spark.createDataFrame(rows, "e string, ts timestamp, v double")
+        got = {r.entity: r for r in behavior.rfm_segments(
+            df, entity_col="e", ts_col="ts", value_col="v",
+            n_bins=3).collect()}
+        assert got["A"].recency_ms == 0 and got["C"].recency_ms == 0
+        # recency ties (A, C) break by entity name: A gets bin 1
+        assert (got["A"].r, got["C"].r, got["B"].r) == (1, 2, 3)
+        assert (got["C"].f, got["B"].f, got["A"].f) == (1, 2, 3)
+        assert (got["C"].m, got["A"].m, got["B"].m) == (1, 2, 3)
+        assert got["A"].rfm_code == 100 * 1 + 10 * 3 + 2
+        from decimal import Decimal
+
+        assert got["B"].monetary == Decimal("300.0000")
+
+    def test_fixed_anchor(self, spark):
+        import datetime as dt
+
+        from incubator_pulsar_spark.functions import behavior
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("A", t0, 1.0)], "e string, ts timestamp, v double")
+        anchor = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()
+                     * 1000) + 5000
+        r = behavior.rfm_segments(
+            df, entity_col="e", ts_col="ts", value_col="v",
+            anchor_ms=anchor).collect()[0]
+        assert r.recency_ms == 5000
