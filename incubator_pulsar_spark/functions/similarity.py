@@ -1662,6 +1662,17 @@ def _pq_load_rotation(path: str):
     return _rotation_from_json(r)
 
 
+def _pq_kernel() -> str:
+    """Physical-form switch for the PQ encode/ADC-scan stages:
+    ``"arrow"`` (default — the measured r13 win) runs the numpy exact
+    twins in ``pq_arrow``; ``SPARK_GRAFT_PQ_KERNEL=fold`` restores the
+    original column-expression forms (kept for parity locks and as
+    the SQL-shaped reference implementation)."""
+    import os as _os
+
+    return _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
+
+
 def _attach_pq(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     """Codebooks as ONE broadcast data column (m × ksub × dsub doubles
     — the literal form would re-hit the measured codegen trap)."""
@@ -1688,11 +1699,22 @@ def pq_encode(embeddings: DataFrame, books: list[list[list[float]]], *,
               rotation: tuple[list[int], list[int]] | None = None
               ) -> DataFrame:
     """Encode every vector as its m PQ codeword indexes — map-only
-    (broadcast codebooks, no shuffle). dim·8 bytes/vector become
-    m·log2(ksub) bits: the compression that lets a 100 TB embedding
-    corpus's candidate scan live in memory. ``rotation`` applies the
-    ``pq_rotation`` signed permutation before the subspace split (the
-    books must then have been trained in rotated space)."""
+    (codebooks in the task closure, no shuffle). dim·8 bytes/vector
+    become m·log2(ksub) bits: the compression that lets a 100 TB
+    embedding corpus's candidate scan live in memory. ``rotation``
+    applies the ``pq_rotation`` signed permutation before the subspace
+    split (the books must then have been trained in rotated space).
+
+    Physical form: the Arrow kernel (``pq_arrow.encode_pq`` — exact
+    twin of the fold expressions, optimization r13; the higher-order-
+    function column form evaluated INTERPRETED and dominated the
+    measured encode cost). ``SPARK_GRAFT_PQ_KERNEL=fold`` restores the
+    expression path (the parity A/B lever)."""
+    if _pq_kernel() == "arrow":
+        from . import pq_arrow
+
+        return pq_arrow.encode_pq(embeddings, books, id_col=id_col,
+                                  vec_col=vec_col, rotation=rotation)
     m = len(books)
     dsub = len(books[0][0])
     e = embeddings.select(F.col(id_col).alias("vec_id"),
@@ -1849,7 +1871,31 @@ def _pq_adc_rank(enc: DataFrame, q: DataFrame,
     persisted-index probe can never drift from the gated semantics.
     ``rotation`` rotates the QUERY TABLE into the codes' space; the
     refine stage stays in raw space (isometry — same exact
-    distances, same raw-order arithmetic as the unrotated path)."""
+    distances, same raw-order arithmetic as the unrotated path).
+
+    Physical form: the Arrow ADC-scan kernel by default — the query
+    table is built driver-side from the collected query batch (the
+    same boundedness as the former ``F.broadcast(qt)``) and the scan
+    runs vectorized (``pq_arrow.adc_scan``, exact twin);
+    ``SPARK_GRAFT_PQ_KERNEL=fold`` restores the expression form."""
+    if _pq_kernel() == "arrow":
+        import numpy as _np
+
+        from . import pq_arrow
+
+        rows = q.collect()
+        qids = [r["query_id"] for r in rows]
+        qv = _np.array([[float(x) for x in r["qv"]] for r in rows],
+                       dtype=_np.float64)
+        if len(rows):
+            qt = pq_arrow.query_table(pq_arrow.np_rotate(qv, rotation),
+                                      books)
+        else:
+            qt = _np.zeros((0, len(books), len(books[0])))
+        scored = pq_arrow.adc_scan(enc, qids,
+                                   q.schema["query_id"].dataType,
+                                   flat_qt=qt)
+        return _pq_rank_tail(scored, q, k, refine=refine, vecs=vecs)
     qq = _apply_rotation(q, "qv", rotation)
     qt = _pq_query_table(qq, books)
     scored = (enc.crossJoin(F.broadcast(qt))
@@ -1965,7 +2011,16 @@ def _ivfpq_encode(df: DataFrame, cents, books, *, residual: bool,
     residual when ``residual`` else the raw vector) — cell assignment
     always happens in RAW space (the coarse quantizer is untouched by
     an isometry of its input anyway; keeping it raw keeps the
-    directory layout identical with and without rotation)."""
+    directory layout identical with and without rotation).
+
+    Physical form: the Arrow kernel by default (see ``pq_encode``);
+    ``SPARK_GRAFT_PQ_KERNEL=fold`` restores the expression path."""
+    if _pq_kernel() == "arrow":
+        from . import pq_arrow
+
+        return pq_arrow.encode_ivfpq(df, cents, books, residual=residual,
+                                     rotation=rotation, id_col=id_col,
+                                     vec_col=vec_col)
     e = df.select(F.col(id_col).alias("vec_id"),
                   as_double_array(F.col(vec_col)).alias("vec"))
     e = (_attach_centroids(e, cents)
@@ -2246,7 +2301,45 @@ def _ivfpq_probe(enc: DataFrame, q: DataFrame, cents, books, k: int, *,
     stage still compares RAW vectors (quantization never touches it).
     ``rotation`` rotates the query-table input into the codes' space
     (after the residual subtraction when both are set), mirroring
-    ``_ivfpq_encode``; cell selection and refine stay raw."""
+    ``_ivfpq_encode``; cell selection and refine stay raw.
+
+    Physical form: the Arrow ADC-scan kernel by default — probe cells
+    AND per-(query, cell) distance tables are computed driver-side
+    from the collected query batch (the same boundedness as the former
+    broadcast; the partition-pruning ``cell IN`` filter on ``enc`` is
+    unchanged), the scan runs vectorized (``pq_arrow.adc_scan``, exact
+    twin). ``SPARK_GRAFT_PQ_KERNEL=fold`` restores the expression
+    form."""
+    if _pq_kernel() == "arrow":
+        import numpy as _np
+
+        from . import pq_arrow
+
+        rows = q.collect()
+        qids = [r["query_id"] for r in rows]
+        qv = _np.array([[float(x) for x in r["qv"]] for r in rows],
+                       dtype=_np.float64)
+        if not len(rows):
+            return _pq_rank_tail(
+                pq_arrow.adc_scan(enc, [], q.schema["query_id"].dataType,
+                                  cell_tables={}),
+                q, k, refine=refine, vecs=vecs)
+        probes = pq_arrow.select_probe_cells(qv, cents, nprobe)
+        probe_cells = sorted({c for ps in probes for c in ps})
+        enc = enc.filter(F.col("cell").isin(probe_cells))
+        C = _np.asarray(cents, dtype=_np.float64)
+        cell_tables = {}
+        for c in probe_cells:
+            qpos = _np.array([i for i, ps in enumerate(probes) if c in ps])
+            sub = qv[qpos]
+            if residual:
+                sub = sub - C[c]
+            sub = pq_arrow.np_rotate(sub, rotation)
+            cell_tables[c] = (qpos, pq_arrow.query_table(sub, books))
+        scored = pq_arrow.adc_scan(enc, qids,
+                                   q.schema["query_id"].dataType,
+                                   cell_tables=cell_tables)
+        return _pq_rank_tail(scored, q, k, refine=refine, vecs=vecs)
     qc = (_attach_centroids(q, cents)
           .withColumn("_scores", _cell_scores(F.col("qv"))))
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
