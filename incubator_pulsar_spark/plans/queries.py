@@ -116,6 +116,75 @@ def _fmt_ts(c):  # portable timestamp rendering
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
+def _write_band_files(banded, src: str, n_bands: int, order_expr) -> None:
+    """Source prep for the availableNow replay gates in ONE shuffle job
+    (optimization r13): the former per-band filter + global sort +
+    coalesce(1) writes re-scanned the whole input once PER BAND (the
+    measured ~2 s of a ~6 s gate). ``banded`` must carry ``_band``;
+    rows land partitioned by band, sorted (``_band``, ``order_expr``)
+    so the file writer's required partition-column ordering is already
+    satisfied and the within-band md5 shuffle order is preserved
+    byte-for-byte. Each band's single part file then moves into
+    ``src/`` under a driver-controlled, strictly-increasing mtime —
+    FileStreamSource replays oldest-mtime-first, so the batch order is
+    exactly the old sequential-write order. A band with zero rows
+    writes no file, which is the same no-op micro-batch either way."""
+    import glob as _glob
+    import shutil as _sh
+    import time as _time
+
+    tmp = src + ".bands"
+    _sh.rmtree(tmp, ignore_errors=True)
+    (banded.repartition(n_bands, "_band")
+     .sortWithinPartitions(F.col("_band"), order_expr)
+     .write.partitionBy("_band").mode("overwrite").parquet(tmp))
+    os.makedirs(src, exist_ok=True)
+    t0 = _time.time()
+    for b in range(n_bands):
+        parts = sorted(_glob.glob(os.path.join(tmp, f"_band={b}", "part-*")))
+        for i, p in enumerate(parts):
+            dst = os.path.join(src, f"band{b:02d}_{i}.parquet")
+            _sh.move(p, dst)
+            os.utime(dst, (t0 + b, t0 + b))
+    _sh.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_shuffle_partitions(spark, n_keys: int) -> int:
+    """Keyed-state shuffle partitions for the streaming gates,
+    scale-adaptive instead of the session-wide pre-AQE bound (AQE is
+    disabled inside stateful streaming queries, so every micro-batch
+    otherwise pays ``spark.sql.shuffle.partitions`` state-store
+    instances + tasks regardless of key count — the measured fixed
+    cost of the replay gates). Sized at ~256 keys per state partition
+    (measured sf0.1 sweet spot: 5-key TWAP best ≤4, ~2k-user entropy
+    best ~8), clamped to [4, defaultParallelism] so a 100 TB keyspace
+    still fans out to the whole cluster while a 5-key local stream
+    stops paying 32 empty state commits per batch.
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for cluster tuning."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    dp = spark.sparkContext.defaultParallelism
+    return max(4, min(dp, -(-int(n_keys) // 256)))
+
+
+def _run_stream_gate(spark, out, sink: str, ck: str, parts: int) -> None:
+    """Start + drain an availableNow gate stream with the stateful
+    shuffle width pinned to ``parts`` (the state-store partition count
+    is fixed by the conf at first batch and checkpointed; gates build
+    fresh checkpoints every run, so the narrow width is safe). The
+    session conf is restored after the drain."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # --------------------------------------------------------------------------
 # Batch analytics (SURVEY §2.4 "absent" list — Spark built-ins exposed)
 # --------------------------------------------------------------------------
@@ -7137,30 +7206,34 @@ def scd2_stream_events(spark, sf_dir):
     d = _scratch("scd2stream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    t0 = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    lo, hi = t0[0], t0[1]
+    t0 = ev.agg(F.min("ts"), F.max("ts"),
+                F.approx_count_distinct("key")).collect()[0]
+    lo, hi, nk = t0[0], t0[1], t0[2]
     band = F.floor(
         (F.unix_micros(F.col("ts")) - F.lit(int(lo.timestamp() * 1e6)))
         / F.lit(8 * 86400 * 1_000_000)).cast("int")
-    banded = ev.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b).drop("_band")
-         .orderBy(F.md5(F.concat_ws("|", "key", F.col("ts").cast("string"))))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(
+        ev.withColumn("_band", band), src, 4,
+        F.md5(F.concat_ws("|", "key", F.col("ts").cast("string"))))
     import datetime as _dt
+    import time as _time
 
     sent = spark.createDataFrame(
         [("\x00flush", "x", hi + _dt.timedelta(hours=1))],
         "key string, value string, ts timestamp")
     sent.coalesce(1).write.mode("append").parquet(src)
+    # the sentinel must be the LAST file in the replay: pin its mtime
+    # past the band files' driver-controlled, strictly-increasing stamps
+    for fn in os.listdir(src):
+        if not fn.startswith("band") and fn.endswith(".parquet"):
+            p = os.path.join(src, fn)
+            os.utime(p, (_time.time() + 3600, _time.time() + 3600))
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = scd2_stream_event_time(stream, delay="10 seconds")
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     return (spark.read.parquet(sink)
             .filter(F.col("key") != "\x00flush")
             .select(F.col("key").cast("long").alias("user_id"),
@@ -7846,22 +7919,18 @@ def markov_stream_events(spark, sf_dir):
     d = _scratch("markovstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    t0 = ev.agg(F.min("sequence"), F.max("sequence")).collect()[0]
-    lo = t0[0]
+    t0 = ev.agg(F.min("sequence"),
+                F.approx_count_distinct("user_id")).collect()[0]
+    lo, nk = t0[0], t0[1]
     band = F.floor((F.col("sequence") - F.lit(lo))
                    / F.lit(8 * 86400 * 1_000_000)).cast("int")
-    banded = ev.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b).drop("_band")
-         .orderBy(F.md5(F.concat_ws("|", "user_id", "sequence")))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(ev.withColumn("_band", band), src, 4,
+                      F.md5(F.concat_ws("|", "user_id", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = markov_stream(stream, key_col="user_id")
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     deltas = spark.read.parquet(sink)
     cnt = (deltas.filter(F.col("state").isNotNull())
            .groupBy("state", "next_state")
@@ -7914,21 +7983,17 @@ def retention_stream_events(spark, sf_dir):
     d = _scratch("retstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo = ev.agg(F.min("sequence")).collect()[0][0]
+    lo, nk = ev.agg(F.min("sequence"),
+                    F.approx_count_distinct("user_id")).collect()[0]
     band = F.floor((F.col("sequence") - F.lit(lo))
                    / F.lit(8 * 86_400_000)).cast("int")
-    banded = ev.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b).drop("_band")
-         .orderBy(F.md5(F.concat_ws("|", "user_id", "sequence")))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(ev.withColumn("_band", band), src, 4,
+                      F.md5(F.concat_ws("|", "user_id", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = retention_stream(stream, anchor=int(lo))
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     deltas = spark.read.parquet(sink)
     return (deltas.groupBy("cohort", "week_offset")
             .agg(F.sum("delta").cast("long").alias("n_users"),
@@ -7973,21 +8038,17 @@ def twap_stream_events(spark, sf_dir):
     d = _scratch("twapstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo = ev.agg(F.min("sequence")).collect()[0][0]
+    lo, nk = ev.agg(F.min("sequence"),
+                    F.approx_count_distinct("event_type")).collect()[0]
     band = F.floor((F.col("sequence") - F.lit(lo))
                    / F.lit(8 * 86_400_000)).cast("int")
-    banded = ev.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b).drop("_band")
-         .orderBy(F.md5(F.concat_ws("|", "event_type", "sequence")))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(ev.withColumn("_band", band), src, 4,
+                      F.md5(F.concat_ws("|", "event_type", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = twap_stream(stream)
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     deltas = spark.read.parquet(sink)
     return (deltas.groupBy("key")
             .agg(F.sum("n_delta").cast("long").alias("n_intervals"),
@@ -8042,23 +8103,20 @@ def entropy_stream_events(spark, sf_dir):
     d = _scratch("entstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo = ev.agg(F.min("_ms")).collect()[0][0]
+    lo, nk = ev.agg(F.min("_ms"),
+                    F.approx_count_distinct("user_id")).collect()[0]
     band = F.floor((F.col("_ms") - F.lit(lo))
                    / F.lit(8 * 86_400_000)).cast("int")
-    banded = ev.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b)
-         .select("user_id", "event_type")
-         .orderBy(F.md5(F.concat_ws("|", "user_id", "event_type")))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(
+        ev.withColumn("_band", band).select("user_id", "event_type",
+                                            "_band"),
+        src, 4, F.md5(F.concat_ws("|", "user_id", "event_type")))
     stream = (spark.readStream
               .schema("user_id long, event_type string")
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = entropy_stream(stream)
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     latest = (spark.read.parquet(sink)
               .groupBy("key")
               .agg(F.max_by(F.struct("states", "counts"), "version")
@@ -8239,21 +8297,17 @@ def interval_stream_events(spark, sf_dir):
     d = _scratch("ivstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo = iv.agg(F.min("s")).collect()[0][0]
+    lo, nk = iv.agg(F.min("s"),
+                    F.approx_count_distinct("event_type")).collect()[0]
     band = F.floor((F.col("s") - F.lit(lo))
                    / F.lit(8 * 86_400_000)).cast("int")
-    banded = iv.withColumn("_band", band)
-    for b in range(4):
-        (banded.filter(F.col("_band") == b).drop("_band")
-         .orderBy(F.md5(F.concat_ws("|", "event_type", "s", "e")))
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_band_files(iv.withColumn("_band", band), src, 4,
+                      F.md5(F.concat_ws("|", "event_type", "s", "e")))
     stream = (spark.readStream.schema(iv.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     out = interval_stream(stream)
-    q = (out.writeStream.format("parquet").option("path", sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _run_stream_gate(spark, out, sink, ck,
+                     _stream_shuffle_partitions(spark, nk))
     deltas = spark.read.parquet(sink)
     return (deltas.groupBy("key")
             .agg(F.sum("n_delta").cast("long").alias("n_intervals"),
