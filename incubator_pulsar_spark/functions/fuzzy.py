@@ -486,7 +486,7 @@ def exact_dedup_docs(docs: DataFrame, *, id_col: str = "doc_id",
 def connected_components(
     edges: DataFrame, *, src_col: str = "doc_a", dst_col: str = "doc_b",
     all_ids: DataFrame | None = None, id_col: str = "doc_id",
-    max_iter: int = 50,
+    max_iter: int = 50, broadcast_labels: bool = False,
 ) -> DataFrame:
     """Near-dup CLUSTER resolution: connected components over verified
     pair edges — the step that turns pairwise similarities into "keep
@@ -504,6 +504,16 @@ def connected_components(
     GraphX-connected-components recipe without the GraphX dependency).
     Labels are ``localCheckpoint``-ed each round to truncate lineage —
     swap for reliable ``checkpoint`` on a cluster.
+
+    ``broadcast_labels=True`` broadcasts the label table into both
+    per-round joins — the right call when the NODE set is dimension-
+    sized (the nations gate: 25 labels) so each round is a map-only
+    job instead of two shuffles; leave False when nodes scale with the
+    corpus (the near-dup callers). Convergence is detected on a
+    ``_chg`` flag computed inside the checkpointed round frame (one
+    cheap filter-count on materialized data, optimization r13 — the
+    former old-vs-new join re-ran a shuffle per round just to count
+    changes).
     """
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -516,25 +526,26 @@ def connected_components(
     else:
         nodes = sym.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id"))
+    _maybe_b = F.broadcast if broadcast_labels else (lambda df: df)
     for _ in range(max_iter):
         nb_min = (
-            sym.join(labels.withColumnRenamed("id", "b_id"),
+            sym.join(_maybe_b(labels.withColumnRenamed("id", "b_id")),
                      F.col("b") == F.col("b_id"))
             .groupBy("a").agg(F.min("label").alias("nb_min"))
         )
         new_labels = (
-            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            labels.join(_maybe_b(nb_min), labels["id"] == nb_min["a"],
+                        "left")
             .select(labels["id"],
                     F.least(F.col("label"),
-                            F.coalesce(F.col("nb_min"), F.col("label"))).alias("label"))
+                            F.coalesce(F.col("nb_min"),
+                                       F.col("label"))).alias("label"),
+                    (F.col("nb_min").isNotNull()
+                     & (F.col("nb_min") < F.col("label"))).alias("_chg"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, on="id")
-            .filter(F.col("old") != F.col("label")).count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if n_changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

@@ -537,7 +537,8 @@ def _canonical_undirected(edges: DataFrame, src_col: str,
 
 def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
           src_col: str = "src", dst_col: str = "dst",
-          on_unconverged: str = "warn") -> DataFrame:
+          on_unconverged: str = "warn",
+          broadcast_alive: bool = False) -> DataFrame:
     """k-core membership over the undirected collapse of the edge list
     — iterative peeling (Seidman 1983; Matula & Beck's algorithm run
     breadth-synchronously): repeatedly drop every node whose degree
@@ -564,6 +565,11 @@ def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
     node key at scale; the canonical edge set localCheckpoints ONCE
     (the PageRank lineage lesson).
 
+    ``broadcast_alive=True`` broadcasts the survivor set into both
+    per-round joins — the dimension-sized-node-set plan (the
+    ``pagerank``/``hits`` knob): each round becomes one map + agg job
+    instead of two shuffle joins.
+
     Output: (node, in_kcore ∈ {0,1}) for every node in the graph.
     """
     if on_unconverged not in ("warn", "raise"):
@@ -579,11 +585,13 @@ def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
     alive = nodes
     prev_n = alive.count()
     converged = False
+    _maybe_b = F.broadcast if broadcast_alive else (lambda df: df)
     for _ in range(iters):
         # degree within the survivor set: both endpoints must be alive
         deg = (both
-               .join(alive, on="node")
-               .join(alive.select(F.col("node").alias("nbr")), on="nbr")
+               .join(_maybe_b(alive), on="node")
+               .join(_maybe_b(alive.select(F.col("node").alias("nbr"))),
+                     on="nbr")
                .groupBy("node").agg(F.count(F.lit(1)).alias("_d")))
         # EAGER checkpoint: ``alive`` feeds BOTH sides of next round's
         # semi-join — a lazy reference would double the plan per round
@@ -769,7 +777,8 @@ def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
 def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
              src_col: str = "src", dst_col: str = "dst",
              directed: bool = True,
-             on_unconverged: str = "warn") -> DataFrame:
+             on_unconverged: str = "warn",
+             broadcast_frontier: bool = False) -> DataFrame:
     """Multi-source BFS hop distance: the shortest number of edges
     from ANY source to each node — the reachability/radius primitive
     under crawl-frontier scheduling, blast-radius analysis, and
@@ -789,8 +798,10 @@ def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
     Exact integer hop counts; per round one edges⋈frontier join + one
     min-agg, co-partitioned on the node key; the distance frame is
     EAGER-checkpointed per round (it feeds the union AND the join —
-    the 2^rounds lineage lesson). Output: (node, hops INT; -1 =
-    unreached within iters).
+    the 2^rounds lineage lesson). ``broadcast_frontier=True``
+    broadcasts the settled-distance frame into the per-round edge join
+    (the dimension-sized-node-set plan — one shuffle per round instead
+    of two). Output: (node, hops INT; -1 = unreached within iters).
     """
     if on_unconverged not in ("warn", "raise"):
         raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
@@ -819,8 +830,9 @@ def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
 
     prev = fingerprint(dist)
     converged = False
+    _maybe_b = F.broadcast if broadcast_frontier else (lambda df: df)
     for _ in range(iters):
-        nxt = (dist.join(e, dist["node"] == e["src"])
+        nxt = (_maybe_b(dist).join(e, dist["node"] == e["src"])
                .select(F.col("dst").alias("node"),
                        (F.col("hops") + 1).cast("int").alias("hops")))
         dist = (dist.union(nxt).groupBy("node")
@@ -850,7 +862,8 @@ def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
 def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
                          iters: int = 8, src_col: str = "src",
                          dst_col: str = "dst", directed: bool = False,
-                         on_unconverged: str = "warn") -> DataFrame:
+                         on_unconverged: str = "warn",
+                         broadcast_frontier: bool = False) -> DataFrame:
     """Closeness and harmonic centrality per seed node — "how near is
     everyone" (facility placement, influence ranking, the complement
     of PageRank's "who links to whom"): closeness = (reached−1)/Σd
@@ -867,6 +880,10 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
     bfs_hops contract); even an unconverged exit matches the oracle
     exactly (both sides run the identical fixed recursion — the
     warning is about RADIUS coverage, not parity).
+    ``broadcast_frontier=True`` broadcasts the (seed, node, h) state
+    into the per-round edge join — right when |seeds|·|nodes| is
+    dimension-sized (the nations gate), wrong for sampled-seed runs
+    over web-scale graphs.
 
     Exactness: hop counts are integers; closeness takes ONE float
     division under round-6; harmonic folds round(1/d, 9) terms in
@@ -906,8 +923,9 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
 
     prev = fingerprint(dist)
     converged = False
+    _maybe_b = F.broadcast if broadcast_frontier else (lambda df: df)
     for _ in range(iters):
-        nxt = (dist.join(e, dist["node"] == e["src"])
+        nxt = (_maybe_b(dist).join(e, dist["node"] == e["src"])
                .select("seed", F.col("dst").alias("node"),
                        (F.col("h") + 1).cast("int").alias("h")))
         dist = (dist.union(nxt).groupBy("seed", "node")
@@ -945,7 +963,8 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
 def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,
                    src_col: str = "src", dst_col: str = "dst",
                    weight_col: str = "w", directed: bool = True,
-                   on_unconverged: str = "warn") -> DataFrame:
+                   on_unconverged: str = "warn",
+                   broadcast_frontier: bool = False) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (breadth-synchronous
     Bellman-Ford): minimum total edge weight from any source to each
     node — the cost-aware generalization of ``bfs_hops`` (routing
@@ -966,8 +985,9 @@ def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,
 
     Per round one edges⋈frontier join + one min-agg, co-partitioned on
     the node key; the distance frame is EAGER-checkpointed per round
-    (it feeds the union AND the join). Output: (node, dist LONG; -1 =
-    unreached within iters).
+    (it feeds the union AND the join); ``broadcast_frontier=True``
+    broadcasts it into that join (the bfs_hops knob). Output: (node,
+    dist LONG; -1 = unreached within iters).
     """
     if on_unconverged not in ("warn", "raise"):
         raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
@@ -1006,8 +1026,9 @@ def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,
 
     prev = fingerprint(dist)
     converged = False
+    _maybe_b = F.broadcast if broadcast_frontier else (lambda df: df)
     for _ in range(iters):
-        nxt = (dist.join(e, dist["node"] == e["src"])
+        nxt = (_maybe_b(dist).join(e, dist["node"] == e["src"])
                .select(F.col("dst").alias("node"),
                        (F.col("dist") + F.col("w")).cast("long")
                        .alias("dist")))

@@ -338,3 +338,95 @@ def adc_scan(enc: DataFrame, qids: list, q_id_type, *,
             })
 
     return src.mapInPandas(fn, schema)
+
+
+# ------------------------------------------- SQ8 / BQ integer-exact twins
+#
+# The scalar-quantization and binary-quantization scans are pure
+# integer arithmetic (sum of squared code deltas; popcount of XOR), so
+# their numpy twins are exact by construction — no fold-order or
+# rounding considerations at all. The encodes use only exact IEEE ops
+# (mul/div/add/floor, same order) and bit shifts.
+
+def encode_sq8(df: DataFrame, mins, maxs, *, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               out_col: str = "codes") -> DataFrame:
+    """Arrow twin of ``sq8_encode_col``:
+    clamp(floor((x−mn)·255/(mx−mn) + 0.5), 0, 255); degenerate dims
+    (mx == mn) encode 0. Exact IEEE ops in the identical order."""
+    from .similarity import as_double_array
+
+    e = df.select(F.col(id_col).alias("vec_id"),
+                  as_double_array(F.col(vec_col)).alias("vec"))
+    id_t = e.schema["vec_id"].dataType
+    schema = T.StructType([
+        T.StructField("vec_id", id_t),
+        T.StructField(out_col, T.ArrayType(T.IntegerType())),
+    ])
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxs, dtype=np.float64)
+    ok = mx > mn
+    span = np.where(ok, mx - mn, 1.0)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _vec_matrix(pdf["vec"])
+            raw = np.floor((X - mn) * 255.0 / span + 0.5)
+            codes = np.clip(raw, 0, 255).astype(np.int32)
+            codes[:, ~ok] = 0
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values,
+                                out_col: list(codes)})
+
+    return e.mapInPandas(fn, schema)
+
+
+def sq8_codes_np(qv: np.ndarray, mins, maxs) -> np.ndarray:
+    """Driver-side ``sq8_encode_col`` over collected query vectors."""
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxs, dtype=np.float64)
+    ok = mx > mn
+    span = np.where(ok, mx - mn, 1.0)
+    codes = np.clip(np.floor((qv - mn) * 255.0 / span + 0.5), 0, 255) \
+        .astype(np.int64)
+    codes[:, ~ok] = 0
+    return codes
+
+
+def int_scan(table: DataFrame, qids: list, qmat: np.ndarray, q_id_type,
+             *, code_col: str, out_col: str, metric: str) -> DataFrame:
+    """Arrow twin of the SQ8 integer crossJoin scan: for every table
+    row and query emit (query_id, vec_id, dist) — sum of squared code
+    deltas, exact integer arithmetic in any order. (A Hamming twin was
+    measured and REVERTED: bit packing + popcount are cheap enough in
+    the JVM that the Python stage costs more than it saves.)"""
+    id_t = table.schema["vec_id"].dataType
+    schema = T.StructType([
+        T.StructField("query_id", q_id_type),
+        T.StructField("vec_id", id_t),
+        T.StructField(out_col, T.LongType()),
+    ])
+    qids_arr = np.array(qids, dtype=object)
+    nq = qmat.shape[0]
+
+    def _dist(C: np.ndarray) -> np.ndarray:
+        assert metric == "sq8", metric
+        d = C[None, :, :].astype(np.int64) - qmat[:, None, :]
+        return np.sum(d * d, axis=2)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(c) for c in pdf[code_col]],
+                         dtype=np.int64)
+            vids = pdf["vec_id"].values
+            d = _dist(C)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_arr, C.shape[0]),
+                "vec_id": np.tile(vids, nq),
+                out_col: d.reshape(-1),
+            })
+
+    return table.select("vec_id", code_col).mapInPandas(fn, schema)

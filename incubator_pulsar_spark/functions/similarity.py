@@ -2438,7 +2438,10 @@ def binarize_embeddings(df: DataFrame, *, id_col: str = "vec_id",
                         out_col: str = "sig") -> DataFrame:
     """(id, sig: array<long>) — bit j of word w set iff
     vec[w*64 + j] > threshold. Map-only JVM column expressions
-    (transform-with-index + shiftleft + bitwise OR fold); no Python."""
+    (transform-with-index + shiftleft + bitwise OR fold); no Python.
+    (Measured r13: the Arrow twin LOST here — bit packing is cheap
+    enough that the Python stage costs more than it saves; see
+    OPTIMIZATION_r13.md.)"""
     n_words = (dim + 63) // 64
     v = as_double_array(F.col(vec_col))
     words = []
@@ -2674,6 +2677,24 @@ def sq8_encode_col(vec: Column, mins: Column, maxs: Column) -> Column:
         ).otherwise(F.lit(0).cast("int")))
 
 
+def _sq8_encode_df(df: DataFrame, mins, maxs, *, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(vec_id, codes) under the frozen grid — Arrow kernel by default
+    (``pq_arrow.encode_sq8``, exact same IEEE ops), the broadcast-grid
+    fold expression under ``SPARK_GRAFT_PQ_KERNEL=fold``."""
+    if _pq_kernel() == "arrow":
+        from . import pq_arrow
+
+        return pq_arrow.encode_sq8(df, mins, maxs, id_col=id_col,
+                                   vec_col=vec_col)
+    return _sq8_attach_grid(
+        df.select(F.col(id_col).alias("vec_id"),
+                  as_double_array(F.col(vec_col)).alias("_v")),
+        mins, maxs
+    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
+                                      F.col("_sq_maxs")).alias("codes"))
+
+
 def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
              dim: int, train: tuple[list[float], list[float]] | None = None,
              refine: int | None = None,
@@ -2687,12 +2708,8 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10, *,
     if train is None:
         train = sq8_train(embeddings, dim=dim, vec_col=vec_col)
     mins, maxs = train
-    e = _sq8_attach_grid(
-        ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("vec_id"),
-            as_double_array(F.col(vec_col)).alias("_v")), mins, maxs
-    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
-                                      F.col("_sq_maxs")).alias("codes"))
+    e = _sq8_encode_df(ensure_parallelism(embeddings), mins, maxs,
+                       id_col=id_col, vec_col=vec_col)
     vecs = None
     if refine is not None:
         vecs = embeddings.select(F.col(id_col).alias("vec_id"),
@@ -2714,19 +2731,38 @@ def _sq8_rank(codes_table: DataFrame, queries: DataFrame, k: int, *,
     mins, maxs = train
     if queries_raw is None:
         queries_raw = queries
-    q = _sq8_attach_grid(
-        queries.select(F.col(query_id_col).alias("query_id"),
-                       as_double_array(F.col(query_vec_col)).alias("_qv")),
-        mins, maxs
-    ).select("query_id", sq8_encode_col(F.col("_qv"), F.col("_sq_mins"),
-                                        F.col("_sq_maxs")).alias("qcodes"))
-    scored = codes_table.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id",
-        F.aggregate(
-            F.zip_with(F.col("codes"), F.col("qcodes"),
-                       lambda a, b: ((a - b) * (a - b)).cast("long")),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        .alias("sq8_dist"))
+    if _pq_kernel() == "arrow":
+        import numpy as _np
+
+        from . import pq_arrow
+
+        qrows = (queries.select(F.col(query_id_col).alias("query_id"),
+                                as_double_array(F.col(query_vec_col))
+                                .alias("_qv")).collect())
+        qv = _np.array([[float(x) for x in r["_qv"]] for r in qrows],
+                       dtype=_np.float64)
+        qcodes = (pq_arrow.sq8_codes_np(qv, mins, maxs) if len(qrows)
+                  else _np.zeros((0, len(mins)), dtype=_np.int64))
+        scored = pq_arrow.int_scan(
+            codes_table, [r["query_id"] for r in qrows], qcodes,
+            queries.select(F.col(query_id_col).alias("q")).schema["q"]
+            .dataType, code_col="codes", out_col="sq8_dist", metric="sq8")
+    else:
+        q = _sq8_attach_grid(
+            queries.select(F.col(query_id_col).alias("query_id"),
+                           as_double_array(F.col(query_vec_col))
+                           .alias("_qv")),
+            mins, maxs
+        ).select("query_id",
+                 sq8_encode_col(F.col("_qv"), F.col("_sq_mins"),
+                                F.col("_sq_maxs")).alias("qcodes"))
+        scored = codes_table.crossJoin(F.broadcast(q)).select(
+            "query_id", "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("qcodes"),
+                           lambda a, b: ((a - b) * (a - b)).cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("sq8_dist"))
     w = Window.partitionBy("query_id").orderBy("sq8_dist", "vec_id")
     if refine is None:
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -2875,12 +2911,8 @@ def sq8_write_index(embeddings: DataFrame, path: str, *, dim: int,
     import os as _os
 
     mins, maxs = sq8_train(embeddings, dim=dim, vec_col=vec_col)
-    enc = _sq8_attach_grid(
-        ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("vec_id"),
-            as_double_array(F.col(vec_col)).alias("_v")), mins, maxs
-    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
-                                      F.col("_sq_maxs")).alias("codes"))
+    enc = _sq8_encode_df(ensure_parallelism(embeddings), mins, maxs,
+                         id_col=id_col, vec_col=vec_col)
     enc.write.mode("overwrite").parquet(_os.path.join(path, "base"))
     with open(_os.path.join(path, "_sq8_meta.json"), "w") as f:
         _json.dump({"dim": dim, "mins": mins, "maxs": maxs}, f)
@@ -2898,12 +2930,8 @@ def sq8_append_index(embeddings: DataFrame, path: str, *,
 
     with open(_os.path.join(path, "_sq8_meta.json")) as f:
         meta = _json.load(f)
-    enc = _sq8_attach_grid(
-        embeddings.select(F.col(id_col).alias("vec_id"),
-                          as_double_array(F.col(vec_col)).alias("_v")),
-        meta["mins"], meta["maxs"]
-    ).select("vec_id", sq8_encode_col(F.col("_v"), F.col("_sq_mins"),
-                                      F.col("_sq_maxs")).alias("codes"))
+    enc = _sq8_encode_df(embeddings, meta["mins"], meta["maxs"],
+                         id_col=id_col, vec_col=vec_col)
     enc.persist()
     try:
         n = enc.count()

@@ -7300,7 +7300,7 @@ def kcore_nations(spark, sf_dir):
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
-    return graph.kcore(edges, k=3, iters=6)
+    return graph.kcore(edges, k=3, iters=6, broadcast_alive=True)
 
 
 def _kcore_sql(k: int = 3, iters: int = 6, top: int = 2) -> str:
@@ -7580,7 +7580,8 @@ def connected_components_nations(spark, sf_dir):
         .filter(F.col("doc_a") != F.col("doc_b"))
     nodes = (edges.select(F.col("src").alias("doc_id"))
              .union(edges.select(F.col("dst").alias("doc_id"))).distinct())
-    out = fuzzy.connected_components(und, all_ids=nodes)
+    out = fuzzy.connected_components(und, all_ids=nodes,
+                                     broadcast_labels=True)
     return out.select(F.col("id").alias("node"), "cluster")
 
 
@@ -7820,7 +7821,8 @@ def bfs_hops_nations(spark, sf_dir):
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
-    return graph.bfs_hops(edges, ["ALGERIA"], iters=8)
+    return graph.bfs_hops(edges, ["ALGERIA"], iters=8,
+                          broadcast_frontier=True)
 
 
 def _bfs_hops_sql(iters: int = 8, top: int = 2,
@@ -7867,7 +7869,8 @@ def shortest_paths_nations(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("_c"))
              .select("src", "dst",
                      F.expr("CAST(1 + 10000 DIV _c AS LONG)").alias("w")))
-    return graph.shortest_paths(edges, ["CHINA"], iters=6)
+    return graph.shortest_paths(edges, ["CHINA"], iters=6,
+                                broadcast_frontier=True)
 
 
 def _shortest_paths_sql(iters: int = 6, seed: str = "CHINA") -> str:
@@ -8239,7 +8242,8 @@ def centrality_nations(spark, sf_dir):
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
-    return graph.closeness_centrality(edges, iters=8)
+    return graph.closeness_centrality(edges, iters=8,
+                                       broadcast_frontier=True)
 
 
 def _centrality_sql(iters: int = 8, top: int = 2) -> str:

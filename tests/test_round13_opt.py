@@ -121,3 +121,13 @@ def test_round_spark_twin():
             df.select(F.round(F.col("x"), 6)).collect()]
     got = list(round_spark(np.array(vals), 6))
     assert got == want
+
+
+def test_sq8_parity(emb):
+    """SQ8 arrow scan + encode == the fold expression forms."""
+    a, b = _both(lambda: S.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec")),
+        k=10, dim=64, refine=50))
+    assert a == b and len(a) > 0
