@@ -746,8 +746,16 @@ def minhash_jaccard_estimate(docs: DataFrame, *, id_col: str = "doc_id",
         candidates = lsh_candidate_pairs(docs, id_col=id_col,
                                          text_col=text_col, k=k,
                                          num_hashes=num_hashes, bands=bands)
+    # the candidate pair table feeds THREE lazy branches (the estimate
+    # join, jaccard_pairs' doc prune, and its pair-stream restriction)
+    # and the signature table feeds two (both join sides) — without a
+    # checkpoint each branch re-runs the full shingle→signature→band
+    # chain (the assoc_rules DAG-fan-out lesson; audited 21 shuffles /
+    # 29 scans before, r13). Both tables are tiny (pairs; 16 ints/doc).
+    candidates = candidates.localCheckpoint(eager=True)
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col,
-                              k=k, num_hashes=num_hashes)
+                              k=k, num_hashes=num_hashes) \
+        .localCheckpoint(eager=True)
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"),
                         *[F.col(f"sig_{i}").alias(f"_a{i}")
                           for i in range(num_hashes)])

@@ -114,14 +114,7 @@ def cosine_rows(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Round-9 cosine of every row of X against every row of C with
     the fold path's exact zero-norm rule — the ``_cell_scores`` twin.
     Norms are sequential folds on both sides."""
-    nx = np.sqrt(_seq_self_dot(X))
-    nc = np.array([np.sqrt(_seq_dot_scalar(c)) for c in C])
-    dots = seq_dot_many(X, C)
-    den = nx[:, None] * nc[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cos = dots / den
-    cos = np.where((nx[:, None] > 0) & (nc[None, :] > 0), cos, 0.0)
-    return round_spark(cos, 9)
+    return round_spark(_cosine_raw(X, C), 9)
 
 
 def np_rotate(X: np.ndarray, rotation) -> np.ndarray:
@@ -430,3 +423,53 @@ def int_scan(table: DataFrame, qids: list, qmat: np.ndarray, q_id_type,
             })
 
     return table.select("vec_id", code_col).mapInPandas(fn, schema)
+
+
+def _cosine_raw(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Unrounded cosine matrix with the fold path's zero-norm rule —
+    the shared core of ``cosine_rows`` (round-9) and the kmeans final
+    similarity (round-6 of the RAW cosine, not of the round-9)."""
+    nx = np.sqrt(_seq_self_dot(X))
+    nc = np.array([np.sqrt(_seq_dot_scalar(c)) for c in C])
+    dots = seq_dot_many(X, C)
+    den = nx[:, None] * nc[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / den
+    return np.where((nx[:, None] > 0) & (nc[None, :] > 0), cos, 0.0)
+
+
+def assign_clusters(df: DataFrame, cents: list, *, id_col: str,
+                    vec_col: str, final_sim: bool = False) -> DataFrame:
+    """Arrow twin of the ``_attach_centroids`` + ``_nearest_cell``
+    assignment pass (argmax of round-9 cosine, first-max tie): emits
+    (id, cluster, vec) for the Lloyd iteration, or (id, cluster,
+    cosine_sim) with the round-6 RAW cosine to the assigned centroid
+    for the kmeans output tail."""
+    id_t = df.schema[id_col].dataType
+    fields = [T.StructField(id_col, id_t),
+              T.StructField("cluster", T.IntegerType())]
+    if final_sim:
+        fields.append(T.StructField("cosine_sim", T.DoubleType()))
+    else:
+        fields.append(T.StructField(vec_col,
+                                    T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
+    C = np.asarray(cents, dtype=np.float64)
+    src = df.select(id_col, vec_col)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _vec_matrix(pdf[vec_col])
+            raw = _cosine_raw(X, C)
+            cl = np.argmax(round_spark(raw, 9), axis=1).astype(np.int32)
+            out = {id_col: pdf[id_col].values, "cluster": cl}
+            if final_sim:
+                out["cosine_sim"] = round_spark(
+                    raw[np.arange(len(cl)), cl], 6)
+            else:
+                out[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema)

@@ -1125,10 +1125,17 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8, n_iter: int = 2, *,
     base = embeddings.select(F.col(id_col),
                              as_double_array(F.col(vec_col)).alias("__v"))
     dim = len(cents[0])
+    use_arrow = _pq_kernel() == "arrow"
+    if use_arrow:
+        from . import pq_arrow
     for _ in range(n_iter):
-        a = (_attach_centroids(base, cents)
-             .withColumn("cluster", _nearest_cell(F.col("__v")))
-             .drop("_cents"))
+        if use_arrow:
+            a = pq_arrow.assign_clusters(base, cents, id_col=id_col,
+                                         vec_col="__v")
+        else:
+            a = (_attach_centroids(base, cents)
+                 .withColumn("cluster", _nearest_cell(F.col("__v")))
+                 .drop("_cents"))
         m = (a.select("cluster", F.posexplode("__v").alias("d", "x"))
              .groupBy("cluster", "d")
              .agg(F.round(
@@ -1142,6 +1149,9 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8, n_iter: int = 2, *,
             [means[c][d] for d in range(dim)] if c in means else cents[c]
             for c in range(k)
         ]
+    if use_arrow:
+        return pq_arrow.assign_clusters(base, cents, id_col=id_col,
+                                        vec_col="__v", final_sim=True)
     out = (_attach_centroids(base, cents)
            .withColumn("cluster", _nearest_cell(F.col("__v"))))
     final_c = F.col("_cents")[F.col("cluster")]

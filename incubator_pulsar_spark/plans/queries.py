@@ -155,17 +155,20 @@ def _stream_shuffle_partitions(spark, n_keys: int) -> int:
     disabled inside stateful streaming queries, so every micro-batch
     otherwise pays ``spark.sql.shuffle.partitions`` state-store
     instances + tasks regardless of key count — the measured fixed
-    cost of the replay gates). Sized at ~256 keys per state partition
-    (measured sf0.1 sweet spot: 5-key TWAP best ≤4, ~2k-user entropy
-    best ~8), clamped to [4, defaultParallelism] so a 100 TB keyspace
-    still fans out to the whole cluster while a 5-key local stream
-    stops paying 32 empty state commits per batch.
+    cost of the replay gates). Sized at ~128 keys per state partition
+    with a floor of 8 (measured sf0.1: 5-key TWAP is flat 4→8; the
+    ~1.5k-user python-state-heavy gates degrade below ~8 because the
+    per-group Arrow work loses parallelism — entropy 8.5 s at 2 vs
+    5.7 s at 8, scd2 16.5 s at 6 vs ~13 s at 8–16), clamped to
+    [8, defaultParallelism] so a 100 TB keyspace still fans out to the
+    whole cluster while a 5-key local stream stops paying 24 empty
+    state commits per batch.
     ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for cluster tuning."""
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if env:
         return max(1, int(env))
     dp = spark.sparkContext.defaultParallelism
-    return max(4, min(dp, -(-int(n_keys) // 256)))
+    return max(8, min(dp, -(-int(n_keys) // 128)))
 
 
 def _run_stream_gate(spark, out, sink: str, ck: str, parts: int) -> None:

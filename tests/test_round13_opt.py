@@ -131,3 +131,9 @@ def test_sq8_parity(emb):
                 F.col("embedding").alias("query_vec")),
         k=10, dim=64, refine=50))
     assert a == b and len(a) > 0
+
+
+def test_kmeans_parity(emb):
+    """kmeans arrow assignment == the fold expression assignment."""
+    a, b = _both(lambda: S.kmeans_embeddings(emb, k=4, n_iter=2))
+    assert a == b and len(a) > 0
