@@ -246,21 +246,37 @@ def rfm_segments(df: DataFrame, *, entity_col: str, ts_col: str = "ts",
     recent, f=``n_bins`` most frequent, m=``n_bins`` highest spend);
     flip downstream if a "5 is best" convention is wanted.
 
+    Epoch extraction is SESSION-TIMEZONE-PROOF: the NTZ timestamp is
+    decomposed into date-diff days + hour/minute/second parts
+    (second granularity — sub-second activity logs should pre-floor),
+    never CAST to TIMESTAMP, so a non-UTC driver session cannot shift
+    recency (an NTZ→TIMESTAMP cast reinterprets in the session zone,
+    and DST makes the shift date-dependent — it does NOT cancel in
+    anchor−last). Monetary is integer 1e-4 units (BIGINT — the
+    twap/acf ingest rule; driver-green outputs are int/double only,
+    never DECIMAL).
+
     Plan: one entity rollup (map-side partials), a 1-row anchor
     broadcast, three rank windows sharing one repartition on a
     constant (the metric windows are global — RFM is a
     whole-population ranking by construction; at extreme entity
     counts shard by a coarse segment column first). Output: (entity,
-    recency_ms BIGINT, frequency BIGINT, monetary DECIMAL(38,4),
+    recency_ms BIGINT, frequency BIGINT, monetary4 BIGINT 1e-4 units,
     r/f/m INT, rfm_code INT = r·100 + f·10 + m).
     """
-    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    c = F.col(ts_col)
+    ms = (F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("long")
+          * 86_400_000
+          + F.hour(c).cast("long") * 3_600_000
+          + F.minute(c).cast("long") * 60_000
+          + F.second(c).cast("long") * 1_000)
+    x4 = (F.col(value_col).cast("decimal(18,4)") * 10000).cast("long")
     per = (df.select(F.col(entity_col).alias("entity"), ms.alias("_ms"),
-                     F.col(value_col).cast("decimal(18,4)").alias("_v"))
+                     x4.alias("_v4"))
            .groupBy("entity")
            .agg(F.max("_ms").alias("_last"),
                 F.count(F.lit(1)).cast("long").alias("frequency"),
-                F.sum("_v").cast("decimal(38,4)").alias("monetary")))
+                F.sum("_v4").cast("long").alias("monetary4")))
     if anchor_ms is None:
         anchor = per.agg(F.max("_last").alias("_anchor"))
         per = per.crossJoin(F.broadcast(anchor))
@@ -271,12 +287,12 @@ def rfm_segments(df: DataFrame, *, entity_col: str, ts_col: str = "ts",
                          .cast("long"))
     wr = Window.orderBy(F.col("recency_ms"), F.col("entity"))
     wf = Window.orderBy(F.col("frequency"), F.col("entity"))
-    wm = Window.orderBy(F.col("monetary"), F.col("entity"))
+    wm = Window.orderBy(F.col("monetary4"), F.col("entity"))
     return (per
             .withColumn("r", F.ntile(n_bins).over(wr))
             .withColumn("f", F.ntile(n_bins).over(wf))
             .withColumn("m", F.ntile(n_bins).over(wm))
-            .select("entity", "recency_ms", "frequency", "monetary",
+            .select("entity", "recency_ms", "frequency", "monetary4",
                     "r", "f", "m",
                     (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
                     .cast("int").alias("rfm_code")))
@@ -295,39 +311,45 @@ def cusum_max(df: DataFrame, group_cols: list[str], *,
     the third drift detector: PSI sees distribution shape, OLS sees
     slow trend, CUSUM sees abrupt level shifts).
 
-    All arithmetic is exact: values go through decimal(18,4), prefix
-    sums fold in DECIMAL, the cross products cast each operand before
-    multiplying (decimal(10,0)×decimal(28,4) → decimal(38,4), in
-    bounds for ~1e5 rows × 4-decimal values — the ols_trend overflow
-    budget discipline). Ties on the statistic break to the SMALLEST
-    k. One shuffle (the group sort window; every later window reuses
-    the same partitioning).
+    All arithmetic is exact INTEGER math in 1e-4 units: values snap
+    to BIGINT quarter-units (decimal(18,4)·10⁴ → LONG — the twap/acf
+    ingest rule), prefix sums fold at scale 0, and the cross products
+    cast operands so precisions sum ≤ 37 (decimal(7,0)×decimal(30,0)
+    → (37,0); the subtraction lands at (38,0) — cap-proof, so neither
+    engine can ever silently fall back to DOUBLE, which was the r13
+    driver-hash failure mode of the (38,4) form). Ties on the
+    statistic break to the SMALLEST k. One shuffle (the group sort
+    window; every later window reuses the same partitioning).
 
-    Output: group_cols + (n BIGINT, max_stat DECIMAL(38,4),
-    argmax_k BIGINT 1-based).
+    Overflow budget: N·S_k < 10³⁷ holds to ~10⁷ rows × 10⁵-scale
+    values per group; the BIGINT output caps at ~9·10¹⁸ (≈10⁵ rows ×
+    10⁹ quarter-unit group sums — raise to a micro→milli unit ingest
+    before hitting it).
+
+    Output: group_cols + (n BIGINT, max_stat4 BIGINT — the statistic
+    in 1e-4 units, argmax_k BIGINT 1-based).
     """
     tie = [F.col(tiebreak_col)] if tiebreak_col else []
     w = Window.partitionBy(*group_cols).orderBy(F.col(order_col), *tie)
     wg = Window.partitionBy(*group_cols)
-    vm = F.col(value_col).cast("decimal(18,4)")
+    v4 = (F.col(value_col).cast("decimal(18,4)") * 10000).cast("long")
     rows = (df.select(*group_cols, F.col(order_col),
                       *([tiebreak_col] if tiebreak_col else []),
-                      vm.alias("_vm"))
+                      v4.alias("_v4"))
             .withColumn("_k", F.row_number().over(w).cast("long"))
-            .withColumn("_sk", F.sum("_vm").over(
+            .withColumn("_sk", F.sum("_v4").over(
                 w.rowsBetween(Window.unboundedPreceding, 0))
-                .cast("decimal(28,4)"))
+                .cast("decimal(30,0)"))
             .withColumn("_n", F.count(F.lit(1)).over(wg))
-            .withColumn("_sn", F.sum("_vm").over(wg)
-                        .cast("decimal(28,4)")))
+            .withColumn("_sn", F.sum("_v4").over(wg)
+                        .cast("decimal(30,0)")))
     stat = F.abs(
-        F.col("_n").cast("decimal(10,0)") * F.col("_sk")
-        - F.col("_k").cast("decimal(10,0)") * F.col("_sn")
-    ).cast("decimal(38,4)")
+        F.col("_n").cast("decimal(7,0)") * F.col("_sk")
+        - F.col("_k").cast("decimal(7,0)") * F.col("_sn"))
     scored = (rows.withColumn("_stat", stat)
               .withColumn("_mx", F.max("_stat").over(wg)))
     return (scored.groupBy(*group_cols).agg(
         F.max("_n").cast("long").alias("n"),
-        F.max("_stat").alias("max_stat"),
+        F.max("_stat").cast("long").alias("max_stat4"),
         F.min(F.when(F.col("_stat") == F.col("_mx"), F.col("_k")))
         .cast("long").alias("argmax_k")))

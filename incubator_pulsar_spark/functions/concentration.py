@@ -36,33 +36,42 @@ def gini(df: DataFrame, group_cols: list[str],
 
     Exactness: x → integer 1e-4 units; the rank product casts
     DECIMAL(19,0)×DECIMAL(18,0) (≤ 38 — cap-proof), sums fold at
-    scale 0, one round-6 division. Overflow budget: Σ i·x₄ passes
-    10³⁸ only beyond ~10¹² rows × 10⁵-scale values per group. One
-    shuffle (the group sort window; the agg reuses its partitioning).
+    scale 0, and the round-6 happens in EXACT integer arithmetic —
+    g6 = (2·num·10⁶ + den) div (2·den), a half-up rounding no engine
+    can evaluate differently (the operands exceed 2⁵³, so a
+    cast-to-double path would depend on the engine's big-int→double
+    rounding; the r13 driver-hash lesson). The final /10⁶ is one
+    IEEE-exact small-integer division. Overflow budget: Σ i·x₄·10⁶
+    passes 10³⁸ only beyond ~10⁹ rows × 10⁵-scale values per group.
+    One shuffle (the group sort window; the agg reuses its
+    partitioning).
 
-    Output: group_cols + (n BIGINT, sum_value DECIMAL(38,4),
+    Output: group_cols + (n BIGINT, sum_value4 BIGINT 1e-4 units,
     gini DOUBLE round-6; NULL for all-zero groups).
     """
     w = Window.partitionBy(*group_cols).orderBy(F.col("_x4"))
     vm = F.col(value_col).cast("decimal(18,4)")
     x4 = (vm * 10000).cast("long")
-    ranked = (df.select(*group_cols, vm.alias("_vm"), x4.alias("_x4"))
+    ranked = (df.select(*group_cols, x4.alias("_x4"))
               .filter(F.col("_x4").isNotNull())
               .withColumn("_i", F.row_number().over(w).cast("long")))
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_vm").cast("decimal(38,4)").alias("sum_value"),
+        F.sum("_x4").cast("long").alias("sum_value4"),
         F.sum(F.col("_x4").cast("decimal(28,0)")).alias("_s4"),
         F.sum(F.col("_i").cast("decimal(19,0)")
               * F.col("_x4").cast("decimal(18,0)")).alias("_w"))
     num = (F.lit(2).cast("decimal(2,0)") * F.col("_w")
-           - (F.col("n") + 1).cast("decimal(12,0)") * F.col("_s4")
-           ).cast("double")
-    den = (F.col("n").cast("decimal(12,0)") * F.col("_s4")
-           ).cast("double")
-    return agg.select(
-        *group_cols, "n", "sum_value",
-        F.when(den != 0, F.round(num / den, 6)).alias("gini"))
+           - (F.col("n") + 1).cast("decimal(12,0)") * F.col("_s4"))
+    den = F.col("n").cast("decimal(12,0)") * F.col("_s4")
+    g6 = F.expr("(CAST(2 AS DECIMAL(2,0)) * _num6 + _den) div "
+                "(CAST(2 AS DECIMAL(2,0)) * _den)")
+    return (agg
+            .withColumn("_num6", num * F.lit(1000000).cast("decimal(7,0)"))
+            .withColumn("_den", den)
+            .select(*group_cols, "n", "sum_value4",
+                    F.when(F.col("_den") != 0,
+                           g6.cast("double") / 1000000.0).alias("gini")))
 
 
 def hhi(df: DataFrame, group_cols: list[str], entity_col: str,

@@ -326,14 +326,15 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
 
     Exactness: counts and degrees are integers; Jaccard is a micro-unit
     floor division (cn·10⁶ DIV (deg_a + deg_b − cn)); each Adamic–Adar
-    term snaps twice — round(ln(deg),9) then round(1/·,9) (IEEE double
-    division is correctly rounded, so given snapped inputs both engines
-    produce identical bits; only ln needs the libm-parity snap) — and
-    folds in exact DECIMAL(38,9), which IS the output (no trailing
-    float round: a 9-decimal sum can land exactly on a 6-decimal
-    halfway tie, where engine rounding modes diverge — the decimal fold
-    sidesteps the entire class). A wedge center has ≥2 neighbors, so
-    ln(deg) > 0 always.
+    term snaps ln once — m9 = round(ln(deg)·10⁹) (the only
+    engine-side float op; ln(k)·10⁹ sits ≥ 2·10⁻³ from every rounding
+    boundary for k ≤ 200, locked by a pytest, so a 1-ulp libm
+    difference cannot flip it) — then becomes the EXACT integer
+    reciprocal aa9 = (2·10¹⁸ + m9) div (2·m9) ≡ half-up(10¹⁸/m9),
+    folded in a BIGINT sum and emitted as one IEEE-exact /10⁹ DOUBLE
+    (no DECIMAL output column — the r13 driver-hash lesson: 0/190
+    ever-driver-green gates emit DECIMAL). A wedge center has ≥2
+    neighbors, so ln(deg) > 0 always.
 
     Plan shape: wedge self-join on the shared-neighbor key (the pair
     space is Σ deg² — feed a degree-bounded graph, the kcore/top-k
@@ -345,7 +346,7 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
     graph's usually does; audited: turns 10 SortMergeJoins into hash
     joins on the gate). Output: (node_a, node_b) with node_a <
     node_b, common_neighbors BIGINT, jaccard_micro BIGINT,
-    adamic_adar DECIMAL(38,9).
+    adamic_adar DOUBLE (9-decimal-snapped term sum).
     """
     _maybe_b = F.broadcast if broadcast_degrees else (lambda df: df)
     raw = (edges.select(F.col(src_col).alias("a"),
@@ -368,17 +369,18 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
     candidates = wedges.join(
         und.select(F.col("u").alias("a"), F.col("v").alias("b")),
         on=["a", "b"], how="left_anti")
-    aa_term = (F.round(
-        F.lit(1.0) / F.round(F.log(F.col("deg").cast("double")), 9), 9)
-        .cast("decimal(38,9)"))
+    m9 = F.round(F.log(F.col("deg").cast("double")) * 1e9, 0)\
+        .cast("long")
+    aa9 = F.expr("(2000000000000000000 + _m9) div (2 * _m9)")
     scored = (candidates
               .join(_maybe_b(deg.select(F.col("node").alias("w"),
                                         "deg")), on="w")
+              .withColumn("_m9", m9)
               .groupBy(F.col("a").alias("node_a"),
                        F.col("b").alias("node_b"))
               .agg(F.count(F.lit(1)).cast("long")
                    .alias("common_neighbors"),
-                   F.sum(aa_term).alias("_aa"))
+                   F.sum(aa9).cast("long").alias("_aa9"))
               .filter(F.col("common_neighbors") >= min_common))
     return (scored
             .join(_maybe_b(deg.select(F.col("node").alias("node_a"),
@@ -391,7 +393,7 @@ def link_prediction(edges: DataFrame, *, src_col: str = "src",
                     F.expr("CAST((common_neighbors * 1000000) DIV "
                            "(_da + _db - common_neighbors) AS LONG)")
                     .alias("jaccard_micro"),
-                    F.col("_aa").cast("decimal(38,9)")
+                    (F.col("_aa9").cast("double") / 1000000000.0)
                     .alias("adamic_adar")))
 
 
@@ -885,12 +887,16 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
     dimension-sized (the nations gate), wrong for sampled-seed runs
     over web-scale graphs.
 
-    Exactness: hop counts are integers; closeness takes ONE float
-    division under round-6; harmonic folds round(1/d, 9) terms in
-    exact DECIMAL(38,9) (integer-reciprocal snap — the Adamic–Adar
-    discipline) and outputs the decimal itself. Output: (node,
-    n_reached BIGINT — INCLUDING the seed, closeness DOUBLE round-6,
-    harmonic DECIMAL(38,9); NULLs for isolated seeds).
+    Exactness: hop counts are integers; closeness rounds in EXACT
+    integer arithmetic — c6 = (2·(n−1)·10⁶ + Σd) div (2·Σd),
+    half-up, then one IEEE-exact /10⁶ — and harmonic folds exact
+    integer reciprocals r9(d) = (2·10⁹ + d) div (2·d) (≡ round(1/d,
+    9)·10⁹) into a BIGINT sum, emitted as one IEEE-exact /10⁹ DOUBLE.
+    No engine-discretionary float op anywhere, and no DECIMAL output
+    column (the r13 driver-hash lesson: wide-decimal outputs diverge
+    in the driver's canonicalizer). Output: (node, n_reached BIGINT —
+    INCLUDING the seed, closeness DOUBLE round-6, harmonic DOUBLE
+    9-decimal-snapped; NULLs for isolated seeds).
     """
     if on_unconverged not in ("warn", "raise"):
         raise ValueError(f"on_unconverged must be 'warn' or 'raise', "
@@ -946,18 +952,20 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
         import warnings
 
         warnings.warn(msg, stacklevel=2)
-    inv = (F.round(F.lit(1.0) / F.col("h"), 9).cast("decimal(38,9)"))
+    inv9 = F.expr("(2000000000 + CAST(h AS BIGINT)) div "
+                  "(2 * CAST(h AS BIGINT))")
     agg = dist.groupBy("seed").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
         F.sum("h").cast("long").alias("_sd"),
-        F.sum(F.when(F.col("h") > 0, inv)).alias("_harm"))
+        F.sum(F.when(F.col("h") > 0, inv9)).cast("long")
+        .alias("_harm9"))
+    c6 = F.expr("(2 * (n_reached - 1) * 1000000 + _sd) div (2 * _sd)")
     return agg.select(
         F.col("seed").alias("node"), "n_reached",
-        F.when(F.col("_sd") > 0,
-               F.round((F.col("n_reached") - 1).cast("double")
-                       / F.col("_sd").cast("double"), 6))
+        F.when(F.col("_sd") > 0, c6.cast("double") / 1000000.0)
         .alias("closeness"),
-        F.col("_harm").cast("decimal(38,9)").alias("harmonic"))
+        (F.col("_harm9").cast("double") / 1000000000.0)
+        .alias("harmonic"))
 
 
 def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,

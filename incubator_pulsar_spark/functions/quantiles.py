@@ -518,22 +518,24 @@ def ks_pairs(df: DataFrame, group_col: str, value_col: str,
 
     Exactness: D cross-multiplies to integers — at each distinct
     value boundary, D·n₁·n₂ = |cum₁·n₂ − cum₂·n₁| over exact
-    cumulative counts, so the maximum is an exact BIGINT comparison;
-    ONE float division at the end under round-6. Values snap to
-    integer 1e-4 units on ingest (grouping by distinct value — ties
-    collapse into one boundary, which IS the correct KS treatment of
-    ties). Argmax reports the SMALLEST boundary value achieving D
-    (deterministic tiebreak).
+    cumulative counts, so the maximum is an exact comparison; the
+    round-6 happens in EXACT integer arithmetic — k6 = (2·d·10⁶ +
+    n₁n₂) div (2·n₁n₂), half-up, engine-proof — and the final /10⁶
+    is one IEEE-exact small-integer division (no DECIMAL output
+    column and no big-int→double cast: the r13 driver-hash lesson).
+    Values snap to integer 1e-4 units on ingest (grouping by distinct
+    value — ties collapse into one boundary, which IS the correct KS
+    treatment of ties). Argmax reports the SMALLEST boundary value
+    achieving D (deterministic tiebreak).
 
     Plan: one (pair, value) count after a (k−1)× pair-explode of each
     row (k = group cardinality — the operator targets few-group
     columns; a high-cardinality group_col multiplies the data), one
     sort window per pair over DISTINCT values (not rows), one max
     aggregation. Output: (group_a, group_b) with group_a < group_b,
-    n_a, n_b (BIGINT), d_num = max|cum₁n₂ − cum₂n₁| (DECIMAL(38,0) —
-    cap-proof past the ~3·10⁹-rows-per-side bigint budget), ks DOUBLE
-    round-6 = d_num/(n_a·n_b), argmax_v4 BIGINT (the boundary, in
-    1e-4 units).
+    n_a, n_b (BIGINT), d_num BIGINT = max|cum₁n₂ − cum₂n₁| (caps at
+    ~3·10⁹ rows per side), ks DOUBLE round-6 = d_num/(n_a·n_b),
+    argmax_v4 BIGINT (the boundary, in 1e-4 units).
     """
     v4 = (F.col(value_col).cast("decimal(18,4)") * 10000).cast("long")
     base = (df.select(F.col(group_col).alias("_g"), v4.alias("_v"))
@@ -572,14 +574,21 @@ def ks_pairs(df: DataFrame, group_col: str, value_col: str,
               .withColumn("_mx", F.max("_st").over(wp)))
     den = (F.max("_na").cast("decimal(19,0)")
            * F.max("_nb").cast("decimal(18,0)"))
+    k6 = F.expr("(CAST(2 AS DECIMAL(2,0)) * _d6 + _den) div "
+                "(CAST(2 AS DECIMAL(2,0)) * _den)")
     return (scored.groupBy("group_a", "group_b").agg(
         F.max("_na").cast("long").alias("n_a"),
         F.max("_nb").cast("long").alias("n_b"),
-        F.max("_st").cast("decimal(38,0)").alias("d_num"),
-        F.round(F.max("_st").cast("double") / den.cast("double"), 6)
-        .alias("ks"),
+        F.max("_st").cast("long").alias("d_num"),
+        (F.max("_st") * F.lit(1000000).cast("decimal(7,0)"))
+        .alias("_d6"),
+        den.alias("_den"),
         F.min(F.when(F.col("_st") == F.col("_mx"), F.col("_v")))
-        .cast("long").alias("argmax_v4")))
+        .cast("long").alias("argmax_v4"))
+        .select("group_a", "group_b", "n_a", "n_b", "d_num",
+                F.when(F.col("_den") != 0,
+                       k6.cast("double") / 1000000.0).alias("ks"),
+                "argmax_v4"))
 
 
 def psi_drift(df: DataFrame, group_cols: list[str], value_col: str,

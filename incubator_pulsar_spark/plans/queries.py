@@ -7774,9 +7774,9 @@ GROUP BY event_type
 def cusum_max_events(spark, sf_dir):
     """CUSUM change-point scan per event type (`behavior.cusum_max`):
     max_k |N·S_k − k·S_N| over ts-ordered prefix sums in exact
-    decimal — the abrupt-level-shift detector beside PSI (shape) and
-    OLS (trend). Ties break to the smallest k; (ts, event_id) is the
-    deterministic order."""
+    integer 1e-4 units — the abrupt-level-shift detector beside PSI
+    (shape) and OLS (trend). Ties break to the smallest k; (ts,
+    event_id) is the deterministic order."""
     from ..functions import behavior
 
     ev = _t(spark, sf_dir, "events")
@@ -7784,29 +7784,35 @@ def cusum_max_events(spark, sf_dir):
                               tiebreak_col="event_id")
 
 
+# all-integer HUGEINT arithmetic over 1e-4 units: no decimal result
+# type can overflow precision 38 (a (38,4)−(38,4) subtraction lands
+# at precision 39, where DuckDB's overflow handling is
+# version-dependent — the r13 driver-hash failure), and the output
+# carries no DECIMAL column (driver-green outputs are int/double
+# only: 0/190 ever-green gates emit DECIMAL, 6/6 r13-red ones did).
 CUSUM_SQL = """
 WITH s AS (
   SELECT event_type,
          row_number() OVER w AS k,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
-              (PARTITION BY event_type ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS sk,
+         SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sk4,
          COUNT(*) OVER (PARTITION BY event_type) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
-              (PARTITION BY event_type) AS DECIMAL(28,4)) AS sn
+         SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+           OVER (PARTITION BY event_type) AS sn4
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
 st AS (
   SELECT event_type, n, k,
-         abs(CAST(n AS DECIMAL(10,0)) * sk
-             - CAST(k AS DECIMAL(10,0)) * sn) AS stat
+         abs(CAST(n AS HUGEINT) * sk4
+             - CAST(k AS HUGEINT) * sn4) AS stat
   FROM s),
 mx AS (
   SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
          MAX(stat) AS max_stat
   FROM st GROUP BY event_type)
 SELECT m.event_type, m.n,
-       CAST(m.max_stat AS DECIMAL(38,4)) AS max_stat,
+       CAST(m.max_stat AS BIGINT) AS max_stat4,
        CAST(MIN(s2.k) AS BIGINT) AS argmax_k
 FROM mx m JOIN st s2
   ON s2.event_type = m.event_type AND s2.stat = m.max_stat
@@ -8240,8 +8246,8 @@ def centrality_nations(spark, sf_dir):
     over the top-2-partner trade graph, ALL nodes as seeds in one
     pair-keyed BFS (the product-graph trick — |V|² pair state is the
     documented budget; sampled seeds at scale). Closeness is one
-    round-6 division; harmonic folds snap-9 integer reciprocals in
-    exact DECIMAL — the disconnected-graph-safe variant."""
+    exact-integer round-6; harmonic folds exact integer snap-9
+    reciprocals — the disconnected-graph-safe variant."""
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
@@ -8271,10 +8277,11 @@ d{t} AS MATERIALIZED (
     parts.append(f"""
 SELECT seed AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
        CASE WHEN SUM(h) > 0 THEN
-         round(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(h) AS DOUBLE), 6)
+         CAST((2 * (COUNT(*) - 1) * 1000000 + SUM(h))
+              // (2 * SUM(h)) AS DOUBLE) / 1000000.0
        END AS closeness,
-       CAST(SUM(CAST(round(1.0 / h, 9) AS DECIMAL(38,9)))
-            FILTER (h > 0) AS DECIMAL(38,9)) AS harmonic
+       CAST(SUM((2000000000 + h) // (2 * h)) FILTER (h > 0)
+            AS DOUBLE) / 1000000000.0 AS harmonic
 FROM d{iters} GROUP BY seed""")
     return "".join(parts)
 
@@ -8386,25 +8393,29 @@ def gini_orders(spark, sf_dir):
     return concentration.gini(j, ["segment"], "o_totalprice")
 
 
+# exact HUGEINT half-up round-6 (num·10⁶ and den exceed 2⁵³, so a
+# cast-to-double path depends on the engine's hugeint→double
+# rounding — version-fragile); no DECIMAL output column (the r13
+# driver-hash lesson). The final /1e6 is IEEE-exact.
 GINI_SQL = """
 WITH s AS (
   SELECT c_mktsegment AS segment,
-         CAST(o_totalprice AS DECIMAL(18,4)) AS vm,
          CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
            AS x4
   FROM orders JOIN customer ON o_custkey = c_custkey),
-r AS (SELECT segment, vm, x4,
+r AS (SELECT segment, x4,
              row_number() OVER (PARTITION BY segment ORDER BY x4) AS i
       FROM s),
 a AS (SELECT segment, COUNT(*) AS n,
-             CAST(SUM(vm) AS DECIMAL(38,4)) AS sum_value,
+             CAST(SUM(x4) AS BIGINT) AS sum_value4,
              SUM(CAST(x4 AS HUGEINT)) AS s4,
              SUM(CAST(i AS HUGEINT) * x4) AS w
       FROM r GROUP BY segment)
-SELECT segment, CAST(n AS BIGINT) AS n, sum_value,
+SELECT segment, CAST(n AS BIGINT) AS n, sum_value4,
        CASE WHEN n * s4 <> 0 THEN
-         round(CAST(2 * w - (n + 1) * s4 AS DOUBLE)
-               / CAST(CAST(n AS HUGEINT) * s4 AS DOUBLE), 6)
+         CAST((2 * (2 * w - (n + 1) * s4) * 1000000
+               + CAST(n AS HUGEINT) * s4)
+              // (2 * CAST(n AS HUGEINT) * s4) AS DOUBLE) / 1000000.0
        END AS gini
 FROM a
 """
@@ -8547,23 +8558,27 @@ def rfm_customers(spark, sf_dir):
                                  value_col="o_totalprice")
 
 
+# monetary in integer 1e-4 units (BIGINT — never a DECIMAL output
+# column, the r13 driver-hash lesson); epoch_ms of the naive
+# TIMESTAMP is timezone-free on DuckDB, matching the Spark side's
+# tz-proof date-part decomposition.
 RFM_SQL = """
 WITH per AS (
   SELECT o_custkey AS entity,
          MAX(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS last_ms,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-              AS DECIMAL(38,4)) AS monetary
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT)) AS BIGINT) AS monetary4
   FROM orders GROUP BY o_custkey),
 a AS (SELECT MAX(last_ms) AS anchor FROM per),
 sc AS (
   SELECT entity, CAST(a.anchor - last_ms AS BIGINT) AS recency_ms,
-         frequency, monetary,
+         frequency, monetary4,
          NTILE(5) OVER (ORDER BY a.anchor - last_ms, entity) AS r,
          NTILE(5) OVER (ORDER BY frequency, entity) AS f,
-         NTILE(5) OVER (ORDER BY monetary, entity) AS m
+         NTILE(5) OVER (ORDER BY monetary4, entity) AS m
   FROM per CROSS JOIN a)
-SELECT entity, recency_ms, frequency, monetary,
+SELECT entity, recency_ms, frequency, monetary4,
        CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
        CAST(m AS INTEGER) AS m,
        CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_code
@@ -8651,10 +8666,10 @@ mx AS (SELECT ga, gb, CAST(MAX(na) AS BIGINT) AS n_a,
               CAST(MAX(nb) AS BIGINT) AS n_b, MAX(s) AS d
        FROM st GROUP BY 1, 2)
 SELECT m.ga AS group_a, m.gb AS group_b, m.n_a, m.n_b,
-       CAST(m.d AS DECIMAL(38,0)) AS d_num,
-       round(CAST(m.d AS DOUBLE)
-             / CAST(CAST(m.n_a AS HUGEINT) * m.n_b AS DOUBLE), 6)
-         AS ks,
+       CAST(m.d AS BIGINT) AS d_num,
+       CAST((2 * m.d * 1000000 + CAST(m.n_a AS HUGEINT) * m.n_b)
+            // (2 * CAST(m.n_a AS HUGEINT) * m.n_b) AS DOUBLE)
+         / 1000000.0 AS ks,
        CAST(MIN(s2.v) AS BIGINT) AS argmax_v4
 FROM mx m JOIN st s2
   ON s2.ga = m.ga AND s2.gb = m.gb AND s2.s = m.d
@@ -8767,8 +8782,8 @@ def link_prediction_nations(spark, sf_dir):
     Adamic–Adar scores for every non-adjacent nation pair — "which
     trade links are missing" (the degree-bounded sparsifier keeps
     non-edges in existence AND bounds the wedge space, the kcore
-    posture). Adamic–Adar folds ln-snapped 9-decimal terms in exact
-    DECIMAL — no trailing float round anywhere."""
+    posture). Adamic–Adar folds ln-snapped integer n9 reciprocals in
+    an exact BIGINT sum — no trailing float round anywhere."""
     from ..functions import graph
 
     edges = _top_partner_edges(spark, sf_dir)
@@ -8792,14 +8807,16 @@ cand AS (
   WHERE e.u IS NULL),
 sc AS (
   SELECT a AS node_a, b AS node_b, COUNT(*) AS cn,
-         SUM(CAST(round(1.0 / round(ln(d.deg), 9), 9)
-                  AS DECIMAL(38,9))) AS aa
+         SUM((2000000000000000000
+              + CAST(round(ln(d.deg) * 1e9, 0) AS BIGINT))
+             // (2 * CAST(round(ln(d.deg) * 1e9, 0) AS BIGINT)))
+           AS aa9
   FROM cand JOIN deg d ON d.node = cand.w
   GROUP BY 1, 2)
 SELECT sc.node_a, sc.node_b, CAST(sc.cn AS BIGINT) AS common_neighbors,
        CAST((sc.cn * 1000000) // (da.deg + db.deg - sc.cn) AS BIGINT)
          AS jaccard_micro,
-       CAST(sc.aa AS DECIMAL(38,9)) AS adamic_adar
+       CAST(sc.aa9 AS DOUBLE) / 1000000000.0 AS adamic_adar
 FROM sc
 JOIN deg da ON da.node = sc.node_a
 JOIN deg db ON db.node = sc.node_b

@@ -66,7 +66,11 @@ def test_gini_matches_rank_identity_model(spark, vals):
     if s == 0:
         assert r.gini is None
     else:
-        assert r.gini == round((2 * w - (n + 1) * s) / (n * s), 6)
+        # exact integer half-up round-6 (scale-invariant, so the
+        # model's unit values match the engine's 1e-4 units)
+        num, den = 2 * w - (n + 1) * s, n * s
+        g6 = (2 * num * 10**6 + den) // (2 * den)
+        assert r.gini == g6 / 1e6
 
 
 @given(rows=st.lists(st.tuples(st.sampled_from("abcd"),
@@ -108,7 +112,8 @@ def test_ks_pairs_matches_cdf_model(spark, a, b):
         if s > best:
             best, arg = s, v
     assert int(r.d_num) == best
-    assert r.ks == round(best / (na * nb), 6)
+    k6 = (2 * best * 10**6 + na * nb) // (2 * na * nb)
+    assert r.ks == k6 / 1e6
     assert r.argmax_v4 == arg * 10000
 
 

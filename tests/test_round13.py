@@ -621,8 +621,8 @@ class TestBehaviorOperators:
         r = behavior.cusum_max(df, ["grp"],
                                tiebreak_col="event_id").collect()[0]
         # max |N*S_k - k*S_N| at the change point k=10:
-        # |20*0 - 10*1000| = 10000
-        assert r.argmax_k == 10 and float(r.max_stat) == 10000.0
+        # |20*0 - 10*1000| = 10000, in 1e-4 units
+        assert r.argmax_k == 10 and r.max_stat4 == 10000 * 10000
 
     def test_cusum_stable_series_small_stat(self, spark):
         import datetime as dt
@@ -636,7 +636,7 @@ class TestBehaviorOperators:
             rows, "grp string, ts timestamp, event_id long, value double")
         r = behavior.cusum_max(df, ["grp"],
                                tiebreak_col="event_id").collect()[0]
-        assert float(r.max_stat) == 0.0  # constant series: no shift
+        assert r.max_stat4 == 0  # constant series: no shift
 
 
 class TestBfsHops:

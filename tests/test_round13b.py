@@ -238,11 +238,11 @@ class TestLinkPrediction:
         assert r.common_neighbors == 1
         # deg a=2 (w,b), deg c=1 (w) -> jaccard = 1/(2+1-1)
         assert r.jaccard_micro == 1_000_000 // 2
-        # deg w = 3 -> AA = round(1/round(ln 3,9),9)
+        # deg w = 3 -> AA = half_up(1e18 / round(ln(3)*1e9)) / 1e9
         import math
-        want = round(1.0 / round(math.log(3), 9), 9)
-        assert got[("a", "c")].adamic_adar == Decimal(
-            f"{want:.9f}")
+        m9 = round(math.log(3) * 1e9)
+        want = ((2 * 10**18 + m9) // (2 * m9)) / 1e9
+        assert got[("a", "c")].adamic_adar == want
 
     def test_min_common_filters(self, spark):
         from incubator_pulsar_spark.functions import graph
@@ -564,9 +564,9 @@ class TestClosenessCentrality:
         assert got["a"].closeness == round(2 / 3, 6)
         assert got["b"].closeness == 1.0
         # harmonic from a: 1/1 + 1/2
-        assert got["a"].harmonic == Decimal("1.500000000")
+        assert got["a"].harmonic == 1.5
         # center beats ends on both measures
-        assert got["b"].harmonic == Decimal("2.000000000")
+        assert got["b"].harmonic == 2.0
 
     def test_disconnected_components_harmonic_safe(self, spark):
         from incubator_pulsar_spark.functions import graph
@@ -737,9 +737,7 @@ class TestRfmSegments:
         assert (got["C"].f, got["B"].f, got["A"].f) == (1, 2, 3)
         assert (got["C"].m, got["A"].m, got["B"].m) == (1, 2, 3)
         assert got["A"].rfm_code == 100 * 1 + 10 * 3 + 2
-        from decimal import Decimal
-
-        assert got["B"].monetary == Decimal("300.0000")
+        assert got["B"].monetary4 == 300 * 10000
 
     def test_fixed_anchor(self, spark):
         import datetime as dt

@@ -6,6 +6,24 @@ order-insensitive values (columns sorted by name, rows sorted by all
 columns). Usage:
 
     python tools/oracle_check.py [sf_dir] [query ...]
+
+Beyond value equality, two REPRESENTATION lints fail queries whose
+local value-match can still diverge under the driver's own
+environment (the r13 lesson — this checker passed 196/196 while the
+driver failed 6):
+
+- DECIMAL output columns: r13's driver run failed exactly the 6
+  gates with a DECIMAL output column (all of them decimal(38,x)) and
+  passed all 44 without one; across r1-r13, 0 of 190 ever-green
+  gates emit a DECIMAL. The driver's canonicalizer evidently fetches
+  Spark and DuckDB decimals through different conversion paths.
+  Emit BIGINT micro/quarter-units or IEEE-exact DOUBLEs instead.
+- TIMEZONE sensitivity is NOT checked here (it needs a second Spark
+  pass); ``tests/test_round14_opt.py`` locks the six repaired gates
+  tz-invariant, and any epoch math on NTZ columns must use the
+  date-part decomposition in ``behavior.rfm_segments``, never an
+  NTZ→TIMESTAMP cast (the driver builds its own session and does not
+  pin ``spark.sql.session.timeZone``).
 """
 
 from __future__ import annotations
@@ -87,6 +105,13 @@ def main():
             continue
 
         errs = []
+        dec_cols = [f.name for f in sdf.schema.fields
+                    if "decimal" in f.dataType.simpleString()]
+        if dec_cols:
+            errs.append(
+                f"DECIMAL output columns {dec_cols}: driver-red class "
+                f"(r13: 6/6 hash-fails had one, 0/190 ever-green do) — "
+                f"emit BIGINT units or IEEE-exact DOUBLE")
         if len(s_rows) != len(o_rows):
             errs.append(f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):
