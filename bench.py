@@ -265,6 +265,45 @@ BENCH_QUERIES = [
 ]
 
 
+# Continuity set for the one-line JSON (optimization r14): the rows the
+# PREVIOUS round's printed line carried (BENCH_r13.json). The driver's
+# per-query comparison only sees the printed line (2000-char stdout
+# tail), so a row that leaves the line reads as "dropped_from_bench" in
+# PERF even though the bench still ran it (r13 manufactured 20 phantom
+# drops this way). Overflow now drops component rows first, then the
+# fastest rows NOT in this set — a row the driver saw last round stays
+# visible this round, whatever its new time. The full per-query record
+# is bench_full.json (committed) + the stderr dump, unchanged.
+PINNED_LINE_ROWS = {
+    "scd2_stream_events", "entropy_stream_events", "markov_stream_events",
+    "pq_fold_topk_embeddings", "retention_stream_events",
+    "ivfpq_auto_topk_embeddings", "ivfpq_rerank_bounded",
+    "ann_rerank_bounded", "ivfpq_fold_topk_embeddings",
+    "knn_graph_embeddings", "interval_stream_events", "twap_stream_events",
+    "ann_rerank_report", "bucketed_join_orders",
+    "ivfpq_rotated_topk_embeddings", "hits_nations",
+    "pq_rotated_topk_embeddings", "ivfpq_residual_topk_embeddings",
+    "connected_components_nations", "sq8_index_topk_embeddings",
+    "label_propagation_nations", "centrality_nations",
+    "shortest_paths_nations", "kcore_nations", "assoc_rules_orders",
+    "sq8_topk_embeddings", "bfs_hops_nations", "ktruss_nations",
+    "minhash_estimate_docs", "window_udaf_median", "language_id",
+    "psi_drift_events", "pagerank_weighted_nations",
+    "pq_index_topk_embeddings", "bloom_semijoin_orders",
+    "pagerank_personalized_nations", "ivfpq_topk_embeddings",
+    "maxsim_stream_topk_embeddings", "pq_lloyd_adc_topk_embeddings",
+    "token_budget_docs", "embedding_ann_ivf", "kmeans_embeddings_clusters",
+    "pagerank_nations", "q21_waiting_suppliers", "bq_index_topk_embeddings",
+    "link_prediction_nations", "q20_excess_suppliers", "pane_deltas_user",
+    "q16_supplier_variety", "embedding_neardup_blocked",
+    "q2_min_cost_supplier", "q10_returned_items", "q18_large_orders",
+    "triangle_count_nations", "q17_small_quantity_revenue",
+    "batch_receive_cap", "assortativity_nations",
+    "q13_customer_distribution", "q8_market_share",
+    "snapshot_time_travel_events",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -373,13 +412,20 @@ def main() -> None:
     # capture. Overflow policy: drop the *_build/*_probe component rows
     # FIRST (bench_full.json carries them; the composite rows keep
     # their r11 names so cross-round diffs stay inline), then the
-    # FASTEST remaining queries one by one, with queries_omitted
-    # counting the rest (full dict also on stderr).
+    # FASTEST rows NOT in the previous round's printed line
+    # (PINNED_LINE_ROWS — keeps the driver's round-over-round per-query
+    # comparison phantom-drop-free), then, only if it still overflows,
+    # the fastest pinned rows; queries_omitted counts the rest (full
+    # dict also on stderr).
     out = line(timings, 0)
     if len(out) >= 1900:
         keep = {k: v for k, v in timings.items()
                 if not k.endswith(("_build", "_probe"))}
-        keep = dict(sorted(keep.items(), key=lambda kv: -kv[1]))
+        # sort: pinned rows first (never dropped while any unpinned row
+        # remains), then slower-first within each class
+        keep = dict(sorted(keep.items(),
+                           key=lambda kv: (kv[0] not in PINNED_LINE_ROWS,
+                                           -kv[1])))
         while keep and len(line(keep, len(timings) - len(keep))) >= 1900:
             keep.pop(next(reversed(keep)))
         out = line(keep, len(timings) - len(keep))

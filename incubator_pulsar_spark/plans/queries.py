@@ -7188,16 +7188,25 @@ def scd2_stream_events(spark, sf_dir):
     — the watermark-closed variant tolerating cross-batch disorder,
     the `EventTimeOrderCompactor.java:40-76` semantic; VERDICT r12
     #1). Lifecycle under test: the per-user event-type log is split
-    into four 8-day bands, each band's rows written DISORDERED (md5
-    shuffle) as its own file, replayed availableNow one file per
+    into two half-span bands, each band's rows written DISORDERED
+    (md5 shuffle) as its own file, replayed availableNow one file per
     micro-batch — so every batch carries a whole band of out-of-order
-    rows and runs straddle batch boundaries. A sentinel row 1h past
-    the log's max ts advances the final watermark over every real
-    timestamp; the trailing no-data batch fires the event-time timers
-    and flushes every closed run. The oracle is the batch SCD2
-    derivation restricted to CLOSED runs (valid_to NOT NULL — open
-    runs stay in state by contract), with n_dropped_late asserting no
-    row was falsely dropped as late."""
+    rows and runs straddle the batch boundary (optimization r14: the
+    per-micro-batch machinery measured ~1.5-2 s regardless of work, so
+    the 4-band replay paid ~2× the fixed cost of the 2-band one for
+    the same cross-batch-carry semantics and byte-identical output).
+    A sentinel row 1h past the log's max ts rides INSIDE the last
+    band (rows carry the PREVIOUS batch's watermark, so the last
+    band's real rows are still buffered when it lands; the trailing
+    no-data batch then fires the event-time timers and flushes every
+    closed run — one fewer micro-batch than a separate sentinel
+    file). Keys pack into ~32-key composite state buckets
+    (state_buckets — the per-group Arrow machinery was ~0.9 s of
+    every ~1.8 s batch at 1,500 per-key groups; a trivial-fn floor
+    probe matched the full operator's wall time). The oracle is the
+    batch SCD2 derivation restricted to CLOSED runs (valid_to NOT
+    NULL — open runs stay in state by contract), with n_dropped_late
+    asserting no row was falsely dropped as late."""
     import shutil as _sh
 
     from ..streaming.scd2 import scd2_stream_event_time
@@ -7212,31 +7221,31 @@ def scd2_stream_events(spark, sf_dir):
     t0 = ev.agg(F.min("ts"), F.max("ts"),
                 F.approx_count_distinct("key")).collect()[0]
     lo, hi, nk = t0[0], t0[1], t0[2]
+    import datetime as _dt
+
+    n_bands = 2
+    span_us = int(hi.timestamp() * 1e6) - int(lo.timestamp() * 1e6) + 1
+    width_us = -(-span_us // n_bands)
     band = F.floor(
         (F.unix_micros(F.col("ts")) - F.lit(int(lo.timestamp() * 1e6)))
-        / F.lit(8 * 86400 * 1_000_000)).cast("int")
-    _write_band_files(
-        ev.withColumn("_band", band), src, 4,
-        F.md5(F.concat_ws("|", "key", F.col("ts").cast("string"))))
-    import datetime as _dt
-    import time as _time
-
+        / F.lit(width_us)).cast("int")
     sent = spark.createDataFrame(
         [("\x00flush", "x", hi + _dt.timedelta(hours=1))],
         "key string, value string, ts timestamp")
-    sent.coalesce(1).write.mode("append").parquet(src)
-    # the sentinel must be the LAST file in the replay: pin its mtime
-    # past the band files' driver-controlled, strictly-increasing stamps
-    for fn in os.listdir(src):
-        if not fn.startswith("band") and fn.endswith(".parquet"):
-            p = os.path.join(src, fn)
-            os.utime(p, (_time.time() + 3600, _time.time() + 3600))
+    banded = (ev.withColumn("_band", band)
+              .unionByName(sent.withColumn(
+                  "_band", F.lit(n_bands - 1).cast("int"))))
+    _write_band_files(
+        banded, src, n_bands,
+        F.md5(F.concat_ws("|", "key", F.col("ts").cast("string"))))
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
-    out = scd2_stream_event_time(stream, delay="10 seconds")
+    buckets = max(8, -(-int(nk) // 32))
+    out = scd2_stream_event_time(stream, delay="10 seconds",
+                                 state_buckets=buckets)
     _run_stream_gate(spark, out, sink, ck,
-                     _stream_shuffle_partitions(spark, nk))
+                     _stream_shuffle_partitions(spark, buckets * 32))
     return (spark.read.parquet(sink)
             .filter(F.col("key") != "\x00flush")
             .select(F.col("key").cast("long").alias("user_id"),
@@ -7913,7 +7922,7 @@ SHORTEST_PATHS_SQL = _shortest_paths_sql()
 def markov_stream_events(spark, sf_dir):
     """Streaming Markov transition deltas
     (`streaming/behavior.markov_stream`): the events log split into
-    four time bands replayed availableNow one file per micro-batch
+    two half-span time bands replayed availableNow one file per micro-batch
     (per-key publish order holds ACROSS batches; within a batch the
     operator sorts), each batch emitting (state, next_state, n_delta)
     increments; the sink fold SUM(n_delta) + the same exact DIV
@@ -7931,12 +7940,16 @@ def markov_stream_events(spark, sf_dir):
     d = _scratch("markovstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    t0 = ev.agg(F.min("sequence"),
+    t0 = ev.agg(F.min("sequence"), F.max("sequence"),
                 F.approx_count_distinct("user_id")).collect()[0]
-    lo, nk = t0[0], t0[1]
+    lo, hi, nk = t0[0], t0[1], t0[2]
+    # two half-span bands (optimization r14): the per-micro-batch
+    # machinery is the gate's fixed cost; 2 bands keep the cross-batch
+    # carry semantics at half the batches, same output
+    width = -(-(hi - lo + 1) // 2)
     band = F.floor((F.col("sequence") - F.lit(lo))
-                   / F.lit(8 * 86400 * 1_000_000)).cast("int")
-    _write_band_files(ev.withColumn("_band", band), src, 4,
+                   / F.lit(width)).cast("int")
+    _write_band_files(ev.withColumn("_band", band), src, 2,
                       F.md5(F.concat_ws("|", "user_id", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -7979,7 +7992,7 @@ def retention_stream_events(spark, sf_dir):
     (`streaming/behavior.retention_stream`): keyed state = the user's
     cohort (first-activity week) + the weeks already credited; each
     user's first event in a new week emits a (cohort, offset, +1)
-    delta, folded by SUM downstream — replayed availableNow over four
+    delta, folded by SUM downstream — replayed availableNow over two
     ordered time-band files so cohorts open in one batch and return
     visits land in LATER batches (the cross-batch crediting is the
     parity point vs the batch `cohort_retention` oracle). The week
@@ -7995,11 +8008,14 @@ def retention_stream_events(spark, sf_dir):
     d = _scratch("retstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo, nk = ev.agg(F.min("sequence"),
-                    F.approx_count_distinct("user_id")).collect()[0]
+    lo, hi, nk = ev.agg(F.min("sequence"), F.max("sequence"),
+                        F.approx_count_distinct("user_id")).collect()[0]
+    # two half-span bands (optimization r14): same cross-batch
+    # crediting, half the fixed per-micro-batch cost
+    width = -(-(hi - lo + 1) // 2)
     band = F.floor((F.col("sequence") - F.lit(lo))
-                   / F.lit(8 * 86_400_000)).cast("int")
-    _write_band_files(ev.withColumn("_band", band), src, 4,
+                   / F.lit(width)).cast("int")
+    _write_band_files(ev.withColumn("_band", band), src, 2,
                       F.md5(F.concat_ws("|", "user_id", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -8032,7 +8048,7 @@ def twap_stream_events(spark, sf_dir):
     (`streaming/behavior.twap_stream`): keyed state = the open
     observation (last ms + value in integer 1e-4 units); each batch
     emits the closed intervals' (n, dur, Σ value·dur) delta, folded
-    downstream by SUM — replayed availableNow over four ordered
+    downstream by SUM — replayed availableNow over two ordered
     time-band files so observations opened in one batch close in LATER
     batches (the cross-batch interval is the parity point vs the batch
     `behavior.twap` oracle). Values pre-scale to integer 1e-4 units
@@ -8050,11 +8066,14 @@ def twap_stream_events(spark, sf_dir):
     d = _scratch("twapstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo, nk = ev.agg(F.min("sequence"),
-                    F.approx_count_distinct("event_type")).collect()[0]
+    lo, hi, nk = ev.agg(F.min("sequence"), F.max("sequence"),
+                        F.approx_count_distinct("event_type")).collect()[0]
+    # two half-span bands (optimization r14): same cross-batch
+    # interval carry, half the fixed per-micro-batch cost
+    width = -(-(hi - lo + 1) // 2)
     band = F.floor((F.col("sequence") - F.lit(lo))
-                   / F.lit(8 * 86_400_000)).cast("int")
-    _write_band_files(ev.withColumn("_band", band), src, 4,
+                   / F.lit(width)).cast("int")
+    _write_band_files(ev.withColumn("_band", band), src, 2,
                       F.md5(F.concat_ws("|", "event_type", "sequence")))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -8101,7 +8120,7 @@ def entropy_stream_events(spark, sf_dir):
     and derives entropy with the batch operator's exact tail
     (`behavior.entropy_from_counts` — ln-snap-9, DECIMAL fold, one
     round-6 division), so stream and batch share one float path.
-    Cross-batch accumulation (counts spanning all four band files) is
+    Cross-batch accumulation (counts spanning both band files) is
     the parity point vs the batch `state_entropy` oracle."""
     import shutil as _sh
 
@@ -8115,14 +8134,17 @@ def entropy_stream_events(spark, sf_dir):
     d = _scratch("entstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo, nk = ev.agg(F.min("_ms"),
-                    F.approx_count_distinct("user_id")).collect()[0]
+    lo, hi, nk = ev.agg(F.min("_ms"), F.max("_ms"),
+                        F.approx_count_distinct("user_id")).collect()[0]
+    # two half-span bands (optimization r14): same cross-batch count
+    # accumulation, half the fixed per-micro-batch cost
+    width = -(-(hi - lo + 1) // 2)
     band = F.floor((F.col("_ms") - F.lit(lo))
-                   / F.lit(8 * 86_400_000)).cast("int")
+                   / F.lit(width)).cast("int")
     _write_band_files(
         ev.withColumn("_band", band).select("user_id", "event_type",
                                             "_band"),
-        src, 4, F.md5(F.concat_ws("|", "user_id", "event_type")))
+        src, 2, F.md5(F.concat_ws("|", "user_id", "event_type")))
     stream = (spark.readStream
               .schema("user_id long, event_type string")
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -8295,7 +8317,7 @@ def interval_stream_events(spark, sf_dir):
     high-water mark + union frontier + the OPEN-ends set (bounded by
     peak concurrency, not volume); per-batch (n, total, covered)
     deltas SUM-fold and the peak MAX-folds downstream — replayed
-    availableNow over four start-ordered band files so intervals
+    availableNow over two start-ordered band files so intervals
     opened in one batch stay open into later ones (the cross-batch
     frontier/heap carry is the parity point vs the batch
     `interval_coverage` oracle)."""
@@ -8311,11 +8333,15 @@ def interval_stream_events(spark, sf_dir):
     d = _scratch("ivstream", sf_dir)
     _sh.rmtree(d, ignore_errors=True)
     src, sink, ck = d + "/src", d + "/sink", d + "/ck"
-    lo, nk = iv.agg(F.min("s"),
-                    F.approx_count_distinct("event_type")).collect()[0]
+    lo, hi, nk = iv.agg(F.min("s"), F.max("s"),
+                        F.approx_count_distinct("event_type")).collect()[0]
+    # two half-span start-ordered bands (optimization r14): intervals
+    # opened in band 0 still stay open into band 1 — same cross-batch
+    # frontier carry, half the fixed per-micro-batch cost
+    width = -(-(hi - lo + 1) // 2)
     band = F.floor((F.col("s") - F.lit(lo))
-                   / F.lit(8 * 86_400_000)).cast("int")
-    _write_band_files(iv.withColumn("_band", band), src, 4,
+                   / F.lit(width)).cast("int")
+    _write_band_files(iv.withColumn("_band", band), src, 2,
                       F.md5(F.concat_ws("|", "event_type", "s", "e")))
     stream = (spark.readStream.schema(iv.schema)
               .option("maxFilesPerTrigger", "1").parquet(src))

@@ -119,6 +119,22 @@ SCD2_ET_STATE_SCHEMA = T.StructType([
     T.StructField("buf_null", T.ArrayType(T.BooleanType())),
 ])
 
+# bucketed form: one state row holds EVERY key of the bucket — the
+# per-key fields above become co-indexed arrays, and the row buffer
+# flattens with a parallel key column
+SCD2_ET_BUCKET_STATE_SCHEMA = T.StructType([
+    T.StructField("ks", T.ArrayType(T.StringType())),
+    T.StructField("cur_value", T.ArrayType(T.StringType())),
+    T.StructField("cur_from", T.ArrayType(T.LongType())),
+    T.StructField("version", T.ArrayType(T.IntegerType())),
+    T.StructField("has_null_value", T.ArrayType(T.BooleanType())),
+    T.StructField("n_dropped_late", T.ArrayType(T.LongType())),
+    T.StructField("buf_key", T.ArrayType(T.StringType())),
+    T.StructField("buf_order", T.ArrayType(T.LongType())),
+    T.StructField("buf_value", T.ArrayType(T.StringType())),
+    T.StructField("buf_null", T.ArrayType(T.BooleanType())),
+])
+
 
 def scd2_stream_event_time(
     stream: DataFrame,
@@ -127,6 +143,7 @@ def scd2_stream_event_time(
     value_col: str = "value",
     ts_col: str = "ts",
     delay: str = "10 seconds",
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Event-time streaming SCD2: watermark-closed change history that
     tolerates CROSS-BATCH disorder — the streaming twin of
@@ -168,6 +185,21 @@ def scd2_stream_event_time(
     non-NULL. ``version`` numbers a key's runs from 1; version gaps
     at the stream's current tail are impossible (runs close in
     order), so downstream can assert contiguity.
+
+    ``state_buckets=B`` packs keys into B composite state groups
+    (group key = ``pmod(xxhash64(key), B)``; per-key state and
+    buffers become co-indexed arrays inside the bucket's one state
+    row). Each key still folds with EXACTLY the per-key logic — the
+    output rows are identical (pytest-parity-locked) — but a
+    micro-batch touches B state rows and makes B per-group Arrow
+    invocations instead of |keys| (measured r14: the per-group
+    machinery was ~0.9 s of every ~1.8 s micro-batch at 1,500 keys
+    while the Python fold itself was negligible — a trivial-fn floor
+    probe ran at the full operator's wall time). Size B so buckets
+    hold tens of keys (keys/32 is the gate's choice); at cluster
+    scale keep B ≥ the stateful shuffle width so every state
+    partition stays busy. Late-row accounting is per KEY either way
+    (``n_dropped_late`` follows the key, not the bucket).
     """
     out_schema = T.StructType([
         T.StructField("key", T.StringType()),
@@ -244,6 +276,94 @@ def scd2_stream_event_time(
                 out, columns=["key", "value", "valid_from", "valid_to",
                               "version", "n_dropped_late"])
 
+    def bucket_fn(key: Any, pdfs: Iterator[pd.DataFrame],
+                  state) -> Iterator[pd.DataFrame]:
+        # st[k] = [cur_value, cur_from, version, n_dropped]
+        st: dict[str, list] = {}
+        bufs: dict[str, list] = {}
+        if state.exists:
+            (ks, cvs, cfs, vers, hns, nds,
+             bks, bos, bvs, bns) = state.get
+            for k, cv, cf, ve, hn, nd in zip(
+                    ks or [], cvs or [], cfs or [], vers or [],
+                    hns or [], nds or []):
+                st[k] = [None if hn else cv, cf, ve, nd]
+            for k, o, v, isnull in zip(bks or [], bos or [], bvs or [],
+                                       bns or []):
+                bufs.setdefault(k, []).append(
+                    (int(o), None if isnull else str(v)))
+        n_buf0 = sum(len(b) for b in bufs.values())
+        n_drop0 = sum(s[3] for s in st.values())
+        for pdf in pdfs:
+            for k, v, o in zip(pdf["key"], pdf[value_col],
+                               pdf["_order_us"]):
+                k, o = str(k), int(o)
+                s = st.get(k)
+                if s is not None and s[2] > 0 and o < s[1]:
+                    s[3] += 1  # below the key's finalized frontier
+                    continue
+                bufs.setdefault(k, []).append(
+                    (o, None if pd.isna(v) else str(v)))
+        n_buf_in = sum(len(b) for b in bufs.values())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        keep_n = 0
+        for k in list(bufs):
+            buf = bufs[k]
+            buf.sort(key=lambda r: r[0])  # stable — the per-key rule
+            s = st.setdefault(k, [None, None, 0, 0])
+            cur_value, cur_from, version, n_dropped = s
+            keep = []
+            for o, v in buf:
+                if o >= wm_us:
+                    keep.append((o, v))
+                    continue
+                if version == 0:
+                    cur_value, cur_from, version = v, o, 1
+                    continue
+                if v != cur_value:
+                    out.append((k, cur_value, cur_from, o, version,
+                                n_dropped))
+                    cur_value, cur_from, version = v, o, version + 1
+            st[k] = [cur_value, cur_from, version, n_dropped]
+            if keep:
+                bufs[k] = keep
+                keep_n += len(keep)
+            else:
+                del bufs[k]
+        n_drop1 = sum(s[3] for s in st.values())
+        # mirror the per-key rule: new rows arrived, rows folded out of
+        # the buffer (even into an unclosed run), drops counted, or
+        # runs closed — any of these rewrites the bucket's state row
+        changed = (n_buf_in != n_buf0 or keep_n != n_buf_in
+                   or n_drop1 != n_drop0 or bool(out))
+        live = {k for k, s in st.items()
+                if s[2] > 0 or s[3] or k in bufs} | set(bufs)
+        if changed and live:
+            ks = sorted(live)
+            flat_k, flat_o, flat_v, flat_n = [], [], [], []
+            for k in ks:
+                for o, v in bufs.get(k, []):
+                    flat_k.append(k)
+                    flat_o.append(o)
+                    flat_v.append(v)
+                    flat_n.append(v is None)
+            state.update((
+                ks,
+                [st[k][0] for k in ks],
+                [st[k][1] for k in ks],
+                [st[k][2] for k in ks],
+                [st[k][0] is None for k in ks],
+                [st[k][3] for k in ks],
+                flat_k, flat_o, flat_v, flat_n))
+        if bufs:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                      + 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "value", "valid_from", "valid_to",
+                              "version", "n_dropped_late"])
+
     keyed = (stream
              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
              .withWatermark(ts_col, delay)
@@ -251,5 +371,13 @@ def scd2_stream_event_time(
                      F.col(value_col).cast("string").alias(value_col),
                      F.col(ts_col),
                      F.unix_micros(F.col(ts_col)).alias("_order_us")))
-    return keyed.groupBy("key").applyInPandasWithState(
-        fn, out_schema, SCD2_ET_STATE_SCHEMA, "append", "EventTimeTimeout")
+    if state_buckets is None:
+        return keyed.groupBy("key").applyInPandasWithState(
+            fn, out_schema, SCD2_ET_STATE_SCHEMA, "append",
+            "EventTimeTimeout")
+    b = int(state_buckets)
+    bucketed = keyed.withColumn(
+        "_bkt", F.pmod(F.xxhash64("key"), F.lit(b)).cast("int"))
+    return bucketed.groupBy("_bkt").applyInPandasWithState(
+        bucket_fn, out_schema, SCD2_ET_BUCKET_STATE_SCHEMA, "append",
+        "EventTimeTimeout")
