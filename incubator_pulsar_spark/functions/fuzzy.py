@@ -543,7 +543,10 @@ def connected_components(
                     (F.col("nb_min").isNotNull()
                      & (F.col("nb_min") < F.col("label"))).alias("_chg"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the _chg count materializes the marked RDD
+        # in the same job (one driver job per round instead of two —
+        # optimization r14); later references reuse the truncated RDD
+        new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if n_changed == 0:
@@ -746,16 +749,19 @@ def minhash_jaccard_estimate(docs: DataFrame, *, id_col: str = "doc_id",
         candidates = lsh_candidate_pairs(docs, id_col=id_col,
                                          text_col=text_col, k=k,
                                          num_hashes=num_hashes, bands=bands)
-    # the candidate pair table feeds THREE lazy branches (the estimate
-    # join, jaccard_pairs' doc prune, and its pair-stream restriction)
-    # and the signature table feeds two (both join sides) — without a
-    # checkpoint each branch re-runs the full shingle→signature→band
-    # chain (the assoc_rules DAG-fan-out lesson; audited 21 shuffles /
-    # 29 scans before, r13). Both tables are tiny (pairs; 16 ints/doc).
-    candidates = candidates.localCheckpoint(eager=True)
+    # the candidate pair table feeds THREE lazy branches and the
+    # signature table two, so each branch re-derives the shingle→
+    # signature→band chain — r13 eagerly checkpointed both, which cut
+    # the plan (1169→508 lines) but COST time at bench scale: the
+    # driver measured 0.83× (1.73→2.08 s) and the r14 sentinel-
+    # normalized A/B confirmed it (norm 2.42 eager / 2.45 lazy / 1.90
+    # none — materializing two tables up front loses to recomputing a
+    # ~0.3 s chain). Reverted to the lazy form; at corpus scale
+    # (where the chain is hours, not 0.3 s) persist the signatures
+    # explicitly or pass precomputed ``candidates`` — the operator
+    # deliberately does not second-guess that tradeoff with a count.
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col,
-                              k=k, num_hashes=num_hashes) \
-        .localCheckpoint(eager=True)
+                              k=k, num_hashes=num_hashes)
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"),
                         *[F.col(f"sig_{i}").alias(f"_a{i}")
                           for i in range(num_hashes)])

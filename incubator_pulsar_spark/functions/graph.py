@@ -599,8 +599,13 @@ def kcore(edges: DataFrame, k: int = 3, *, iters: int = 8,
         # semi-join — a lazy reference would double the plan per round
         # (the LPA 2^rounds lineage lesson); materializing the survivor
         # set per round is the standard Pregel posture
+        # lazy checkpoint + count: the count action materializes the
+        # marked RDD in the SAME job (one driver job per round instead
+        # of checkpoint-then-count's two — optimization r14); the next
+        # round's two references then reuse the truncated RDD exactly
+        # as with eager=True
         alive = (deg.filter(F.col("_d") >= k).select("node")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         n = alive.count()
         if n == prev_n:
             converged = True  # monotone peeling: no-change = fixpoint
@@ -676,9 +681,10 @@ def ktruss(edges: DataFrame, k: int = 3, *, iters: int = 8,
         support = tri_edges.groupBy("u", "v").agg(
             F.count(F.lit(1)).alias("_sup"))
         # inner join: an edge in NO triangle has support 0 < k-2 (k>=3)
+        # lazy checkpoint + count fuse into one job (the kcore rule)
         alive = (alive.join(support, on=["u", "v"])
                  .filter(F.col("_sup") >= k - 2).select("u", "v")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         n = alive.count()
         if n == prev_n:
             converged = True  # monotone peeling: no-change = fixpoint
@@ -727,8 +733,21 @@ def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
     Scale shape per iteration: two edges⋈scores joins + two keyed
     aggs, co-partitioned on the node key; max() is a 1-row broadcast.
     ``broadcast_scores=True`` is the small-node-set plan (the
-    ``pagerank`` knob). Output: (node, hub_micro, auth_micro) for
-    every node appearing as src or dst.
+    ``pagerank`` knob) — there the L∞ norm runs as a GLOBAL window
+    over the node-score table instead of a checkpoint + max-agg +
+    crossJoin-broadcast (optimization r14): the score table is
+    referenced ONCE per half-step, so the per-half-step eager
+    materialization (2 driver jobs × 2 × iters — the dominant cost of
+    the dimension-sized gate, measured ~0.3 s/half-step of pure job
+    latency) disappears and the whole 5-iteration recursion runs as
+    ONE job; the single-partition window is exactly as bounded as the
+    broadcast hash joins the knob already implies. The default
+    (scale) path keeps the checkpoint + 1-row-broadcast norm — a
+    global window over billions of node scores would funnel them to
+    one partition. Same integer values either way (max-then-DIV is
+    the same arithmetic wherever the max is computed). Output:
+    (node, hub_micro, auth_micro) for every node appearing as src or
+    dst.
     """
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
@@ -741,20 +760,35 @@ def hits(edges: DataFrame, *, iters: int = 5, micro: int = 1_000_000,
     hubs = nodes.select("node", F.lit(micro).cast("long").alias("h"))
     auths = nodes.select("node", F.lit(micro).cast("long").alias("a"))
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        # EAGER checkpoint first: the raw-score table feeds BOTH the
-        # max aggregate and the division — two references to an
-        # unmaterialized iterative subtree double the plan per
-        # half-step (2^(2·iters) — the LPA lineage lesson). One small
-        # materialization per half-step is the Pregel posture.
-        df = df.localCheckpoint(eager=True)
-        mx = df.agg(F.max(col).alias("_mx"))
-        return (df.crossJoin(F.broadcast(mx))
-                .select("node",
-                        F.expr(f"CAST(({col} * {int(micro)}) DIV _mx "
-                               f"AS LONG)").alias(col)))
+    if broadcast_scores:
+        def _norm(df: DataFrame, col: str) -> DataFrame:
+            # the checkpoint still pays once per half-step (without it
+            # every broadcast build re-executes the whole prior chain
+            # — measured 4.3 s vs 3.3 s), but the max-agg job, its
+            # 1-row broadcast, and the crossJoin disappear into a
+            # global window over the materialized 25-row frame; the
+            # empty-frame OVER () is bounded by the knob's contract
+            df = df.localCheckpoint(eager=True)
+            return df.select(
+                "node",
+                F.expr(f"CAST(({col} * {int(micro)}) DIV "
+                       f"(MAX({col}) OVER ()) AS LONG)").alias(col))
+    else:
+        def _norm(df: DataFrame, col: str) -> DataFrame:
+            # EAGER checkpoint first: the raw-score table feeds BOTH
+            # the max aggregate and the division — two references to
+            # an unmaterialized iterative subtree double the plan per
+            # half-step (2^(2·iters) — the LPA lineage lesson). One
+            # small materialization per half-step is the Pregel
+            # posture.
+            df = df.localCheckpoint(eager=True)
+            mx = df.agg(F.max(col).alias("_mx"))
+            return (df.crossJoin(F.broadcast(mx))
+                    .select("node",
+                            F.expr(f"CAST(({col} * {int(micro)}) DIV _mx "
+                                   f"AS LONG)").alias(col)))
 
-    for _ in range(iters):
+    for i in range(iters):
         a_raw = (e.join(_maybe_b(hubs.select(F.col("node").alias("src"),
                                              "h")), on="src")
                  .groupBy("dst").agg(F.sum("h").alias("a"))
@@ -837,9 +871,11 @@ def bfs_hops(edges: DataFrame, sources: list, *, iters: int = 6,
         nxt = (_maybe_b(dist).join(e, dist["node"] == e["src"])
                .select(F.col("dst").alias("node"),
                        (F.col("hops") + 1).cast("int").alias("hops")))
+        # lazy checkpoint + fingerprint fuse into one job (the
+        # fingerprint agg materializes the marked RDD — r14)
         dist = (dist.union(nxt).groupBy("node")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         cur = fingerprint(dist)
         if cur == prev:
             converged = True
@@ -934,9 +970,10 @@ def closeness_centrality(edges: DataFrame, *, sources: list | None = None,
         nxt = (_maybe_b(dist).join(e, dist["node"] == e["src"])
                .select("seed", F.col("dst").alias("node"),
                        (F.col("h") + 1).cast("int").alias("h")))
+        # lazy checkpoint + fingerprint fuse into one job (r14)
         dist = (dist.union(nxt).groupBy("seed", "node")
                 .agg(F.min("h").alias("h"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         cur = fingerprint(dist)
         if cur == prev:
             converged = True
@@ -1040,9 +1077,10 @@ def shortest_paths(edges: DataFrame, sources: list, *, iters: int = 8,
                .select(F.col("dst").alias("node"),
                        (F.col("dist") + F.col("w")).cast("long")
                        .alias("dist")))
+        # lazy checkpoint + fingerprint fuse into one job (r14)
         dist = (dist.union(nxt).groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         cur = fingerprint(dist)
         if cur == prev:
             converged = True

@@ -65,23 +65,30 @@ def round_spark(a: np.ndarray, nd: int) -> np.ndarray:
     nearest-integer on the scaled binary value (both pick the decimal
     k·10^-nd nearest the input, and k/10^nd is a correctly-rounded
     float division on both sides). Within a band around the boundary
-    (1e-6 of the scaled value — orders of magnitude wider than the
-    float64 scaling error that could flip the choice) the exact
-    Decimal path decides."""
+    the exact Decimal path decides. The band is MAGNITUDE-RELATIVE
+    (max(1e-6, |y|·1e-15) — ADVICE r13): the float64 scaling error is
+    ~ulp(y) ≈ |y|·2.2e-16, so a fixed 1e-6 band stops covering it
+    once |y| ≳ 8.6e9 and large-magnitude .5-boundary values could
+    take the fast path with a flipped frac; the relative term keeps
+    the exact path covering ≥ 4× the worst-case scaling error at
+    every magnitude."""
     a = np.asarray(a, dtype=np.float64)
     scale = float(10 ** nd)
     y = a * scale
     f = np.floor(y)
     frac = y - f
     k = f + (frac >= 0.5)
-    near = np.abs(frac - 0.5) < 1e-6
+    near = np.abs(frac - 0.5) < np.maximum(1e-6, np.abs(y) * 1e-15)
     if near.any():
         flat = k.reshape(-1)
         src = a.reshape(-1)
         one = decimal.Decimal(1)
-        for i in np.nonzero(near.reshape(-1))[0]:
-            d = decimal.Decimal(repr(float(src[i]))).scaleb(nd)
-            flat[i] = float(d.quantize(one, rounding=decimal.ROUND_HALF_UP))
+        with decimal.localcontext() as ctx:
+            ctx.prec = 60  # quantize must never overflow at any float64
+            for i in np.nonzero(near.reshape(-1))[0]:
+                d = decimal.Decimal(repr(float(src[i]))).scaleb(nd)
+                flat[i] = float(d.quantize(
+                    one, rounding=decimal.ROUND_HALF_UP))
         k = flat.reshape(k.shape)
     return k / scale
 

@@ -616,6 +616,33 @@ def _zeroed_cosine_matrix(X, nx, Y, ny):
     return S
 
 
+def _exact_cosine_matrix(X, nx, Y, ny):
+    """BIT-EXACT twin of the fold path's pair cosine (optimization
+    r14, the pq_arrow discipline): the fold scores each pair as
+    ``np.sum(va*vb, axis=1)`` inside the Arrow pair-dot UDF, divides
+    by the JVM ``_ns*_nd`` product, and rounds with Spark's
+    BigDecimal-HALF_UP ``F.round(·, 6)``. This matrix form replays
+    all three exactly — per Y-row, ``(X * Y[j]).sum(axis=1)`` is the
+    same contiguous (n, d) float64 row-reduction numpy runs in the
+    UDF (identical pairwise-summation tree per row), the denominator
+    is the same elementwise product-then-divide, and ``round_spark``
+    replays the JVM rounding — so the gate's DuckDB oracle sees the
+    fold's values to the last bit, with vectors shipped once per
+    probe instead of once per candidate pair."""
+    import numpy as np
+
+    from .pq_arrow import round_spark
+
+    S = np.empty((len(X), len(Y)), dtype=np.float64)
+    for j in range(len(Y)):
+        S[:, j] = (X * Y[j]).sum(axis=1)
+    den = np.outer(np.where(nx > 0, nx, 1.0), np.where(ny > 0, ny, 1.0))
+    S = round_spark(S / den, 6)
+    S[nx <= 0, :] = 0.0
+    S[:, ny <= 0] = 0.0
+    return S
+
+
 def _topk_rows(col, dst_ids, valid, k):
     """Indices (into ``valid``'s positions) of the top-k of ``col``
     restricted to ``valid``, ordered (sim DESC, dst_id ASC) — the
@@ -683,7 +710,7 @@ def knn_graph(
     without the caller remembering it.
 
     ``kernel`` picks the pair-scoring physical form, same output
-    either way (pytest-parity-locked, and the gate runs the fold form):
+    either way (pytest-parity-locked):
 
     - ``"gemm"`` (default): cogroup probers×members per cell and run
       ONE BLAS matmul per cell, emitting only each prober's per-cell
@@ -691,17 +718,29 @@ def knn_graph(
       once per candidate PAIR, candidate volume drops from |cell| to k
       rows per probe, and the pair work runs at matmul throughput (the
       ``cosine_topk_gemm`` adoption, VERDICT r11 #3; measured ×4.1 on
-      the sf0.1 corpus: 5.28 s → 1.28 s).
+      the sf0.1 corpus: 5.28 s → 1.28 s). Round-6 absorbs the BLAS
+      summation-order delta from the fold — same values in practice,
+      not provably bit-exact.
+    - ``"exact"``: the gemm cogroup SHAPE with the fold's bit-exact
+      scoring (``_exact_cosine_matrix``: per-row numpy reductions in
+      the fold's own summation tree + ``round_spark`` — the pq_arrow
+      exact-twin discipline, optimization r14). The DuckDB-oracle
+      gate runs this form: fold values to the last bit at gemm-like
+      cost (the per-pair Arrow UDF shipped both vectors once per
+      candidate PAIR — the measured 2.9 s of the 2000-vector gate was
+      almost entirely that transport).
     - ``"fold"``: the original equi-join + Arrow pair-dot — the
-      DuckDB-oracle gate surface (its BLAS-free summation order is
-      what the SQL replays; the gated query pins this form).
+      parity REFERENCE surface (its BLAS-free summation order is what
+      the SQL replays; ``kernel="exact"`` reproduces it bit-for-bit,
+      locked by tests/test_round14_opt.py).
 
     Output: (src_id, dst_id, cosine_sim, rank), k rows per src.
     """
     if prune not in (True, False, "auto"):
         raise ValueError(f"prune must be True, False or 'auto': {prune!r}")
-    if kernel not in ("gemm", "fold"):
-        raise ValueError(f"kernel must be 'gemm' or 'fold': {kernel!r}")
+    if kernel not in ("gemm", "fold", "exact"):
+        raise ValueError(
+            f"kernel must be 'gemm', 'fold' or 'exact': {kernel!r}")
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents, pool_unit = _seed_centroids_with_pool(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
@@ -766,6 +805,9 @@ def knn_graph(
             T.StructField("src_id", idt), T.StructField("dst_id", idt),
             T.StructField("cosine_sim", T.DoubleType())])
 
+        matfn = (_exact_cosine_matrix if kernel == "exact"
+                 else _zeroed_cosine_matrix)
+
         def fn(left, right):
             if not len(left) or not len(right):
                 return pd.DataFrame(
@@ -774,7 +816,7 @@ def knn_graph(
             M = np.array(right["_vd"].to_list(), dtype="float64")
             src_ids = left["src_id"].to_numpy()
             dst_ids = right["dst_id"].to_numpy()
-            S = _zeroed_cosine_matrix(
+            S = matfn(
                 P, left["_ns"].to_numpy(dtype="float64"),
                 M, right["_nd"].to_numpy(dtype="float64"))
             s_out, d_out, c_out = [], [], []
@@ -804,7 +846,7 @@ def knn_graph(
                 .cogroup(members.groupBy("cell"))
                 .applyInPandas(fn, out_schema))
 
-    _score = _score_gemm if kernel == "gemm" else _score_fold
+    _score = _score_fold if kernel == "fold" else _score_gemm
 
     if not prune:
         scored = _score(probers.drop("_prank", "_ps"))

